@@ -1,38 +1,47 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: the W4 threshold detector (the reference's
+trace-to-events hot path) as an Arrow-batched applyInPandas over sf0.001.
+``queries()`` — operator inventory from SURVEY.md §2; each callable
+(spark, sf_dir) → DataFrame.  ``oracle_sql()`` — DuckDB equivalents with
+identical column aliases; DAQ-native queries without a SQL-expressible
+oracle (detector/frame state machines on synthetic dat2 traces) are
+rows-only per the driver contract.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from supermusr_data_pipeline_spark.plans import relational  # noqa: E402
+from supermusr_data_pipeline_spark.plans.daq_chain import synthetic_daq_chain  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return relational.QUERIES["q14_threshold_detect"](spark, "/root/testdata/sf0.001")
+
+
+def _daq_full_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full DAQ pipeline (traces → events → frames → nexus table) on
+    deterministic synthetic dat2 traces — the reference's end-to-end
+    topology (docs/data_pipeline.md:9-71).  Not SQL-expressible (detector
+    FSM + stateful assembly) → rows-only check."""
+    return synthetic_daq_chain(spark, n_frames=8, n_digitizers=2, n_samples=500)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q = dict(relational.QUERIES)
+    q["daq_full_chain"] = _daq_full_chain
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(relational.ORACLES)

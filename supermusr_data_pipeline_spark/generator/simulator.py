@@ -1,0 +1,209 @@
+"""Deterministic seeded trace/run synthesis (SURVEY.md §2.9 G1-G5).
+
+The reference's simulator builds dat2 traces as per-time-bin sums of active
+analytic pulses plus smoothed noise, then an affine transform
+(simulator/src/integrated/simulation_elements/event_list.rs:36-70).  Pulse
+shape families: Flat / Triangular / Gaussian / Biexponential
+(simulation_elements/pulses.rs:5-61); noise: uniform/gaussian with EWMA
+smoothing (noise.rs:8-88).
+
+Spark-first scale design: the generator is itself a distributed dataflow —
+``spark.range`` over (frame × digitiser × channel) rows, then ``mapInPandas``
+synthesizes voltage arrays with a numpy RNG seeded per row, so any subset of
+the table regenerates identically on any cluster size with zero driver-side
+data movement.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from datetime import datetime, timezone
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+EPOCH_START = datetime(2024, 1, 1, tzinfo=timezone.utc)
+FRAME_PERIOD_MS = 20  # 50 Hz (simulator/src/main.rs:132-135)
+CHANNELS_PER_DIGITIZER = 8  # common/src/lib.rs:21
+
+
+def _pulse_flat(t: np.ndarray, start: float, stop: float, amplitude: float) -> np.ndarray:
+    return np.where((t >= start) & (t < stop), amplitude, 0.0)
+
+
+def _pulse_triangular(
+    t: np.ndarray, start: float, peak_time: float, stop: float, amplitude: float
+) -> np.ndarray:
+    up = np.clip((t - start) / max(peak_time - start, 1e-9), 0, None)
+    down = np.clip((stop - t) / max(stop - peak_time, 1e-9), 0, None)
+    return amplitude * np.clip(np.minimum(up, down), 0, 1)
+
+
+def _pulse_gaussian(t: np.ndarray, mean: float, sd: float, peak: float) -> np.ndarray:
+    return peak * np.exp(-0.5 * ((t - mean) / sd) ** 2)
+
+
+def _pulse_biexp(
+    t: np.ndarray, start: float, amplitude: float, rise: float, decay: float
+) -> np.ndarray:
+    dt = t - start
+    coef = amplitude / (
+        (decay / rise) ** (-rise / (decay - rise)) - (decay / rise) ** (-decay / (decay - rise))
+    )
+    out = coef * (np.exp(-dt / decay) - np.exp(-dt / rise))
+    return np.where(dt >= 0, out, 0.0)
+
+
+def _synth_channel(
+    rng: np.ndarray, n_samples: int, n_pulses: int, baseline: float, noise_sd: float
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Returns (voltage u16 array, pulse start times, pulse peak heights)."""
+    rs = np.random.default_rng(rng)
+    t = np.arange(n_samples, dtype=np.float64)
+    v = np.full(n_samples, baseline, dtype=np.float64)
+    starts = np.sort(rs.uniform(10, n_samples - 50, size=n_pulses))
+    heights = rs.uniform(200, 1200, size=n_pulses)
+    kinds = rs.integers(0, 4, size=n_pulses)
+    for s, h, k in zip(starts, heights, kinds):
+        if k == 0:
+            v += _pulse_flat(t, s, s + 12, h)
+        elif k == 1:
+            v += _pulse_triangular(t, s, s + 6, s + 16, h)
+        elif k == 2:
+            v += _pulse_gaussian(t, s + 8, 3.0, h)
+        else:
+            v += _pulse_biexp(t, s, h, 2.0, 8.0)
+    # EWMA-smoothed gaussian noise (noise.rs:8-88): one-pole filter
+    noise = rs.normal(0.0, noise_sd, size=n_samples)
+    alpha = 0.3
+    sm = np.empty_like(noise)
+    acc = 0.0
+    for i, x in enumerate(noise):  # short frames; numpy-lfilter equivalent
+        acc = alpha * x + (1 - alpha) * acc
+        sm[i] = acc
+    v += sm
+    return np.clip(np.round(v), 0, 65535).astype(np.int64), starts, heights
+
+
+def generate_traces(
+    spark: SparkSession,
+    n_frames: int = 20,
+    n_digitizers: int = 4,
+    channels_per_digitizer: int = CHANNELS_PER_DIGITIZER,
+    n_samples: int = 1000,
+    sample_rate: int = 1_000_000_000,
+    pulses_per_channel: int = 6,
+    baseline: float = 50.0,
+    noise_sd: float = 4.0,
+    seed: int = 42,
+) -> DataFrame:
+    """dat2-shaped long trace table (TRACE_SCHEMA), fully deterministic."""
+    n_rows = n_frames * n_digitizers * channels_per_digitizer
+
+    out_schema = T.StructType(
+        [
+            T.StructField("digitizer_id", T.IntegerType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("period_number", T.LongType()),
+            T.StructField("protons_per_pulse", T.IntegerType()),
+            T.StructField("running", T.BooleanType()),
+            T.StructField("frame_number", T.LongType()),
+            T.StructField("veto_flags", T.IntegerType()),
+            T.StructField("sample_rate", T.LongType()),
+            T.StructField("channel", T.IntegerType()),
+            T.StructField("voltage", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    npc = channels_per_digitizer
+    nd = n_digitizers
+    epoch_us = int(EPOCH_START.timestamp() * 1_000_000)
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid in pdf["id"]:
+                frame = int(rid) // (nd * npc)
+                did = (int(rid) // npc) % nd
+                ch = int(rid) % npc
+                v, _, _ = _synth_channel(
+                    np.array([seed, frame, did, ch], dtype=np.uint64),
+                    n_samples,
+                    pulses_per_channel,
+                    baseline,
+                    noise_sd,
+                )
+                rows.append(
+                    {
+                        "digitizer_id": did,
+                        "ts": pd.Timestamp(
+                            (epoch_us + frame * FRAME_PERIOD_MS * 1000) * 1000
+                        ),
+                        "period_number": frame // 100,
+                        "protons_per_pulse": 1 + (frame % 4),
+                        "running": True,
+                        "frame_number": frame,
+                        # vary per digitiser so OR-aggregation is exercised (P7)
+                        "veto_flags": (1 << (did % 8)) if (frame % 5 == 0) else 0,
+                        "sample_rate": sample_rate,
+                        "channel": ch + did * npc,
+                        "voltage": v,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    n_parts = min(max(1, n_rows // 64), 256)
+    return spark.range(0, n_rows, numPartitions=n_parts).mapInPandas(synth, out_schema)
+
+
+def generate_runs(
+    spark: SparkSession,
+    n_frames: int = 20,
+    frames_per_run: int = 8,
+    gap_frames: int = 2,
+    open_last: bool = True,
+    seed: int = 42,
+) -> DataFrame:
+    """Run interval table (RUN_SCHEMA): consecutive runs covering the frame
+    timeline with inter-run gaps; optionally an open (still-running) last run
+    (run_parameters.rs:164-175)."""
+    epoch_us = int(EPOCH_START.timestamp() * 1_000_000)
+    rows = []
+    frame = 0
+    i = 0
+    while frame < n_frames:
+        start_us = epoch_us + frame * FRAME_PERIOD_MS * 1000 - 1000
+        end_frame = frame + frames_per_run
+        end_us = epoch_us + end_frame * FRAME_PERIOD_MS * 1000 - 1000
+        is_last = end_frame + gap_frames >= n_frames
+        rows.append(
+            {
+                "run_name": f"run_{i:04d}",
+                "filename": f"run_{i:04d}.nxs",
+                "instrument_name": "SUPERMUSR",
+                "collect_from": datetime.fromtimestamp(start_us / 1e6, tz=timezone.utc),
+                "collect_until": None
+                if (is_last and open_last)
+                else datetime.fromtimestamp(end_us / 1e6, tz=timezone.utc),
+                "n_periods": 1 + i % 4,
+            }
+        )
+        frame = end_frame + gap_frames
+        i += 1
+    from ..schemas import RUN_SCHEMA
+
+    return spark.createDataFrame(rows, RUN_SCHEMA)
+
+
+def frames_in_run_count(n_frames: int, frames_per_run: int, gap_frames: int) -> int:
+    """Helper for tests: number of frames covered by generated runs."""
+    covered = 0
+    frame = 0
+    while frame < n_frames:
+        covered += min(frames_per_run, n_frames - frame)
+        frame += frames_per_run + gap_frames
+    return covered
+
+

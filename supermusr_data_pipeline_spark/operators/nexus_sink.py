@@ -1,0 +1,105 @@
+"""NeXus-equivalent structured sink (SURVEY.md §2.1 S6, §2.4 A5, §2.2 P5).
+
+The reference appends each assembled frame to resizable HDF5 datasets inside
+``raw_data_1`` (nexus-writer/src/nexus_structure/entry/event_data.rs:65-145):
+per-frame parallel datasets (event_index, event_time_zero, period_number,
+frame_number, complete, running, veto_flags) plus per-event datasets
+(event_time_offset, event_id == channel, pulse_height).
+
+Spark restatement: one partitioned Parquet table per run directory with the
+same columns.  The HDF5-specific bookkeeping becomes two window functions:
+
+- ``event_time_zero`` = frame ts − run collect_from in ns (event_data.rs:169-186)
+- ``event_index``     = running total of events in frames before this one
+  (event_data.rs:195-196,236-244)
+
+Both windows are per-run and ordered by frame ts — at 100 TB each run's
+frames are modest (50 fps × hours ≈ 10^6 rows), so the per-run window is
+safe; per-event rows never pass through a window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def build_nexus_events(frame_events_long: DataFrame) -> DataFrame:
+    """From long-format assembled frames already matched to runs (columns of
+    assemble_frames_long + run columns from match_events_to_runs), derive the
+    nexus event table (NEXUS_EVENT_SCHEMA).
+    """
+    df = frame_events_long
+    # per-frame table (one row per frame per run) for the frame-indexed columns
+    frames = df.groupBy(
+        "run_name", "collect_from", "ts", "period_number", "frame_number",
+        "complete", "running", "frame_veto_flags",
+    ).agg(F.count("*").alias("n_events"))
+
+    w_seq = Window.partitionBy("run_name").orderBy("ts", "frame_number")
+    frames = frames.select(
+        "run_name",
+        "ts",
+        "period_number",
+        "frame_number",
+        "complete",
+        "running",
+        "frame_veto_flags",
+        "n_events",
+        (F.row_number().over(w_seq) - F.lit(1)).cast("long").alias("frame_seq"),
+        # event_time_zero: ns offset of the frame from the run start (P5)
+        ((F.unix_micros("ts") - F.unix_micros("collect_from")) * 1000).alias("event_time_zero"),
+        # event_index: events in all preceding frames of this run (A5)
+        F.coalesce(
+            F.sum("n_events").over(w_seq.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).cast("long").alias("event_index"),
+    )
+
+    events = df.select(
+        "run_name",
+        "ts",
+        "frame_number",
+        F.col("event_time").alias("event_time_offset"),
+        F.col("channel").alias("event_id"),
+        F.col("event_voltage").cast("double").alias("pulse_height"),
+    )
+    # frames is ~1/500th of events (events-per-frame default 500); AQE picks
+    # broadcast when it fits, else a shuffle join on the frame key
+    return events.join(
+        frames,
+        on=["run_name", "ts", "frame_number"],
+        how="inner",
+    ).select(
+        "run_name",
+        "frame_seq",
+        "event_time_zero",
+        "event_index",
+        "period_number",
+        "frame_number",
+        F.col("complete").alias("frame_complete"),
+        "running",
+        F.col("frame_veto_flags").alias("veto_flags"),
+        "event_time_offset",
+        "event_id",
+        "pulse_height",
+    )
+
+
+def write_nexus(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S6: append-only structured sink — Parquet partitioned by run.
+
+    Partitioning by run_name ≙ one HDF5 file per run; parquet row groups ≙
+    the reference's chunked datasets (1 MiB events / 1 KiB frames,
+    nexus-writer/src/run_engine/settings.rs:38-50).
+    """
+    df.write.mode(mode).partitionBy("run_name").parquet(path)
+
+
+def periods_per_run(frame_events_long: DataFrame) -> DataFrame:
+    """A6: append-if-absent period list per run
+    (nexus-writer/src/run_engine/run/mod.rs:155-166)."""
+    return frame_events_long.groupBy("run_name").agg(
+        F.sort_array(F.collect_set("period_number")).alias("periods")
+    )

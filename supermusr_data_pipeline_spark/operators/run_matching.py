@@ -1,0 +1,52 @@
+"""Run-interval matching: J1/J2 of SURVEY.md §2.5.
+
+The nexus-writer selects, for each incoming message timestamp, the run with
+``collect_from < ts`` and (``ts < collect_until`` or run still open)
+(nexus-writer/src/run_engine/run/run_parameters.rs:156-175, engine scan
+run_engine/engine.rs:54-80).  Log messages use the one-sided variant: any
+run *not ending before* ts (logs may precede the run start).
+
+Spark-first: the runs table is tiny (a control stream), so both variants are
+**broadcast range joins** — the events side never shuffles.  At 100 TB of
+events and thousands of runs this stays a map-side join; no custom Catalyst
+work needed (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def match_events_to_runs(
+    events: DataFrame, runs: DataFrame, ts_col: str = "ts", how: str = "inner"
+) -> DataFrame:
+    """J1: frame/event message → covering run.
+
+    Predicate (run_parameters.rs:156-175): collect_from < ts AND
+    (collect_until IS NULL OR ts < collect_until).  Messages matching no run
+    are dropped by the writer (engine.rs:220-238) — ``how='inner'`` mirrors
+    that; pass ``how='left'`` to keep them with NULL run columns (error-side
+    output, P8).
+    """
+    cond = (F.col(ts_col) > runs["collect_from"]) & (
+        runs["collect_until"].isNull() | (F.col(ts_col) < runs["collect_until"])
+    )
+    return events.join(F.broadcast(runs), on=cond, how=how)
+
+
+def match_logs_to_runs(logs: DataFrame, runs: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """J2: log/alarm → first run not ending before ts
+    (run_engine/engine.rs:68-80,246-288).  One-sided: a log may precede the
+    run's start (it lands in the earliest run whose end is after it)."""
+    tagged = logs.withColumn("_log_id", F.monotonically_increasing_id())
+    cond = runs["collect_until"].isNull() | (F.col(ts_col) < runs["collect_until"])
+    joined = tagged.join(F.broadcast(runs), on=cond, how="inner")
+    # keep only the earliest matching run per log row
+    w = Window.partitionBy("_log_id")
+    return (
+        joined.withColumn("_min_from", F.min("collect_from").over(w))
+        .filter(F.col("collect_from") == F.col("_min_from"))
+        .drop("_min_from", "_log_id")
+    )

@@ -1,0 +1,615 @@
+"""Relational query suite over the driver test tables, with DuckDB oracles.
+
+Each query is the Spark-first restatement of an operator from SURVEY.md §2
+(citation in each docstring), exercised on the driver-provided TPC-H-ish
+tables (TESTDATA.md).  ``ORACLES[name]`` is the ANSI-SQL equivalent DuckDB
+runs on the same parquet for the driver's t2 hash-compare — column names are
+aliased identically on both sides, doubles rounded identically, timestamps
+emitted as epoch-microsecond BIGINTs.
+
+Scale notes are per query; the common rules: dims broadcast, aggregations
+rely on partial (map-side) aggregation, windows partition by high-cardinality
+keys, and nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from ..sources.testdata import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            return fn(spark, sf_dir)
+
+        wrapped.__doc__ = fn.__doc__
+        wrapped.__name__ = fn.__name__
+        QUERIES[name] = wrapped
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return wrapped
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# q01 — pricing summary (grouped aggregation; A7-style multi-agg)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                    AS sum_qty,
+           round(sum(l_extendedprice), 2)                               AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4)            AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
+           round(sum(l_quantity), 2) / count(*)                         AS avg_qty,
+           round(sum(l_extendedprice), 2) / count(*)                    AS avg_price,
+           round(sum(l_discount), 2) / count(*)                         AS avg_disc,
+           count(*)                                                     AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped multi-aggregate scan (the reference's running-stats shape,
+    diagnostics/src/daq_trace/mod.rs:151-168 → SURVEY §2.4 A7).  Partial
+    aggregation map-side; filter + 7-column projection pushed to parquet."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "sum_disc_price"
+            ),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+                ),
+                6,
+            ).alias("sum_charge"),
+            # deterministic avg: grid-stable rounded sum / exact count gives
+            # bit-identical doubles on any engine (see module docstring)
+            (F.round(F.sum("l_quantity"), 2) / F.count("*")).alias("avg_qty"),
+            (F.round(F.sum("l_extendedprice"), 2) / F.count("*")).alias("avg_price"),
+            (F.round(F.sum("l_discount"), 2) / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q02 — star-schema join (J3/J4 equi-join + broadcast dims)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q02_revenue_by_region",
+    oracle="""
+    SELECT r.r_name, CAST(year(o.o_orderdate) AS INT) AS o_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           count(DISTINCT o.o_orderkey) AS n_orders
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, year(o.o_orderdate)
+    """,
+)
+def q02_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: fact(lineitem) ⋈ orders ⋈ broadcast dims (J3 equi-join,
+    trace-viewer/src/finder/task/binary_by_timestamp.rs:96-135; J4 broadcast
+    lookup).  nation/region/customer broadcast — no fact-side shuffle for
+    the dim joins at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            ),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q03 — top-k (O1/O2 sort + limit)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q03_top_suppliers",
+    oracle="""
+    SELECT s.s_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_name
+    ORDER BY revenue DESC, s.s_name
+    LIMIT 10
+    """,
+)
+def q03_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort + limit (SURVEY §2.6 O1/O2): global top-k after a broadcast-dim
+    join.  Spark executes LIMIT as per-partition top-k + single merge —
+    no full sort at scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), "s_name")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q04 — time-bucketed rates (A7 DAQ running stats / T2 poll cadence analog)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q04_event_rates",
+    oracle="""
+    SELECT event_type, epoch_us(date_trunc('day', ts)) AS day_us,
+           count(*) AS n,
+           round(sum(value), 2) / count(*) AS avg_value,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events
+    GROUP BY event_type, date_trunc('day', ts)
+    """,
+)
+def q04_event_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: per-key per-time-bucket count/avg/min/max
+    (diagnostics/src/daq_trace/mod.rs:151-168,216-277).  Tumbling window =
+    date_trunc; fully partial-aggregatable."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", F.unix_micros(F.date_trunc("day", F.col("ts"))).alias("day_us")
+    ).agg(
+        F.count("*").alias("n"),
+        (F.round(F.sum("value"), 2) / F.count("*")).alias("avg_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q05 — running totals (A5 event_index)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q05_running_totals",
+    oracle="""
+    SELECT event_id, user_id,
+           count(*) OVER w - 1 AS n_before,
+           round(sum(value) OVER w, 2) AS cum_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q05_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: running event count/sum per key, the event_index computation
+    (nexus-writer/src/nexus_structure/entry/event_data.rs:195-196,236-244)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.count("*").over(w) - 1).alias("n_before"),
+        F.round(F.sum("value").over(w), 2).alias("cum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q06 — sliding mean/variance (W1 SmoothingWindow)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q06_sliding_stats",
+    oracle="""
+    SELECT event_id, user_id,
+           round(sum(value) OVER w, 2) / count(*) OVER w AS smooth_mean,
+           CASE WHEN count(*) OVER w >= 5 THEN
+               (round(sum(value * value) OVER w, 4)
+                - round(sum(value) OVER w, 2) * round(sum(value) OVER w, 2) / 5.0) / 4.0
+           END AS smooth_var
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q06_sliding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 SmoothingWindow(5): sliding mean + sample variance
+    (pulse_detection/window/smoothing_window.rs:41-83).  The reference only
+    emits once the window fills — mirrored by NULLing variance below 5 rows."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-4, 0)
+    cnt = F.count("*").over(w)
+    # running-sums form, exactly the reference's sum/sum-of-squares state
+    # (smoothing_window.rs:46-78), made engine-deterministic by rounding the
+    # grid-granular sums before the arithmetic
+    s_ = F.round(F.sum("value").over(w), 2)
+    s2 = F.round(F.sum(F.col("value") * F.col("value")).over(w), 4)
+    return ev.select(
+        "event_id",
+        "user_id",
+        (s_ / cnt).alias("smooth_mean"),
+        F.when(cnt >= 5, (s2 - s_ * s_ / F.lit(5.0)) / F.lit(4.0)).alias("smooth_var"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q07 — finite differences (W2)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q07_finite_differences",
+    oracle="""
+    SELECT event_id, user_id, value,
+           value - lag(value) OVER w AS d1,
+           value - 2 * lag(value) OVER w + lag(value, 2) OVER w AS d2
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q07_finite_differences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 FiniteDifferences<3>: backward differences with binomial
+    coefficients (pulse_detection/window/finite_differences.rs:12-61) as
+    lag() windows — pure JVM, whole-stage codegen."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    v = F.col("value")
+    return ev.select(
+        "event_id",
+        "user_id",
+        v.alias("value"),
+        (v - F.lag("value", 1).over(w)).alias("d1"),
+        (v - 2 * F.lag("value", 1).over(w) + F.lag("value", 2).over(w)).alias("d2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q08 — interval (run) matching: J1/J2 as a range join
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q08_interval_match",
+    oracle="""
+    WITH runs AS (
+        SELECT user_id, ts AS collect_from,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS collect_until
+        FROM events WHERE event_type = 'error'
+    )
+    SELECT e.user_id, epoch_us(r.collect_from) AS run_from_us,
+           count(*) AS n_events, round(sum(e.value), 2) AS sum_value
+    FROM events e
+    JOIN runs r ON e.user_id = r.user_id
+               AND e.ts > r.collect_from
+               AND (r.collect_until IS NULL OR e.ts < r.collect_until)
+    GROUP BY e.user_id, r.collect_from
+    """,
+)
+def q08_interval_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: event→run interval matching with open-ended runs
+    (nexus-writer/src/run_engine/engine.rs:54-66; predicate
+    run_parameters.rs:156-175).  Runs are derived as the intervals between
+    'error' events per user — including a final open run (collect_until
+    NULL).  The runs side is small → broadcast range join, no fact shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    runs = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("r_user_id"),
+            F.col("ts").alias("collect_from"),
+            F.lead("ts").over(w).alias("collect_until"),
+        )
+    )
+    joined = ev.join(
+        F.broadcast(runs),
+        (ev.user_id == runs.r_user_id)
+        & (ev.ts > runs.collect_from)
+        & (runs.collect_until.isNull() | (ev.ts < runs.collect_until)),
+    )
+    return joined.groupBy("user_id", "collect_from").agg(
+        F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value")
+    ).select(
+        "user_id",
+        F.unix_micros("collect_from").alias("run_from_us"),
+        "n_events",
+        "sum_value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q09 — dedup, keep-first (J5)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q09_dedup_first",
+    oracle="""
+    SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q09_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 duplicate rejection: keep the first message per key
+    (digitiser-aggregator/src/frame/cache.rs:71-74).  Deterministic
+    dropDuplicates via row_number (the reference keeps arrival-first; we
+    order by event time)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", F.unix_micros("ts").alias("ts_us"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q10 — bitwise OR + sorted distinct set (P7 veto flags, A3 digitisers_present)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q10_frame_flags",
+    oracle="""
+    SELECT user_id,
+           bit_or(CAST(event_id % 256 AS INT)) AS veto_flags,
+           array_to_string(list_sort(list_distinct(list(event_type))), ',') AS present,
+           CAST(count(DISTINCT event_type) AS INT) AS n_types
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q10_frame_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 veto-flag OR-accumulation (digitiser-aggregator/src/frame/
+    partial.rs:80-82) + A3 sorted distinct contributor list
+    (partial.rs:42-48) as one grouped aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.bit_or((F.col("event_id") % 256).cast("int")).alias("veto_flags"),
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("present"),
+        F.countDistinct("event_type").cast("int").alias("n_types"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q11 — GpsTime decompose/rebuild (P3/P4 time conversions)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q11_gps_roundtrip",
+    oracle="""
+    SELECT event_id,
+           CAST(year(ts) - 2000 AS INT) AS gps_year,
+           CAST(dayofyear(ts) AS INT)   AS day_of_year,
+           CAST(hour(ts) AS INT)        AS gps_hour,
+           CAST(minute(ts) AS INT)      AS gps_minute,
+           CAST(second(ts) AS INT)      AS gps_second,
+           CAST(epoch_us(ts) % 1000000 AS BIGINT) AS gps_micro,
+           epoch_us(make_timestamp(year(ts), month(ts), day(ts),
+                                   hour(ts), minute(ts), 0.0))
+               + CAST(second(ts) AS BIGINT) * 1000000
+               + epoch_us(ts) % 1000000 AS rebuilt_us,
+           epoch_us(ts) AS ts_us
+    FROM events
+    """,
+)
+def q11_gps_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: GpsTime (year-since-2000 / day-of-year / h / m / s / subsec) ↔
+    UTC timestamp round trip (streaming-types/src/time_conversions.rs:13-56)
+    and P4 epoch conversions — all JVM-side date functions."""
+    ev = load_table(spark, sf_dir, "events")
+    ts = F.col("ts")
+    rebuilt = (
+        F.unix_micros(
+            F.make_timestamp(
+                F.year(ts), F.month(ts), F.dayofmonth(ts), F.hour(ts), F.minute(ts), F.lit(0.0)
+            )
+        )
+        + F.second(ts).cast("bigint") * 1_000_000
+        + F.unix_micros(ts) % 1_000_000
+    )
+    return ev.select(
+        "event_id",
+        (F.year(ts) - 2000).cast("int").alias("gps_year"),
+        F.dayofyear(ts).cast("int").alias("day_of_year"),
+        F.hour(ts).cast("int").alias("gps_hour"),
+        F.minute(ts).cast("int").alias("gps_minute"),
+        F.second(ts).cast("int").alias("gps_second"),
+        (F.unix_micros(ts) % 1_000_000).cast("bigint").alias("gps_micro"),
+        rebuilt.alias("rebuilt_us"),
+        F.unix_micros(ts).alias("ts_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q12 — timestamp search + acquire-N (O3/O4/O5)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q12_search_topk",
+    oracle="""
+    SELECT event_id, epoch_us(ts) AS ts_us, value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' AND value > 200.0
+    ORDER BY ts, event_id
+    LIMIT 100
+    """,
+)
+def q12_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3/O4: time-indexed search — bisect-to-timestamp then collect first N
+    matching a predicate (trace-viewer/src/finder/task/
+    binary_by_timestamp.rs:20-72).  The Kafka offset bisect becomes parquet
+    min/max pruning + pushed predicate + per-partition top-k."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(
+            (F.col("ts") >= F.lit("2024-01-15 00:00:00").cast("timestamp"))
+            & (F.col("value") > 200.0)
+        )
+        .orderBy("ts", "event_id")
+        .limit(100)
+        .select("event_id", F.unix_micros("ts").alias("ts_us"), "value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q13 — deterministic sampling (O6)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q13_deterministic_sample",
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value), 2) / count(*) AS avg_value
+    FROM events
+    WHERE event_id % 97 < 5
+    GROUP BY event_type
+    """,
+)
+def q13_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6 random sampling (trace-reader/src/main.rs:72-85) made
+    reproducible: a key-hash filter (the oracle-checkable analog of
+    df.sample; production uses df.sample(fraction) which pushes a
+    Bernoulli sampler into the scan)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_id") % 97 < 5)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), (F.round(F.sum("value"), 2) / F.count("*")).alias("avg_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q14 — threshold detector vs SQL islands oracle (W4!)
+# ---------------------------------------------------------------------------
+
+_Q14_THRESHOLD = 100.0
+_Q14_DURATION = 2
+
+
+@_register(
+    "q14_threshold_detect",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS idx
+        FROM events
+    ), flagged AS (
+        SELECT *,
+               CASE WHEN value > {_Q14_THRESHOLD} AND
+                         coalesce(lag(value) OVER (PARTITION BY user_id ORDER BY idx), -1e99)
+                             <= {_Q14_THRESHOLD}
+                    THEN 1 ELSE 0 END AS island_start
+        FROM ordered
+    ), islands AS (
+        SELECT user_id, idx, value,
+               sum(island_start) OVER (PARTITION BY user_id ORDER BY idx) AS island_id
+        FROM flagged WHERE value > {_Q14_THRESHOLD}
+    ), user_max AS (
+        SELECT user_id, max(idx) AS max_idx FROM ordered GROUP BY user_id
+    )
+    SELECT i.user_id, CAST(min(i.idx) AS BIGINT) AS event_time,
+           max(i.value) AS pulse_height
+    FROM islands i JOIN user_max m ON i.user_id = m.user_id
+    GROUP BY i.user_id, i.island_id, m.max_idx
+    HAVING CASE WHEN max(i.idx) = m.max_idx
+                THEN count(*) - 1 >= {_Q14_DURATION}
+                ELSE count(*) >= {_Q14_DURATION} END
+    """,
+)
+def q14_threshold_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 ThresholdDetector (pulse_detection/detectors/
+    threshold_detector.rs:44-118) run by the REAL detector implementation —
+    an Arrow-batched applyInPandas over each user's value series — verified
+    against an independent SQL islands-and-gaps oracle.
+
+    The per-key series arrives complete in one group (the reference's
+    per-trace assumption); at scale the shuffle is on the high-cardinality
+    series key, identical to the production event-formation layout."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.pulse_detection import threshold_detector
+
+    ev = load_table(spark, sf_dir, "events")
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_time", T.LongType()),
+            T.StructField("pulse_height", T.DoubleType()),
+        ]
+    )
+
+    def detect(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        v = pdf["value"].to_numpy(dtype=np.float64)
+        t = np.arange(len(v), dtype=np.float64)
+        et, eh = threshold_detector(t, v, _Q14_THRESHOLD, _Q14_DURATION, 0)
+        return pd.DataFrame(
+            {
+                "user_id": np.repeat(pdf["user_id"].iloc[0], len(et)),
+                "event_time": et.astype(np.int64),
+                "pulse_height": eh,
+            }
+        )
+
+    return (
+        ev.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(detect, schema=schema)
+    )

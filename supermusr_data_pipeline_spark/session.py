@@ -1,0 +1,56 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs on ``local[N]`` but every setting here is chosen to be the
+right default on a large multi-executor cluster as well:
+
+- AQE on (runtime coalescing of shuffle partitions, skew-join splitting) —
+  replaces hand-tuned partition counts at 100 TB.
+- Arrow on — the detector library (pandas UDFs over voltage arrays) moves
+  data JVM<->Python in columnar batches, the Spark analog of the reference's
+  zero-copy FlatBuffers views (streaming-types/src/lib.rs:7-41).
+- UTC session timezone — the reference's GpsTime is UTC
+  (streaming-types/src/time_conversions.rs:13-56), and the DuckDB oracle
+  compares naive-UTC timestamps.
+- shuffle partitions default to cores locally; on a real cluster AQE
+  coalesces from a higher initial number, so we only pin it for local runs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "supermusr-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # local mode: one shuffle partition per core; cluster: leave to AQE
+        shuffle_partitions = int(cpus) if master.startswith("local") else 200
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # big Arrow batches amortize Python UDF overhead on 30k-sample traces
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        # deterministic double formatting across JVM versions
+        .config("spark.sql.legacy.respectNullabilityInTextDatasetConversion", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

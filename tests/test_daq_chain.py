@@ -1,0 +1,118 @@
+"""End-to-end DAQ chain tests on synthetic data: traces → events → frames →
+nexus table.  Assertions mirror the reference's invariants (frame
+completeness, veto OR, event_index monotonicity, event_time_zero)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from supermusr_data_pipeline_spark.generator import generate_runs, generate_traces
+from supermusr_data_pipeline_spark.operators.event_formation import form_events
+from supermusr_data_pipeline_spark.operators.frame_assembly import (
+    assemble_frames,
+    assemble_frames_long,
+)
+from supermusr_data_pipeline_spark.operators.nexus_sink import build_nexus_events
+from supermusr_data_pipeline_spark.operators.run_matching import match_events_to_runs
+from supermusr_data_pipeline_spark.plans.daq_chain import synthetic_daq_chain
+
+N_FRAMES = 10
+N_DIG = 3
+N_SAMPLES = 400
+
+
+@pytest.fixture(scope="module")
+def traces(spark):
+    return generate_traces(
+        spark, n_frames=N_FRAMES, n_digitizers=N_DIG, n_samples=N_SAMPLES, seed=7
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def events(spark, traces):
+    return form_events(traces, mode="fixed", threshold=300.0, duration=2).cache()
+
+
+def test_generator_determinism(spark):
+    a = generate_traces(spark, n_frames=2, n_digitizers=2, n_samples=100, seed=3)
+    b = generate_traces(spark, n_frames=2, n_digitizers=2, n_samples=100, seed=3)
+    ra = sorted(a.collect(), key=lambda r: (r.frame_number, r.digitizer_id, r.channel))
+    rb = sorted(b.collect(), key=lambda r: (r.frame_number, r.digitizer_id, r.channel))
+    assert [r.voltage for r in ra] == [r.voltage for r in rb]
+
+
+def test_event_formation_produces_events(events):
+    n = events.count()
+    assert n > 0
+    # events carry frame metadata and land within the trace window
+    row = events.agg(
+        F.min("event_time").alias("lo"), F.max("event_time").alias("hi")
+    ).collect()[0]
+    assert row.lo >= 0 and row.hi < N_SAMPLES
+
+
+def test_frame_assembly_complete_and_veto(events):
+    frames = assemble_frames(events, expected_digitizers=list(range(N_DIG)))
+    rows = frames.collect()
+    assert len(rows) == N_FRAMES
+    for r in rows:
+        assert r.complete, "all digitisers present => complete"
+        assert r.digitizers_present == list(range(N_DIG))
+        # veto flags OR'd across digitisers: frame%5==0 frames set bits 0..N_DIG-1
+        if r.frame_number % 5 == 0:
+            assert r.veto_flags == (1 << N_DIG) - 1
+        else:
+            assert r.veto_flags == 0
+        # event arrays sorted and parallel
+        assert len(r.channel) == len(r.event_time) == len(r.event_voltage)
+
+
+def test_frame_assembly_incomplete_when_digitiser_missing(events):
+    partial = events.filter(F.col("digitizer_id") != 0)
+    frames = assemble_frames(partial, expected_digitizers=list(range(N_DIG)))
+    assert frames.filter(F.col("complete")).count() == 0
+
+
+def test_nexus_events_invariants(spark, events):
+    frames_long = assemble_frames_long(events, list(range(N_DIG)))
+    runs = generate_runs(spark, n_frames=N_FRAMES, frames_per_run=4, gap_frames=1)
+    matched = match_events_to_runs(frames_long, runs)
+    nexus = build_nexus_events(matched).cache()
+
+    # frames 0-3 in run_0000, frame 4 in the gap (dropped, engine.rs:220-238),
+    # frames 5-9 in run_0001 which is open-ended (collect_until NULL)
+    per_run = {r.run_name: r for r in nexus.groupBy("run_name").agg(
+        F.countDistinct("frame_number").alias("n_frames"),
+        F.count("*").alias("n_events"),
+    ).collect()}
+    assert set(per_run) == {"run_0000", "run_0001"}
+    assert per_run["run_0000"].n_frames == 4
+    assert per_run["run_0001"].n_frames == 5
+
+    # event_index = cumulative events before the frame, per run
+    fr = (
+        nexus.select("run_name", "frame_seq", "event_index", "event_time_zero", "frame_number")
+        .distinct()
+        .orderBy("run_name", "frame_seq")
+        .collect()
+    )
+    by_run = {}
+    for r in fr:
+        by_run.setdefault(r.run_name, []).append(r)
+    counts = {
+        (r.run_name, r.frame_seq): r.n
+        for r in nexus.groupBy("run_name", "frame_seq").agg(F.count("*").alias("n")).collect()
+    }
+    for run, frames_ in by_run.items():
+        acc = 0
+        for fr_row in frames_:
+            assert fr_row.event_index == acc
+            acc += counts[(run, fr_row.frame_seq)]
+        # event_time_zero: 20 ms frame period → deltas are multiples of 20e6 ns
+        etzs = [f.event_time_zero for f in frames_]
+        assert all(e >= 0 for e in etzs)
+        assert all((b - a) % 20_000_000 == 0 for a, b in zip(etzs, etzs[1:]))
+
+
+def test_flagship_chain_runs(spark):
+    df = synthetic_daq_chain(spark, n_frames=4, n_digitizers=2, n_samples=300)
+    assert df.count() > 0
