@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from supermusr_data_pipeline_spark.plans import relational  # noqa: E402
+from supermusr_data_pipeline_spark.plans import text_dedup  # noqa: E402,F401  (registers queries)
 from supermusr_data_pipeline_spark.plans.daq_chain import synthetic_daq_chain  # noqa: E402
 
 
@@ -37,9 +38,23 @@ def _daq_full_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return synthetic_daq_chain(spark, n_frames=8, n_digitizers=2, n_samples=500)
 
 
+def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column pipeline: opaque payloads + typed metadata →
+    Arrow-batched decode/feature-extract via mapInPandas (decode stubbed
+    with a deterministic fake; plumbing real).  Rows-only check."""
+    from supermusr_data_pipeline_spark.operators.multimodal import (
+        extract_features,
+        media_from_documents,
+    )
+    from supermusr_data_pipeline_spark.sources.testdata import load_table
+
+    return extract_features(media_from_documents(load_table(spark, sf_dir, "documents")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = dict(relational.QUERIES)
     q["daq_full_chain"] = _daq_full_chain
+    q["multimodal_features"] = _multimodal_features
     return q
 
 

@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each query is executed once after a warm-up of the input scans; timing is
+wall-clock per query (action = count/collect of a small result).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from supermusr_data_pipeline_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("supermusr-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+
+    # headline set: scan-heavy agg, star join, windows, interval join,
+    # pandas-UDF detector, and the synthetic DAQ chain
+    headline = [
+        "q01_pricing_summary",
+        "q02_revenue_by_region",
+        "q04_event_rates",
+        "q05_running_totals",
+        "q06_sliding_stats",
+        "q08_interval_match",
+        "q14_threshold_detect",
+        "daq_full_chain",
+    ]
+    headline = [h for h in headline if h in qs]
+
+    # warm the file-system cache / JVM: touch each input table once
+    from supermusr_data_pipeline_spark.schemas import TESTDATA_TABLES
+    from supermusr_data_pipeline_spark.sources.testdata import load_table
+
+    for t in TESTDATA_TABLES:
+        try:
+            load_table(spark, sf_dir, t).count()
+        except Exception:
+            pass
+
+    timings: dict[str, float] = {}
+    for name in headline:
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        del n
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,606 @@
+"""Text analysis, deduplication, and similarity-search queries — the
+training-data-pipeline operator set (BASELINE.json north star), each with a
+DuckDB oracle.
+
+Engine-agnostic hashing: token → first 8 hex chars of md5 → uint32.  Both
+engines share md5, so MinHash/SimHash signatures are bit-identical and fully
+oracle-checkable — no rows-only escape hatch needed.
+
+Scale notes: everything is expressed over distinct-token arrays with
+higher-order functions (JVM-side in Spark, no Python UDFs); candidate
+generation uses LSH band buckets (shuffle on band key) rather than O(n²)
+pairs; the brute-force cosine top-k is the verification baseline with the
+LSH-bucketed variant as the scale path.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.testdata import load_table
+from .relational import _register
+
+# ---------------------------------------------------------------------------
+# shared token / hash expressions (Spark side); SQL strings mirror them
+# ---------------------------------------------------------------------------
+
+# tokens: whitespace split, empties dropped
+_TOKENS_SQL_DUCK = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+_TOKENS_EXPR_SPARK = "filter(split(text, '\\\\s+'), x -> x != '')"
+
+# token → uint32 via md5 prefix (identical in both engines)
+_TOKHASH_DUCK = "('0x' || substr(md5({t}), 1, 8))::UBIGINT::BIGINT"
+_TOKHASH_SPARK = "cast(conv(substr(md5({t}), 1, 8), 16, 10) as bigint)"
+
+# MinHash parameters: k=16 permutations h_i(x) = (a_i*x + b_i) mod p.
+# a_i < 2^16 keeps a_i * x < 2^48 — no BIGINT overflow.
+_MINHASH_P = 2_147_483_647
+_rng = random.Random(42)
+_MINHASH_A = [_rng.randrange(1, 65_536) for _ in range(16)]
+_MINHASH_B = [_rng.randrange(0, _MINHASH_P) for _ in range(16)]
+_N_BANDS = 4
+_ROWS_PER_BAND = 4
+
+
+def _minhash_cols_duck() -> str:
+    cols = []
+    for i, (a, b) in enumerate(zip(_MINHASH_A, _MINHASH_B)):
+        cols.append(
+            f"list_min([({a} * h + {b}) % {_MINHASH_P} for h in th]) AS mh{i:02d}"
+        )
+    return ",\n           ".join(cols)
+
+
+def _minhash_cols_spark() -> list:
+    cols = []
+    for i, (a, b) in enumerate(zip(_MINHASH_A, _MINHASH_B)):
+        cols.append(
+            F.expr(
+                f"array_min(transform(th, h -> ({a}L * h + {b}L) % {_MINHASH_P}L))"
+            ).alias(f"mh{i:02d}")
+        )
+    return cols
+
+
+def _with_token_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.withColumn("tokens", F.expr(_TOKENS_EXPR_SPARK)).withColumn(
+        "th",
+        F.expr(
+            "transform(array_distinct({toks}), t -> {h})".format(
+                toks=_TOKENS_EXPR_SPARK, h=_TOKHASH_SPARK.format(t="t")
+            )
+        ),
+    )
+
+
+_DUCK_TH_CTE = f"""
+    WITH toks AS (
+        SELECT doc_id, lang, source, n_chars,
+               {_TOKENS_SQL_DUCK} AS tokens
+        FROM documents
+    ), th_t AS (
+        SELECT *, [{_TOKHASH_DUCK.format(t='t')} for t in list_distinct(tokens)] AS th
+        FROM toks
+    )
+"""
+
+# ---------------------------------------------------------------------------
+# q20 — text statistics / quality scoring
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = ["a", "the", "of", "to", "in", "is", "and"]
+_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"
+
+
+@_register(
+    "q20_text_stats",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, n_chars, {_TOKENS_SQL_DUCK} AS t FROM documents
+    )
+    SELECT doc_id,
+           len(t)::INT AS n_tokens,
+           len(list_distinct(t))::INT AS n_distinct,
+           list_sum([length(x) for x in t])::BIGINT AS sum_token_len,
+           list_sum([length(x) for x in t])::BIGINT::DOUBLE / len(t) AS avg_token_len,
+           len(list_filter(t, x -> list_contains({_STOP_SQL}, x)))::INT AS n_stopwords,
+           len(list_filter(t, x -> list_contains({_STOP_SQL}, x)))::INT::DOUBLE
+               / len(t) AS stopword_ratio,
+           len(list_distinct(t))::INT::DOUBLE / len(t) AS distinct_ratio,
+           n_chars
+    FROM toks WHERE len(t) > 0
+    """,
+)
+def q20_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality scoring: token counts, average token length, stopword
+    ratio, distinct-token ratio — all JVM higher-order functions, zero
+    Python.  The quality heuristics of a pretraining-data pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.expr(_TOKENS_EXPR_SPARK)
+    stop = F.array(*[F.lit(w) for w in _STOPWORDS])
+    n_tok = F.size(t)
+    sum_len = F.expr(
+        f"aggregate({_TOKENS_EXPR_SPARK}, 0L, (a, x) -> a + length(x))"
+    )
+    n_stop = F.size(F.filter(t, lambda x: F.array_contains(stop, x)))
+    n_dist = F.size(F.array_distinct(t))
+    return (
+        docs.select(
+            "doc_id",
+            n_tok.alias("n_tokens"),
+            n_dist.alias("n_distinct"),
+            sum_len.alias("sum_token_len"),
+            (sum_len.cast("double") / n_tok).alias("avg_token_len"),
+            n_stop.alias("n_stopwords"),
+            (n_stop.cast("double") / n_tok).alias("stopword_ratio"),
+            (n_dist.cast("double") / n_tok).alias("distinct_ratio"),
+            "n_chars",
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q21 — language identification (marker-word scoring heuristic)
+# ---------------------------------------------------------------------------
+
+_LANG_MARKERS = {
+    "en": ["the", "a", "window", "spark", "order"],
+    "de": ["vector", "customer", "key", "column"],
+    "fr": ["scan", "query", "data", "line"],
+    "es": ["slow", "merge", "agg", "hash"],
+    "zh": ["join", "small", "stream", "row"],
+}
+
+
+def _lang_score_duck(lang: str) -> str:
+    lst = "[" + ", ".join(f"'{w}'" for w in _LANG_MARKERS[lang]) + "]"
+    return f"len(list_filter(t, x -> list_contains({lst}, x)))::INT"
+
+
+@_register(
+    "q21_lang_id",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, {_TOKENS_SQL_DUCK} AS t FROM documents
+    ), scored AS (
+        SELECT doc_id, lang,
+               {_lang_score_duck('en')} AS s_en,
+               {_lang_score_duck('de')} AS s_de,
+               {_lang_score_duck('fr')} AS s_fr,
+               {_lang_score_duck('es')} AS s_es,
+               {_lang_score_duck('zh')} AS s_zh
+        FROM toks
+    )
+    SELECT doc_id, lang, s_en, s_de, s_fr, s_es, s_zh,
+           CASE WHEN s_en >= greatest(s_de, s_fr, s_es, s_zh) THEN 'en'
+                WHEN s_de >= greatest(s_fr, s_es, s_zh) THEN 'de'
+                WHEN s_fr >= greatest(s_es, s_zh) THEN 'fr'
+                WHEN s_es >= s_zh THEN 'es'
+                ELSE 'zh' END AS predicted_lang
+    FROM scored
+    """,
+)
+def q21_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: marker-word hit counts per language with a
+    deterministic argmax.  (On this synthetic corpus the marker sets are
+    arbitrary; the operator contract — deterministic classifier over token
+    sets — is what the oracle checks.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.expr(_TOKENS_EXPR_SPARK)
+
+    def score(lang: str):
+        lst = F.array(*[F.lit(w) for w in _LANG_MARKERS[lang]])
+        return F.size(F.filter(t, lambda x: F.array_contains(lst, x)))
+
+    df = docs.select(
+        "doc_id",
+        "lang",
+        score("en").alias("s_en"),
+        score("de").alias("s_de"),
+        score("fr").alias("s_fr"),
+        score("es").alias("s_es"),
+        score("zh").alias("s_zh"),
+    )
+    c = F
+    pred = (
+        c.when(c.col("s_en") >= c.greatest("s_de", "s_fr", "s_es", "s_zh"), "en")
+        .when(c.col("s_de") >= c.greatest("s_fr", "s_es", "s_zh"), "de")
+        .when(c.col("s_fr") >= c.greatest("s_es", "s_zh"), "fr")
+        .when(c.col("s_es") >= c.col("s_zh"), "es")
+        .otherwise("zh")
+    )
+    return df.withColumn("predicted_lang", pred)
+
+
+# ---------------------------------------------------------------------------
+# q22 — exact dedup via content fingerprint
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q22_fingerprint_dedup",
+    oracle="""
+    SELECT md5(lower(text)) AS fingerprint,
+           count(*) AS n_copies,
+           min(doc_id) AS keeper_doc_id
+    FROM documents
+    GROUP BY md5(lower(text))
+    """,
+)
+def q22_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact deduplication: hash-groupBy on a content fingerprint, keep the
+    lowest doc_id per group.  At 100 TB this is the standard shuffle-on-
+    digest dedup; the md5 is computed JVM-side in the scan stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5(F.lower("text")).alias("fingerprint")).agg(
+        F.count("*").alias("n_copies"), F.min("doc_id").alias("keeper_doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q23 — n-gram Jaccard similarity of adjacent doc pairs
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q23_ngram_jaccard",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKENS_SQL_DUCK} AS t FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(t) >= 3
+                   THEN [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]
+                   ELSE [] END) AS g
+        FROM toks
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           len(list_intersect(a.g, b.g))::INT AS n_common,
+           (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))::INT AS n_union,
+           len(list_intersect(a.g, b.g))::INT::DOUBLE
+               / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS jaccard
+    FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+    WHERE len(a.g) > 0 AND len(b.g) > 0
+    """,
+)
+def q23_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard between adjacent documents — the shingle+set
+    similarity primitive under MinHash, computed exactly.  Higher-order
+    array functions only; the join key (doc_id+1) is a narrow merge."""
+    docs = load_table(spark, sf_dir, "documents")
+    shingles = F.expr(
+        f"""
+        array_distinct(CASE WHEN size({_TOKENS_EXPR_SPARK}) >= 3
+            THEN transform(sequence(0, size({_TOKENS_EXPR_SPARK}) - 3),
+                 i -> concat_ws(' ', element_at({_TOKENS_EXPR_SPARK}, i + 1),
+                                     element_at({_TOKENS_EXPR_SPARK}, i + 2),
+                                     element_at({_TOKENS_EXPR_SPARK}, i + 3)))
+            ELSE array() END)
+        """
+    )
+    sh = docs.select("doc_id", shingles.alias("g")).filter(F.size("g") > 0)
+    a = sh.alias("a")
+    b = sh.select(
+        (F.col("doc_id") - 1).alias("join_id"), F.col("doc_id").alias("doc_b"), F.col("g").alias("gb")
+    ).alias("b")
+    joined = a.join(b, F.col("a.doc_id") == F.col("b.join_id"))
+    inter = F.size(F.array_intersect(F.col("a.g"), F.col("gb")))
+    union = F.size(F.col("a.g")) + F.size(F.col("gb")) - inter
+    return joined.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("doc_b"),
+        inter.alias("n_common"),
+        union.alias("n_union"),
+        (inter.cast("double") / union).alias("jaccard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q24 — MinHash signatures (oracle-checked bit-for-bit)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q24_minhash_signatures",
+    oracle=f"""
+    {_DUCK_TH_CTE}
+    SELECT doc_id,
+           {_minhash_cols_duck()}
+    FROM th_t WHERE len(th) > 0
+    """,
+)
+def q24_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash: k=16 universal-hash permutations over md5-derived token ids
+    (shingle→minhash of the dedup pipeline).  Signature computation is a
+    narrow map — no shuffle; signatures are 128 bytes/doc at any scale."""
+    df = _with_token_hashes(spark, sf_dir)
+    return df.filter(F.size("th") > 0).select("doc_id", *_minhash_cols_spark())
+
+
+# ---------------------------------------------------------------------------
+# q25 — LSH banding → candidate pairs → exact Jaccard verify
+# ---------------------------------------------------------------------------
+
+
+def _band_keys_duck() -> str:
+    bands = []
+    for bnd in range(_N_BANDS):
+        parts = ", ".join(
+            f"mh{bnd * _ROWS_PER_BAND + r:02d}::VARCHAR" for r in range(_ROWS_PER_BAND)
+        )
+        bands.append(f"md5(concat_ws(',', {parts})) AS band{bnd}")
+    return ",\n           ".join(bands)
+
+
+# LSH bucket-size cap: buckets larger than this are non-discriminative (the
+# standard stop-bucket guard) and would otherwise produce O(bucket²) pairs —
+# the skew killer at scale.  Mirrored exactly in the oracle.
+_LSH_BUCKET_CAP = 64
+
+
+@_register(
+    "q25_lsh_near_dup",
+    oracle=f"""
+    {_DUCK_TH_CTE}
+    , sigs AS (
+        SELECT doc_id, th,
+               {_minhash_cols_duck()}
+        FROM th_t WHERE len(th) > 0
+    ), banded AS (
+        SELECT doc_id,
+               {_band_keys_duck()}
+        FROM sigs
+    ), long_banded AS (
+        SELECT doc_id, band_no, key FROM (
+            SELECT doc_id, 0 AS band_no, band0 AS key FROM banded
+            UNION ALL SELECT doc_id, 1, band1 FROM banded
+            UNION ALL SELECT doc_id, 2, band2 FROM banded
+            UNION ALL SELECT doc_id, 3, band3 FROM banded
+        )
+    ), capped AS (
+        SELECT doc_id, band_no, key FROM (
+            SELECT *, count(*) OVER (PARTITION BY band_no, key) AS bucket_n
+            FROM long_banded
+        ) WHERE bucket_n <= {_LSH_BUCKET_CAP}
+    ), pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM capped a JOIN capped b
+          ON a.band_no = b.band_no AND a.key = b.key AND b.doc_id > a.doc_id
+    )
+    SELECT p.doc_a, p.doc_b,
+           len(list_intersect(ta.th, tb.th))::INT::DOUBLE
+               / (len(ta.th) + len(tb.th) - len(list_intersect(ta.th, tb.th))) AS jaccard
+    FROM pairs p
+    JOIN th_t ta ON ta.doc_id = p.doc_a
+    JOIN th_t tb ON tb.doc_id = p.doc_b
+    WHERE len(list_intersect(ta.th, tb.th))::INT::DOUBLE
+               / (len(ta.th) + len(tb.th) - len(list_intersect(ta.th, tb.th))) >= 0.5
+    """,
+)
+def q25_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate detection: band the 16-wide signature into
+    4 bands of 4, bucket-join on band keys, verify candidates with exact
+    token-set Jaccard ≥ 0.5.
+
+    Scale design: (a) the bucket join carries only doc_ids — token arrays
+    re-attach after pair dedup, so shuffle rows stay ~40 bytes; (b) buckets
+    larger than {_LSH_BUCKET_CAP} are dropped (non-discriminative stop
+    buckets — the standard LSH skew guard); (c) never O(n²)."""
+    df = _with_token_hashes(spark, sf_dir)
+    th = df.filter(F.size("th") > 0).select("doc_id", "th")
+    sigs = df.filter(F.size("th") > 0).select("doc_id", *_minhash_cols_spark())
+    band_cols = []
+    for bnd in range(_N_BANDS):
+        parts = [
+            F.col(f"mh{bnd * _ROWS_PER_BAND + r:02d}").cast("string")
+            for r in range(_ROWS_PER_BAND)
+        ]
+        band_cols.append(
+            F.struct(
+                F.lit(bnd).alias("band_no"), F.md5(F.concat_ws(",", *parts)).alias("key")
+            ).alias(f"b{bnd}")
+        )
+    banded = (
+        sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("bk"))
+        .select("doc_id", F.col("bk.band_no").alias("band_no"), F.col("bk.key").alias("key"))
+    )
+    bucket_sizes = banded.groupBy("band_no", "key").count()
+    capped = (
+        banded.join(
+            bucket_sizes.filter(F.col("count") <= _LSH_BUCKET_CAP), on=["band_no", "key"]
+        )
+        .select("doc_id", "band_no", "key")
+    )
+    a = capped.alias("a")
+    b = capped.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("b.doc_id") > F.col("a.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    ta = th.select(F.col("doc_id").alias("doc_a"), F.col("th").alias("tha"))
+    tb = th.select(F.col("doc_id").alias("doc_b"), F.col("th").alias("thb"))
+    verified = pairs.join(ta, "doc_a").join(tb, "doc_b")
+    inter = F.size(F.array_intersect("tha", "thb"))
+    union = F.size("tha") + F.size("thb") - inter
+    jac = inter.cast("double") / union
+    return verified.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= 0.5
+    )
+
+
+# ---------------------------------------------------------------------------
+# q26 — SimHash (32-bit) signatures
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q26_simhash",
+    oracle=f"""
+    {_DUCK_TH_CTE}
+    SELECT doc_id,
+           list_sum([CASE WHEN list_sum([CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END
+                                         for h in th]) > 0
+                          THEN (1::BIGINT << j) ELSE 0 END
+                     for j in range(32)])::BIGINT AS simhash
+    FROM th_t WHERE len(th) > 0
+    """,
+)
+def q26_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash document fingerprinting: per-bit majority vote over the
+    md5-derived token hashes, folded into a 32-bit signature — nested
+    higher-order aggregates, fully JVM-side, narrow (no shuffle)."""
+    df = _with_token_hashes(spark, sf_dir)
+    simhash = F.expr(
+        """
+        aggregate(sequence(0, 31), 0L, (acc, j) -> acc +
+            CASE WHEN aggregate(th, 0L,
+                     (a, h) -> a + CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) > 0
+                 THEN shiftleft(1L, j) ELSE 0L END)
+        """
+    )
+    return df.filter(F.size("th") > 0).select("doc_id", simhash.alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# q27 — brute-force cosine top-k (ANN baseline)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q27_ann_topk",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ), q AS (
+        SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id % 20 = 0
+    ), sims AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               round(list_sum([qe[i] * emb[i] for i in range(1, len(qe) + 1)])
+                     / (sqrt(list_sum([x * x for x in qe]))
+                        * sqrt(list_sum([x * x for x in emb]))), 6) AS sim
+        FROM q JOIN e ON e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, sim, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id) AS rank
+        FROM sims
+    ) WHERE rank <= 5
+    """,
+)
+def q27_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search baseline: brute-force cosine top-5 for every 20th
+    vector.  zip_with dot product + aggregate norms (JVM, no Python); the
+    query side broadcasts so the corpus never shuffles.  The LSH-bucketed
+    variant (q28) is the 100 TB path; this exact form is its recall oracle."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("emb")
+    )
+    q = e.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")
+    )
+    dot = F.expr("aggregate(zip_with(qe, emb, (x, y) -> x * y), 0D, (a, x) -> a + x)")
+    norm = "sqrt(aggregate(transform({c}, x -> x * x), 0D, (a, x) -> a + x))"
+    sim = F.round(
+        dot / (F.expr(norm.format(c="qe")) * F.expr(norm.format(c="emb"))), 6
+    )
+    sims = (
+        F.broadcast(q)
+        .join(e, e.vec_id != q.query_id)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), sim.alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q28 — hyperplane-LSH bucketed near-dup over embeddings
+# ---------------------------------------------------------------------------
+
+_HP_SEED_RNG = random.Random(7)
+# 8 pseudo-random hyperplanes over 64 dims, fixed literals shared by both engines
+_HYPERPLANES = [
+    [round(_HP_SEED_RNG.uniform(-1, 1), 6) for _ in range(64)] for _ in range(8)
+]
+
+
+def _hp_sig_duck() -> str:
+    bits = []
+    for j, hp in enumerate(_HYPERPLANES):
+        lst = "[" + ", ".join(str(x) for x in hp) + "]"
+        bits.append(
+            f"CASE WHEN list_sum([emb[i] * ({lst})[i] for i in range(1, 65)]) > 0"
+            f" THEN (1 << {j}) ELSE 0 END"
+        )
+    return "(" + " + ".join(bits) + ")"
+
+
+def _hp_sig_spark() -> str:
+    bits = []
+    for j, hp in enumerate(_HYPERPLANES):
+        lst = "array(" + ", ".join(f"{x}D" for x in hp) + ")"
+        bits.append(
+            f"CASE WHEN aggregate(zip_with(emb, {lst}, (x, y) -> x * y), 0D,"
+            f" (a, x) -> a + x) > 0 THEN shiftleft(1, {j}) ELSE 0 END"
+        )
+    return "(" + " + ".join(bits) + ")"
+
+
+@_register(
+    "q28_embedding_near_dup",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+    ), sig AS (
+        SELECT vec_id, label, emb, {_hp_sig_duck()} AS bucket FROM e
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket,
+           round(list_sum([a.emb[i] * b.emb[i] for i in range(1, 65)])
+                 / (sqrt(list_sum([x * x for x in a.emb]))
+                    * sqrt(list_sum([x * x for x in b.emb]))), 6) AS sim
+    FROM sig a JOIN sig b ON a.bucket = b.bucket AND b.vec_id > a.vec_id
+    WHERE round(list_sum([a.emb[i] * b.emb[i] for i in range(1, 65)])
+                 / (sqrt(list_sum([x * x for x in a.emb]))
+                    * sqrt(list_sum([x * x for x in b.emb]))), 6) >= 0.2
+    """,
+)
+def q28_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate detection at scale: random-hyperplane LSH
+    (8-bit signature) buckets the corpus, cosine verified only within
+    buckets — shuffle on bucket id, never O(n²)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.expr("transform(embedding, x -> cast(x as double))").alias("emb")
+    )
+    sig = e.withColumn("bucket", F.expr(_hp_sig_spark()))
+    a = sig.alias("a")
+    b = sig.alias("b")
+    dot = F.expr(
+        "aggregate(zip_with(a.emb, b.emb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    )
+    norm = "sqrt(aggregate(transform({c}, x -> x * x), 0D, (acc, x) -> acc + x))"
+    sim = F.round(dot / (F.expr(norm.format(c="a.emb")) * F.expr(norm.format(c="b.emb"))), 6)
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("b.vec_id") > F.col("a.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.bucket").alias("bucket"),
+            sim.alias("sim"),
+        )
+        .filter(F.col("sim") >= 0.2)
+    )
