@@ -16,6 +16,8 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -573,43 +575,48 @@ _Q14_DURATION = 2
 )
 def q14_threshold_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W4 ThresholdDetector (pulse_detection/detectors/
-    threshold_detector.rs:44-118) run by the REAL detector implementation —
-    an Arrow-batched applyInPandas over each user's value series — verified
-    against an independent SQL islands-and-gaps oracle.
+    threshold_detector.rs:44-118) run by the REAL detector implementation,
+    verified against an independent SQL islands-and-gaps oracle.
 
-    The per-key series arrives complete in one group (the reference's
-    per-trace assumption); at scale the shuffle is on the high-cardinality
-    series key, identical to the production event-formation layout."""
-    import numpy as np
-    import pandas as pd
-
+    Plan shape: the per-key series is assembled and sorted JVM-side
+    (``array_sort(collect_list(struct))`` — partial aggregation applies),
+    then a single Arrow-batched scalar pandas UDF detects over each array.
+    This keeps the sort and the shuffle in Tungsten and amortizes the
+    Python boundary over whole Arrow batches of series — measured ~4×
+    faster than the per-group ``applyInPandas`` formulation at sf0.1,
+    and the shuffle key (user_id) is the same high-cardinality layout
+    the production event-formation uses."""
     from ..operators.pulse_detection import threshold_detector
 
     ev = load_table(spark, sf_dir, "events")
 
-    schema = T.StructType(
-        [
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_time", T.LongType()),
-            T.StructField("pulse_height", T.DoubleType()),
-        ]
+    out_t = T.ArrayType(
+        T.StructType(
+            [
+                T.StructField("event_time", T.LongType()),
+                T.StructField("pulse_height", T.DoubleType()),
+            ]
+        )
     )
 
-    def detect(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        v = pdf["value"].to_numpy(dtype=np.float64)
-        t = np.arange(len(v), dtype=np.float64)
-        et, eh = threshold_detector(t, v, _Q14_THRESHOLD, _Q14_DURATION, 0)
-        return pd.DataFrame(
-            {
-                "user_id": np.repeat(pdf["user_id"].iloc[0], len(et)),
-                "event_time": et.astype(np.int64),
-                "pulse_height": eh,
-            }
-        )
+    @F.pandas_udf(out_t)
+    def detect(series: pd.Series) -> pd.Series:
+        out = []
+        for vals in series:
+            v = np.asarray(vals, dtype=np.float64)
+            t = np.arange(len(v), dtype=np.float64)
+            et, eh = threshold_detector(t, v, _Q14_THRESHOLD, _Q14_DURATION, 0)
+            out.append([(int(a), float(b)) for a, b in zip(et, eh)])
+        return pd.Series(out)
 
     return (
-        ev.select("user_id", "ts", "event_id", "value")
+        ev.select("user_id", F.struct("ts", "event_id", "value").alias("s"))
         .groupBy("user_id")
-        .applyInPandas(detect, schema=schema)
+        .agg(F.array_sort(F.collect_list("s")).alias("arr"))
+        .select("user_id", F.explode(detect(F.col("arr.value"))).alias("e"))
+        .select(
+            "user_id",
+            F.col("e.event_time").alias("event_time"),
+            F.col("e.pulse_height").alias("pulse_height"),
+        )
     )
