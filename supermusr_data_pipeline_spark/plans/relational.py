@@ -536,6 +536,243 @@ def q13_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q15 — typed union decode (P9 f144 log decoding)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q15_log_union_decode",
+    oracle="""
+    SELECT event_id, event_type AS value_type,
+           CASE WHEN event_type IN ('click', 'view')
+                THEN CAST(CAST(trunc(value) AS BIGINT) AS DOUBLE) END AS int_value,
+           CASE WHEN event_type NOT IN ('click', 'view') THEN value END AS double_value,
+           CAST(json_extract(props, '$.k') AS INT) AS prop_k,
+           CASE WHEN event_type = 'error' THEN 'MAJOR' WHEN event_type = 'signup'
+                THEN 'MINOR' ELSE 'OK' END AS severity
+    FROM events
+    """,
+)
+def q15_log_union_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9: f144/al00 union decoding — extract the typed payload from a
+    tagged union into per-type-family columns plus a severity enum
+    (nexus-writer/src/nexus/logs/f114.rs:1-79, schemas/
+    ecs_al00_alarm.fbs:159-173).  The event_type column plays the union
+    tag; props is the semi-structured sidecar (get_json_object pushes to a
+    single JSON parse, all branches are codegen'd CASE WHEN — no UDF)."""
+    ev = load_table(spark, sf_dir, "events")
+    is_int = F.col("event_type").isin("click", "view")
+    return ev.select(
+        "event_id",
+        F.col("event_type").alias("value_type"),
+        # emitted as DOUBLE (not nullable BIGINT) so pandas/Arrow bridges on
+        # either side of the comparator can't widen it inconsistently
+        F.when(is_int, F.expr("cast(cast(value as bigint) as double)")).alias("int_value"),
+        F.when(~is_int, F.col("value")).alias("double_value"),
+        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+        F.when(F.col("event_type") == "error", F.lit("MAJOR"))
+        .when(F.col("event_type") == "signup", F.lit("MINOR"))
+        .otherwise(F.lit("OK"))
+        .alias("severity"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q16 — per-sample timestamp expansion (P10 se00)
+# ---------------------------------------------------------------------------
+
+_Q16_DELTA_US = 250  # sample period (µs) — se00 time_delta analog
+
+
+@_register(
+    "q16_se00_expand",
+    oracle=f"""
+    SELECT e.event_id,
+           i AS sample_index,
+           epoch_us(e.ts) + i * {_Q16_DELTA_US} AS sample_ts_us,
+           round(e.value + i * 0.5, 2) AS sample_value
+    FROM events e, unnest(generate_series(0, CAST(e.event_id % 4 AS INT))) AS t(i)
+    """,
+)
+def q16_se00_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10: se00 sample-environment waveform expansion — each message
+    carries a packet timestamp plus N samples at fixed time_delta; the
+    per-sample timestamp is ``packet_ts + i*delta``
+    (schemas/ecs_se00_data.fbs:143-150, nexus/logs/se00.rs).  posexplode of
+    a generated index array; the ns arithmetic stays on BIGINT micros.
+    Row explosion is narrow (no shuffle) and scales linearly."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_id",
+            "ts",
+            "value",
+            F.posexplode(F.sequence(F.lit(0), (F.col("event_id") % 4).cast("int"))).alias(
+                "sample_index", "_i"
+            ),
+        )
+        .select(
+            "event_id",
+            F.col("sample_index").cast("bigint").alias("sample_index"),
+            (F.unix_micros("ts") + F.col("sample_index") * _Q16_DELTA_US).alias("sample_ts_us"),
+            F.round(F.col("value") + F.col("sample_index") * 0.5, 2).alias("sample_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q17 — stream correlation equi-join (J3)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q17_correlate_streams",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, date_trunc('day', ts) AS day, count(*) AS n_views,
+               round(sum(value), 2) AS view_value
+        FROM events WHERE event_type = 'view' GROUP BY 1, 2
+    ), p AS (
+        SELECT user_id, date_trunc('day', ts) AS day, count(*) AS n_purchases,
+               round(sum(value), 2) AS purchase_value
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    )
+    SELECT v.user_id, epoch_us(v.day) AS day_us, v.n_views, v.view_value,
+           p.n_purchases, p.purchase_value
+    FROM v JOIN p ON v.user_id = p.user_id AND v.day = p.day
+    """,
+)
+def q17_correlate_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: trace↔event-list correlation — two independently-derived streams
+    matched on the composite natural key (digitiser id, timestamp)
+    (trace-viewer/src/finder/task/binary_by_timestamp.rs:96-135).  Both
+    sides aggregate before the join so the shuffle carries pre-reduced
+    rows; the equi-join keys are identical partitionings, so AQE can plan
+    a single co-partitioned exchange."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def side(etype: str, n_name: str, v_name: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+            .agg(
+                F.count("*").alias(n_name),
+                F.round(F.sum("value"), 2).alias(v_name),
+            )
+        )
+
+    v = side("view", "n_views", "view_value")
+    p = side("purchase", "n_purchases", "purchase_value").withColumnsRenamed(
+        {"user_id": "p_user_id", "day": "p_day"}
+    )
+    return (
+        v.join(p, (v.user_id == p.p_user_id) & (v.day == p.p_day))
+        .select(
+            "user_id",
+            F.unix_micros("day").alias("day_us"),
+            "n_views",
+            "view_value",
+            "n_purchases",
+            "purchase_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q18 — array sanity aggregate (A8)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q18_embedding_sanity",
+    oracle="""
+    SELECT label,
+           count(*) AS n_vecs,
+           CAST(max(len(embedding)) AS INT) AS dims,
+           CAST(min(len(embedding)) = max(len(embedding)) AS BOOLEAN) AS uniform_dims,
+           round(CAST(min(embedding[1]) AS DOUBLE), 6) AS min_first,
+           round(CAST(max(embedding[1]) AS DOUBLE), 6) AS max_first,
+           round(sum(round(sqrt(list_sum([CAST(x AS DOUBLE) * x for x in embedding])), 6)), 2)
+               / count(*) AS avg_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def q18_embedding_sanity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: trace sanity aggregate — per group: row count, vector length,
+    all-lengths-equal check, element ranges, mean L2 norm
+    (diagnostics/src/daq_trace/mod.rs:222-237: num channels + equal-length
+    verification over trace arrays).  Pure higher-order array functions —
+    JVM-side, partial-aggregatable, zero Python."""
+    e = load_table(spark, sf_dir, "embeddings")
+    norm = F.round(
+        F.sqrt(F.expr("aggregate(transform(embedding, x -> cast(x as double) * x), 0D, (a, x) -> a + x)")),
+        6,
+    )
+    first = F.element_at("embedding", 1).cast("double")
+    return (
+        e.select("label", F.size("embedding").alias("dims"), norm.alias("norm"), first.alias("e1"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.max("dims").alias("dims"),
+            (F.min("dims") == F.max("dims")).alias("uniform_dims"),
+            F.round(F.min("e1"), 6).alias("min_first"),
+            F.round(F.max("e1"), 6).alias("max_first"),
+            (F.round(F.sum("norm"), 2) / F.count("*")).alias("avg_norm"),
+        )
+        .select(
+            "label", "n_vecs", "dims", "uniform_dims", "min_first", "max_first", "avg_norm"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q19 — dragnet search (O5)
+# ---------------------------------------------------------------------------
+
+_Q19_TARGET = "2024-02-01 00:00:00"
+_Q19_DIST_US = 7 * 24 * 3600 * 1_000_000  # ±7 days
+
+
+@_register(
+    "q19_dragnet",
+    oracle=f"""
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           abs(epoch_us(ts) - epoch_us(TIMESTAMP '{_Q19_TARGET}')) AS dist_us, value
+    FROM events
+    WHERE abs(epoch_us(ts) - epoch_us(TIMESTAMP '{_Q19_TARGET}')) <= {_Q19_DIST_US}
+      AND event_type = 'error' AND value > 150.0
+    ORDER BY dist_us, event_id
+    LIMIT 50
+    """,
+)
+def q19_dragnet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5 dragnet search: around a target timestamp, collect the first N
+    messages matching a predicate within a fixed distance
+    (trace-viewer/src/finder/task/dragnet.rs:14-60).  The Kafka
+    backstep+forward scan becomes a pushed-down timestamp band filter
+    (parquet min/max pruning) + distance-ordered per-partition top-k."""
+    ev = load_table(spark, sf_dir, "events")
+    target_us = F.unix_micros(F.lit(_Q19_TARGET).cast("timestamp"))
+    dist = F.abs(F.unix_micros("ts") - target_us)
+    return (
+        ev.filter(
+            (dist <= _Q19_DIST_US) & (F.col("event_type") == "error") & (F.col("value") > 150.0)
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            dist.alias("dist_us"),
+            "value",
+        )
+        .orderBy("dist_us", "event_id")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
 # q14 — threshold detector vs SQL islands oracle (W4!)
 # ---------------------------------------------------------------------------
 

@@ -604,3 +604,108 @@ def q28_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("sim") >= 0.2)
     )
+
+
+# ---------------------------------------------------------------------------
+# q29 — IVF-partitioned ANN (the 100 TB similarity-search scale path)
+# ---------------------------------------------------------------------------
+
+_IVF_RNG = random.Random(11)
+_N_CELLS = 4
+# fixed 64-dim centroids shared as literals by both engines (at real scale
+# these come from a sampled k-means fit broadcast to executors)
+_CENTROIDS = [
+    [round(_IVF_RNG.uniform(-1, 1), 6) for _ in range(64)] for _ in range(_N_CELLS)
+]
+
+
+def _cell_expr_duck(col: str) -> str:
+    """argmax over centroid dot products as a CASE chain (ties → lowest id)."""
+    dots = []
+    for c in _CENTROIDS:
+        lst = "[" + ", ".join(str(x) for x in c) + "]"
+        dots.append(f"list_sum([{col}[i] * ({lst})[i] for i in range(1, 65)])")
+    conds = []
+    for j in range(_N_CELLS):
+        ge = " AND ".join(
+            f"({dots[j]}) >= ({dots[k]})" for k in range(_N_CELLS) if k != j
+        )
+        conds.append(f"WHEN {ge} THEN {j}")
+    return "CASE " + " ".join(conds) + " END"
+
+
+def _cell_expr_spark(col: str) -> str:
+    dots = []
+    for c in _CENTROIDS:
+        lst = "array(" + ", ".join(f"{x}D" for x in c) + ")"
+        dots.append(
+            f"aggregate(zip_with({col}, {lst}, (x, y) -> x * y), 0D, (a, x) -> a + x)"
+        )
+    conds = []
+    for j in range(_N_CELLS):
+        ge = " AND ".join(
+            f"({dots[j]}) >= ({dots[k]})" for k in range(_N_CELLS) if k != j
+        )
+        conds.append(f"WHEN {ge} THEN {j}")
+    return "CASE " + " ".join(conds) + " END"
+
+
+@_register(
+    "q29_ivf_ann",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ), cells AS (
+        SELECT vec_id, emb, {_cell_expr_duck('emb')} AS cell FROM e
+    ), q AS (
+        SELECT vec_id AS query_id, emb AS qe, cell AS qcell
+        FROM cells WHERE vec_id % 50 = 0
+    ), sims AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id, q.qcell AS cell,
+               round(list_sum([q.qe[i] * c.emb[i] for i in range(1, 65)])
+                     / (sqrt(list_sum([x * x for x in q.qe]))
+                        * sqrt(list_sum([x * x for x in c.emb]))), 6) AS sim
+        FROM q JOIN cells c ON c.cell = q.qcell AND c.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cell, sim, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id) AS rank
+        FROM sims
+    ) WHERE rank <= 3
+    """,
+)
+def q29_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-partitioned approximate nearest neighbor — the scale path past
+    q27's brute force: every vector is assigned to its nearest coarse
+    centroid (argmax dot product over a broadcast codebook, pure JVM
+    higher-order functions), queries probe only their own cell, and exact
+    cosine runs within the cell.  The corpus shuffles once on cell id
+    (co-partitioning queries and vectors); candidate work drops by the
+    number of cells.  At 100 TB the codebook comes from sampled k-means and
+    cells become the table's physical partitioning, so probes prune files."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("emb")
+    )
+    cells = e.withColumn("cell", F.expr(_cell_expr_spark("emb")))
+    q = cells.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qe"), F.col("cell").alias("qcell")
+    )
+    dot = F.expr("aggregate(zip_with(qe, emb, (x, y) -> x * y), 0D, (a, x) -> a + x)")
+    norm = "sqrt(aggregate(transform({c}, x -> x * x), 0D, (a, x) -> a + x))"
+    sim = F.round(dot / (F.expr(norm.format(c="qe")) * F.expr(norm.format(c="emb"))), 6)
+    sims = (
+        F.broadcast(q)
+        .join(cells, (cells.cell == q.qcell) & (cells.vec_id != q.query_id))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("qcell").alias("cell"),
+            sim.alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "cell", "sim", "rank")
+    )
