@@ -1,0 +1,22 @@
+"""Structured Streaming lift of the batch operators (SURVEY.md §2.8, §7 step 5).
+
+The batch library defines exact relational semantics (oracle-checked); this
+package lifts the stateful pieces onto Structured Streaming:
+
+- frame assembly with completeness + processing-time TTL (T1-T3) →
+  ``frame_assembly_stream.assemble_frames_stream`` (applyInPandasWithState)
+- run lifecycle FSM (T4) → ``run_lifecycle`` (batch fold + streaming state)
+- NeXus run sink (S6/S7) → ``nexus_stream.write_nexus_stream`` (foreachBatch)
+- DAQ observability stats (A7/A8) → ``daq_stats``
+- crash recovery (T5) → Structured Streaming checkpointing (free) plus the
+  sink-side resume scan in nexus_stream.
+"""
+
+from .daq_stats import daq_stats_batch, daq_stats_stream  # noqa: F401
+from .frame_assembly_stream import (  # noqa: F401
+    DIGITISER_MESSAGE_SCHEMA,
+    assemble_frames_stream,
+    events_long_to_messages,
+)
+from .nexus_stream import write_nexus_stream  # noqa: F401
+from .run_lifecycle import run_lifecycle_stream, runs_from_control  # noqa: F401
