@@ -22,7 +22,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from supermusr_data_pipeline_spark.plans import relational  # noqa: E402
 from supermusr_data_pipeline_spark.plans import text_dedup  # noqa: E402,F401  (registers queries)
 from supermusr_data_pipeline_spark.plans import detectors  # noqa: E402,F401  (registers queries)
-from supermusr_data_pipeline_spark.plans.daq_chain import synthetic_daq_chain  # noqa: E402
+from supermusr_data_pipeline_spark.plans.daq_chain import (  # noqa: E402
+    synthetic_daq_chain,
+    trace_file_events,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -56,6 +59,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = dict(relational.QUERIES)
     q["daq_full_chain"] = _daq_full_chain
     q["multimodal_features"] = _multimodal_features
+    q["trace_file_ingest"] = trace_file_events
     return q
 
 

@@ -97,6 +97,80 @@ def write_nexus(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).partitionBy("run_name").parquet(path)
 
 
+def retire_completed_runs(
+    spark,
+    sink_path: str,
+    runs: DataFrame,
+    now,
+    run_ttl_ms: int = 2000,
+    completed_subdir: str = "completed",
+) -> list[str]:
+    """S7 (part 1): move finished run partitions from the live sink into
+    ``completed/`` — the analog of ``move_to_completed``
+    (nexus-writer/src/run_engine/run/mod.rs:116-139).  A run is retirable
+    once its stop time plus the late-data grace ``run_ttl_ms``
+    (nexus-writer/src/main.rs:109-111, default 2 s) has passed.
+
+    Uses the Hadoop FileSystem API so the move is a metadata-only rename on
+    HDFS (and works against any configured object store), never a data copy.
+    The ``runs`` side is the tiny dimension table, so the driver-side collect
+    of retirable run names is O(#runs), not O(data).
+    """
+    retirable = [
+        r["run_name"]
+        for r in runs.filter(
+            F.col("collect_until").isNotNull()
+            & (
+                F.unix_millis(F.col("collect_until")) + F.lit(run_ttl_ms)
+                <= F.unix_millis(F.to_timestamp(F.lit(now)))
+            )
+        )
+        .select("run_name")
+        .collect()
+    ]
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    conf = spark._jsc.hadoopConfiguration()
+    fs = hpath(sink_path).getFileSystem(conf)
+    dest_base = hpath(sink_path, completed_subdir)
+    fs.mkdirs(dest_base)
+    moved = []
+    for name in retirable:
+        src = hpath(sink_path, f"run_name={name}")
+        if fs.exists(src):
+            fs.rename(src, hpath(dest_base, f"run_name={name}"))
+            moved.append(name)
+    return moved
+
+
+def flush_completed_to_archive(
+    spark,
+    sink_path: str,
+    archive_path: str,
+    completed_subdir: str = "completed",
+) -> list[str]:
+    """S7 (part 2): periodic archive flush — every run directory under
+    ``completed/`` is renamed into the archive root, the analog of
+    ``create_archive_flush_task`` (nexus-writer/src/flush_to_archive.rs:1-118,
+    60 s interval).  Call from a scheduler or a ``foreachBatch`` epoch."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    conf = spark._jsc.hadoopConfiguration()
+    src_base = hpath(sink_path, completed_subdir)
+    fs = src_base.getFileSystem(conf)
+    if not fs.exists(src_base):
+        return []
+    dest_base = hpath(archive_path)
+    fs.mkdirs(dest_base)
+    moved = []
+    for status in fs.listStatus(src_base):
+        if status.isDirectory():
+            name = status.getPath().getName()
+            fs.rename(status.getPath(), hpath(dest_base, name))
+            moved.append(name)
+    return moved
+
+
 def periods_per_run(frame_events_long: DataFrame) -> DataFrame:
     """A6: append-if-absent period list per run
     (nexus-writer/src/run_engine/run/mod.rs:155-166)."""

@@ -35,6 +35,41 @@ def daq_chain(
     return build_nexus_events(matched)
 
 
+def trace_file_events(spark: SparkSession, sf_dir: str = "") -> DataFrame:
+    """S4/S5 end-to-end: a deterministic ``.traces`` binary fixture read
+    through the distributed binaryFile + mapInPandas source, wrapped as dat2
+    (trace-reader/src/processing.rs:24-54), and run through the threshold
+    detector — the trace-reader service topology as one lazy Spark plan.
+    Not SQL-expressible (binary source + detector FSM) → rows-only check."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from ..operators.event_formation import form_events
+    from ..sources.trace_file import (
+        read_trace_files,
+        select_trace_events,
+        to_trace_table,
+        write_trace_file,
+    )
+
+    path = os.path.join(tempfile.gettempdir(), "supermusr_fixture_v1.traces")
+    if not os.path.exists(path):
+        rng = np.random.default_rng(11)
+        raw = rng.integers(0, 300, size=(16, 8, 1000), dtype=np.uint16)
+        # plant one unambiguous pulse per (event, channel) on a lattice
+        for ev in range(16):
+            for ch in range(8):
+                t0 = 100 + 7 * ev + 31 * ch
+                raw[ev, ch, t0 : t0 + 4] = [2000, 9000, 8000, 2500]
+        write_trace_file(path, raw, trigger_times=np.arange(16.0) * 0.02)
+    traces = select_trace_events(read_trace_files(spark, path), 12)
+    return form_events(
+        to_trace_table(traces), mode="fixed", threshold=1500.0, duration=2, cool_off=0
+    )
+
+
 def synthetic_daq_chain(
     spark: SparkSession,
     n_frames: int = 20,

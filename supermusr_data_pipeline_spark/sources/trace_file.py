@@ -191,6 +191,34 @@ def read_trace_files(spark: SparkSession, path: str) -> DataFrame:
     return binary.select("path", "content").mapInPandas(parse, TRACE_EVENT_SCHEMA)
 
 
+def to_trace_table(
+    traces: DataFrame,
+    digitizer_id: int = 0,
+    base_ts: str = "2024-01-01 00:00:00",
+) -> DataFrame:
+    """Map parsed ``.traces`` rows onto the dat2 TRACE_SCHEMA long format so
+    the detector pipeline (operators.event_formation.form_events) composes
+    directly — the same wrapping trace-reader does when it dispatches file
+    events as dat2 messages (trace-reader/src/processing.rs:24-54).  Frame
+    metadata is synthesized deterministically: frame_number = event index,
+    ts = base + trace_event_runtime."""
+    return traces.select(
+        F.lit(digitizer_id).cast("int").alias("digitizer_id"),
+        (
+            F.to_timestamp(F.lit(base_ts))
+            + F.make_interval(secs=F.col("trace_event_runtime"))
+        ).alias("ts"),
+        F.lit(0).cast("bigint").alias("period_number"),
+        F.lit(1).cast("int").alias("protons_per_pulse"),
+        F.lit(True).alias("running"),
+        F.col("event_index").cast("bigint").alias("frame_number"),
+        F.lit(0).cast("int").alias("veto_flags"),
+        F.round(F.lit(1.0) / F.col("sample_time")).cast("bigint").alias("sample_rate"),
+        F.col("channel").cast("int").alias("channel"),
+        "voltage",
+    )
+
+
 def select_trace_events(
     traces: DataFrame,
     num_trace_events: int,

@@ -84,6 +84,35 @@ def test_to_dat2_shape(spark, traces_file):
     assert len(r.channels[0].voltage) == 40
 
 
+def test_to_trace_table_and_form_events(spark, traces_file):
+    """to_trace_table bridges the file source onto TRACE_SCHEMA; form_events
+    finds exactly the planted pulse."""
+    from supermusr_data_pipeline_spark.operators.event_formation import form_events
+    from supermusr_data_pipeline_spark.sources.trace_file import to_trace_table
+
+    path, _ = traces_file
+    table = to_trace_table(read_trace_files(spark, path), digitizer_id=3)
+    assert {"digitizer_id", "ts", "frame_number", "sample_rate", "channel", "voltage"} <= set(
+        table.columns
+    )
+    events = form_events(table, mode="fixed", threshold=1500.0, duration=2, cool_off=0).collect()
+    assert [(e.frame_number, e.channel) for e in events] == [(2, 1)]
+    assert all(e.digitizer_id == 3 for e in events)
+
+
+def test_trace_file_ingest_query(spark):
+    """The registered driver-contract query runs and finds the planted
+    lattice pulses: 12 selected events x 8 channels."""
+    from supermusr_data_pipeline_spark.plans.daq_chain import trace_file_events
+
+    df = trace_file_events(spark, "")
+    rows = df.collect()
+    assert len(rows) == 12 * 8
+    assert {(r.frame_number, r.channel) for r in rows} == {
+        (ev, ch) for ev in range(12) for ch in range(8)
+    }
+
+
 def test_detector_composes(spark, traces_file):
     """The planted pulse in event 2 channel 1 is found by the threshold
     detector run over the long-format voltage arrays."""
