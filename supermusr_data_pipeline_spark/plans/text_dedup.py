@@ -709,3 +709,47 @@ def q29_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("query_id", "neighbor_id", "cell", "sim", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# q34 — BPE-ish regex token counting
+# ---------------------------------------------------------------------------
+
+# GPT-2-style pre-tokenizer, restricted to the regex subset where Java
+# (Spark) and RE2 (DuckDB) agree: contraction suffixes, letter runs, digit
+# runs, punctuation runs, bare-apostrophe runs.  No lookarounds, no \p
+# classes.
+_BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s']+|'+"
+
+
+@_register(
+    "q34_bpe_token_count",
+    oracle=f"""
+    WITH bt AS (
+        SELECT doc_id, n_chars,
+               regexp_extract_all(text, '{_BPE_PATTERN.replace("'", "''")}') AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           len(t)::INT AS n_bpe_tokens,
+           len(list_distinct(t))::INT AS n_distinct_bpe,
+           n_chars::DOUBLE / len(t) AS chars_per_token
+    FROM bt WHERE len(t) > 0
+    """,
+)
+def q34_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-ish pre-tokenizer regex — the tokens-per-
+    document / chars-per-token measures a pretraining pipeline budgets with.
+    `regexp_extract_all` is JVM-side (whole-stage codegen), no Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.regexp_extract_all("text", F.lit(_BPE_PATTERN), F.lit(0))
+    n_tok = F.size(t)
+    return (
+        docs.select(
+            "doc_id",
+            n_tok.alias("n_bpe_tokens"),
+            F.size(F.array_distinct(t)).alias("n_distinct_bpe"),
+            (F.col("n_chars").cast("double") / n_tok).alias("chars_per_token"),
+        )
+        .filter(F.col("n_bpe_tokens") > 0)
+    )
