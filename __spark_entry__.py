@@ -45,14 +45,30 @@ def _daq_full_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary-column pipeline: opaque payloads + typed metadata →
     Arrow-batched decode/feature-extract via mapInPandas (decode stubbed
-    with a deterministic fake; plumbing real).  Rows-only check."""
+    with a deterministic fake; plumbing real).  Rows-only check.
+
+    The library API returns ``feature ArrayType(Double)``; the driver's
+    canonicalizer sorts rows, so the contract query serializes the array to
+    JSON (scalar, sortable) without changing the computed values.
+    """
+    from pyspark.sql import functions as F
+
     from supermusr_data_pipeline_spark.operators.multimodal import (
         extract_features,
         media_from_documents,
     )
     from supermusr_data_pipeline_spark.sources.testdata import load_table
 
-    return extract_features(media_from_documents(load_table(spark, sf_dir, "documents")))
+    feats = extract_features(media_from_documents(load_table(spark, sf_dir, "documents")))
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "digest",
+        "mean_intensity",
+        "std_intensity",
+        F.to_json("feature").alias("feature_json"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
