@@ -1,0 +1,335 @@
+"""S3: byte-payload decode + identifier dispatch as Spark operators.
+
+The front door of every reference service is: receive a Kafka record, check
+the payload's 4-byte FlatBuffers file identifier, parse, and route by
+topic/type (trace-to-events/src/main.rs:199-257, nexus-writer/src/
+message_handlers.rs:38-120).  This module lifts that into Spark:
+
+- envelope rows are ``(topic string, key binary?, value binary)`` — exactly
+  the projection of Spark's Kafka source (works identically for
+  ``readStream.format("kafka")`` in production and for in-test DataFrames);
+- ``with_identifier`` extracts the identifier JVM-side so the dispatch
+  filter prunes before any Python is involved;
+- ``decode_*`` run the Python codec inside ``mapInPandas`` — narrow,
+  Arrow-batched, scan-stage work with no shuffle: at 100 TB the payload
+  bytes stream through executors once and the per-identifier filters mean
+  each decoder only ever deserializes its own message family.
+
+Malformed payloads (short buffer / wrong identifier / parse error) are
+dropped, mirroring the reference's warn-and-skip policy
+(digitiser-aggregator/src/main.rs:331-352); ``decode_errors`` exposes the
+error-side channel for the P8 failure counters.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import messages as M
+
+# identifiers handled by the dispatch layer
+IDENTIFIERS = tuple(M.DECODERS)
+
+
+def with_identifier(df: DataFrame) -> DataFrame:
+    """Add the FlatBuffers file identifier (bytes 4..8 of value), JVM-side."""
+    return df.withColumn("identifier", F.substring(F.col("value"), 5, 4).cast("string"))
+
+
+def dispatch(df: DataFrame, ident: str) -> DataFrame:
+    """Filter an envelope frame to one message family (identifier check).
+
+    Identifier, not topic, is authoritative — the reference warns and skips
+    when a topic carries an unexpected identifier."""
+    out = df if "identifier" in df.columns else with_identifier(df)
+    return out.filter(F.col("identifier") == ident)
+
+
+def _map_decoded(df: DataFrame, ident: str, schema: T.StructType, row_fn) -> DataFrame:
+    """mapInPandas plumbing shared by all decoders: filter to ``ident``,
+    decode each payload, fan out via ``row_fn(decoded) -> list[dict]``."""
+    cols = [f.name for f in schema.fields]
+
+    def proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[dict] = []
+            for payload in pdf["value"]:
+                buf = bytes(payload)
+                try:
+                    decoded = M.DECODERS[ident](buf)
+                except Exception:
+                    continue  # malformed: warn-and-skip channel (P8)
+                out.extend(row_fn(decoded))
+            yield (
+                pd.DataFrame(out, columns=cols)
+                if out
+                else pd.DataFrame({c: pd.Series(dtype=object) for c in cols})
+            )
+
+    return dispatch(df, ident).select("value").mapInPandas(proc, schema)
+
+
+def _ts_us(ns: int) -> pd.Timestamp:
+    """Spark's TimestampType is microsecond; truncate explicitly (ns
+    fidelity only matters for the relative event_time_offset, SURVEY §1.2).
+    The python-level codec (messages.py) keeps exact nanoseconds."""
+    return pd.Timestamp(int(ns) - int(ns) % 1000, unit="ns")
+
+
+def _md_cols(md: dict) -> dict:
+    return {
+        "ts": _ts_us(md["ts_ns"]),
+        "period_number": md["period_number"],
+        "protons_per_pulse": md["protons_per_pulse"],
+        "running": md["running"],
+        "frame_number": md["frame_number"],
+        "veto_flags": md["veto_flags"],
+    }
+
+
+_MD_FIELDS = [
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("period_number", T.LongType()),
+    T.StructField("protons_per_pulse", T.IntegerType()),
+    T.StructField("running", T.BooleanType()),
+    T.StructField("frame_number", T.LongType()),
+    T.StructField("veto_flags", T.IntegerType()),
+]
+
+DAT2_DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("digitizer_id", T.IntegerType()),
+        *_MD_FIELDS,
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("channel", T.IntegerType()),
+        T.StructField("voltage", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+DEV2_DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("digitizer_id", T.IntegerType()),
+        *_MD_FIELDS,
+        T.StructField("channel", T.IntegerType()),
+        T.StructField("event_time", T.LongType()),
+        T.StructField("event_voltage", T.IntegerType()),
+    ]
+)
+
+AEV2_DECODED_SCHEMA = T.StructType(
+    [
+        *_MD_FIELDS,
+        T.StructField("complete", T.BooleanType()),
+        T.StructField("digitizers_present", T.ArrayType(T.IntegerType())),
+        T.StructField("channel", T.ArrayType(T.IntegerType())),
+        T.StructField("event_time", T.ArrayType(T.LongType())),
+        T.StructField("event_voltage", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+RUN_CONTROL_SCHEMA = T.StructType(
+    [
+        T.StructField("kind", T.StringType()),  # start | stop
+        T.StructField("run_name", T.StringType()),
+        T.StructField("time_ms", T.LongType()),
+        T.StructField("filename", T.StringType()),
+        T.StructField("instrument_name", T.StringType()),
+        T.StructField("n_periods", T.IntegerType()),
+        T.StructField("job_id", T.StringType()),
+    ]
+)
+
+F144_DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("source_name", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("value_type", T.StringType()),
+        T.StructField("value_array", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+SE00_DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("name", T.StringType()),
+        T.StructField("channel", T.IntegerType()),
+        T.StructField("packet_ts", T.TimestampType()),
+        T.StructField("time_delta", T.DoubleType()),
+        T.StructField("timestamp_location", T.StringType()),
+        T.StructField("values", T.ArrayType(T.DoubleType())),
+        T.StructField("timestamps", T.ArrayType(T.LongType())),
+        T.StructField("message_counter", T.LongType()),
+    ]
+)
+
+AL00_DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("source_name", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("severity", T.StringType()),
+        T.StructField("message", T.StringType()),
+    ]
+)
+
+
+def decode_dat2(df: DataFrame) -> DataFrame:
+    """dat2 payloads → long trace rows (one per channel), matching
+    ``schemas.TRACE_SCHEMA``."""
+
+    def rows(d: dict) -> list[dict]:
+        base = {"digitizer_id": d["digitizer_id"], **_md_cols(d["metadata"]),
+                "sample_rate": d["sample_rate"]}
+        return [
+            {**base, "channel": int(ch), "voltage": v.astype("int32").tolist()}
+            for ch, v in d["channels"]
+        ]
+
+    return _map_decoded(df, "dat2", DAT2_DECODED_SCHEMA, rows)
+
+
+def decode_dev2(df: DataFrame) -> DataFrame:
+    """dev2 payloads → long event rows (one per detected event)."""
+
+    def rows(d: dict) -> list[dict]:
+        base = {"digitizer_id": d["digitizer_id"], **_md_cols(d["metadata"])}
+        return [
+            {**base, "channel": int(c), "event_time": int(t), "event_voltage": int(v)}
+            for t, v, c in zip(d["time"], d["voltage"], d["channel"])
+        ]
+
+    return _map_decoded(df, "dev2", DEV2_DECODED_SCHEMA, rows)
+
+
+def decode_aev2(df: DataFrame) -> DataFrame:
+    """aev2 payloads → one grouped row per assembled frame."""
+
+    def rows(d: dict) -> list[dict]:
+        return [
+            {
+                **_md_cols(d["metadata"]),
+                "complete": d["complete"],
+                "digitizers_present": [int(x) for x in (d["digitizers_present"] if d["digitizers_present"] is not None else [])],
+                "channel": [int(x) for x in (d["channel"] if d["channel"] is not None else [])],
+                "event_time": [int(x) for x in (d["time"] if d["time"] is not None else [])],
+                "event_voltage": [int(x) for x in (d["voltage"] if d["voltage"] is not None else [])],
+            }
+        ]
+
+    return _map_decoded(df, "aev2", AEV2_DECODED_SCHEMA, rows)
+
+
+def decode_run_control(df: DataFrame) -> DataFrame:
+    """pl72 + 6s4t payloads → a unified run-control stream (T4 input)."""
+
+    def start_rows(d: dict) -> list[dict]:
+        return [
+            {
+                "kind": "start",
+                "run_name": d["run_name"],
+                "time_ms": d["start_time_ms"],
+                "filename": d["filename"],
+                "instrument_name": d["instrument_name"],
+                "n_periods": d["n_periods"],
+                "job_id": d["job_id"],
+            }
+        ]
+
+    def stop_rows(d: dict) -> list[dict]:
+        return [
+            {
+                "kind": "stop",
+                "run_name": d["run_name"],
+                "time_ms": d["stop_time_ms"],
+                "filename": None,
+                "instrument_name": None,
+                "n_periods": None,
+                "job_id": d["job_id"],
+            }
+        ]
+
+    starts = _map_decoded(df, "pl72", RUN_CONTROL_SCHEMA, start_rows)
+    stops = _map_decoded(df, "6s4t", RUN_CONTROL_SCHEMA, stop_rows)
+    return starts.unionByName(stops)
+
+
+def decode_f144(df: DataFrame) -> DataFrame:
+    """f144 payloads → RUNLOG_SCHEMA shape: union widened to DOUBLE + tag
+    column (SURVEY §1.1 'widest type + tag')."""
+
+    def rows(d: dict) -> list[dict]:
+        is_array = d["value_type"].startswith("array")
+        return [
+            {
+                "source_name": d["source_name"],
+                "ts": _ts_us(d["timestamp_ns"]),
+                "value": None if is_array else float(d["value"]),
+                "value_type": d["value_type"],
+                "value_array": [float(x) for x in d["value"]] if is_array else None,
+            }
+        ]
+
+    return _map_decoded(df, "f144", F144_DECODED_SCHEMA, rows)
+
+
+def decode_se00(df: DataFrame) -> DataFrame:
+    def rows(d: dict) -> list[dict]:
+        return [
+            {
+                "name": d["name"],
+                "channel": d["channel"],
+                "packet_ts": _ts_us(d["packet_timestamp_ns"]),
+                "time_delta": d["time_delta_ns"],
+                "timestamp_location": d["timestamp_location"],
+                "values": [float(x) for x in d["values"]],
+                "timestamps": None
+                if d["timestamps"] is None
+                else [int(x) for x in d["timestamps"]],
+                "message_counter": d["message_counter"],
+            }
+        ]
+
+    return _map_decoded(df, "se00", SE00_DECODED_SCHEMA, rows)
+
+
+def decode_al00(df: DataFrame) -> DataFrame:
+    def rows(d: dict) -> list[dict]:
+        return [
+            {
+                "source_name": d["source_name"],
+                "ts": _ts_us(d["timestamp_ns"]),
+                "severity": d["severity"],
+                "message": d["message"],
+            }
+        ]
+
+    return _map_decoded(df, "al00", AL00_DECODED_SCHEMA, rows)
+
+
+def decode_stream(df: DataFrame) -> dict[str, DataFrame]:
+    """Route an envelope frame into every typed stream the pipeline consumes
+    — the Spark restatement of per-topic handler dispatch
+    (nexus-writer/src/main.rs:284-323).  Works on batch and streaming
+    DataFrames alike (all operators here are stateless/narrow)."""
+    env = with_identifier(df)
+    return {
+        "dat2": decode_dat2(env),
+        "dev2": decode_dev2(env),
+        "aev2": decode_aev2(env),
+        "run_control": decode_run_control(env),
+        "f144": decode_f144(env),
+        "se00": decode_se00(env),
+        "al00": decode_al00(env),
+    }
+
+
+def decode_errors(df: DataFrame) -> DataFrame:
+    """Error-side output: envelope rows whose payload has no known
+    identifier (P8 failure counters feed off this)."""
+    return with_identifier(df).filter(
+        (F.length("value") < 8) | ~F.col("identifier").isin(*IDENTIFIERS)
+    )
