@@ -171,6 +171,52 @@ def flush_completed_to_archive(
     return moved
 
 
+def build_run_logs(
+    logs: DataFrame, runs: DataFrame, ts_col: str = "ts"
+) -> DataFrame:
+    """Match a log/alarm table to runs (J2 one-sided semantics) and add the
+    relative-time column the NeXus runlog datasets carry
+    (``log_time_ns`` = ts − collect_from in ns; negative for logs that
+    precede the run start, which the one-sided match allows)."""
+    from .run_matching import match_logs_to_runs
+
+    matched = match_logs_to_runs(logs, runs, ts_col=ts_col)
+    return matched.withColumn(
+        "log_time_ns",
+        (F.unix_micros(F.col(ts_col)) - F.unix_micros("collect_from")) * 1000,
+    )
+
+
+def write_nexus_logs(
+    runlog: DataFrame | None,
+    selog: DataFrame | None,
+    alarms: DataFrame | None,
+    runs: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+) -> None:
+    """S6 (log side): persist the per-run runlog (f144), SE log (se00) and
+    alarm (al00) tables next to the event data — the analog of the HDF5
+    ``raw_data_1/{runlog,selog}`` groups the reference writer maintains per
+    run (nexus-writer/src/nexus/logs/f114.rs:1-79, nexus/logs/se00.rs:1-147,
+    message handlers message_handlers.rs:38-120).
+
+    Each table lands under ``<path>/<name>`` partitioned by ``run_name`` —
+    the same one-directory-per-run layout ``write_nexus`` uses for events,
+    so S7 retirement moves a run's logs with the same rename discipline.
+    """
+    for name, df, ts_col in (
+        ("runlog", runlog, "ts"),
+        ("selog", selog, "packet_ts"),
+        ("alarms", alarms, "ts"),
+    ):
+        if df is None:
+            continue
+        matched = build_run_logs(df, runs, ts_col=ts_col)
+        out = matched.drop("collect_from", "collect_until")
+        out.write.mode(mode).partitionBy("run_name").parquet(f"{path}/{name}")
+
+
 def periods_per_run(frame_events_long: DataFrame) -> DataFrame:
     """A6: append-if-absent period list per run
     (nexus-writer/src/run_engine/run/mod.rs:155-166)."""

@@ -36,17 +36,39 @@ def match_events_to_runs(
     return events.join(F.broadcast(runs), on=cond, how=how)
 
 
-def match_logs_to_runs(logs: DataFrame, runs: DataFrame, ts_col: str = "ts") -> DataFrame:
+def match_logs_to_runs(
+    logs: DataFrame,
+    runs: DataFrame,
+    ts_col: str = "ts",
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
     """J2: log/alarm → first run not ending before ts
     (run_engine/engine.rs:68-80,246-288).  One-sided: a log may precede the
-    run's start (it lands in the earliest run whose end is after it)."""
-    tagged = logs.withColumn("_log_id", F.monotonically_increasing_id())
-    cond = runs["collect_until"].isNull() | (F.col(ts_col) < runs["collect_until"])
-    joined = tagged.join(F.broadcast(runs), on=cond, how="inner")
-    # keep only the earliest matching run per log row
-    w = Window.partitionBy("_log_id")
-    return (
-        joined.withColumn("_min_from", F.min("collect_from").over(w))
-        .filter(F.col("collect_from") == F.col("_min_from"))
-        .drop("_min_from", "_log_id")
+    run's start (it lands in the earliest run whose end is after it).
+
+    Scale design: "earliest run whose end is after ts" over non-overlapping
+    runs (the engine aborts an unstopped predecessor on a new start, so at
+    most one run is open and ends are ordered) is equivalent to a DISJOINT
+    interval per run: ``[previous run's collect_until, collect_until)``.
+    That interval is derived with a window over the tiny runs side only and
+    broadcast — each log row then matches exactly one run, so the big side
+    needs no shuffle, no per-log dedup window, and no groupBy.  ``runs``
+    must have ``collect_from``/``collect_until`` columns; equality keys in
+    ``partition_cols`` scope the match (both sides must carry them — the
+    runs-side copies are dropped from the result).
+    """
+    pcols = partition_cols or []
+    w = Window.partitionBy(*[runs[c] for c in pcols]).orderBy(
+        F.col("collect_until").asc_nulls_last(), F.col("collect_from")
     )
+    windowed = runs.withColumn("_accept_from", F.lag("collect_until").over(w))
+    cond = (
+        windowed["_accept_from"].isNull() | (F.col(ts_col) >= windowed["_accept_from"])
+    ) & (
+        windowed["collect_until"].isNull() | (F.col(ts_col) < windowed["collect_until"])
+    )
+    for c in pcols:
+        cond = cond & (logs[c] == windowed[c])
+    joined = logs.join(F.broadcast(windowed), on=cond, how="inner")
+    drop = [windowed["_accept_from"]] + [windowed[c] for c in pcols]
+    return joined.drop(*drop)

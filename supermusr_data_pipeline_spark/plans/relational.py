@@ -857,3 +857,114 @@ def q14_threshold_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e.pulse_height").alias("pulse_height"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q35 — one-sided log→run matching (J2)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q35_log_run_match",
+    oracle="""
+    WITH runs AS (
+        SELECT user_id, ts AS collect_from,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS collect_until
+        FROM events WHERE event_type = 'error'
+    ), matched AS (
+        SELECT e.event_id, e.user_id, e.value, min(r.collect_from) AS run_from
+        FROM events e
+        JOIN runs r ON e.user_id = r.user_id
+                   AND (r.collect_until IS NULL OR e.ts < r.collect_until)
+        GROUP BY e.event_id, e.user_id, e.value
+    )
+    SELECT user_id, epoch_us(run_from) AS run_from_us,
+           count(*) AS n_logs, round(sum(value), 2) AS sum_value
+    FROM matched GROUP BY user_id, run_from
+    """,
+)
+def q35_log_run_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: log → earliest run not ending before ts
+    (nexus-writer/src/run_engine/engine.rs:68-80,246-288) — the one-sided
+    variant of q08, so logs PRECEDING a run's start land in it.
+
+    The oracle expresses "earliest matching run" as a min-over-candidates
+    per log; the Spark plan instead rewrites the tiny runs side into
+    disjoint accept-intervals (lag window over runs only) and broadcast
+    range-joins — one match per log, no shuffle and no dedup pass on the
+    big side (see operators/run_matching.match_logs_to_runs)."""
+    from ..operators.run_matching import match_logs_to_runs
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    runs = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("ts").alias("collect_from"),
+        F.lead("ts").over(w).alias("collect_until"),
+    )
+    matched = match_logs_to_runs(
+        ev.select("user_id", "ts", "value"), runs, partition_cols=["user_id"]
+    )
+    return (
+        matched.groupBy("user_id", "collect_from")
+        .agg(F.count("*").alias("n_logs"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.unix_micros("collect_from").alias("run_from_us"),
+            "n_logs",
+            "sum_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q36 — se00 expansion, explicit-timestamps branch (P10 completion)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q36_se00_timestamps",
+    oracle="""
+    SELECT e.event_id AS message_counter,
+           CAST(i AS BIGINT) AS sample_index,
+           CASE WHEN e.event_id % 2 = 0 THEN epoch_us(e.ts) + i * i * 1000
+                ELSE epoch_us(e.ts) + i * 250 END AS sample_ts_us,
+           round(e.value + i * 0.5, 2) AS sample_value,
+           e.event_id % 2 = 0 AS from_explicit
+    FROM events e, unnest(generate_series(0, CAST(e.event_id % 4 AS INT))) AS t(i)
+    """,
+)
+def q36_se00_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10 both branches: se00 messages with an explicit (non-uniform)
+    ``timestamps[]`` vector expand from it; delta-compressed messages fall
+    back to ``packet_ts + i*time_delta`` (schemas/ecs_se00_data.fbs:143-150).
+    The se00 table is derived from events (even event_ids carry explicit
+    quadratic timestamps so a wrong branch cannot hash-match); expansion is
+    operators/selog.expand_se00 — JVM-only, narrow."""
+    from ..operators.selog import expand_se00
+
+    ev = load_table(spark, sf_dir, "events")
+    seq = F.sequence(F.lit(0), (F.col("event_id") % 4).cast("int"))
+    selog = ev.select(
+        F.col("event_id").alias("message_counter"),
+        F.col("ts").alias("packet_ts"),
+        F.lit(250_000.0).alias("time_delta"),  # ns between samples
+        F.transform(seq, lambda i: F.round(F.col("value") + i * 0.5, 2)).alias("values"),
+        F.when(
+            F.col("event_id") % 2 == 0,
+            F.transform(
+                seq,
+                lambda i: F.unix_micros("ts") * 1000
+                + (i * i).cast("bigint") * 1_000_000,
+            ),
+        ).alias("timestamps"),
+    )
+    out = expand_se00(selog)
+    return out.select(
+        "message_counter",
+        "sample_index",
+        # integer DIV: ns→µs must not round-trip through double (2^53 < ns epoch)
+        F.expr("sample_ts_ns DIV 1000").alias("sample_ts_us"),
+        "sample_value",
+        "from_explicit",
+    )

@@ -67,6 +67,11 @@ _STATE_SCHEMA = T.StructType(
         # (frame/partial.rs:30-40), not at the latest update, so the timeout
         # is re-armed relative to it on every call
         T.StructField("first_ms", T.LongType()),
+        # tombstone: frame already dispatched; late messages for the key are
+        # rejected instead of re-opening it (frame/cache.rs:55-63 — "reject
+        # messages at or before the last dispatched frame timestamp"; here
+        # per-key, which is the bounded-state streaming equivalent)
+        T.StructField("dispatched", T.BooleanType()),
     ]
 )
 
@@ -126,10 +131,21 @@ def assemble_frames_stream(
     messages: DataFrame,
     expected_digitizers: list[int],
     frame_ttl_ms: int = 500,
+    tombstone_ttl_ms: int = 2000,
 ) -> DataFrame:
     """dev2 message stream → aev2 frame stream (FRAME_EVENT_LIST_SCHEMA +
-    veto_flags), emitting on completeness or processing-time TTL."""
+    veto_flags), emitting on completeness or processing-time TTL.
+
+    After a frame dispatches (complete or expired) its key keeps a tombstone
+    for ``tombstone_ttl_ms``: straggler messages for the same frame are
+    rejected instead of re-opening it and eventually emitting a second,
+    incomplete frame row — the reference's late-message-rejection-after-
+    dispatch (frame/cache.rs:55-63, tested at cache.rs:156-387).  The
+    tombstone mirrors the nexus-writer's 2 s run TTL grace
+    (nexus-writer/src/main.rs:109-111) and carries no event data, so
+    dispatched-frame state is O(1) per key and self-expires."""
     expected = sorted(int(d) for d in expected_digitizers)
+    _tombstone = ([], [], [], [], [], 0, 0, True)
 
     def update(
         key: tuple[Any, ...],
@@ -137,14 +153,23 @@ def assemble_frames_stream(
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         if state.hasTimedOut:
-            dids, ev_did, ev_ch, ev_t, ev_v, veto, _first = state.get
-            state.remove()
+            dids, ev_did, ev_ch, ev_t, ev_v, veto, _first, dispatched = state.get
+            if dispatched:
+                state.remove()  # tombstone expired quietly
+                return
+            # TTL dispatch of an incomplete frame; leave a tombstone behind
+            state.update(_tombstone)
+            state.setTimeoutDuration(tombstone_ttl_ms)
             yield _emit_frame(key, dids, ev_did, ev_ch, ev_t, ev_v, veto, expected)
             return
 
         now_ms = state.getCurrentProcessingTimeMs()
         if state.exists:
-            dids, ev_did, ev_ch, ev_t, ev_v, veto, first_ms = state.get
+            dids, ev_did, ev_ch, ev_t, ev_v, veto, first_ms, dispatched = state.get
+            if dispatched:
+                # late message after dispatch: reject, keep tombstone armed
+                state.setTimeoutDuration(tombstone_ttl_ms)
+                return
             dids = list(dids)
             ev_did, ev_ch = list(ev_did), list(ev_ch)
             ev_t, ev_v = list(ev_t), list(ev_v)
@@ -166,10 +191,12 @@ def assemble_frames_stream(
                 ev_v.extend(float(v) for v in row.event_voltage)
 
         if sorted(dids) == expected:
-            state.remove()  # dispatch complete frame now (frame/cache.rs:121-142)
+            # dispatch complete frame now (frame/cache.rs:121-142), tombstone it
+            state.update(_tombstone)
+            state.setTimeoutDuration(tombstone_ttl_ms)
             yield _emit_frame(key, dids, ev_did, ev_ch, ev_t, ev_v, veto, expected)
         else:
-            state.update((dids, ev_did, ev_ch, ev_t, ev_v, veto, first_ms))
+            state.update((dids, ev_did, ev_ch, ev_t, ev_v, veto, first_ms, False))
             # Spark resets the timeout on every call for the key; re-arm it
             # relative to the stored first arrival so the deadline is fixed
             state.setTimeoutDuration(max(1, first_ms + frame_ttl_ms - now_ms))

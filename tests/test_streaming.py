@@ -144,6 +144,55 @@ def test_duplicate_digitiser_message_rejected(spark, tmp_path):
     assert rows[0].channel == [0, 1]  # the duplicate's channel 9 is absent
 
 
+def test_late_message_after_dispatch_rejected(spark, tmp_path):
+    """T3: a straggler arriving after its frame was dispatched (here via
+    TTL) must NOT re-open the frame and emit a second row — the tombstone
+    analog of the reference's reject-at-or-before-last-dispatched-timestamp
+    (digitiser-aggregator/src/frame/cache.rs:55-63, test cache.rs:156-387)."""
+    src = tmp_path / "msgs"
+    src.mkdir()
+    spark.createDataFrame(
+        [_msg(0, 5, [2], [100], [7.5])], DIGITISER_MESSAGE_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = spark.readStream.schema(DIGITISER_MESSAGE_SCHEMA).parquet(str(src))
+    frames = assemble_frames_stream(
+        stream, expected_digitizers=[0, 1], frame_ttl_ms=300, tombstone_ttl_ms=60_000
+    )
+    q = (
+        frames.writeStream.format("memory")
+        .queryName("t_frames_late")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        rows = []
+        while time.time() < deadline:
+            rows = spark.sql("SELECT * FROM t_frames_late").collect()
+            if rows:
+                break
+            time.sleep(0.3)
+        assert rows and rows[0].complete is False, "TTL dispatch expected first"
+
+        # straggler for the SAME frame key, from the missing digitiser
+        spark.createDataFrame(
+            [_msg(1, 5, [9], [999], [9.9])], DIGITISER_MESSAGE_SCHEMA
+        ).coalesce(1).write.mode("append").parquet(str(src))
+
+        # wait until the straggler batch has definitely been processed
+        target = time.time() + 3.0
+        while time.time() < target:
+            time.sleep(0.3)
+        rows = spark.sql("SELECT * FROM t_frames_late").collect()
+        assert len(rows) == 1, "late message re-opened a dispatched frame"
+        assert rows[0].digitizers_present == [0]
+    finally:
+        q.stop()
+
+
 def test_runs_from_control_batch(spark):
     """T4 batch fold: stop closes, new start aborts unstopped predecessor,
     last run stays open, stray stop ignored."""
