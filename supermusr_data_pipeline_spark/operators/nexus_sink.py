@@ -87,6 +87,68 @@ def build_nexus_events(frame_events_long: DataFrame) -> DataFrame:
     )
 
 
+def build_nexus_events_fused(
+    events: DataFrame, runs: DataFrame, expected_digitizers: list[int]
+) -> DataFrame:
+    """Fused A1+J1+A5+P5: dev2-shaped long events + runs → nexus event table
+    in ONE pass over the big side.
+
+    The unfused path (assemble_frames_long → match_events_to_runs →
+    build_nexus_events) joins the big events table against per-frame
+    aggregates twice and runs partial aggregation twice.  Here the frame
+    dimension is built once (map-side-combined groupBy of tiny per-frame
+    aggregates), decorated with run matching + frame_seq/event_index/
+    event_time_zero windows — all on the SMALL frames side — and joined back
+    to events once.  The big side therefore sees: narrow detect → one
+    partial-agg shuffle → one join.  The join strategy is left to AQE: at
+    test scale frames broadcast; at 100 TB (years of 50 Hz frames) it
+    degrades gracefully to a shuffle join on the same frame key."""
+    expected = F.array([F.lit(d) for d in sorted(expected_digitizers)])
+    from .run_matching import match_events_to_runs
+
+    frames = events.groupBy("ts", "period_number", "frame_number", "running").agg(
+        F.sort_array(F.collect_set("digitizer_id")).alias("_dids"),
+        F.bit_or("veto_flags").alias("frame_veto_flags"),
+        F.count("*").alias("n_events"),
+    )
+    matched = match_events_to_runs(frames, runs)
+    w_seq = Window.partitionBy("run_name").orderBy("ts", "frame_number")
+    frames_idx = matched.select(
+        "ts",
+        "period_number",
+        "frame_number",
+        "running",
+        "run_name",
+        (F.col("_dids") == expected).alias("frame_complete"),
+        "frame_veto_flags",
+        (F.row_number().over(w_seq) - F.lit(1)).cast("long").alias("frame_seq"),
+        ((F.unix_micros("ts") - F.unix_micros("collect_from")) * 1000).alias(
+            "event_time_zero"
+        ),
+        F.coalesce(
+            F.sum("n_events").over(w_seq.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).cast("long").alias("event_index"),
+    )
+    return (
+        events.join(frames_idx, on=["ts", "period_number", "frame_number", "running"])
+        .select(
+            "run_name",
+            "frame_seq",
+            "event_time_zero",
+            "event_index",
+            "period_number",
+            "frame_number",
+            "frame_complete",
+            "running",
+            F.col("frame_veto_flags").alias("veto_flags"),
+            F.col("event_time").alias("event_time_offset"),
+            F.col("channel").alias("event_id"),
+            F.col("event_voltage").cast("double").alias("pulse_height"),
+        )
+    )
+
+
 def write_nexus(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """S6: append-only structured sink — Parquet partitioned by run.
 

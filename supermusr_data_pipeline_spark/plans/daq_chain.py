@@ -16,9 +16,6 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..generator import generate_runs, generate_traces
 from ..operators.event_formation import form_events
-from ..operators.frame_assembly import assemble_frames_long
-from ..operators.nexus_sink import build_nexus_events
-from ..operators.run_matching import match_events_to_runs
 
 
 def daq_chain(
@@ -28,11 +25,15 @@ def daq_chain(
     mode: str = "fixed",
     **detector_params,
 ) -> DataFrame:
-    """traces + runs → nexus event table."""
+    """traces + runs → nexus event table.
+
+    Uses the fused nexus build (one partial-agg shuffle + one join over the
+    big events side; see build_nexus_events_fused) — the unfused operators
+    remain available individually for the streaming foreachBatch path."""
+    from ..operators.nexus_sink import build_nexus_events_fused
+
     events = form_events(traces, mode=mode, **detector_params)
-    frames = assemble_frames_long(events, expected_digitizers)
-    matched = match_events_to_runs(frames, runs)
-    return build_nexus_events(matched)
+    return build_nexus_events_fused(events, runs, expected_digitizers)
 
 
 def trace_file_events(spark: SparkSession, sf_dir: str = "") -> DataFrame:

@@ -1,0 +1,96 @@
+"""Stronger gates for the rows-only contract queries: golden row counts +
+aggregate checksums for the chains, and a driver-side numpy self-oracle for
+q31 (the advanced-muon FSM) — so regressions can't hide behind ``rows>0``."""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_daq_full_chain_golden(spark):
+    df = entry_mod.queries()["daq_full_chain"](spark, SF_DIR)
+    agg = df.agg(
+        F.count("*").alias("n"),
+        F.sum("event_index").alias("ei"),
+        F.round(F.sum("pulse_height"), 2).alias("ph"),
+        F.sum("event_time_offset").alias("eto"),
+        F.sum("frame_seq").alias("fs"),
+    ).collect()[0]
+    assert (agg.n, agg.ei, agg.ph, agg.eto, agg.fs) == (
+        625,
+        170891,
+        539863.0,
+        148726,
+        2178,
+    )
+
+
+def test_trace_file_ingest_golden(spark):
+    df = entry_mod.queries()["trace_file_ingest"](spark, SF_DIR)
+    agg = df.agg(
+        F.count("*").alias("n"),
+        F.sum("event_time").alias("et"),
+        F.sum("event_voltage").alias("ev"),
+    ).collect()[0]
+    # 12 sampled events x 8 channels, one planted pulse each
+    assert (agg.n, agg.et, agg.ev) == (96, 23712, 864000)
+
+
+def test_q31_matches_driver_side_numpy(spark):
+    """Self-oracle: the grouped pandas-UDF path must equal a plain numpy run
+    of advanced_muon_pulses over the identical per-user series."""
+    from supermusr_data_pipeline_spark.operators.pulse_detection import (
+        advanced_muon_pulses,
+    )
+    from supermusr_data_pipeline_spark.plans.detectors import (
+        _Q31_DURATION,
+        _Q31_FALL,
+        _Q31_ONSET,
+        _Q31_TERMINATION,
+    )
+    from supermusr_data_pipeline_spark.sources.testdata import load_table
+
+    got = sorted(
+        (
+            r.user_id,
+            r.start_time,
+            r.peak_time,
+            r.peak_value,
+            r.end_time,
+            r.steepest_rise_deriv,
+            r.sharpest_fall_deriv,
+        )
+        for r in entry_mod.queries()["q31_advanced_muon"](spark, SF_DIR).collect()
+    )
+
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .toPandas()
+    )
+    want = []
+    for uid, g in ev.groupby("user_id"):
+        v = g.sort_values(["ts", "event_id"])["value"].to_numpy(np.float64)
+        if len(v) < 2:
+            continue
+        t = np.arange(1, len(v), dtype=np.float64)
+        for p in advanced_muon_pulses(
+            t, v[1:], np.diff(v), _Q31_ONSET, _Q31_FALL, _Q31_TERMINATION, _Q31_DURATION
+        ):
+            want.append(
+                (
+                    int(uid),
+                    p.start_time,
+                    p.peak_time,
+                    p.peak_value,
+                    p.end_time,
+                    p.steepest_rise_deriv,
+                    p.sharpest_fall_deriv,
+                )
+            )
+    assert got == sorted(want)
+    assert len(got) > 0

@@ -32,6 +32,45 @@ def events(spark, traces):
     return form_events(traces, mode="fixed", threshold=300.0, duration=2).cache()
 
 
+def test_events_found_counts(events):
+    """A4: per (digitiser, channel) pulse counts
+    (trace-to-events/src/processing.rs:58-68)."""
+    from supermusr_data_pipeline_spark.operators.event_formation import (
+        events_found_counts,
+    )
+
+    counts = events_found_counts(events).collect()
+    assert sum(r["count"] for r in counts) == events.count()
+    # every channel of every digitiser found pulses in the synthetic traces
+    assert {(r.digitizer_id, r.channel) for r in counts} == {
+        (d, c) for d in range(N_DIG) for c in range(d * 8, d * 8 + 8)
+    }
+    spot = events.filter(
+        (F.col("digitizer_id") == 0) & (F.col("channel") == 0)
+    ).count()
+    assert next(
+        r["count"] for r in counts if r.digitizer_id == 0 and r.channel == 0
+    ) == spot
+
+
+def test_periods_per_run(spark, events):
+    """A6: append-if-absent period list per run
+    (nexus-writer/src/run_engine/run/mod.rs:155-166)."""
+    from supermusr_data_pipeline_spark.operators.nexus_sink import periods_per_run
+
+    frames = assemble_frames_long(events, expected_digitizers=list(range(N_DIG)))
+    matched = match_events_to_runs(frames, generate_runs(spark, n_frames=N_FRAMES))
+    got = {r.run_name: r.periods for r in periods_per_run(matched).collect()}
+    # generator: period_number = frame // 100 -> all frames here are period 0
+    assert got and all(p == [0] for p in got.values())
+    # distinct periods per run must equal the distinct set in the source
+    want = {
+        r.run_name: sorted(set(x.period_number for x in matched.collect() if x.run_name == r.run_name))
+        for r in matched.select("run_name").distinct().collect()
+    }
+    assert {k: list(v) for k, v in got.items()} == want
+
+
 def test_generator_determinism(spark):
     a = generate_traces(spark, n_frames=2, n_digitizers=2, n_samples=100, seed=3)
     b = generate_traces(spark, n_frames=2, n_digitizers=2, n_samples=100, seed=3)
