@@ -57,15 +57,34 @@ def _pulse_biexp(
 
 
 def _synth_channel(
-    rng: np.ndarray, n_samples: int, n_pulses: int, baseline: float, noise_sd: float
+    rng: np.ndarray,
+    n_samples: int,
+    n_pulses: int,
+    baseline: float,
+    noise_sd: float,
+    height_spec: dict | None = None,
+    pulse_weights: list[float] | None = None,
+    frame: int = 0,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Returns (voltage u16 array, pulse start times, pulse peak heights)."""
+    """Returns (voltage u16 array, pulse start times, pulse peak heights).
+
+    ``height_spec`` is a G2 distribution spec (generator/distributions.py);
+    ``pulse_weights`` enables the G5 weighted template mix.  Defaults keep
+    the original uniform sampling (and its RNG stream) bit-for-bit."""
+    from .distributions import sample, weighted_kind
+
     rs = np.random.default_rng(rng)
     t = np.arange(n_samples, dtype=np.float64)
     v = np.full(n_samples, baseline, dtype=np.float64)
     starts = np.sort(rs.uniform(10, n_samples - 50, size=n_pulses))
-    heights = rs.uniform(200, 1200, size=n_pulses)
-    kinds = rs.integers(0, 4, size=n_pulses)
+    if height_spec is None:
+        heights = rs.uniform(200, 1200, size=n_pulses)
+    else:
+        heights = sample(rs, height_spec, n_pulses, frame=frame)
+    if pulse_weights is None:
+        kinds = rs.integers(0, 4, size=n_pulses)
+    else:
+        kinds = weighted_kind(rs, pulse_weights, n_pulses)
     for s, h, k in zip(starts, heights, kinds):
         if k == 0:
             v += _pulse_flat(t, s, s + 12, h)
@@ -115,8 +134,14 @@ def generate_traces(
     baseline: float = 50.0,
     noise_sd: float = 4.0,
     seed: int = 42,
+    height_spec: dict | None = None,
+    pulse_weights: list[float] | None = None,
 ) -> DataFrame:
-    """dat2-shaped long trace table (TRACE_SCHEMA), fully deterministic."""
+    """dat2-shaped long trace table (TRACE_SCHEMA), fully deterministic.
+
+    ``height_spec``/``pulse_weights`` expose the G2 distribution specs (incl.
+    exponential and per-frame affine parameters) and the G5 weighted pulse
+    template mix; omitted, sampling matches the original defaults exactly."""
     n_rows = n_frames * n_digitizers * channels_per_digitizer
 
     out_schema = T.StructType(
@@ -151,6 +176,9 @@ def generate_traces(
                     pulses_per_channel,
                     baseline,
                     noise_sd,
+                    height_spec=height_spec,
+                    pulse_weights=pulse_weights,
+                    frame=frame,
                 )
                 rows.append(
                     {

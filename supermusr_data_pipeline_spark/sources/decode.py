@@ -205,6 +205,28 @@ def decode_dev2(df: DataFrame) -> DataFrame:
     return _map_decoded(df, "dev2", DEV2_DECODED_SCHEMA, rows)
 
 
+def decode_dev2_messages(df: DataFrame) -> DataFrame:
+    """dev2 payloads → one row per MESSAGE with SoA arrays — exactly the
+    DIGITISER_MESSAGE_SCHEMA shape streaming frame assembly consumes, so a
+    Kafka-envelope stream plugs straight into assemble_frames_stream."""
+    from ..streaming.frame_assembly_stream import DIGITISER_MESSAGE_SCHEMA
+
+    def rows(d: dict) -> list[dict]:
+        return [
+            {
+                "digitizer_id": d["digitizer_id"],
+                **_md_cols(d["metadata"]),
+                "channel": [int(c) for c in d["channel"]] if d["channel"] is not None else [],
+                "event_time": [int(t) for t in d["time"]] if d["time"] is not None else [],
+                "event_voltage": [float(v) for v in d["voltage"]]
+                if d["voltage"] is not None
+                else [],
+            }
+        ]
+
+    return _map_decoded(df, "dev2", DIGITISER_MESSAGE_SCHEMA, rows)
+
+
 def decode_aev2(df: DataFrame) -> DataFrame:
     """aev2 payloads → one grouped row per assembled frame."""
 

@@ -13,6 +13,12 @@ package lifts the stateful pieces onto Structured Streaming:
 """
 
 from .daq_stats import daq_stats_batch, daq_stats_stream  # noqa: F401
+from .envelope_stream import (  # noqa: F401
+    ENVELOPE_STREAM_SCHEMA,
+    encode_dev2_stream,
+    kafka_source_options,
+    read_envelope_stream,
+)
 from .frame_assembly_stream import (  # noqa: F401
     DIGITISER_MESSAGE_SCHEMA,
     assemble_frames_stream,

@@ -1,0 +1,115 @@
+"""S1/S2: the Kafka envelope as a streaming boundary.
+
+In production the pipeline's front/back doors are Kafka
+(``common/src/lib.rs:72-94`` consumer factory; buffered producer
+``trace-to-events/src/main.rs:366-431``).  Spark's Kafka source/sink already
+speak the envelope shape this module standardizes — ``(key binary, value
+binary, topic string)`` — so every operator here works identically on:
+
+- ``spark.readStream.format("kafka")`` with :func:`kafka_source_options`
+  (production; broker not available in this environment), and
+- a file/memory stream of the same columns (tests), rate-limited with
+  ``maxFilesPerTrigger`` — the file-source analog of the Kafka source's
+  ``maxOffsetsPerTrigger`` backpressure bound (≙ the reference's bounded
+  1024-message producer buffer, trace-to-events/src/main.rs:81-84).
+
+Graceful drain (T8): for stateless stages, ``trigger(availableNow=True)``
+processes everything pending and stops — the analog of SIGINT → drain → exit
+(digitiser-aggregator/src/main.rs:463-495).  For PROCESSING-TIME-stateful
+stages (frame assembly), availableNow keeps scheduling state-cleanup batches
+even after the state empties (observed on Spark 4.1; the timeout fires and
+the state is removed, but the trigger never quiesces) — drain those with a
+``processingTime`` trigger + ``query.stop()`` once the sink is quiescent;
+checkpointing makes redelivery idempotent after a crash mid-drain.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sources import messages as M
+
+ENVELOPE_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.BinaryType(), True),
+        T.StructField("value", T.BinaryType(), False),
+        T.StructField("topic", T.StringType(), False),
+    ]
+)
+
+
+def kafka_source_options(
+    brokers: str,
+    topics: list[str],
+    max_offsets_per_trigger: int | None = 10_000,
+    starting_offsets: str = "latest",
+) -> dict[str, str]:
+    """Options for ``spark.readStream.format("kafka")`` mirroring the
+    reference consumer config (zstd transport, explicit group/topics —
+    common/src/lib.rs:51-94).  ``maxOffsetsPerTrigger`` is the backpressure
+    bound; ``startingOffsetsByTimestamp`` replaces the reference's manual
+    offset bisect (O3, trace-viewer binary_by_timestamp.rs:20-72)."""
+    opts = {
+        "kafka.bootstrap.servers": brokers,
+        "subscribe": ",".join(topics),
+        "startingOffsets": starting_offsets,
+        "kafka.compression.type": "zstd",
+        "failOnDataLoss": "false",
+    }
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
+
+
+def read_envelope_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Test-side envelope source: parquet files of ENVELOPE_STREAM_SCHEMA
+    rows, optionally rate-limited per micro-batch."""
+    reader = spark.readStream.schema(ENVELOPE_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(path)
+
+
+def encode_dev2_stream(messages: DataFrame, topic: str = "digitiser-events") -> DataFrame:
+    """S2 produce path: DIGITISER_MESSAGE_SCHEMA rows → envelope rows, one
+    dev2 payload per message (narrow mapInPandas; streaming-safe).  The
+    result writes to Kafka with ``writeStream.format("kafka")`` or to any
+    test sink unchanged; the key is the digitiser id (the reference keys
+    messages by source digitiser)."""
+
+    def proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                md = {
+                    "ts_ns": int(pd.Timestamp(r.ts).value),
+                    "period_number": int(r.period_number),
+                    "protons_per_pulse": int(r.protons_per_pulse),
+                    "running": bool(r.running),
+                    "frame_number": int(r.frame_number),
+                    "veto_flags": int(r.veto_flags),
+                }
+                buf = M.encode_dev2(
+                    int(r.digitizer_id),
+                    md,
+                    [int(t) for t in r.event_time],
+                    [int(round(float(v))) for v in r.event_voltage],
+                    [int(c) for c in r.channel],
+                )
+                out.append(
+                    {
+                        "key": str(r.digitizer_id).encode(),
+                        "value": buf,
+                        "topic": topic,
+                    }
+                )
+            yield pd.DataFrame(out, columns=["key", "value", "topic"])
+
+    return messages.mapInPandas(proc, ENVELOPE_STREAM_SCHEMA)

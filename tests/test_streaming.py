@@ -19,6 +19,19 @@ from supermusr_data_pipeline_spark.streaming.run_lifecycle import CONTROL_SCHEMA
 T0 = datetime(2024, 1, 1, 12, 0, 0)
 
 
+def _drain(spark, q, table, min_rows, timeout=120):
+    """Poll the memory sink until ``min_rows`` appear, then gracefully stop
+    (T8).  availableNow cannot be used as a drain here: with
+    ProcessingTimeTimeout state Spark 4.1 keeps scheduling cleanup batches
+    even after the state empties, so stateful queries never self-terminate."""
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        if spark.sql(f"SELECT * FROM {table}").count() >= min_rows:
+            break
+        time.sleep(0.3)
+    q.stop()
+
+
 def _msg(did, frame, channels, times, volts, ts=None, veto=0):
     return (
         did,
@@ -52,10 +65,10 @@ def test_frame_assembly_stream_complete_matches_batch(spark, tmp_path):
         .queryName("t_frames_complete")
         .outputMode("append")
         .option("checkpointLocation", str(tmp_path / "ckpt"))
-        .trigger(availableNow=True)
+        .trigger(processingTime="200 milliseconds")
         .start()
     )
-    q.awaitTermination(120)
+    _drain(spark, q, "t_frames_complete", 1)
     out = {r.frame_number: r for r in spark.sql("SELECT * FROM t_frames_complete").collect()}
 
     assert 1 in out, "complete frame must dispatch in the first batch"
@@ -135,10 +148,10 @@ def test_duplicate_digitiser_message_rejected(spark, tmp_path):
         .queryName("t_frames_dup")
         .outputMode("append")
         .option("checkpointLocation", str(tmp_path / "ckpt"))
-        .trigger(availableNow=True)
+        .trigger(processingTime="200 milliseconds")
         .start()
     )
-    q.awaitTermination(120)
+    _drain(spark, q, "t_frames_dup", 1)
     rows = spark.sql("SELECT * FROM t_frames_dup").collect()
     assert len(rows) == 1
     assert rows[0].channel == [0, 1]  # the duplicate's channel 9 is absent
@@ -234,10 +247,10 @@ def test_run_lifecycle_stream(spark, tmp_path):
         .queryName("t_runs")
         .outputMode("append")
         .option("checkpointLocation", str(tmp_path / "ckpt"))
-        .trigger(availableNow=True)
+        .trigger(processingTime="200 milliseconds")
         .start()
     )
-    q.awaitTermination(120)
+    _drain(spark, q, "t_runs", 2)
     runs = {r.run_name: r for r in spark.sql("SELECT * FROM t_runs").collect()}
     assert runs["run_a"].aborted is False
     assert runs["run_a"].collect_until == T0 + timedelta(minutes=10)
