@@ -753,3 +753,61 @@ def q34_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_bpe_tokens") > 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# q39 — winnowing document fingerprints (rolling-hash k-grams, min-in-window)
+# ---------------------------------------------------------------------------
+
+_WIN_K = 3  # tokens per k-gram
+_WIN_W = 4  # grams per winnowing window
+
+
+@_register(
+    "q39_winnow_fingerprints",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKENS_SQL_DUCK} AS toks FROM documents
+    ), g AS (
+        SELECT doc_id, i AS pos,
+               ('0x' || substr(md5(concat_ws(' ', toks[i+1], toks[i+2], toks[i+3])), 1, 8))::UBIGINT::BIGINT AS h
+        FROM t, unnest(generate_series(0, len(toks) - {_WIN_K})) AS u(i)
+        WHERE len(toks) >= {_WIN_K}
+    ), w AS (
+        SELECT doc_id, pos,
+               min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING) AS fp,
+               count(*) OVER (PARTITION BY doc_id) AS m
+        FROM g
+    )
+    SELECT DISTINCT doc_id, fp AS fingerprint
+    FROM w WHERE pos <= m - {_WIN_W} OR (m < {_WIN_W} AND pos = 0)
+    """,
+)
+def q39_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting by winnowing (Schleimer/Wilkerson/Aiken):
+    hash every {k}-token gram, slide a {w}-gram window, keep each window's
+    minimum — the standard near-dup/plagiarism fingerprint set.
+
+    Scale shape: the whole gram/window pipeline is ARRAY-side per document
+    (higher-order transform + slice + array_min inside whole-stage codegen)
+    — narrow until the final distinct; the oracle restates it relationally
+    with an explode + window-min, so a hash match cross-checks the two
+    formulations.  Shorter-than-window docs contribute min-of-all-grams."""
+    docs = load_table(spark, sf_dir, "documents")
+    gram_hash = (
+        "transform(sequence(0, size(toks) - {k}), i -> "
+        "cast(conv(substr(md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2])), 1, 8), 16, 10) as bigint))"
+    ).format(k=_WIN_K)
+    windows = (
+        "case when size(hs) >= {w} then "
+        "transform(sequence(0, size(hs) - {w}), j -> array_min(slice(hs, j + 1, {w}))) "
+        "else array(array_min(hs)) end"
+    ).format(w=_WIN_W)
+    return (
+        docs.select("doc_id", F.expr(_TOKENS_EXPR_SPARK).alias("toks"))
+        .filter(F.size("toks") >= _WIN_K)
+        .select("doc_id", F.expr(gram_hash).alias("hs"))
+        .select("doc_id", F.explode(F.expr(windows)).alias("fingerprint"))
+        .distinct()
+    )

@@ -222,6 +222,47 @@ def test_decode_errors_side_channel(envelope_df):
     assert total_typed == 2 + 2 + 1 + 2 + 1 + 1 + 1
 
 
+def test_dump_messages_s8(envelope_df):
+    """S8: every envelope row (including malformed) gets a readable line."""
+    from supermusr_data_pipeline_spark.operators.diagnostics import dump_messages
+
+    rows = dump_messages(envelope_df).collect()
+    assert len(rows) == envelope_df.count()
+    by_ident = {}
+    for r in rows:
+        by_ident.setdefault(r.identifier, []).append(r.summary)
+    assert any("digitizer 1" in s and "rate 1000000000" in s for s in by_ident["dat2"])
+    assert any("2 events" in s for s in by_ident["dev2"])
+    assert any("RunStart 'r7'" in s for s in by_ident["pl72"])
+    assert any("alarm dev MINOR: m" in s for s in by_ident["al00"])
+    assert any(s.startswith("<decode error") for r in rows for s in [r.summary])
+
+
+def test_failure_counters_p8(spark, envelope_df):
+    from supermusr_data_pipeline_spark.operators.diagnostics import (
+        failure_counters,
+        parse_failure_counters,
+    )
+
+    counts = {(r.topic, r.outcome): r.n for r in failure_counters(envelope_df).collect()}
+    assert counts[("garbage", "too_short")] == 1
+    assert counts[("garbage", "unknown_identifier")] == 1
+    assert sum(n for (t, o), n in counts.items() if o == "ok") == 8
+    # no Python stage in the shallow counter plan
+    plan = failure_counters(envelope_df)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+
+    # deep variant: corrupt body with a valid identifier counts as parse_error
+    bad = spark.createDataFrame(
+        [("t", b"\x00\x00\x00\x00dat2\xff\xff\xff\xff")], "topic string, value binary"
+    )
+    deep = {
+        (r.topic, r.outcome): r.n
+        for r in parse_failure_counters(envelope_df.union(bad)).collect()
+    }
+    assert deep[("t", "parse_error")] == 1
+
+
 def test_dat2_decode_matches_trace_schema_shape(envelope_df):
     row = D.decode_dat2(envelope_df).orderBy("channel").collect()[0]
     assert row.voltage == [1, 2, 3] and row.sample_rate == 10**9
