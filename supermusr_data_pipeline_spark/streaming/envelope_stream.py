@@ -113,3 +113,35 @@ def encode_dev2_stream(messages: DataFrame, topic: str = "digitiser-events") -> 
             yield pd.DataFrame(out, columns=["key", "value", "topic"])
 
     return messages.mapInPandas(proc, ENVELOPE_STREAM_SCHEMA)
+
+
+def encode_aev2_stream(frames: DataFrame, topic: str = "frame-events") -> DataFrame:
+    """S2 produce path for the aggregator output: FRAME_EVENT_LIST_SCHEMA
+    rows (+ veto_flags) → aev2 envelope messages, one per assembled frame."""
+
+    def proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                md = {
+                    "ts_ns": int(pd.Timestamp(r.ts).value),
+                    "period_number": int(r.period_number),
+                    "protons_per_pulse": int(r.protons_per_pulse),
+                    "running": bool(r.running),
+                    "frame_number": int(r.frame_number),
+                    "veto_flags": int(r.veto_flags),
+                }
+                buf = M.encode_aev2(
+                    md,
+                    [int(t) for t in r.event_time],
+                    [int(round(float(v))) for v in r.event_voltage],
+                    [int(c) for c in r.channel],
+                    bool(r.complete),
+                    [int(d) for d in r.digitizers_present],
+                )
+                out.append(
+                    {"key": str(r.frame_number).encode(), "value": buf, "topic": topic}
+                )
+            yield pd.DataFrame(out, columns=["key", "value", "topic"])
+
+    return frames.mapInPandas(proc, ENVELOPE_STREAM_SCHEMA)
