@@ -279,6 +279,18 @@ def decode_run_control(df: DataFrame) -> DataFrame:
     return starts.unionByName(stops)
 
 
+def run_control_events(df: DataFrame) -> DataFrame:
+    """Decoded pl72/6s4t envelope rows → the CONTROL_SCHEMA shape the run
+    lifecycle FSM consumes (streaming/run_lifecycle.py): kind, run_name,
+    ts (epoch-ms widened to timestamp), instrument."""
+    return decode_run_control(df).select(
+        "kind",
+        "run_name",
+        F.timestamp_millis(F.col("time_ms")).alias("ts"),
+        F.col("instrument_name").alias("instrument"),
+    )
+
+
 def decode_f144(df: DataFrame) -> DataFrame:
     """f144 payloads → RUNLOG_SCHEMA shape: union widened to DOUBLE + tag
     column (SURVEY §1.1 'widest type + tag')."""

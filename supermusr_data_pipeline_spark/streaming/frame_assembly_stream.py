@@ -127,23 +127,15 @@ def _emit_frame(
     )
 
 
-def assemble_frames_stream(
-    messages: DataFrame,
+def make_update_fn(
     expected_digitizers: list[int],
     frame_ttl_ms: int = 500,
     tombstone_ttl_ms: int = 2000,
-) -> DataFrame:
-    """dev2 message stream → aev2 frame stream (FRAME_EVENT_LIST_SCHEMA +
-    veto_flags), emitting on completeness or processing-time TTL.
+):
+    """Build the per-key FSM callable for ``applyInPandasWithState``.
 
-    After a frame dispatches (complete or expired) its key keeps a tombstone
-    for ``tombstone_ttl_ms``: straggler messages for the same frame are
-    rejected instead of re-opening it and eventually emitting a second,
-    incomplete frame row — the reference's late-message-rejection-after-
-    dispatch (frame/cache.rs:55-63, tested at cache.rs:156-387).  The
-    tombstone mirrors the nexus-writer's 2 s run TTL grace
-    (nexus-writer/src/main.rs:109-111) and carries no event data, so
-    dispatched-frame state is O(1) per key and self-expires."""
+    Module-level factory so the FSM is directly property-testable against
+    the batch operator with a fake GroupState (tests/test_frame_fsm.py)."""
     expected = sorted(int(d) for d in expected_digitizers)
     _tombstone = ([], [], [], [], [], 0, 0, True)
 
@@ -201,11 +193,31 @@ def assemble_frames_stream(
             # relative to the stored first arrival so the deadline is fixed
             state.setTimeoutDuration(max(1, first_ms + frame_ttl_ms - now_ms))
 
+    return update
+
+
+def assemble_frames_stream(
+    messages: DataFrame,
+    expected_digitizers: list[int],
+    frame_ttl_ms: int = 500,
+    tombstone_ttl_ms: int = 2000,
+) -> DataFrame:
+    """dev2 message stream → aev2 frame stream (FRAME_EVENT_LIST_SCHEMA +
+    veto_flags), emitting on completeness or processing-time TTL.
+
+    After a frame dispatches (complete or expired) its key keeps a tombstone
+    for ``tombstone_ttl_ms``: straggler messages for the same frame are
+    rejected instead of re-opening it and eventually emitting a second,
+    incomplete frame row — the reference's late-message-rejection-after-
+    dispatch (frame/cache.rs:55-63, tested at cache.rs:156-387).  The
+    tombstone mirrors the nexus-writer's 2 s run TTL grace
+    (nexus-writer/src/main.rs:109-111) and carries no event data, so
+    dispatched-frame state is O(1) per key and self-expires."""
     out_schema = T.StructType(FRAME_EVENT_LIST_SCHEMA.fields[:])
     return (
         messages.groupBy(*FRAME_KEY_COLS)
         .applyInPandasWithState(
-            update,
+            make_update_fn(expected_digitizers, frame_ttl_ms, tombstone_ttl_ms),
             outputStructType=out_schema,
             stateStructType=_STATE_SCHEMA,
             outputMode="append",
