@@ -206,6 +206,75 @@ def test_late_message_after_dispatch_rejected(spark, tmp_path):
         q.stop()
 
 
+def test_frame_state_survives_restart(spark, tmp_path):
+    """T5: an in-flight partial frame lives in the checkpointed state store;
+    after stop + restart, a message completing it dispatches ONE complete
+    frame containing events from BOTH sides of the restart (the Spark analog
+    of the writer's reopen-orphaned-file resume, engine.rs:144-173)."""
+    src = tmp_path / "msgs"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    spark.createDataFrame(
+        [_msg(0, 9, [3], [30], [3.5], veto=4)], DIGITISER_MESSAGE_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    def start():
+        stream = spark.readStream.schema(DIGITISER_MESSAGE_SCHEMA).parquet(str(src))
+        frames = assemble_frames_stream(
+            stream, expected_digitizers=[0, 1], frame_ttl_ms=600_000
+        )
+        # file sink: the memory sink is not fault-tolerant / recoverable
+        return (
+            frames.writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+
+    def _out_rows():
+        try:
+            return spark.read.parquet(out_dir).collect()
+        except Exception:
+            return []
+
+    q = start()
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if q.lastProgress and q.lastProgress["numInputRows"] > 0:
+                break
+            time.sleep(0.3)
+    finally:
+        q.stop()  # partial frame for did 0 is now only in the state store
+
+    assert _out_rows() == []
+
+    # completing message arrives while the service is down
+    spark.createDataFrame(
+        [_msg(1, 9, [5], [50], [5.5], veto=8)], DIGITISER_MESSAGE_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    q2 = start()
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if len(_out_rows()) >= 1:
+                break
+            time.sleep(0.3)
+    finally:
+        q2.stop()
+    rows = _out_rows()
+    assert len(rows) == 1
+    f = rows[0]
+    assert f.complete is True
+    assert f.digitizers_present == [0, 1]
+    assert f.channel == [3, 5] and f.event_time == [30, 50]
+    assert f.veto_flags == 4 | 8  # OR across both sides of the restart
+
+
 def test_runs_from_control_batch(spark):
     """T4 batch fold: stop closes, new start aborts unstopped predecessor,
     last run stays open, stray stop ignored."""
