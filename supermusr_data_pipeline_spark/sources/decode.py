@@ -330,6 +330,29 @@ def decode_se00(df: DataFrame) -> DataFrame:
     return _map_decoded(df, "se00", SE00_DECODED_SCHEMA, rows)
 
 
+DF12_DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("spectrum", T.IntegerType()),
+        T.StructField("detector_id", T.IntegerType()),
+        T.StructField("n_spectra", T.IntegerType()),
+    ]
+)
+
+
+def decode_df12(df: DataFrame) -> DataFrame:
+    """df12 detector-spectrum map payloads → long (spectrum, detector_id)
+    rows (J4's broadcast lookup side; schemas/ecs_df12_det_spec_map.fbs)."""
+
+    def rows(d: dict) -> list[dict]:
+        n = int(d["n_spectra"])
+        return [
+            {"spectrum": int(s), "detector_id": int(det), "n_spectra": n}
+            for s, det in zip(d["spectrum"], d["detector_id"])
+        ]
+
+    return _map_decoded(df, "df12", DF12_DECODED_SCHEMA, rows)
+
+
 def decode_al00(df: DataFrame) -> DataFrame:
     def rows(d: dict) -> list[dict]:
         return [
@@ -358,6 +381,7 @@ def decode_stream(df: DataFrame) -> dict[str, DataFrame]:
         "f144": decode_f144(env),
         "se00": decode_se00(env),
         "al00": decode_al00(env),
+        "df12": decode_df12(env),
     }
 
 

@@ -48,19 +48,29 @@ def kafka_source_options(
     topics: list[str],
     max_offsets_per_trigger: int | None = 10_000,
     starting_offsets: str = "latest",
+    starting_timestamp_ms: int | None = None,
 ) -> dict[str, str]:
     """Options for ``spark.readStream.format("kafka")`` mirroring the
     reference consumer config (zstd transport, explicit group/topics —
     common/src/lib.rs:51-94).  ``maxOffsetsPerTrigger`` is the backpressure
-    bound; ``startingOffsetsByTimestamp`` replaces the reference's manual
-    offset bisect (O3, trace-viewer binary_by_timestamp.rs:20-72)."""
+    bound; ``starting_timestamp_ms`` emits ``startingOffsetsByTimestamp``,
+    replacing the reference's manual offset bisect (O3, trace-viewer
+    binary_by_timestamp.rs:20-72) with the source's built-in time→offset
+    lookup."""
     opts = {
         "kafka.bootstrap.servers": brokers,
         "subscribe": ",".join(topics),
-        "startingOffsets": starting_offsets,
         "kafka.compression.type": "zstd",
         "failOnDataLoss": "false",
     }
+    if starting_timestamp_ms is not None:
+        import json
+
+        opts["startingOffsetsByTimestamp"] = json.dumps(
+            {t: {"-1": starting_timestamp_ms} for t in topics}
+        )
+    else:
+        opts["startingOffsets"] = starting_offsets
     if max_offsets_per_trigger is not None:
         opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
     return opts

@@ -191,6 +191,7 @@ def envelope_df(spark):
         ("runlog", M.encode_f144("pv:a", 42, 2.5, "double")),
         ("selog", M.encode_se00("se:b", 50, [1.0, 2.0], "f64")),
         ("alarms", M.encode_al00("dev", 60, "MINOR", "m")),
+        ("det-spec", M.encode_df12([1, 2], [10, 20])),
         ("garbage", b"\x00\x01"),  # too short
         ("garbage", b"\x00\x00\x00\x00XXXX\x00\x00\x00\x00"),  # unknown identifier
     ]
@@ -211,6 +212,8 @@ def test_decode_stream_dispatch(envelope_df):
     assert streams["f144"].collect()[0].value == 2.5
     assert streams["se00"].collect()[0]["values"] == [1.0, 2.0]
     assert streams["al00"].collect()[0].severity == "MINOR"
+    df12 = {r.spectrum: r.detector_id for r in streams["df12"].collect()}
+    assert df12 == {1: 10, 2: 20}
 
 
 def test_decode_errors_side_channel(envelope_df):
@@ -219,7 +222,7 @@ def test_decode_errors_side_channel(envelope_df):
     assert {r.topic for r in errs} == {"garbage"}
     # error rows never leak into typed streams
     total_typed = sum(df.count() for df in D.decode_stream(envelope_df).values())
-    assert total_typed == 2 + 2 + 1 + 2 + 1 + 1 + 1
+    assert total_typed == 2 + 2 + 1 + 2 + 1 + 1 + 1 + 2  # + df12 map rows
 
 
 def test_dump_messages_s8(envelope_df):
@@ -247,7 +250,7 @@ def test_failure_counters_p8(spark, envelope_df):
     counts = {(r.topic, r.outcome): r.n for r in failure_counters(envelope_df).collect()}
     assert counts[("garbage", "too_short")] == 1
     assert counts[("garbage", "unknown_identifier")] == 1
-    assert sum(n for (t, o), n in counts.items() if o == "ok") == 8
+    assert sum(n for (t, o), n in counts.items() if o == "ok") == 9
     # no Python stage in the shallow counter plan
     plan = failure_counters(envelope_df)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan

@@ -111,3 +111,14 @@ def test_kafka_source_options_shape():
     assert opts["maxOffsetsPerTrigger"] == "5000"
     assert opts["kafka.bootstrap.servers"] == "broker:9092"
     assert opts["startingOffsets"] == "earliest"
+
+
+def test_kafka_source_options_by_timestamp():
+    """O3: the manual offset bisect becomes startingOffsetsByTimestamp."""
+    import json
+
+    opts = kafka_source_options("b:9092", ["traces"], starting_timestamp_ms=1_700_000_000_000)
+    assert "startingOffsets" not in opts
+    assert json.loads(opts["startingOffsetsByTimestamp"]) == {
+        "traces": {"-1": 1_700_000_000_000}
+    }
