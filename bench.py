@@ -16,7 +16,16 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+import pandas as pd  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+from pyspark.sql import types as T  # noqa: E402
+
 from supermusr_data_pipeline_spark.session import get_spark  # noqa: E402
+
+
+@F.pandas_udf(T.DoubleType())
+def _warm_udf(s: pd.Series) -> pd.Series:
+    return s * 1.0
 
 
 def main() -> None:
@@ -52,6 +61,14 @@ def main() -> None:
             load_table(spark, sf_dir, t).count()
         except Exception:
             pass
+
+    # warm the Python-UDF runtime once (Arrow serializers + worker pool +
+    # pandas import on every executor thread) so per-query timings measure
+    # steady-state engine throughput, not one-time interpreter start-up —
+    # the same reason the scans above are warmed
+    spark.range(0, 10_000, numPartitions=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))).select(
+        _warm_udf(F.col("id").cast("double"))
+    ).count()
 
     timings: dict[str, float] = {}
     for name in headline:
