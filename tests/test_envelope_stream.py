@@ -5,6 +5,8 @@ graceful drain — the no-broker analog of the production Kafka wiring
 
 from datetime import datetime, timedelta
 
+from pyspark.sql import functions as F
+
 from supermusr_data_pipeline_spark.sources.decode import (
     decode_dev2_messages,
     with_identifier,
@@ -101,6 +103,82 @@ def test_envelope_identifier_jvm_side(spark, tmp_path):
     assert row.identifier == "dev2"
     assert row.topic == "digitiser-events"
     assert bytes(row.key) == b"0"
+
+
+def test_streaming_topology_envelope_to_nexus(spark, tmp_path):
+    """Production topology, streaming mode: envelope files → identifier
+    dispatch → stateful frame assembly → foreachBatch nexus sink, with the
+    run table folded from control envelopes — every hop the nexus-writer
+    service makes, on wire bytes."""
+    import time
+
+    from supermusr_data_pipeline_spark.generator.schedule import schedule_to_envelope
+    from supermusr_data_pipeline_spark.sources.decode import run_control_events
+    from supermusr_data_pipeline_spark.streaming import (
+        runs_from_control,
+        write_nexus_stream,
+    )
+
+    script = [
+        {"action": "set_timestamp", "iso": "2024-01-01T12:00:00"},
+        {"action": "run_start", "name": "run_s"},
+        {"action": "advance_ms", "ms": 5},
+        {
+            "action": "frame_loop",
+            "frames": 2,
+            "advance_ms": 20,
+            "body": [
+                {
+                    "action": "digitiser_loop",
+                    "ids": [0, 1],
+                    "body": [{"action": "send_event_list", "channels": 2}],
+                }
+            ],
+        },
+        {"action": "advance_ms", "ms": 50},
+        {"action": "run_stop", "name": "run_s"},
+    ]
+    env = schedule_to_envelope(spark, script, seed=21)
+    env_dir = str(tmp_path / "env")
+    env.select("value").withColumn("topic", F.lit("mixed")).select("topic", "value") \
+        .repartition(2).write.parquet(env_dir)
+
+    # control plane folds batch-side (tiny), data plane streams
+    runs = runs_from_control(run_control_events(spark.read.parquet(env_dir)))
+    runs_dim = runs.select("run_name", "collect_from", "collect_until")
+    assert runs_dim.count() == 1
+
+    stream = read_envelope_stream(spark, env_dir)
+    frames = assemble_frames_stream(
+        decode_dev2_messages(stream), expected_digitizers=[0, 1], frame_ttl_ms=60_000
+    )
+    sink = str(tmp_path / "nexus")
+    q = write_nexus_stream(
+        frames, runs_dim, sink, str(tmp_path / "ckpt"),
+        trigger={"processingTime": "200 milliseconds"},
+    )
+    try:
+        deadline = time.time() + 120
+        rows = []
+        while time.time() < deadline:
+            try:
+                rows = spark.read.parquet(sink).collect()
+            except Exception:
+                rows = []
+            if len(rows) >= 8:  # 2 frames x 2 digitisers x 2 channels
+                break
+            time.sleep(0.4)
+    finally:
+        q.stop()
+    assert len(rows) == 8
+    assert all(r.run_name == "run_s" for r in rows)
+    by_frame = {}
+    for r in rows:
+        by_frame.setdefault(r.frame_number, set()).add(r.event_index)
+    assert set(by_frame) == {0, 1}
+    # event_index: frame 0 events share index 0; frame 1 starts at 4
+    assert by_frame[0] == {0} and by_frame[1] == {4}
+    assert all(r.frame_complete for r in rows)
 
 
 def test_kafka_source_options_shape():
