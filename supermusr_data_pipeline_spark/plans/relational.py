@@ -58,8 +58,8 @@ def _register(name: str, oracle: str | None = None):
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2)                                    AS sum_qty,
            round(sum(l_extendedprice), 2)                               AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 4)            AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
            round(sum(l_quantity), 2) / count(*)                         AS avg_qty,
            round(sum(l_extendedprice), 2) / count(*)                    AS avg_price,
            round(sum(l_discount), 2) / count(*)                         AS avg_disc,
@@ -80,14 +80,18 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            # 2-dp rounding: at sf0.1 these product sums reach ~3e9, where
+            # engine-dependent summation order perturbs the ~16th significant
+            # digit; 2 decimals is what the values mean AND is below the
+            # float-error floor at every test scale
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
                 "sum_disc_price"
             ),
             F.round(
                 F.sum(
                     F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
                 ),
-                6,
+                2,
             ).alias("sum_charge"),
             # deterministic avg: grid-stable rounded sum / exact count gives
             # bit-identical doubles on any engine (see module docstring)

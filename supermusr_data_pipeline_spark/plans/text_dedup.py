@@ -274,17 +274,22 @@ def q23_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity primitive under MinHash, computed exactly.  Higher-order
     array functions only; the join key (doc_id+1) is a narrow merge."""
     docs = load_table(spark, sf_dir, "documents")
+    # tokenize ONCE into a named column; the shingle expression then refers
+    # to `toks` instead of re-embedding the tokenizer per element (Catalyst
+    # CSE usually rescues the inline form, but this is cheaper and clearer)
     shingles = F.expr(
-        f"""
-        array_distinct(CASE WHEN size({_TOKENS_EXPR_SPARK}) >= 3
-            THEN transform(sequence(0, size({_TOKENS_EXPR_SPARK}) - 3),
-                 i -> concat_ws(' ', element_at({_TOKENS_EXPR_SPARK}, i + 1),
-                                     element_at({_TOKENS_EXPR_SPARK}, i + 2),
-                                     element_at({_TOKENS_EXPR_SPARK}, i + 3)))
+        """
+        array_distinct(CASE WHEN size(toks) >= 3
+            THEN transform(sequence(0, size(toks) - 3),
+                 i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))
             ELSE array() END)
         """
     )
-    sh = docs.select("doc_id", shingles.alias("g")).filter(F.size("g") > 0)
+    sh = (
+        docs.select("doc_id", F.expr(_TOKENS_EXPR_SPARK).alias("toks"))
+        .select("doc_id", shingles.alias("g"))
+        .filter(F.size("g") > 0)
+    )
     a = sh.alias("a")
     b = sh.select(
         (F.col("doc_id") - 1).alias("join_id"), F.col("doc_id").alias("doc_b"), F.col("g").alias("gb")

@@ -40,6 +40,24 @@ def test_trace_file_ingest_golden(spark):
     assert (agg.n, agg.et, agg.ev) == (96, 23712, 864000)
 
 
+def test_multimodal_features_golden(spark):
+    """Real-codec multimodal path: pinned row count, payload-byte total,
+    intensity checksum, and an exact per-row digest/feature sample."""
+    df = entry_mod.queries()["multimodal_features"](spark, SF_DIR)
+    agg = df.agg(
+        F.count("*").alias("n"),
+        F.sum("n_bytes").alias("nb"),
+        F.round(F.sum("mean_intensity"), 3).alias("mi"),
+    ).collect()[0]
+    assert (agg.n, agg.nb, agg.mi) == (500, 397454, 41741.585)
+    r0 = df.filter(F.col("media_id") == 0).collect()[0]
+    assert r0.kind == "image" and r0.n_bytes == 822
+    assert r0.digest == "491d8777f2b44c564aac32bc4dd82afdb95fc4a7e0012e48ae70d56d20de27e1"
+    r1 = df.filter(F.col("media_id") == 1).collect()[0]
+    assert r1.kind == "audio"
+    assert pd.isna(r1.mean_intensity) is False and round(r1.mean_intensity, 5) == -155.32422
+
+
 def test_q31_matches_driver_side_numpy(spark):
     """Self-oracle: the grouped pandas-UDF path must equal a plain numpy run
     of advanced_muon_pulses over the identical per-user series."""
