@@ -112,7 +112,8 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q02_revenue_by_region",
     oracle="""
     SELECT r.r_name, CAST(year(o.o_orderdate) AS INT) AS o_year,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) / 10000.0 AS revenue,
            count(DISTINCT o.o_orderkey) AS n_orders
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -125,24 +126,36 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q02_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Star join: fact(lineitem) ⋈ orders ⋈ broadcast dims (J3 equi-join,
     trace-viewer/src/finder/task/binary_by_timestamp.rs:96-135; J4 broadcast
-    lookup).  nation/region/customer broadcast — no fact-side shuffle for
-    the dim joins at any scale."""
+    lookup).  Plan shape: revenue pre-aggregates PER ORDER first (map-side
+    combine shrinks the fact 4:1 before the only big shuffle), so the
+    oracle's count(DISTINCT o_orderkey) becomes a plain count(*) — no
+    distinct-expand pass; nation/region/customer broadcast — no fact-side
+    shuffle for the dim joins at any scale.
+
+    Money math is EXACT scaled-integer (cents × discount-percent BIGINTs,
+    /1e4 only at output): a distributed double sum is summation-order-
+    dependent in its last bits, which flips post-hoc rounding on boundary
+    groups — integer sums are order-independent at any scale and fit
+    BIGINT to ~1e14 rows/group."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    disc_pct = F.round(F.col("l_discount") * 100).cast("bigint")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(cents * (F.lit(100) - disc_pct)).alias("_rev_e4")
+    )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        per_order.join(o, per_order.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", F.year("o_orderdate").cast("int").alias("o_year"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
-                "revenue"
-            ),
-            F.countDistinct("o_orderkey").alias("n_orders"),
+            (F.sum("_rev_e4") / 10000.0).alias("revenue"),
+            F.count("*").alias("n_orders"),
         )
     )
 
