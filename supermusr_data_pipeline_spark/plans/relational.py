@@ -56,14 +56,17 @@ def _register(name: str, oracle: str | None = None):
     "q01_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                    AS sum_qty,
-           round(sum(l_extendedprice), 2)                               AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           round(sum(l_quantity), 2) / count(*)                         AS avg_qty,
-           round(sum(l_extendedprice), 2) / count(*)                    AS avg_price,
-           round(sum(l_discount), 2) / count(*)                         AS avg_disc,
-           count(*)                                                     AS count_order
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)      AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                    * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE)   AS sum_charge,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)      AS avg_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+           CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*)      AS avg_disc,
+           count(*)                                                    AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
     GROUP BY l_returnflag, l_linestatus
@@ -74,30 +77,29 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     diagnostics/src/daq_trace/mod.rs:151-168 → SURVEY §2.4 A7).  Partial
     aggregation map-side; filter + 7-column projection pushed to parquet."""
     li = load_table(spark, sf_dir, "lineitem")
+    # exact DECIMAL sums: a distributed double sum is summation-order-
+    # dependent in its last bits, which can flip any post-hoc rounding on
+    # boundary groups.  The source values sit on a 2-dp grid, so DECIMAL
+    # arithmetic is exact and order-independent in both engines; the cast
+    # to DOUBLE of the identical exact value is bit-identical (doubles are
+    # never exactly X.XX5, so the double→decimal cast agrees too).
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    tax = F.col("l_tax").cast("decimal(18,2)")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            # 2-dp rounding: at sf0.1 these product sums reach ~3e9, where
-            # engine-dependent summation order perturbs the ~16th significant
-            # digit; 2 decimals is what the values mean AND is below the
-            # float-error floor at every test scale
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "sum_disc_price"
-            ),
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
-                ),
-                2,
-            ).alias("sum_charge"),
-            # deterministic avg: grid-stable rounded sum / exact count gives
-            # bit-identical doubles on any engine (see module docstring)
-            (F.round(F.sum("l_quantity"), 2) / F.count("*")).alias("avg_qty"),
-            (F.round(F.sum("l_extendedprice"), 2) / F.count("*")).alias("avg_price"),
-            (F.round(F.sum("l_discount"), 2) / F.count("*")).alias("avg_disc"),
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1) - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax))
+            .cast("double")
+            .alias("sum_charge"),
+            (F.sum(qty).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(price).cast("double") / F.count("*")).alias("avg_price"),
+            (F.sum(disc).cast("double") / F.count("*")).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -169,7 +171,8 @@ def q02_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q03_top_suppliers",
     oracle="""
     SELECT s.s_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
            count(*) AS n_items
     FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
     GROUP BY s.s_name
@@ -180,16 +183,17 @@ def q02_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q03_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sort + limit (SURVEY §2.6 O1/O2): global top-k after a broadcast-dim
     join.  Spark executes LIMIT as per-partition top-k + single merge —
-    no full sort at scale."""
+    no full sort at scale.  Revenue is an exact DECIMAL sum (order-
+    independent; see q01) so the top-k cut line cannot flip on float noise."""
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
     return (
         li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
-                "revenue"
-            ),
+            F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"),
             F.count("*").alias("n_items"),
         )
         .orderBy(F.desc("revenue"), "s_name")
