@@ -1,0 +1,83 @@
+"""Physical-plan regression tests: the properties that make these queries
+scale — predicate pushdown to the parquet scan, column pruning, broadcast
+joins for dims, no cartesian products, bounded shuffle counts — asserted on
+the formatted explain output so a plan regression fails CI, not a 100 TB
+run."""
+
+import contextlib
+import io
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def plan():
+    cache = {}
+
+    def fmt(spark, name):
+        if name not in cache:
+            df = entry_mod.queries()[name](spark, SF_DIR)
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain("formatted")
+            cache[name] = buf.getvalue()
+        return cache[name]
+
+    return fmt
+
+
+def test_q01_filter_pushdown_and_column_pruning(spark, plan):
+    p = plan(spark, "q01_pricing_summary")
+    assert "LessThanOrEqual(l_shipdate,1998-09-02" in p, "filter must reach the scan"
+    schema_line = next(line for line in p.splitlines() if "ReadSchema" in line)
+    # 7 needed columns only — no full-row scan
+    for col in ("l_quantity", "l_extendedprice", "l_discount", "l_tax"):
+        assert col in schema_line
+    assert "l_comment" not in schema_line and "l_orderkey" not in schema_line
+
+
+def test_q02_broadcasts_dims_no_cartesian(spark, plan):
+    p = plan(spark, "q02_revenue_by_region")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_q08_interval_match_stays_broadcast(spark, plan):
+    """The runs side must broadcast: a sort-merge range join here would
+    shuffle the full fact side at 100 TB."""
+    p = plan(spark, "q08_interval_match")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_q35_log_match_single_match_no_dedup_pass(spark, plan):
+    """J2's disjoint-interval rewrite: broadcast join, and no window/dedup
+    over the big side (no Window above the join in the plan)."""
+    p = plan(spark, "q35_log_run_match")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_q39_single_shuffle(spark, plan):
+    """Winnowing: array-side gram/window pipeline — the only exchange is the
+    final distinct's."""
+    p = plan(spark, "q39_winnow_fingerprints")
+    assert p.count("Exchange") <= 2  # distinct partial/final pair at most
+    assert "Python" not in p  # fully JVM-side
+
+
+def test_q22_fingerprint_dedup_jvm_only(spark, plan):
+    p = plan(spark, "q22_fingerprint_dedup")
+    assert "Python" not in p
+
+
+def test_detector_queries_are_arrow_batched(spark, plan):
+    """The detector hot path runs as Arrow-batched pandas UDFs, never
+    row-at-a-time PythonUDF."""
+    p = plan(spark, "q14_threshold_detect")
+    assert "ArrowEvalPython" in p or "FlatMapGroupsInPandas" in p or "MapInPandas" in p
+    assert "BatchEvalPython" not in p  # the row-at-a-time slow path
