@@ -76,7 +76,10 @@ def _synth_channel(
     rs = np.random.default_rng(rng)
     t = np.arange(n_samples, dtype=np.float64)
     v = np.full(n_samples, baseline, dtype=np.float64)
-    starts = np.sort(rs.uniform(10, n_samples - 50, size=n_pulses))
+    # pulse onset window [10, n_samples-50); degenerate for very short
+    # traces — keep the bound valid so tiny fixtures still synthesize
+    hi = max(n_samples - 50, 11)
+    starts = np.sort(rs.uniform(min(10, hi - 1), hi, size=n_pulses))
     if height_spec is None:
         heights = rs.uniform(200, 1200, size=n_pulses)
     else:

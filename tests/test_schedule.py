@@ -75,6 +75,35 @@ def test_schedule_feeds_decode_stream(spark):
     assert streams["al00"].collect()[0].severity == "MAJOR"
 
 
+def test_dump_cli_over_schedule_output(spark, tmp_path, capsys):
+    """S8 CLI surface: decode-and-pretty-print over an envelope table."""
+    from supermusr_data_pipeline_spark.operators.diagnostics import dump_messages
+
+    env = schedule_to_envelope(spark, SCRIPT, seed=5)
+    lines = dump_messages(env).collect()
+    assert any("RunStart 'run_a'" in r.summary for r in lines)
+    assert any(r.identifier == "dat2" for r in lines)
+
+    # the __main__ path reads an envelope parquet
+    path = str(tmp_path / "env")
+    env.write.parquet(path)
+    from supermusr_data_pipeline_spark.dump import main
+
+    assert main([path, "5"]) == 0
+    out = capsys.readouterr().out
+    assert "messages)" in out
+
+
+def test_short_trace_synthesis_guard(spark):
+    """Degenerate n_samples (< pulse window) must still synthesize."""
+    from supermusr_data_pipeline_spark.generator.simulator import _synth_channel
+
+    import numpy as np
+
+    v, s, h = _synth_channel(np.array([1, 0, 0, 0], dtype=np.uint64), 30, 2, 50.0, 1.0)
+    assert len(v) == 30
+
+
 def test_unknown_action_raises():
     with pytest.raises(ValueError, match="unknown schedule action"):
         run_schedule([{"action": "warp_time"}])
