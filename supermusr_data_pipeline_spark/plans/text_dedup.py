@@ -816,3 +816,88 @@ def q39_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(F.expr(windows)).alias("fingerprint"))
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# q40 — composite document quality filter (Gopher-style heuristic rules)
+# ---------------------------------------------------------------------------
+
+_QF_STOPWORDS = "'the','be','to','of','and','that','have','with','for','not'"
+
+
+@_register(
+    "q40_quality_filter",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, text, {_TOKENS_SQL_DUCK} AS toks FROM documents
+    ), m AS (
+        SELECT doc_id,
+               len(toks) AS n_words,
+               CASE WHEN len(toks) > 0
+                    THEN round(list_sum(list_transform(toks, x -> len(x)))::DOUBLE / len(toks), 4)
+                    ELSE 0.0 END AS mean_word_len,
+               round(len(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))::DOUBLE
+                     / greatest(len(text), 1), 4) AS punct_ratio,
+               len(list_intersect(list_transform(toks, x -> lower(x)),
+                                  [{_QF_STOPWORDS}])) AS stop_hits
+        FROM t
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, mean_word_len, punct_ratio,
+           CAST(stop_hits AS BIGINT) AS stop_hits,
+           (n_words BETWEEN 5 AND 5000) AND (mean_word_len BETWEEN 2 AND 12)
+               AND punct_ratio < 0.2 AND stop_hits >= 1 AS passes
+    FROM m
+    """,
+)
+def q40_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality scoring for training-data curation (Gopher-style
+    rules: word-count bounds, mean word length, punctuation ratio,
+    stop-word presence).  Entirely JVM higher-order functions over one
+    narrow pass — the canonical pre-training filter shape at 100 TB (the
+    filter column gates the corpus without a shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.expr(_TOKENS_EXPR_SPARK)
+    m = docs.select(
+        "doc_id",
+        "text",
+        F.size(toks).cast("bigint").alias("n_words"),
+        F.when(
+            F.size(toks) > 0,
+            F.round(
+                F.expr(
+                    f"aggregate(transform({_TOKENS_EXPR_SPARK}, x -> length(x)),"
+                    " 0L, (a, x) -> a + x)"
+                ).cast("double")
+                / F.size(toks),
+                4,
+            ),
+        )
+        .otherwise(0.0)
+        .alias("mean_word_len"),
+        F.round(
+            F.length(F.regexp_replace("text", r"[a-zA-Z0-9\s]", "")).cast("double")
+            / F.greatest(F.length("text"), F.lit(1)),
+            4,
+        ).alias("punct_ratio"),
+        F.size(
+            F.array_intersect(
+                F.expr(f"transform({_TOKENS_EXPR_SPARK}, x -> lower(x))"),
+                F.expr(f"array({_QF_STOPWORDS})"),
+            )
+        )
+        .cast("bigint")
+        .alias("stop_hits"),
+    )
+    return m.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "punct_ratio",
+        "stop_hits",
+        (
+            F.col("n_words").between(5, 5000)
+            & F.col("mean_word_len").between(2, 12)
+            & (F.col("punct_ratio") < 0.2)
+            & (F.col("stop_hits") >= 1)
+        ).alias("passes"),
+    )
