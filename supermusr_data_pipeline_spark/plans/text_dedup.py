@@ -901,3 +901,83 @@ def q40_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("stop_hits") >= 1)
         ).alias("passes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q41 — int8 scalar quantization of embeddings (SQ8 storage compression)
+# ---------------------------------------------------------------------------
+
+_SQ_DIM = 64  # embeddings table dimension (TESTDATA.md)
+
+
+def _sq8_duck() -> str:
+    mns = ", ".join(f"CAST(min(embedding[{i}]) AS DOUBLE)" for i in range(1, _SQ_DIM + 1))
+    mxs = ", ".join(f"CAST(max(embedding[{i}]) AS DOUBLE)" for i in range(1, _SQ_DIM + 1))
+    return f"""
+    WITH b AS (
+        SELECT list_value({mns}) AS mns, list_value({mxs}) AS mxs
+        FROM embeddings
+    ), q AS (
+        SELECT e.vec_id, e.label,
+               list_transform(generate_series(1, {_SQ_DIM}), i ->
+                   CASE WHEN b.mxs[i] > b.mns[i]
+                        THEN CAST(round((CAST(embedding[i] AS DOUBLE) - b.mns[i])
+                                        / ((b.mxs[i] - b.mns[i]) / 255.0)) AS BIGINT)
+                        ELSE 0 END) AS codes,
+               b.mns AS mns, b.mxs AS mxs, e.embedding AS embedding
+        FROM embeddings e CROSS JOIN b
+    )
+    SELECT vec_id, label,
+           CAST(list_sum(codes) AS BIGINT) AS sum_codes,
+           list_sum(list_transform(generate_series(1, {_SQ_DIM}), i ->
+               pow(CAST(embedding[i] AS DOUBLE) - (CASE WHEN mxs[i] > mns[i]
+                   THEN mns[i] + codes[i] * ((mxs[i] - mns[i]) / 255.0)
+                   ELSE mns[i] END), 2))) / {_SQ_DIM} * 1e6 AS mse_e6
+    FROM q
+    """
+
+
+@_register("q41_embedding_quantize", oracle=_sq8_duck())
+def q41_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 embedding compression: per-dimension global [min,max] → 8-bit
+    codes → reconstruction error.  The storage-side companion of the ANN
+    family (q27-q29): at 100 TB an int8 codebook cuts the embedding store
+    4x before IVF/LSH indexing.
+
+    Scale shape: the bounds are {d}x2 SCALAR aggregates (one map-side-
+    combined pass, single-row result — no 64x posexplode row blowup), then
+    a literal-free cross join of that one row.  Quantize/dequantize/error
+    are per-row array transforms in whole-stage codegen.  Cross-engine
+    exactness: min/max involve no arithmetic; the quantization arithmetic
+    is elementwise IEEE double (identical on both engines); the only sum
+    is within-row in fixed array order.""".format(d=_SQ_DIM)
+    emb = load_table(spark, sf_dir, "embeddings")
+    bounds = emb.agg(
+        F.array(
+            *[F.min(F.element_at("embedding", i)).cast("double") for i in range(1, _SQ_DIM + 1)]
+        ).alias("mns"),
+        F.array(
+            *[F.max(F.element_at("embedding", i)).cast("double") for i in range(1, _SQ_DIM + 1)]
+        ).alias("mxs"),
+    )
+    q = emb.crossJoin(F.broadcast(bounds))
+    codes = F.expr(
+        f"""transform(sequence(1, {_SQ_DIM}), i ->
+            CASE WHEN mxs[i-1] > mns[i-1]
+                 THEN CAST(round((CAST(embedding[i-1] AS DOUBLE) - mns[i-1])
+                                 / ((mxs[i-1] - mns[i-1]) / 255.0D)) AS BIGINT)
+                 ELSE 0L END)"""
+    )
+    q = q.withColumn("codes", codes)
+    mse = F.expr(
+        f"""aggregate(sequence(1, {_SQ_DIM}), 0.0D, (acc, i) ->
+            acc + pow(CAST(embedding[i-1] AS DOUBLE) - (CASE WHEN mxs[i-1] > mns[i-1]
+                THEN mns[i-1] + codes[i-1] * ((mxs[i-1] - mns[i-1]) / 255.0D)
+                ELSE mns[i-1] END), 2)) / {_SQ_DIM} * 1e6"""
+    )
+    return q.select(
+        "vec_id",
+        "label",
+        F.expr("aggregate(codes, 0L, (a, x) -> a + x)").alias("sum_codes"),
+        mse.alias("mse_e6"),
+    )
