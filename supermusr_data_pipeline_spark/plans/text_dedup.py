@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..sources.testdata import load_table
-from .relational import _register
+from .relational import ORACLES, QUERIES, _register
 
 # ---------------------------------------------------------------------------
 # shared token / hash expressions (Spark side); SQL strings mirror them
@@ -980,4 +980,86 @@ def q41_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.expr("aggregate(codes, 0L, (a, x) -> a + x)").alias("sum_codes"),
         mse.alias("mse_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q42 — near-dup cluster assignment (connected components over LSH pairs)
+# ---------------------------------------------------------------------------
+
+
+def _q42_oracle() -> str:
+    return f"""
+    WITH RECURSIVE p AS ({ORACLES["q25_lsh_near_dup"]}),
+    e AS (
+        SELECT doc_a AS u, doc_b AS v FROM p
+        UNION ALL SELECT doc_b, doc_a FROM p
+    ),
+    n AS (SELECT DISTINCT u AS node FROM e),
+    reach(node, r) AS (
+        SELECT node, node FROM n
+        UNION
+        SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.node
+    )
+    SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id,
+           node = min(r) AS is_canonical
+    FROM reach GROUP BY node
+    """
+
+
+@_register("q42_dedup_clusters", oracle=_q42_oracle())
+def q42_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION step: connected components over the q25 LSH
+    near-dup pair graph — every document gets a cluster id (the component's
+    minimum doc_id) and a keep/drop flag (canonical = the minimum).
+
+    Scale shape: iterative min-label propagation over the symmetric edge
+    list (the standard Spark formulation of CC; GraphFrames does the same
+    under the hood).  Each iteration is one shuffle join on the edge key;
+    near-dup components are shallow, so convergence takes a handful of
+    rounds; lineage is cut with localCheckpoint so plans don't grow.  The
+    oracle restates it as a recursive-CTE transitive closure — feasible for
+    DuckDB at test scale, while the Spark path is the one that survives
+    100 TB."""
+    pairs = QUERIES["q25_lsh_near_dup"](spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .toDF("u", "v")
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(20):
+        nbr_min = (
+            edges.join(labels, edges.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.u, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:  # pragma: no cover - 20 rounds far exceeds near-dup diameters
+        raise RuntimeError("connected components did not converge")
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("node") == F.col("label")).alias("is_canonical"),
     )
