@@ -395,7 +395,7 @@ def q25_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale design: (a) the bucket join carries only doc_ids — token arrays
     re-attach after pair dedup, so shuffle rows stay ~40 bytes; (b) buckets
-    larger than {_LSH_BUCKET_CAP} are dropped (non-discriminative stop
+    larger than _LSH_BUCKET_CAP (64) are dropped (non-discriminative stop
     buckets — the standard LSH skew guard); (c) never O(n²)."""
     df = _with_token_hashes(spark, sf_dir)
     th = df.filter(F.size("th") > 0).select("doc_id", "th")
@@ -538,30 +538,39 @@ def q27_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _HP_SEED_RNG = random.Random(7)
-# 8 pseudo-random hyperplanes over 64 dims, fixed literals shared by both engines
+# 16 pseudo-random hyperplanes over 64 dims, fixed literals shared by both
+# engines; banded 2×8 so each band key has 256 values but the COMBINED scheme
+# has 2 independent probes (recall of an 8-bit code, collision volume of a
+# capped 8-bit bucket per band).
+_N_HYPERPLANES = 16
+_HP_BANDS = 2
+_HP_PLANES_PER_BAND = _N_HYPERPLANES // _HP_BANDS
 _HYPERPLANES = [
-    [round(_HP_SEED_RNG.uniform(-1, 1), 6) for _ in range(64)] for _ in range(8)
+    [round(_HP_SEED_RNG.uniform(-1, 1), 6) for _ in range(64)]
+    for _ in range(_N_HYPERPLANES)
 ]
 
 
-def _hp_sig_duck() -> str:
+def _hp_band_duck(bnd: int) -> str:
     bits = []
-    for j, hp in enumerate(_HYPERPLANES):
+    for jj in range(_HP_PLANES_PER_BAND):
+        hp = _HYPERPLANES[bnd * _HP_PLANES_PER_BAND + jj]
         lst = "[" + ", ".join(str(x) for x in hp) + "]"
         bits.append(
             f"CASE WHEN list_sum([emb[i] * ({lst})[i] for i in range(1, 65)]) > 0"
-            f" THEN (1 << {j}) ELSE 0 END"
+            f" THEN (1 << {jj}) ELSE 0 END"
         )
     return "(" + " + ".join(bits) + ")"
 
 
-def _hp_sig_spark() -> str:
+def _hp_band_spark(bnd: int) -> str:
     bits = []
-    for j, hp in enumerate(_HYPERPLANES):
+    for jj in range(_HP_PLANES_PER_BAND):
+        hp = _HYPERPLANES[bnd * _HP_PLANES_PER_BAND + jj]
         lst = "array(" + ", ".join(f"{x}D" for x in hp) + ")"
         bits.append(
             f"CASE WHEN aggregate(zip_with(emb, {lst}, (x, y) -> x * y), 0D,"
-            f" (a, x) -> a + x) > 0 THEN shiftleft(1, {j}) ELSE 0 END"
+            f" (a, x) -> a + x) > 0 THEN shiftleft(1, {jj}) ELSE 0 END"
         )
     return "(" + " + ".join(bits) + ")"
 
@@ -570,43 +579,84 @@ def _hp_sig_spark() -> str:
     "q28_embedding_near_dup",
     oracle=f"""
     WITH e AS (
-        SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+        SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
     ), sig AS (
-        SELECT vec_id, label, emb, {_hp_sig_duck()} AS bucket FROM e
+        SELECT vec_id, emb, {_hp_band_duck(0)} AS band0, {_hp_band_duck(1)} AS band1
+        FROM e
+    ), long_banded AS (
+        SELECT vec_id, 0 AS band_no, band0 AS key FROM sig
+        UNION ALL SELECT vec_id, 1, band1 FROM sig
+    ), capped AS (
+        SELECT vec_id, band_no, key FROM (
+            SELECT *, count(*) OVER (PARTITION BY band_no, key) AS bucket_n
+            FROM long_banded
+        ) WHERE bucket_n <= {_LSH_BUCKET_CAP}
+    ), pairs AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM capped a JOIN capped b
+          ON a.band_no = b.band_no AND a.key = b.key AND b.vec_id > a.vec_id
     )
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket,
-           round(list_sum([a.emb[i] * b.emb[i] for i in range(1, 65)])
-                 / (sqrt(list_sum([x * x for x in a.emb]))
-                    * sqrt(list_sum([x * x for x in b.emb]))), 6) AS sim
-    FROM sig a JOIN sig b ON a.bucket = b.bucket AND b.vec_id > a.vec_id
-    WHERE round(list_sum([a.emb[i] * b.emb[i] for i in range(1, 65)])
-                 / (sqrt(list_sum([x * x for x in a.emb]))
-                    * sqrt(list_sum([x * x for x in b.emb]))), 6) >= 0.2
+    SELECT p.vec_a, p.vec_b,
+           round(list_sum([ea.emb[i] * eb.emb[i] for i in range(1, 65)])
+                 / (sqrt(list_sum([x * x for x in ea.emb]))
+                    * sqrt(list_sum([x * x for x in eb.emb]))), 6) AS sim
+    FROM pairs p
+    JOIN e ea ON ea.vec_id = p.vec_a
+    JOIN e eb ON eb.vec_id = p.vec_b
+    WHERE round(list_sum([ea.emb[i] * eb.emb[i] for i in range(1, 65)])
+                 / (sqrt(list_sum([x * x for x in ea.emb]))
+                    * sqrt(list_sum([x * x for x in eb.emb]))), 6) >= 0.2
     """,
 )
 def q28_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-duplicate detection at scale: random-hyperplane LSH
-    (8-bit signature) buckets the corpus, cosine verified only within
-    buckets — shuffle on bucket id, never O(n²)."""
+    """Embedding near-duplicate detection at scale: random-hyperplane LSH,
+    16 planes banded 2×8, multi-probe union of the two band buckets
+    (reference near-dup semantics; LSH per Charikar'02).
+
+    Scale design mirrors q25: (a) buckets above _LSH_BUCKET_CAP (64) members
+    are dropped before pairing (stop-bucket skew guard — without it a
+    fixed-width code degenerates to Θ(n²/buckets) pair generation);
+    (b) the pair join carries vec_ids only, embeddings re-attach after pair
+    dedup so shuffle rows stay ~16 bytes; (c) cosine verify ≥ 0.2 runs once
+    per deduped candidate pair.  Never O(n²)."""
     e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", F.expr("transform(embedding, x -> cast(x as double))").alias("emb")
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("emb")
     )
-    sig = e.withColumn("bucket", F.expr(_hp_sig_spark()))
-    a = sig.alias("a")
-    b = sig.alias("b")
-    dot = F.expr(
-        "aggregate(zip_with(a.emb, b.emb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    band_cols = [
+        F.struct(
+            F.lit(bnd).alias("band_no"),
+            F.expr(_hp_band_spark(bnd)).alias("key"),
+        ).alias(f"b{bnd}")
+        for bnd in range(_HP_BANDS)
+    ]
+    banded = (
+        e.select("vec_id", F.explode(F.array(*band_cols)).alias("bk"))
+        .select("vec_id", F.col("bk.band_no").alias("band_no"), F.col("bk.key").alias("key"))
     )
-    norm = "sqrt(aggregate(transform({c}, x -> x * x), 0D, (acc, x) -> acc + x))"
-    sim = F.round(dot / (F.expr(norm.format(c="a.emb")) * F.expr(norm.format(c="b.emb"))), 6)
-    return (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("b.vec_id") > F.col("a.vec_id")))
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.col("a.bucket").alias("bucket"),
-            sim.alias("sim"),
+    bucket_sizes = banded.groupBy("band_no", "key").count()
+    capped = banded.join(
+        bucket_sizes.filter(F.col("count") <= _LSH_BUCKET_CAP), on=["band_no", "key"]
+    ).select("vec_id", "band_no", "key")
+    a = capped.alias("a")
+    b = capped.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("b.vec_id") > F.col("a.vec_id")),
         )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"))
+    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"))
+    verified = pairs.join(ea, "vec_a").join(eb, "vec_b")
+    dot = F.expr("aggregate(zip_with(ea, eb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+    norm = "sqrt(aggregate(transform({c}, x -> x * x), 0D, (acc, x) -> acc + x))"
+    sim = F.round(dot / (F.expr(norm.format(c="ea")) * F.expr(norm.format(c="eb"))), 6)
+    return (
+        verified.select("vec_a", "vec_b", sim.alias("sim"))
         .filter(F.col("sim") >= 0.2)
     )
 
@@ -944,13 +994,13 @@ def q41_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     family (q27-q29): at 100 TB an int8 codebook cuts the embedding store
     4x before IVF/LSH indexing.
 
-    Scale shape: the bounds are {d}x2 SCALAR aggregates (one map-side-
+    Scale shape: the bounds are 64x2 SCALAR aggregates (one map-side-
     combined pass, single-row result — no 64x posexplode row blowup), then
     a literal-free cross join of that one row.  Quantize/dequantize/error
     are per-row array transforms in whole-stage codegen.  Cross-engine
     exactness: min/max involve no arithmetic; the quantization arithmetic
     is elementwise IEEE double (identical on both engines); the only sum
-    is within-row in fixed array order.""".format(d=_SQ_DIM)
+    is within-row in fixed array order."""
     emb = load_table(spark, sf_dir, "embeddings")
     bounds = emb.agg(
         F.array(

@@ -70,6 +70,17 @@ def test_q39_single_shuffle(spark, plan):
     assert "Python" not in p  # fully JVM-side
 
 
+def test_q28_bucket_cap_and_no_cartesian(spark, plan):
+    """Hyperplane-LSH near-dup: the stop-bucket cap (<= 64) must appear as a
+    filter in the plan (the skew guard that keeps pair generation off the
+    Θ(n²/buckets) path), and candidate generation must be an equi-join on
+    the band key, never a cartesian/nested-loop product."""
+    p = plan(spark, "q28_embedding_near_dup")
+    assert "<= 64" in p, "stop-bucket cap filter must reach the plan"
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "Python" not in p  # fully JVM-side
+
+
 def test_q22_fingerprint_dedup_jvm_only(spark, plan):
     p = plan(spark, "q22_fingerprint_dedup")
     assert "Python" not in p
