@@ -56,12 +56,28 @@ def match_logs_to_runs(
     must have ``collect_from``/``collect_until`` columns; equality keys in
     ``partition_cols`` scope the match (both sides must carry them — the
     runs-side copies are dropped from the result).
+
+    The disjoint-interval rewrite REQUIRES at most one open run (NULL
+    collect_until) per partition — with two, the second's derived interval
+    start is NULL and every log would silently match both.  The invariant
+    is asserted on the tiny runs side (raise_error), so a violating control
+    stream fails loudly instead of duplicating output rows.
     """
     pcols = partition_cols or []
-    w = Window.partitionBy(*[runs[c] for c in pcols]).orderBy(
-        F.col("collect_until").asc_nulls_last(), F.col("collect_from")
+    wp = Window.partitionBy(*[runs[c] for c in pcols])
+    w = wp.orderBy(F.col("collect_until").asc_nulls_last(), F.col("collect_from"))
+    n_open = F.count(F.when(F.col("collect_until").isNull(), 1)).over(wp)
+    windowed = runs.withColumn(
+        "_accept_from",
+        F.when(
+            n_open > 1,
+            F.raise_error(
+                "match_logs_to_runs: more than one open run (NULL collect_until) "
+                "in a partition — the disjoint-interval rewrite would duplicate "
+                "log matches; stop the prior run first"
+            ).cast("timestamp"),
+        ).otherwise(F.lag("collect_until").over(w)),
     )
-    windowed = runs.withColumn("_accept_from", F.lag("collect_until").over(w))
     cond = (
         windowed["_accept_from"].isNull() | (F.col(ts_col) >= windowed["_accept_from"])
     ) & (

@@ -25,14 +25,16 @@ def expand_se00(selog: DataFrame) -> DataFrame:
 
     Output: all non-array input columns plus ``sample_index`` (0-based),
     ``sample_value``, ``sample_ts_ns`` and ``from_explicit`` (which branch
-    produced the timestamp)."""
+    produced the timestamp).  ``from_explicit`` is PER SAMPLE: if the
+    ``timestamps`` vector is shorter than ``values``, the overflow samples
+    fall back to the derived timestamp and report false."""
     keep = [c for c in selog.columns if c not in ("values", "timestamps")]
     exploded = selog.select(
         *keep,
         "timestamps",
         F.posexplode("values").alias("sample_index", "sample_value"),
     )
-    explicit = F.element_at("timestamps", F.col("sample_index") + 1)
+    explicit = F.try_element_at("timestamps", F.col("sample_index") + 1)
     derived = F.unix_micros("packet_ts") * 1000 + F.round(
         F.col("sample_index") * F.col("time_delta")
     ).cast("bigint")
@@ -41,5 +43,5 @@ def expand_se00(selog: DataFrame) -> DataFrame:
         F.col("sample_index").cast("bigint").alias("sample_index"),
         "sample_value",
         F.coalesce(explicit, derived).alias("sample_ts_ns"),
-        F.col("timestamps").isNotNull().alias("from_explicit"),
+        explicit.isNotNull().alias("from_explicit"),
     )

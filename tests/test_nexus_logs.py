@@ -123,3 +123,35 @@ def test_no_open_run_drops_trailing_logs(spark):
         [("pv", T0 + timedelta(minutes=11), 9.0, "double", None)], RUNLOG_SCHEMA
     )
     assert match_logs_to_runs(logs, runs).count() == 0
+
+
+def test_two_open_runs_fail_loudly(spark):
+    """The disjoint-interval rewrite requires at most one open run; a
+    control stream that starts a second run without stopping the first must
+    raise, not silently duplicate every log match."""
+    runs = spark.createDataFrame(
+        [
+            ("run_a", "a.nxs", "MUSR", T0, None, 1),
+            ("run_b", "b.nxs", "MUSR", T0 + timedelta(minutes=20), None, 1),
+        ],
+        RUN_SCHEMA,
+    ).select("run_name", "collect_from", "collect_until")
+    logs = spark.createDataFrame(
+        [("pv", T0 + timedelta(minutes=30), 4.0, "double", None)], RUNLOG_SCHEMA
+    )
+    with pytest.raises(Exception, match="more than one open run"):
+        match_logs_to_runs(logs, runs).collect()
+
+
+def test_expand_se00_short_timestamps_vector(spark):
+    """from_explicit is per SAMPLE: samples beyond a short timestamps
+    vector fall back to the derived clock and report false."""
+    from supermusr_data_pipeline_spark.operators.selog import expand_se00
+
+    base_ns = int(T0.timestamp()) * 1_000_000_000
+    rows = [("c", 3, T0, 10.0, "Start", [1.0, 2.0, 3.0], [base_ns + 5], 3)]
+    out = expand_se00(spark.createDataFrame(rows, SELOG_SCHEMA))
+    got = {r.sample_index: (r.sample_ts_ns, r.from_explicit) for r in out.collect()}
+    assert got[0] == (base_ns + 5, True)
+    assert got[1] == (base_ns + 10, False)
+    assert got[2] == (base_ns + 20, False)
