@@ -39,9 +39,17 @@ ENVELOPE_SCHEMA = T.StructType(
 _SEVERITIES = ["OK", "MINOR", "MAJOR", "INVALID"]
 
 
+# Base for the f144 integer-fidelity fixture: 2^53 + 1, the first integer a
+# DOUBLE cannot represent — event_id offsets keep every fixture value above
+# the float53 cliff, so the q37 hash only matches if value_int is EXACT.
+_F144_LONG_BASE = 9_007_199_254_740_993
+
+
 def encode_log_envelope(events: DataFrame) -> DataFrame:
     """events rows → f144/al00/se00 envelope messages, routed by
-    ``event_id % 3`` (one message per row; narrow mapInPandas)."""
+    ``event_id % 3`` (one message per row; narrow mapInPandas).  Half the
+    f144 messages carry a LONG value above 2^53 (exercising the value_int
+    sidecar), the other half a DOUBLE."""
 
     def proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -50,7 +58,12 @@ def encode_log_envelope(events: DataFrame) -> DataFrame:
                 ns = int(pd.Timestamp(r.ts).value)
                 kind = r.event_id % 3
                 if kind == 0:
-                    buf = M.encode_f144(r.event_type, ns, float(r.value), "double")
+                    if r.event_id % 2 == 0:
+                        buf = M.encode_f144(
+                            r.event_type, ns, _F144_LONG_BASE + int(r.event_id), "long"
+                        )
+                    else:
+                        buf = M.encode_f144(r.event_type, ns, float(r.value), "double")
                     topic = "runlog"
                 elif kind == 1:
                     buf = M.encode_al00(
@@ -88,6 +101,13 @@ def encode_dev2_envelope(events: DataFrame) -> DataFrame:
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("event_id")
         uid = int(pdf["user_id"].iloc[0])
+        max_id = int(pdf["event_id"].max())
+        if uid >= 2**32 or max_id >= 2**32:
+            # the dev2 wire format carries u32 ids; a silent wrap here would
+            # desync from any oracle computed on the unwrapped values
+            raise ValueError(
+                f"dev2 u32 overflow: user_id={uid} max event_id={max_id}"
+            )
         ns = int(pd.Timestamp(pdf["ts"].min()).value)
         md = {
             "ts_ns": ns,
@@ -119,7 +139,10 @@ def encode_dev2_envelope(events: DataFrame) -> DataFrame:
     oracle="""
     WITH f AS (
         SELECT 'f144' AS kind, event_type AS source_name, count(*) AS n_msgs,
-               round(sum(value), 4) AS checksum, 0 AS extra_count,
+               round(sum(CASE WHEN event_id % 2 = 1 THEN value END), 4) AS checksum,
+               CAST(sum(CASE WHEN event_id % 2 = 0
+                        THEN (9007199254740993 + event_id) % 1000003 END)
+                    AS BIGINT) AS extra_count,
                epoch_us(min(ts)) AS ts_min_us
         FROM events WHERE event_id % 3 = 0 GROUP BY event_type
     ), a AS (
@@ -153,7 +176,13 @@ def q37_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("source_name"))
         .agg(
             F.count("*").alias("n_msgs"),
-            F.round(F.sum("value"), 4).alias("checksum"),
+            F.round(
+                F.sum(F.when(F.col("value_type") == "double", F.col("value"))), 4
+            ).alias("checksum"),
+            # modular checksum over the EXACT integer sidecar: off-by-one
+            # double rounding of a >2^53 long flips the residue, so a hash
+            # match proves bit-exact i64 fidelity end to end
+            F.sum(F.col("value_int") % 1000003).alias("extra_count"),
             F.min("ts").alias("ts_min"),
         )
         .select(
@@ -161,7 +190,7 @@ def q37_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source_name",
             "n_msgs",
             "checksum",
-            F.lit(0).cast("int").alias("extra_count"),
+            "extra_count",
             F.unix_micros("ts_min").alias("ts_min_us"),
         )
     )

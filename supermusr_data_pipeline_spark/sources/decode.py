@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -52,8 +53,19 @@ def dispatch(df: DataFrame, ident: str) -> DataFrame:
 
 def _map_decoded(df: DataFrame, ident: str, schema: T.StructType, row_fn) -> DataFrame:
     """mapInPandas plumbing shared by all decoders: filter to ``ident``,
-    decode each payload, fan out via ``row_fn(decoded) -> list[dict]``."""
+    decode each payload, fan out via ``row_fn(decoded) -> list[dict]``.
+
+    Integer columns are materialized as pandas NULLABLE Int64/Int32 arrays:
+    a plain ``pd.DataFrame(rows)`` silently coerces an int column containing
+    a ``None`` to float64, which rounds i64 values above 2^53 before Arrow
+    ever sees them (the f144 value_int sidecar exists precisely to avoid
+    that rounding)."""
     cols = [f.name for f in schema.fields]
+    int_dtype = {
+        f.name: "Int64" if isinstance(f.dataType, T.LongType) else "Int32"
+        for f in schema.fields
+        if isinstance(f.dataType, (T.LongType, T.IntegerType))
+    }
 
     def proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -65,11 +77,53 @@ def _map_decoded(df: DataFrame, ident: str, schema: T.StructType, row_fn) -> Dat
                 except Exception:
                     continue  # malformed: warn-and-skip channel (P8)
                 out.extend(row_fn(decoded))
-            yield (
-                pd.DataFrame(out, columns=cols)
-                if out
-                else pd.DataFrame({c: pd.Series(dtype=object) for c in cols})
-            )
+            if out:
+                yield pd.DataFrame(
+                    {
+                        c: pd.array([r[c] for r in out], dtype=int_dtype[c])
+                        if c in int_dtype
+                        else pd.Series([r[c] for r in out])
+                        for c in cols
+                    },
+                    columns=cols,
+                )
+            else:
+                yield pd.DataFrame({c: pd.Series(dtype=object) for c in cols})
+
+    return dispatch(df, ident).select("value").mapInPandas(proc, schema)
+
+
+def _map_decoded_cols(df: DataFrame, ident: str, schema: T.StructType, cols_fn) -> DataFrame:
+    """Columnar variant of ``_map_decoded``: ``cols_fn(decoded) ->
+    dict[str, np.ndarray]`` returns the already-expanded column vectors for
+    ONE message; per Arrow batch the vectors are concatenated column-wise
+    and handed to pandas once.  This avoids materializing one Python dict
+    per OUTPUT ROW (a 10k-event dev2 message used to allocate 10k dicts
+    before pandas re-columnarized them) — the decoder already holds SoA
+    numpy vectors, so the batch is built with np.repeat/np.concatenate at
+    C speed.  Throughput-critical at the reference's 800k events/s wire
+    rate."""
+    cols = [f.name for f in schema.fields]
+
+    def proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parts: list[dict] = []
+            for payload in pdf["value"]:
+                buf = bytes(payload)
+                try:
+                    decoded = M.DECODERS[ident](buf)
+                except Exception:
+                    continue  # malformed: warn-and-skip channel (P8)
+                part = cols_fn(decoded)
+                if part is not None:
+                    parts.append(part)
+            if parts:
+                yield pd.DataFrame(
+                    {c: np.concatenate([p[c] for p in parts]) for c in cols},
+                    columns=cols,
+                )
+            else:
+                yield pd.DataFrame({c: pd.Series(dtype=object) for c in cols})
 
     return dispatch(df, ident).select("value").mapInPandas(proc, schema)
 
@@ -89,6 +143,18 @@ def _md_cols(md: dict) -> dict:
         "running": md["running"],
         "frame_number": md["frame_number"],
         "veto_flags": md["veto_flags"],
+    }
+
+
+def _md_vecs(md: dict, n: int) -> dict:
+    """Metadata as n-repeated column vectors (columnar twin of _md_cols)."""
+    return {
+        "ts": np.full(n, _ts_us(md["ts_ns"]).to_datetime64(), dtype="datetime64[ns]"),
+        "period_number": np.full(n, md["period_number"], dtype="int64"),
+        "protons_per_pulse": np.full(n, md["protons_per_pulse"], dtype="int32"),
+        "running": np.full(n, bool(md["running"]), dtype=bool),
+        "frame_number": np.full(n, md["frame_number"], dtype="int64"),
+        "veto_flags": np.full(n, md["veto_flags"], dtype="int32"),
     }
 
 
@@ -149,6 +215,7 @@ F144_DECODED_SCHEMA = T.StructType(
         T.StructField("source_name", T.StringType()),
         T.StructField("ts", T.TimestampType()),
         T.StructField("value", T.DoubleType()),
+        T.StructField("value_int", T.LongType()),
         T.StructField("value_type", T.StringType()),
         T.StructField("value_array", T.ArrayType(T.DoubleType())),
     ]
@@ -179,30 +246,47 @@ AL00_DECODED_SCHEMA = T.StructType(
 
 def decode_dat2(df: DataFrame) -> DataFrame:
     """dat2 payloads → long trace rows (one per channel), matching
-    ``schemas.TRACE_SCHEMA``."""
+    ``schemas.TRACE_SCHEMA``.  Built columnarly from the decoder's SoA
+    vectors — no per-row Python dicts."""
 
-    def rows(d: dict) -> list[dict]:
-        base = {"digitizer_id": d["digitizer_id"], **_md_cols(d["metadata"]),
-                "sample_rate": d["sample_rate"]}
-        return [
-            {**base, "channel": int(ch), "voltage": v.astype("int32").tolist()}
-            for ch, v in d["channels"]
-        ]
+    def cols(d: dict):
+        chans = d["channels"]
+        n = len(chans)
+        if n == 0:
+            return None
+        voltage = np.empty(n, dtype=object)
+        for i, (_, v) in enumerate(chans):
+            voltage[i] = np.asarray(v).astype("int32").tolist()
+        return {
+            "digitizer_id": np.full(n, d["digitizer_id"], dtype="int32"),
+            **_md_vecs(d["metadata"], n),
+            "sample_rate": np.full(n, d["sample_rate"], dtype="int64"),
+            "channel": np.asarray([ch for ch, _ in chans], dtype="int32"),
+            "voltage": voltage,
+        }
 
-    return _map_decoded(df, "dat2", DAT2_DECODED_SCHEMA, rows)
+    return _map_decoded_cols(df, "dat2", DAT2_DECODED_SCHEMA, cols)
 
 
 def decode_dev2(df: DataFrame) -> DataFrame:
-    """dev2 payloads → long event rows (one per detected event)."""
+    """dev2 payloads → long event rows (one per detected event).  Built
+    columnarly: a 10k-event message becomes 9 np.repeat/asarray column
+    vectors, not 10k row dicts — several times cheaper at wire rates."""
 
-    def rows(d: dict) -> list[dict]:
-        base = {"digitizer_id": d["digitizer_id"], **_md_cols(d["metadata"])}
-        return [
-            {**base, "channel": int(c), "event_time": int(t), "event_voltage": int(v)}
-            for t, v, c in zip(d["time"], d["voltage"], d["channel"])
-        ]
+    def cols(d: dict):
+        t = d["time"]
+        n = 0 if t is None else len(t)
+        if n == 0:
+            return None
+        return {
+            "digitizer_id": np.full(n, d["digitizer_id"], dtype="int32"),
+            **_md_vecs(d["metadata"], n),
+            "channel": np.asarray(d["channel"], dtype="int32"),
+            "event_time": np.asarray(t, dtype="int64"),
+            "event_voltage": np.asarray(d["voltage"]).astype("int32"),
+        }
 
-    return _map_decoded(df, "dev2", DEV2_DECODED_SCHEMA, rows)
+    return _map_decoded_cols(df, "dev2", DEV2_DECODED_SCHEMA, cols)
 
 
 def decode_dev2_messages(df: DataFrame) -> DataFrame:
@@ -216,9 +300,13 @@ def decode_dev2_messages(df: DataFrame) -> DataFrame:
             {
                 "digitizer_id": d["digitizer_id"],
                 **_md_cols(d["metadata"]),
-                "channel": [int(c) for c in d["channel"]] if d["channel"] is not None else [],
-                "event_time": [int(t) for t in d["time"]] if d["time"] is not None else [],
-                "event_voltage": [float(v) for v in d["voltage"]]
+                "channel": np.asarray(d["channel"], dtype="int64").tolist()
+                if d["channel"] is not None
+                else [],
+                "event_time": np.asarray(d["time"], dtype="int64").tolist()
+                if d["time"] is not None
+                else [],
+                "event_voltage": np.asarray(d["voltage"], dtype="float64").tolist()
                 if d["voltage"] is not None
                 else [],
             }
@@ -230,15 +318,18 @@ def decode_dev2_messages(df: DataFrame) -> DataFrame:
 def decode_aev2(df: DataFrame) -> DataFrame:
     """aev2 payloads → one grouped row per assembled frame."""
 
+    def _ints(x) -> list:
+        return [] if x is None else np.asarray(x).astype("int64").tolist()
+
     def rows(d: dict) -> list[dict]:
         return [
             {
                 **_md_cols(d["metadata"]),
                 "complete": d["complete"],
-                "digitizers_present": [int(x) for x in (d["digitizers_present"] if d["digitizers_present"] is not None else [])],
-                "channel": [int(x) for x in (d["channel"] if d["channel"] is not None else [])],
-                "event_time": [int(x) for x in (d["time"] if d["time"] is not None else [])],
-                "event_voltage": [int(x) for x in (d["voltage"] if d["voltage"] is not None else [])],
+                "digitizers_present": _ints(d["digitizers_present"]),
+                "channel": _ints(d["channel"]),
+                "event_time": _ints(d["time"]),
+                "event_voltage": _ints(d["voltage"]),
             }
         ]
 
@@ -291,18 +382,37 @@ def run_control_events(df: DataFrame) -> DataFrame:
     )
 
 
+# f144 scalar families whose exact value survives in the value_int sidecar
+_F144_INT_KINDS = frozenset(
+    ["byte", "ubyte", "short", "ushort", "int", "uint", "long", "ulong"]
+)
+
+
 def decode_f144(df: DataFrame) -> DataFrame:
     """f144 payloads → RUNLOG_SCHEMA shape: union widened to DOUBLE + tag
-    column (SURVEY §1.1 'widest type + tag')."""
+    column (SURVEY §1.1 'widest type + tag'), plus a ``value_int`` BIGINT
+    sidecar for the integer families so i64/u64 log values above 2^53 keep
+    exact integer fidelity (schemas/ecs_f144_logdata.fbs:80-101 allows the
+    full u64 range; the DOUBLE widening alone would silently round).  A
+    ulong value >= 2^63 exceeds BIGINT and leaves the sidecar NULL — the
+    DOUBLE approximation is then the only representation, as in the
+    reference's f64 read path."""
 
     def rows(d: dict) -> list[dict]:
-        is_array = d["value_type"].startswith("array")
+        vt = d["value_type"]
+        is_array = vt.startswith("array")
+        value_int = None
+        if not is_array and vt in _F144_INT_KINDS:
+            iv = int(d["value"])
+            if -(2**63) <= iv < 2**63:
+                value_int = iv
         return [
             {
                 "source_name": d["source_name"],
                 "ts": _ts_us(d["timestamp_ns"]),
                 "value": None if is_array else float(d["value"]),
-                "value_type": d["value_type"],
+                "value_int": value_int,
+                "value_type": vt,
                 "value_array": [float(x) for x in d["value"]] if is_array else None,
             }
         ]
@@ -387,7 +497,14 @@ def decode_stream(df: DataFrame) -> dict[str, DataFrame]:
 
 def decode_errors(df: DataFrame) -> DataFrame:
     """Error-side output: envelope rows whose payload has no known
-    identifier (P8 failure counters feed off this)."""
+    identifier (P8 failure counters feed off this).
+
+    SCOPE: this is the shallow (JVM-only) check — short buffers and unknown
+    identifiers.  A payload with a KNOWN identifier but a corrupt body is
+    dropped inside the decoders' warn-and-skip branch and does NOT appear
+    here; use :func:`..operators.diagnostics.parse_failure_counters` (the
+    deep variant that attempts the parse) to count those as
+    ``parse_error``."""
     return with_identifier(df).filter(
         (F.length("value") < 8) | ~F.col("identifier").isin(*IDENTIFIERS)
     )

@@ -270,3 +270,24 @@ def test_dat2_decode_matches_trace_schema_shape(envelope_df):
     row = D.decode_dat2(envelope_df).orderBy("channel").collect()[0]
     assert row.voltage == [1, 2, 3] and row.sample_rate == 10**9
     assert row.ts == pd.Timestamp(MD["ts_ns"], unit="ns").to_pydatetime().replace(tzinfo=None)
+
+
+def test_f144_value_int_sidecar_above_2p53(spark):
+    """i64/u64 fidelity (ecs_f144_logdata.fbs:80-101): integer values above
+    2^53 keep exact fidelity in the value_int BIGINT sidecar while the
+    DOUBLE widening rounds; a ulong >= 2^63 exceeds BIGINT and leaves the
+    sidecar NULL (the double approximation is then the only form)."""
+    big = 9_007_199_254_740_993  # 2^53 + 1: first integer a double can't hold
+    u64_big = 2**63 + 5
+    rows = [
+        ("runlog", M.encode_f144("pv:l", 1, big, "long")),
+        ("runlog", M.encode_f144("pv:u", 2, u64_big, "ulong")),
+        ("runlog", M.encode_f144("pv:d", 3, 2.5, "double")),
+    ]
+    df = spark.createDataFrame(rows, "topic string, value binary")
+    out = {r.source_name: r for r in D.decode_f144(df).collect()}
+    assert out["pv:l"].value_int == big
+    assert out["pv:l"].value != big  # the double path rounds 2^53+1 -> 2^53
+    assert out["pv:u"].value_int is None  # exceeds BIGINT: honest NULL
+    assert out["pv:u"].value == float(u64_big)
+    assert out["pv:d"].value_int is None and out["pv:d"].value == 2.5
