@@ -53,10 +53,11 @@ def kafka_source_options(
     """Options for ``spark.readStream.format("kafka")`` mirroring the
     reference consumer config (zstd transport, explicit group/topics —
     common/src/lib.rs:51-94).  ``maxOffsetsPerTrigger`` is the backpressure
-    bound; ``starting_timestamp_ms`` emits ``startingOffsetsByTimestamp``,
-    replacing the reference's manual offset bisect (O3, trace-viewer
-    binary_by_timestamp.rs:20-72) with the source's built-in time→offset
-    lookup."""
+    bound; ``starting_timestamp_ms`` emits ``startingTimestamp`` (the
+    all-partitions time→offset lookup; ``startingOffsetsByTimestamp`` is
+    the per-TopicPartition form and has no wildcard partition), replacing
+    the reference's manual offset bisect (O3, trace-viewer
+    binary_by_timestamp.rs:20-72) with the source's built-in lookup."""
     opts = {
         "kafka.bootstrap.servers": brokers,
         "subscribe": ",".join(topics),
@@ -64,11 +65,7 @@ def kafka_source_options(
         "failOnDataLoss": "false",
     }
     if starting_timestamp_ms is not None:
-        import json
-
-        opts["startingOffsetsByTimestamp"] = json.dumps(
-            {t: {"-1": starting_timestamp_ms} for t in topics}
-        )
+        opts["startingTimestamp"] = str(starting_timestamp_ms)
     else:
         opts["startingOffsets"] = starting_offsets
     if max_offsets_per_trigger is not None:

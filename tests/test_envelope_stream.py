@@ -192,11 +192,44 @@ def test_kafka_source_options_shape():
 
 
 def test_kafka_source_options_by_timestamp():
-    """O3: the manual offset bisect becomes startingOffsetsByTimestamp."""
-    import json
-
+    """O3: the manual offset bisect becomes the source's all-partitions
+    startingTimestamp lookup (startingOffsetsByTimestamp is per-partition
+    only — there is no wildcard partition in its json format)."""
     opts = kafka_source_options("b:9092", ["traces"], starting_timestamp_ms=1_700_000_000_000)
     assert "startingOffsets" not in opts
-    assert json.loads(opts["startingOffsetsByTimestamp"]) == {
-        "traces": {"-1": 1_700_000_000_000}
-    }
+    assert opts["startingTimestamp"] == "1700000000000"
+
+
+# The documented option names of Spark's Kafka source (structured-streaming
+# kafka integration guide) that this repo may legitimately emit.  A typo'd
+# name in kafka_source_options fails here even though no broker exists to
+# execute the reader.
+_KAFKA_SOURCE_OPTION_NAMES = {
+    "subscribe",
+    "startingOffsets",
+    "startingTimestamp",
+    "startingOffsetsByTimestamp",
+    "maxOffsetsPerTrigger",
+    "failOnDataLoss",
+}
+
+
+def test_kafka_source_options_construct_reader(spark):
+    """Pin the reader wiring itself: every option name is either a
+    documented source option or a pass-through 'kafka.'-prefixed client
+    property, all values are strings, and the DataStreamReader accepts the
+    dict.  Source resolution (.load()) is exercised too: with no kafka
+    connector jar in this environment it must fail with DATA_SOURCE_NOT_FOUND
+    — never an option error."""
+    opts = kafka_source_options(
+        "broker:9092", ["traces"], starting_timestamp_ms=1_700_000_000_000
+    )
+    for k, v in opts.items():
+        assert isinstance(k, str) and isinstance(v, str)
+        assert k in _KAFKA_SOURCE_OPTION_NAMES or k.startswith("kafka."), k
+    reader = spark.readStream.format("kafka").options(**opts)
+    try:
+        reader.load()
+    except Exception as e:  # no kafka connector jar in this container
+        msg = str(e)
+        assert "DATA_SOURCE_NOT_FOUND" in msg or "Failed to find data source" in msg, msg
