@@ -1068,9 +1068,12 @@ def q42_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     under the hood).  Each iteration is one shuffle join on the edge key;
     near-dup components are shallow, so convergence takes a handful of
     rounds; lineage is cut with localCheckpoint so plans don't grow.  The
-    oracle restates it as a recursive-CTE transitive closure — feasible for
-    DuckDB at test scale, while the Spark path is the one that survives
-    100 TB."""
+    convergence check rides the SAME job as the label update: a _changed
+    flag is computed inside the update select, so per round there is one
+    checkpoint job plus a trivial max() over the already-materialized
+    partitions — not a second labels-vs-new-labels join.  The oracle
+    restates it as a recursive-CTE transitive closure — feasible for DuckDB
+    at test scale, while the Spark path is the one that survives 100 TB."""
     pairs = QUERIES["q25_lsh_near_dup"](spark, sf_dir).select("doc_a", "doc_b")
     edges = (
         pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
@@ -1093,17 +1096,13 @@ def q42_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+                (F.coalesce("nbr_label", "label") < F.col("label")).alias("_changed"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        changed = new_labels.agg(F.max("_changed")).first()[0]
+        labels = new_labels.drop("_changed")
+        if not changed:
             break
     else:  # pragma: no cover - 20 rounds far exceeds near-dup diameters
         raise RuntimeError("connected components did not converge")
