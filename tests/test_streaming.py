@@ -434,3 +434,44 @@ def test_daq_stats_stream(spark, tmp_path):
     # availableNow + no later data the window may be withheld — accept both,
     # but the query itself must run clean
     assert rows is not None
+
+
+def test_dispatch_order_resequencable_within_batch(spark, tmp_path):
+    """Cross-frame OUTPUT ORDER is completion order, not arrival order: the
+    reference aggregator pops only the FRONT frame so frames dispatch in
+    arrival sequence (digitiser-aggregator/src/frame/cache.rs:121-142),
+    while the streaming lift emits each frame independently the moment it
+    completes (or expires).  Downstream consumers here (run matching, the
+    nexus sink) are order-insensitive, so the engine's contract is the
+    weaker one pinned by this test: every frame appears EXACTLY ONCE and
+    the canonical sequence is recoverable by sorting on (frame_number, ts)
+    — a foreachBatch sink needing strict arrival order must apply that
+    orderBy per epoch."""
+    msgs = [  # arrival order deliberately 3, 1, 2 — all frames complete
+        _msg(0, 3, [0], [12], [1.0]),
+        _msg(1, 3, [4], [13], [2.0]),
+        _msg(0, 1, [1], [10], [3.0]),
+        _msg(1, 1, [5], [11], [4.0]),
+        _msg(0, 2, [2], [14], [5.0]),
+        _msg(1, 2, [6], [15], [6.0]),
+    ]
+    src = str(tmp_path / "msgs")
+    spark.createDataFrame(msgs, DIGITISER_MESSAGE_SCHEMA).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(DIGITISER_MESSAGE_SCHEMA).parquet(src)
+    frames = assemble_frames_stream(stream, [0, 1], frame_ttl_ms=10_000)
+    q = (
+        frames.writeStream.format("memory")
+        .queryName("t_frames_order")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    _drain(spark, q, "t_frames_order", 3)
+    rows = spark.sql("SELECT * FROM t_frames_order").collect()
+    assert len(rows) == 3  # exactly once each, regardless of emit order
+    reseq = sorted(rows, key=lambda r: (r.frame_number, r.ts))
+    assert [r.frame_number for r in reseq] == [1, 2, 3]
+    # ts tracks frame_number, so either sort key alone recovers the sequence
+    assert [r.ts for r in reseq] == sorted(r.ts for r in rows)
+    assert all(r.complete for r in rows)
