@@ -1112,3 +1112,189 @@ def q42_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("cluster_id"),
         (F.col("node") == F.col("label")).alias("is_canonical"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q43 — benchmark decontamination (n-gram collision against an eval set)
+# ---------------------------------------------------------------------------
+
+# the held-out "benchmark" slice: every 97th document plays the eval set
+_DECON_BENCH_MOD = 97
+_DECON_K = 5  # tokens per contamination gram (GPT-3/Llama-style n-gram check)
+
+
+@_register(
+    "q43_benchmark_decontam",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKENS_SQL_DUCK} AS t FROM documents
+    ), g AS (
+        SELECT doc_id, unnest(list_distinct(
+            [array_to_string(t[i:i+{_DECON_K - 1}], ' ')
+             for i in range(1, len(t) - {_DECON_K - 2})])) AS gram
+        FROM toks WHERE len(t) >= {_DECON_K}
+    )
+    SELECT tr.doc_id AS doc_id, be.doc_id AS bench_id,
+           count(*)::INT AS n_shared_grams
+    FROM (SELECT * FROM g WHERE doc_id % {_DECON_BENCH_MOD} <> 0) tr
+    JOIN (SELECT * FROM g WHERE doc_id % {_DECON_BENCH_MOD} = 0) be
+      USING (gram)
+    GROUP BY tr.doc_id, be.doc_id
+    """,
+)
+def q43_benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing word
+    5-grams with a held-out eval set (here: every 97th doc_id) — the
+    n-gram-collision check pretraining pipelines run before training
+    (GPT-3 appendix C / Llama style).
+
+    Scale shape: the benchmark side is tiny relative to the corpus (eval
+    sets don't grow with training data), so its exploded gram list is
+    BROADCAST — the 100 TB training side streams through a narrow
+    gram-generate + hash-probe with no shuffle; the only exchange is the
+    final (doc, bench) pair aggregation, whose cardinality is bounded by
+    actual contamination.  Grams are distinct per doc, so count(*) after
+    the join IS the distinct shared-gram count."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = F.expr(
+        f"""
+        array_distinct(CASE WHEN size(toks) >= {_DECON_K}
+            THEN transform(sequence(0, size(toks) - {_DECON_K}),
+                 i -> concat_ws(' ', {', '.join(f'toks[i + {j}]' for j in range(_DECON_K))}))
+            ELSE array() END)
+        """
+    )
+    g = (
+        docs.select("doc_id", F.expr(_TOKENS_EXPR_SPARK).alias("toks"))
+        .select("doc_id", F.explode(grams).alias("gram"))
+    )
+    train = g.filter(F.col("doc_id") % _DECON_BENCH_MOD != 0)
+    bench = g.filter(F.col("doc_id") % _DECON_BENCH_MOD == 0).select(
+        F.col("doc_id").alias("bench_id"), "gram"
+    )
+    return (
+        train.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").cast("int").alias("n_shared_grams"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q44 — within-document repetition signals (Gopher repetition filters)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q44_repetition_signals",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKENS_SQL_DUCK} AS t FROM documents
+    ), g AS (
+        SELECT doc_id, unnest(
+            [array_to_string(t[i:i+1], ' ') for i in range(1, len(t))]) AS gram
+        FROM toks WHERE len(t) >= 2
+    ), c AS (
+        SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram
+    )
+    SELECT doc_id,
+           sum(c)::INT AS n_grams,
+           count(*)::INT AS n_distinct_grams,
+           max(c)::INT AS top_gram_count,
+           max(c)::DOUBLE / sum(c) AS top_gram_frac,
+           coalesce(sum(CASE WHEN c > 1 THEN c END), 0)::INT AS dup_gram_occurrences,
+           coalesce(sum(CASE WHEN c > 1 THEN c END), 0)::DOUBLE / sum(c)
+               AS dup_gram_frac
+    FROM c GROUP BY doc_id
+    """,
+)
+def q44_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals over word 2-grams — the Gopher
+    repetition filters (top-n-gram fraction, duplicate-n-gram fraction)
+    that catch boilerplate and degenerate repetition in pretraining data.
+
+    Scale shape: explode → two keyed aggregations, (doc_id, gram) then
+    doc_id.  Both keys include doc_id so the shuffle is uniformly spread no
+    matter how skewed gram popularity is globally — deliberately NOT the
+    per-doc O(n²) array-functions form, which dies on a 100k-token
+    document.  Map-side combine shrinks the first exchange to the
+    per-partition distinct gram count."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = F.expr(
+        """
+        CASE WHEN size(toks) >= 2
+            THEN transform(sequence(0, size(toks) - 2),
+                 i -> concat_ws(' ', toks[i], toks[i + 1]))
+            ELSE array() END
+        """
+    )
+    counts = (
+        docs.select("doc_id", F.expr(_TOKENS_EXPR_SPARK).alias("toks"))
+        .select("doc_id", F.explode(grams).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("c"))
+    )
+    dup_occ = F.coalesce(F.sum(F.when(F.col("c") > 1, F.col("c"))), F.lit(0))
+    return counts.groupBy("doc_id").agg(
+        F.sum("c").cast("int").alias("n_grams"),
+        F.count("*").cast("int").alias("n_distinct_grams"),
+        F.max("c").cast("int").alias("top_gram_count"),
+        (F.max("c").cast("double") / F.sum("c")).alias("top_gram_frac"),
+        dup_occ.cast("int").alias("dup_gram_occurrences"),
+        (dup_occ.cast("double") / F.sum("c")).alias("dup_gram_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q45 — deterministic stratified corpus sampling (hash-gated, shuffle-free)
+# ---------------------------------------------------------------------------
+
+# per-language keep rates out of 10_000 (a corpus-mixing recipe: upweight
+# high-resource strata less, keep everything rare)
+_STRATA_RATES = {"en": 5000, "de": 8000, "fr": 8000, "es": 8000, "zh": 9000}
+_STRATA_DEFAULT = 10_000  # unknown stratum: keep all
+_STRATA_DENOM = 10_000
+
+
+def _strata_case_duck() -> str:
+    arms = " ".join(
+        f"WHEN lang = '{k}' THEN {v}" for k, v in sorted(_STRATA_RATES.items())
+    )
+    return f"CASE {arms} ELSE {_STRATA_DEFAULT} END"
+
+
+@_register(
+    "q45_stratified_sample",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, lang, source, n_chars,
+               ('0x' || substr(md5('smpl:' || doc_id::VARCHAR), 1, 8))
+                   ::UBIGINT::BIGINT % {_STRATA_DENOM} AS sample_key,
+               {_strata_case_duck()} AS keep_rate
+        FROM documents
+    )
+    SELECT doc_id, lang, source, n_chars, sample_key
+    FROM keyed WHERE sample_key < keep_rate
+    """,
+)
+def q45_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified corpus sampling: per-language keep rates applied through
+    a DETERMINISTIC hash gate (md5 of a salted doc_id), the corpus-mixing
+    step that rebalances language/source proportions before training.
+
+    Scale shape: a pure narrow filter — no shuffle, no rand() (which would
+    be irreproducible across retries/speculative tasks and is banned in
+    sampling at scale).  The same doc always gets the same verdict, so the
+    sample is stable across reruns, engines, and partitionings; rates are
+    literals folded into whole-stage codegen."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.expr(
+        f"cast(conv(substr(md5(concat('smpl:', cast(doc_id as string))), 1, 8),"
+        f" 16, 10) as bigint) % {_STRATA_DENOM}"
+    )
+    rate = F.lit(_STRATA_DEFAULT)
+    for lang, r in sorted(_STRATA_RATES.items()):
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    return (
+        docs.select("doc_id", "lang", "source", "n_chars", key.alias("sample_key"))
+        .filter(F.col("sample_key") < rate)
+    )

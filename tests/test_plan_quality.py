@@ -92,3 +92,28 @@ def test_detector_queries_are_arrow_batched(spark, plan):
     p = plan(spark, "q14_threshold_detect")
     assert "ArrowEvalPython" in p or "FlatMapGroupsInPandas" in p or "MapInPandas" in p
     assert "BatchEvalPython" not in p  # the row-at-a-time slow path
+
+def test_q43_decontam_broadcasts_bench_side(spark, plan):
+    """Decontamination: the eval-set gram list must broadcast — shuffling
+    the 100 TB training side on gram strings would be the scale killer."""
+    p = plan(spark, "q43_benchmark_decontam")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert "Python" not in p  # fully JVM-side
+
+
+def test_q44_repetition_keyed_aggs_jvm_only(spark, plan):
+    """Repetition signals: two keyed aggregations (both keys carry doc_id,
+    so gram skew cannot concentrate a partition), all JVM-side."""
+    p = plan(spark, "q44_repetition_signals")
+    assert "Python" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_q45_stratified_sample_shuffle_free(spark, plan):
+    """Deterministic sampling is a pure narrow filter: no exchange at all,
+    no rand() (non-reproducible under task retry) anywhere in the plan."""
+    p = plan(spark, "q45_stratified_sample")
+    assert "Exchange" not in p
+    assert "rand" not in p
+    assert "Python" not in p
