@@ -49,7 +49,10 @@ def test_multimodal_features_golden(spark):
         F.sum("n_bytes").alias("nb"),
         F.round(F.sum("mean_intensity"), 3).alias("mi"),
     ).collect()[0]
-    assert (agg.n, agg.nb, agg.mi) == (500, 397454, 41741.585)
+    # nb moved 397454 → 399944 when every other image payload switched from
+    # BMP to PNG; the intensity checksum is UNCHANGED — PNG decode is
+    # pixel-exact against the same synthesized pixels
+    assert (agg.n, agg.nb, agg.mi) == (500, 399944, 41741.585)
     r0 = df.filter(F.col("media_id") == 0).collect()[0]
     assert r0.kind == "image" and r0.n_bytes == 822
     assert r0.digest == "491d8777f2b44c564aac32bc4dd82afdb95fc4a7e0012e48ae70d56d20de27e1"

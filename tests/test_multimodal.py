@@ -9,9 +9,11 @@ from supermusr_data_pipeline_spark.operators.multimodal import (
     decode_bmp,
     decode_image,
     decode_pgm,
+    decode_png,
     decode_video_frames,
     decode_wav,
     encode_bmp,
+    encode_png,
     encode_pgm,
     encode_video,
     encode_wav,
@@ -66,11 +68,80 @@ def test_resize_nearest_neighbour():
 
 def test_compressed_magics_raise():
     with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff" + b"\x00" * 32)
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 32)
+        decode_image(b"\xff\xd8\xff" + b"\x00" * 32)  # JPEG: honest stub
+    with pytest.raises(ValueError):
+        decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 32)  # PNG sig, no IHDR
     with pytest.raises(ValueError):
         decode_image(b"garbage")
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+def test_png_roundtrip_all_filters(filter_type):
+    """Every scanline filter (None/Sub/Up/Average/Paeth) reconstructs the
+    exact pixels — gradient data makes each filter's prediction non-trivial."""
+    y, x = np.mgrid[0:13, 0:7]
+    px = np.stack([(y * 20 + x) % 256, (x * 37) % 256, (y * 3 + x * 11) % 256], axis=2)
+    px = px.astype(np.uint8)
+    buf = encode_png(px, filter_type=filter_type)
+    assert buf[:8] == b"\x89PNG\r\n\x1a\n"
+    np.testing.assert_array_equal(decode_png(buf), px)
+
+
+def test_png_gray_and_via_decode_image():
+    g = (np.arange(64, dtype=np.uint8) * 4).reshape(8, 8)
+    buf = encode_png(g, filter_type=1)
+    out = decode_image(buf)
+    assert out.shape == (8, 8, 3)
+    np.testing.assert_array_equal(out[:, :, 0], g)
+    np.testing.assert_array_equal(out[:, :, 1], g)
+
+
+def test_png_palette_and_alpha_color_types():
+    """Hand-built color-type 3 (palette) and 6 (RGBA) streams decode: the
+    encoder only writes types 0/2, so these pin the decoder's other
+    branches against the spec."""
+    import struct
+    import zlib
+
+    from supermusr_data_pipeline_spark.operators.multimodal import _png_chunk
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    # palette: 2x2, indices [[0,1],[2,0]], 3-entry palette
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    raw = bytes([0, 0, 1, 0, 2, 0])  # filter0 rows
+    buf = sig + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"PLTE", plte)
+    buf += _png_chunk(b"IDAT", zlib.compress(raw)) + _png_chunk(b"IEND", b"")
+    out = decode_png(buf)
+    np.testing.assert_array_equal(out[0, 0], [255, 0, 0])
+    np.testing.assert_array_equal(out[0, 1], [0, 255, 0])
+    np.testing.assert_array_equal(out[1, 0], [0, 0, 255])
+    # RGBA: 1x2, alpha dropped
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 6, 0, 0, 0)
+    raw = bytes([0, 10, 20, 30, 99, 40, 50, 60, 7])
+    buf = sig + _png_chunk(b"IHDR", ihdr)
+    buf += _png_chunk(b"IDAT", zlib.compress(raw)) + _png_chunk(b"IEND", b"")
+    out = decode_png(buf)
+    np.testing.assert_array_equal(out[0], [[10, 20, 30], [40, 50, 60]])
+
+
+def test_png_interlace_and_depth_unsupported():
+    import struct
+    import zlib
+
+    from supermusr_data_pipeline_spark.operators.multimodal import _png_chunk
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 1)  # Adam7
+    buf = sig + _png_chunk(b"IHDR", ihdr)
+    buf += _png_chunk(b"IDAT", zlib.compress(b"\x00\x00")) + _png_chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError, match="Adam7"):
+        decode_png(buf)
+    ihdr16 = struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
+    buf = sig + _png_chunk(b"IHDR", ihdr16)
+    buf += _png_chunk(b"IDAT", zlib.compress(b"\x00\x00\x00")) + _png_chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError, match="depth"):
+        decode_png(buf)
 
 
 def test_feature_extraction_pipeline(spark):
@@ -100,7 +171,7 @@ def test_media_payloads_decode_with_real_codecs(spark):
     for r in media_from_documents(docs).collect():
         payload = bytes(r.payload)
         if r.kind == "image":
-            assert decode_bmp(payload).shape == (16, 16, 3)
+            assert decode_image(payload).shape == (16, 16, 3)
         elif r.kind == "audio":
             data, sr = decode_wav(payload)
             assert sr == 16_000 and len(data) == 256
