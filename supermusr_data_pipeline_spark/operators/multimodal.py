@@ -14,13 +14,16 @@ Codecs are REAL for container formats decodable without external libraries:
 - **PNG** (8-bit gray/RGB/palette/alpha, non-interlaced) via stdlib
   ``zlib`` + numpy defiltering — a from-spec (RFC 2083) decoder covering
   all five scanline filters;
+- **baseline JPEG** via :mod:`.jpeg` — a from-spec (ITU-T T.81) sequential
+  DCT decoder (generic Huffman/quant tables, 4:2:0, restart markers) and
+  matching encoder;
 - **video**: a simple documented container (``VID0`` + length-prefixed BMP
   frames) with real frame-sampling plumbing.
 
 Codecs that genuinely need external libraries absent from this environment
-(JPEG/MP3/H.264) raise ``NotImplementedError`` with a clear message — the
-Spark-side plumbing (schema, batching, UDF signature) is identical once a
-real codec is dropped in.
+(MP3/H.264, progressive JPEG) raise ``NotImplementedError`` with a clear
+message — the Spark-side plumbing (schema, batching, UDF signature) is
+identical once a real codec is dropped in.
 """
 
 from __future__ import annotations
@@ -36,6 +39,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
+
+from . import jpeg
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -138,8 +143,9 @@ def decode_pgm(payload: bytes) -> np.ndarray:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Decode an image payload to HxWx3 uint8.  Real for BMP/PGM/PNG; JPEG
-    needs a DCT codec library not present in this environment."""
+    """Decode an image payload to HxWx3 uint8.  All four container formats
+    decode natively: BMP/PGM (struct+numpy), PNG (zlib+numpy defilter), and
+    baseline JPEG (from-spec Huffman+IDCT, :mod:`.jpeg`)."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:2] == b"P5":
@@ -148,10 +154,9 @@ def decode_image(payload: bytes) -> np.ndarray:
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
     if payload[:3] == b"\xff\xd8\xff":
-        raise NotImplementedError(
-            "JPEG decode requires an image codec library (unavailable here); "
-            "BMP, PGM and PNG payloads decode natively"
-        )
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise ValueError("unrecognized image payload")
 
 
@@ -465,14 +470,21 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
                 kind = ("image", "audio", "video")[doc_id % 3]
                 if kind == "image":
                     px = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
-                    # alternate container AND scanline filter so the
-                    # contract query exercises every PNG defilter path
-                    if (doc_id // 3) % 2 == 0:
+                    # cycle containers (and PNG filter / JPEG subsampling
+                    # variants) so the contract query exercises every real
+                    # decode path, including lossy JPEG
+                    variant = (doc_id // 3) % 3
+                    if variant == 0:
                         payload = encode_bmp(px)
                         meta = (16, 16, None, 1, "bmp24")
-                    else:
-                        payload = encode_png(px, filter_type=(doc_id // 6) % 5)
+                    elif variant == 1:
+                        payload = encode_png(px, filter_type=(doc_id // 9) % 5)
                         meta = (16, 16, None, 1, "png8")
+                    else:
+                        payload = jpeg.encode_jpeg(
+                            px, quality=95, subsample=(doc_id // 9) % 2 == 1
+                        )
+                        meta = (16, 16, None, 1, "jpeg-baseline")
                 elif kind == "audio":
                     samples = rng.integers(-3000, 3000, size=256, dtype=np.int16)
                     payload = encode_wav(samples, 16_000)

