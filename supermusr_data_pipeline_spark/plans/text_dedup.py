@@ -1298,3 +1298,66 @@ def q45_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "lang", "source", "n_chars", key.alias("sample_key"))
         .filter(F.col("sample_key") < rate)
     )
+
+
+# ---------------------------------------------------------------------------
+# q46 — the corpus-curation capstone: dedup decisions + stratified sampling
+# ---------------------------------------------------------------------------
+
+
+def _q46_oracle() -> str:
+    return f"""
+    WITH clusters AS ({_q42_oracle()}),
+    kept AS (
+        SELECT d.doc_id, d.lang, d.source,
+               coalesce(c.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+        WHERE c.doc_id IS NULL OR c.is_canonical
+    )
+    SELECT doc_id, lang, source, cluster_id,
+           ('0x' || substr(md5('smpl:' || doc_id::VARCHAR), 1, 8))
+               ::UBIGINT::BIGINT % {_STRATA_DENOM} AS sample_key
+    FROM kept
+    WHERE ('0x' || substr(md5('smpl:' || doc_id::VARCHAR), 1, 8))
+              ::UBIGINT::BIGINT % {_STRATA_DENOM} < {_strata_case_duck()}
+    """
+
+
+@_register("q46_curated_corpus", oracle=_q46_oracle())
+def q46_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation decision a pretraining pipeline ships:
+    near-dup clustering (q42) → keep only canonical documents → language-
+    stratified deterministic sampling (q45's hash gate) — one query that
+    answers "which exact documents go in the training mix".
+
+    Scale shape: the cluster-label table is SMALL (only docs that appear in
+    a near-dup pair — bounded by real duplication, not corpus size), so the
+    anti/semi decision join broadcasts; the sampling gate stays a narrow
+    filter.  The corpus-sized side is touched once, shuffle-free.  The
+    oracle replays the whole chain (recursive-CTE closure + the same md5
+    gate) in DuckDB."""
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = QUERIES["q42_dedup_clusters"](spark, sf_dir)
+    key = F.expr(
+        f"cast(conv(substr(md5(concat('smpl:', cast(doc_id as string))), 1, 8),"
+        f" 16, 10) as bigint) % {_STRATA_DENOM}"
+    )
+    rate = F.lit(_STRATA_DEFAULT)
+    for lang, r in sorted(_STRATA_RATES.items()):
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    joined = docs.join(
+        F.broadcast(clusters), "doc_id", "left"
+    ).filter(F.col("cluster_id").isNull() | F.col("is_canonical"))
+    return (
+        joined.select(
+            "doc_id",
+            "lang",
+            "source",
+            # a doc in no near-dup pair is its own cluster — also keeps the
+            # contract column NULL-free (nullable ints coerce to float in
+            # pandas-based comparers)
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+            key.alias("sample_key"),
+        )
+        .filter(F.col("sample_key") < rate)
+    )

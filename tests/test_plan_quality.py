@@ -117,3 +117,11 @@ def test_q45_stratified_sample_shuffle_free(spark, plan):
     assert "Exchange" not in p
     assert "rand" not in p
     assert "Python" not in p
+
+def test_q46_curated_corpus_broadcasts_cluster_labels(spark, plan):
+    """Curation capstone: the cluster-label side (bounded by real
+    duplication, not corpus size) must broadcast into the decision join;
+    the corpus side stays un-shuffled."""
+    p = plan(spark, "q46_curated_corpus")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
