@@ -13,6 +13,7 @@ package lifts the stateful pieces onto Structured Streaming:
 """
 
 from .daq_stats import daq_stats_batch, daq_stats_stream  # noqa: F401
+from .doc_dedup import dedup_documents_stream, fingerprint_documents  # noqa: F401
 from .envelope_stream import (  # noqa: F401
     ENVELOPE_STREAM_SCHEMA,
     encode_dev2_stream,
