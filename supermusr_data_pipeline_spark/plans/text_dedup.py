@@ -1361,3 +1361,89 @@ def q46_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("sample_key") < rate)
     )
+
+
+# ---------------------------------------------------------------------------
+# q47 — ANN quality evaluation: IVF recall against brute-force ground truth
+# ---------------------------------------------------------------------------
+
+
+def _q47_oracle() -> str:
+    return f"""
+    WITH ivf AS ({ORACLES["q29_ivf_ann"]}),
+    e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ), q AS (
+        SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id % 50 = 0
+    ), sims AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               round(list_sum([q.qe[i] * c.emb[i] for i in range(1, 65)])
+                     / (sqrt(list_sum([x * x for x in q.qe]))
+                        * sqrt(list_sum([x * x for x in c.emb]))), 6) AS sim
+        FROM q JOIN e c ON c.vec_id <> q.query_id
+    ), gt AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY sim DESC, neighbor_id) AS rank
+            FROM sims
+        ) WHERE rank <= 3
+    ), hits AS (
+        SELECT g.query_id, count(*) AS n
+        FROM gt g JOIN ivf i
+          ON i.query_id = g.query_id AND i.neighbor_id = g.neighbor_id
+        GROUP BY g.query_id
+    )
+    SELECT query_id, coalesce(h.n, 0)::INT AS n_hits,
+           coalesce(h.n, 0)::DOUBLE / 3 AS recall_at_3
+    FROM (SELECT DISTINCT query_id FROM gt) q LEFT JOIN hits h USING (query_id)
+    """
+
+
+@_register("q47_ann_recall", oracle=_q47_oracle())
+def q47_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: recall@3 of the IVF index (q29) against
+    exact brute-force ground truth — the measurement loop every production
+    ANN deployment runs before trusting an approximate index.
+
+    Scale shape: ground truth is computed ONLY for the sampled query set
+    (queries broadcast, corpus unshuffled — the q27 pattern), so the cost
+    is |Q|·n, not n²; the recall join is per-(query, neighbor) on two tiny
+    top-k tables.  Both sides round cosine to 6 decimals before ranking
+    with a deterministic neighbor-id tie-break, so Spark and DuckDB rank
+    identically."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("emb")
+    )
+    q = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")
+    )
+    dot = F.expr("aggregate(zip_with(qe, emb, (x, y) -> x * y), 0D, (a, x) -> a + x)")
+    norm = "sqrt(aggregate(transform({c}, x -> x * x), 0D, (a, x) -> a + x))"
+    sim = F.round(
+        dot / (F.expr(norm.format(c="qe")) * F.expr(norm.format(c="emb"))), 6
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    gt = (
+        F.broadcast(q)
+        .join(e, e.vec_id != q.query_id)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+    ivf = QUERIES["q29_ivf_ann"](spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        gt.join(ivf, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        gt.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n", F.lit(0)).cast("int").alias("n_hits"),
+            (F.coalesce("n", F.lit(0)).cast("double") / 3).alias("recall_at_3"),
+        )
+    )
