@@ -16,8 +16,10 @@ from ..schemas import TESTDATA_TABLES
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# columns stored as parquet TIMESTAMP(NANOS), which the vectorized Spark
-# reader rejects; read as BIGINT ns (legacy.parquet.nanosAsLong) and convert
+# columns that some generator versions store as parquet TIMESTAMP(NANOS),
+# which the vectorized Spark reader rejects; read as BIGINT ns
+# (legacy.parquet.nanosAsLong) and convert.  Newer generator versions store
+# plain TIMESTAMP(MICROS), which reads directly — detect by the bound dtype.
 _NANOS_TS_COLS = {"events": ["ts"]}
 
 
@@ -27,9 +29,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
+        dtypes = dict(df.dtypes)
         for c in ns_cols:
-            # integer division — double arithmetic would lose ns precision
-            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+            if dtypes.get(c) == "bigint":
+                # integer division — double arithmetic would lose ns precision
+                df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+            elif dtypes.get(c, "").startswith("timestamp"):
+                # already a timestamp; normalize NTZ → session-local TIMESTAMP
+                # so downstream unix_micros()/epoch arithmetic is uniform
+                df = df.withColumn(c, F.col(c).cast("timestamp"))
         return df
     return spark.read.parquet(path)
 
