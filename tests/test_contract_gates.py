@@ -116,3 +116,15 @@ def test_q31_matches_driver_side_numpy(spark):
             )
     assert got == sorted(want)
     assert len(got) > 0
+
+
+def test_ivf_recall_gate(spark):
+    """The fitted-codebook multi-probe IVF index (q29) must stay a USABLE
+    index, not just correct plumbing: recall@3 vs brute-force ground truth
+    (q47) >= 0.9 at sf0.01 — the scale the driver's correctness gate runs
+    at.  The round-3 unfitted single-probe codebook measured 0.23; a
+    codebook or probe regression trips this gate."""
+    rows = entry_mod.queries()["q47_ann_recall"](spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == 10
+    mean_recall = sum(r.recall_at_3 for r in rows) / len(rows)
+    assert mean_recall >= 0.9, f"IVF recall@3 degraded to {mean_recall:.3f}"

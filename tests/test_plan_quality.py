@@ -125,3 +125,14 @@ def test_q46_curated_corpus_broadcasts_cluster_labels(spark, plan):
     p = plan(spark, "q46_curated_corpus")
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_q29_ivf_broadcasts_probe_side_jvm_only(spark, plan):
+    """IVF ANN: the exploded (query, probe-cell) side is tiny and must
+    broadcast; candidate generation is an equi-join on cell id — never a
+    cartesian — and the whole index path stays JVM-side."""
+    p = plan(spark, "q29_ivf_ann")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin" not in p
+    assert "Python" not in p
