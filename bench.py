@@ -39,7 +39,9 @@ def main() -> None:
     qs = entry_mod.queries()
 
     # headline set: scan-heavy agg, star join, windows, interval join,
-    # pandas-UDF detector, and the synthetic DAQ chain
+    # pandas-UDF detector, the synthetic DAQ chain, and the LLM-pipeline
+    # heavyweights (LSH near-dup, CC clustering, curation capstone, IVF ANN)
+    # so a perf regression in the dedup/ANN path shows up round-over-round
     headline = [
         "q01_pricing_summary",
         "q02_revenue_by_region",
@@ -49,8 +51,25 @@ def main() -> None:
         "q08_interval_match",
         "q14_threshold_detect",
         "daq_full_chain",
+        "q25_lsh_near_dup",
+        "q42_dedup_clusters",
+        "q46_curated_corpus",
+        "q29_ivf_ann",
     ]
     headline = [h for h in headline if h in qs]
+
+    # the dedup family shares materialized intermediates (one LSH pass per
+    # session); timed once each, in pipeline order, so the numbers read as
+    # incremental stage costs: q25 = LSH pass, q42 = CC over the pair
+    # graph, q46 = decision join.  Repeats would hit the checkpoint cache
+    # and time nothing.
+    single_shot = {"q25_lsh_near_dup", "q42_dedup_clusters", "q46_curated_corpus"}
+    try:
+        from supermusr_data_pipeline_spark.plans.text_dedup import clear_shared_cache
+
+        clear_shared_cache()
+    except ImportError:  # pragma: no cover - cache layer is optional
+        pass
 
     # warm the file-system cache / JVM: touch each input table once
     from supermusr_data_pipeline_spark.schemas import TESTDATA_TABLES
@@ -70,13 +89,21 @@ def main() -> None:
         _warm_udf(F.col("id").cast("double"))
     ).count()
 
+    def time_once(name: str) -> float:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).count()
+        return time.perf_counter() - t0
+
     timings: dict[str, float] = {}
     for name in headline:
-        t0 = time.perf_counter()
-        df = qs[name](spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        del n
+        t1 = time_once(name)
+        if t1 < 1.0 and name not in single_shot:
+            # sub-second queries are I/O-jitter-bound on a shared VM: report
+            # the median of 5 so round-over-round deltas reflect the engine
+            reps = sorted([t1] + [time_once(name) for _ in range(4)])
+            timings[name] = round(reps[len(reps) // 2], 3)
+        else:
+            timings[name] = round(t1, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -25,6 +25,35 @@ from ..sources.testdata import load_table
 from .relational import ORACLES, QUERIES, _register
 
 # ---------------------------------------------------------------------------
+# shared materialized intermediates
+# ---------------------------------------------------------------------------
+# Composed queries (q42 consumes q25's pair graph; q46 consumes q42's cluster
+# labels; q47 consumes q29's index hits) must not re-run their expensive
+# inputs per invocation: at 100 TB cluster labels are a materialized artifact
+# (a Delta/Parquet table written once per corpus snapshot), not a subquery.
+# This cache is the single-session analog — the first builder call
+# localCheckpoints the result (eager, cuts lineage) and every later consumer
+# in the same session reuses it.  Keyed by (application, sf_dir, name) so
+# different datasets never alias.  `_SHARED_BUILDS` counts builder runs so a
+# test can pin "one LSH pass per session".
+
+_SHARED_CACHE: dict = {}
+_SHARED_BUILDS: dict = {}
+
+
+def _shared_checkpoint(spark: SparkSession, sf_dir: str, name: str, builder) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    if key not in _SHARED_CACHE:
+        _SHARED_BUILDS[key] = _SHARED_BUILDS.get(key, 0) + 1
+        _SHARED_CACHE[key] = builder().localCheckpoint()
+    return _SHARED_CACHE[key]
+
+
+def clear_shared_cache() -> None:
+    _SHARED_CACHE.clear()
+    _SHARED_BUILDS.clear()
+
+# ---------------------------------------------------------------------------
 # shared token / hash expressions (Spark side); SQL strings mirror them
 # ---------------------------------------------------------------------------
 
@@ -396,7 +425,16 @@ def q25_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale design: (a) the bucket join carries only doc_ids — token arrays
     re-attach after pair dedup, so shuffle rows stay ~40 bytes; (b) buckets
     larger than _LSH_BUCKET_CAP (64) are dropped (non-discriminative stop
-    buckets — the standard LSH skew guard); (c) never O(n²)."""
+    buckets — the standard LSH skew guard); (c) never O(n²).
+
+    The verified pair graph is a shared materialized intermediate: one LSH
+    pass per session, reused by q42/q46 (see ``_shared_checkpoint``)."""
+    return _shared_checkpoint(
+        spark, sf_dir, "q25_lsh_near_dup", lambda: _q25_build(spark, sf_dir)
+    )
+
+
+def _q25_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _with_token_hashes(spark, sf_dir)
     th = df.filter(F.size("th") > 0).select("doc_id", "th")
     sigs = df.filter(F.size("th") > 0).select("doc_id", *_minhash_cols_spark())
@@ -1107,7 +1145,17 @@ def q42_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoint job plus a trivial max() over the already-materialized
     partitions — not a second labels-vs-new-labels join.  The oracle
     restates it as a recursive-CTE transitive closure — feasible for DuckDB
-    at test scale, while the Spark path is the one that survives 100 TB."""
+    at test scale, while the Spark path is the one that survives 100 TB.
+
+    The label table is a shared materialized intermediate (at scale: a table
+    written once per corpus snapshot) — q46 consumes the checkpoint instead
+    of re-running the q25→CC chain (see ``_shared_checkpoint``)."""
+    return _shared_checkpoint(
+        spark, sf_dir, "q42_dedup_clusters", lambda: _q42_build(spark, sf_dir)
+    )
+
+
+def _q42_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = QUERIES["q25_lsh_near_dup"](spark, sf_dir).select("doc_a", "doc_b")
     edges = (
         pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
@@ -1465,7 +1513,11 @@ def q47_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("query_id", "neighbor_id")
     )
-    ivf = QUERIES["q29_ivf_ann"](spark, sf_dir).select("query_id", "neighbor_id")
+    # the index result is a shared materialized intermediate (at scale the
+    # IVF assignments/hits are a written artifact, not a subquery)
+    ivf = _shared_checkpoint(
+        spark, sf_dir, "q29_ivf_ann", lambda: QUERIES["q29_ivf_ann"](spark, sf_dir)
+    ).select("query_id", "neighbor_id")
     hits = (
         gt.join(ivf, ["query_id", "neighbor_id"])
         .groupBy("query_id")
