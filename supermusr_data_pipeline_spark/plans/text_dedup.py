@@ -1155,30 +1155,44 @@ def q42_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q42_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = QUERIES["q25_lsh_near_dup"](spark, sf_dir).select("doc_a", "doc_b")
-    edges = (
-        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
-        .toDF("u", "v")
-        .persist()
-    )
+def min_label_components(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
+    """Connected components by min-label propagation WITH pointer jumping.
+
+    `edges` is a symmetric (u, v) edge list; returns (node, label) where
+    label is the component's minimum node id.  Each round does (a) the
+    neighbor-min propagation join (the standard Spark CC formulation) and
+    (b) a path-halving join (label ← label's label), which collapses long
+    pointer chains geometrically — a 2^max_rounds-diameter path converges,
+    not just the shallow components plain propagation handles.  Convergence
+    is detected by a _changed flag computed inside the same select as the
+    update (labels only ever decrease), so each round is exactly one
+    localCheckpoint job plus a max() over materialized partitions."""
+    edges = edges.persist()
     labels = (
         edges.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
     )
-    for _ in range(20):
+    for _ in range(max_rounds):
         nbr_min = (
             edges.join(labels, edges.v == labels.node)
             .groupBy("u")
             .agg(F.min("label").alias("nbr_label"))
         )
+        mid = labels.join(nbr_min, labels.node == nbr_min.u, "left").select(
+            "node",
+            F.col("label").alias("old"),
+            F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("mid"),
+        )
+        # pointer jumping: follow the label's own label one hop
+        jump = mid.select(F.col("node").alias("jn"), F.col("mid").alias("jl"))
+        new_label = F.least(F.col("mid"), F.coalesce("jl", "mid"))
         new_labels = (
-            labels.join(nbr_min, labels.node == nbr_min.u, "left")
+            mid.join(jump, mid.mid == jump.jn, "left")
             .select(
                 "node",
-                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
-                (F.coalesce("nbr_label", "label") < F.col("label")).alias("_changed"),
+                new_label.alias("label"),
+                (new_label < F.col("old")).alias("_changed"),
             )
             .localCheckpoint()
         )
@@ -1186,9 +1200,19 @@ def _q42_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels.drop("_changed")
         if not changed:
             break
-    else:  # pragma: no cover - 20 rounds far exceeds near-dup diameters
-        raise RuntimeError("connected components did not converge")
+    else:  # pragma: no cover - needs diameter > ~2^max_rounds
+        raise RuntimeError(
+            f"connected components did not converge in {max_rounds} rounds "
+            f"(component diameter exceeds ~2^{max_rounds})"
+        )
     edges.unpersist()
+    return labels
+
+
+def _q42_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = QUERIES["q25_lsh_near_dup"](spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a"))).toDF("u", "v")
+    labels = min_label_components(edges)
     return labels.select(
         F.col("node").alias("doc_id"),
         F.col("label").alias("cluster_id"),
