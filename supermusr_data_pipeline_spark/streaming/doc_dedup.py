@@ -42,9 +42,16 @@ def dedup_documents_stream(
     ``docs`` must carry an event-time column ``ts_col``; ``watermark``
     bounds both late-data acceptance and dedup-state retention.  Returns
     the input rows (plus ``fingerprint``) with duplicates removed.
+
+    Eviction note: plain ``dropDuplicates(subset)`` only ages state out
+    when the event-time column is PART of the subset — keyed by fingerprint
+    alone its state grows forever despite the watermark.
+    ``dropDuplicatesWithinWatermark`` is the operator built for exactly
+    this shape: dedup on the key, evict state once the watermark passes the
+    row's event time (asserted by the bounded-state test under RocksDB).
     """
     return (
         fingerprint_documents(docs)
         .withWatermark(ts_col, watermark)
-        .dropDuplicates(["fingerprint"])
+        .dropDuplicatesWithinWatermark(["fingerprint"])
     )

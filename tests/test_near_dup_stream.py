@@ -1,0 +1,78 @@
+"""Streaming MinHash-LSH near-dup: stream pairs must match the batch
+execution of the identical recipe on the same in-window data (lockstep by
+shared expressions), including candidates that straddle micro-batches."""
+
+import time
+from datetime import datetime, timedelta
+
+from supermusr_data_pipeline_spark.streaming.near_dup_stream import (
+    near_dup_pairs_batch,
+    near_dup_pairs_stream,
+)
+
+T0 = datetime(2024, 1, 1, 12, 0, 0)
+SCHEMA = "doc_id long, text string, ingest_ts timestamp"
+
+# 16 tokens: a one-token swap is jaccard 15/17 ≈ 0.88, which these exact
+# md5-derived signatures verifiably band-collide on (deterministic hashing)
+BASE = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi"
+BASE2 = "one two three four five six seven eight nine ten eleven twelve thirteen fourteen fifteen sixteen"
+DOCS_B1 = [
+    (1, BASE, T0),
+    (2, BASE.replace("pi", "zzz15"), T0 + timedelta(seconds=1)),  # near-dup of 1
+    (3, BASE2, T0 + timedelta(seconds=2)),
+    (4, "completely different text about muon detectors", T0 + timedelta(seconds=3)),
+]
+DOCS_B2 = [
+    (5, BASE, T0 + timedelta(seconds=4)),  # exact dup of 1, near-dup of 2 (cross-batch)
+    (6, BASE2.replace("sixteen", "yard"), T0 + timedelta(seconds=5)),  # near-dup of 3
+]
+
+
+def _drain(spark, q, table, min_rows, timeout=120):
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        if spark.sql(f"SELECT * FROM {table}").count() >= min_rows:
+            break
+        time.sleep(0.3)
+    q.stop()
+
+
+def test_stream_pairs_match_batch_within_window(spark, tmp_path):
+    src = tmp_path / "docs"
+    src.mkdir()
+    spark.createDataFrame(DOCS_B1, SCHEMA).coalesce(1).write.parquet(
+        str(src / "b1"), mode="overwrite"
+    )
+    spark.createDataFrame(DOCS_B2, SCHEMA).coalesce(1).write.parquet(
+        str(src / "b2"), mode="overwrite"
+    )
+
+    batch_docs = spark.createDataFrame(DOCS_B1 + DOCS_B2, SCHEMA)
+    expected = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in near_dup_pairs_batch(batch_docs).collect()
+    }
+    # the corpus is built to contain these (exact dup 1-5; one-token swaps)
+    assert (1, 5) in expected and expected[(1, 5)] == 1.0
+    assert (1, 2) in expected and (3, 6) in expected
+    assert not any(4 in p for p in expected)
+
+    stream = spark.readStream.schema(SCHEMA).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(src / "*"))
+    q = (
+        near_dup_pairs_stream(stream, ts_col="ingest_ts", horizon="1 hour")
+        .writeStream.format("memory")
+        .queryName("t_near_dup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    _drain(spark, q, "t_near_dup", len(expected))
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in spark.sql("SELECT * FROM t_near_dup").collect()
+    }
+    assert got == expected  # stream == batch on in-window data, jaccard included

@@ -1,0 +1,141 @@
+"""State-store scale contract for the streaming operators, run under the
+RocksDB provider (the 100 TB configuration — the default HDFS-backed store
+keeps all state on the JVM heap and is the first thing to fall over):
+
+1. dedup state must NOT grow monotonically past the watermark horizon — the
+   engine has to evict fingerprints older than the horizon (this is the
+   test that catches the classic ``dropDuplicates(key-only)`` trap, whose
+   state ignores the watermark and grows forever);
+2. the RocksDB provider must actually be in effect (rocksdb custom metrics
+   in the query progress), not silently fall back to the default store.
+"""
+
+import time
+from datetime import datetime, timedelta
+
+import pytest
+
+from supermusr_data_pipeline_spark.streaming.doc_dedup import dedup_documents_stream
+from supermusr_data_pipeline_spark.streaming.state_store import (
+    configure_rocksdb,
+    rocksdb_state_conf,
+)
+
+T0 = datetime(2024, 1, 1, 12, 0, 0)
+SCHEMA = "doc_id long, text string, ingest_ts timestamp"
+
+N_BATCHES = 6
+DOCS_PER_BATCH = 10
+BATCH_SPACING_S = 60  # event time advances a minute per batch
+WATERMARK = "30 seconds"  # horizon well inside the spacing -> must evict
+
+
+@pytest.fixture
+def rocksdb_session(spark):
+    prior = {k: spark.conf.get(k, None) for k in rocksdb_state_conf()}
+    configure_rocksdb(spark)
+    yield spark
+    for k, v in prior.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
+
+
+def test_dedup_state_bounded_under_watermark(rocksdb_session, tmp_path):
+    spark = rocksdb_session
+    src = tmp_path / "docs"
+    src.mkdir()
+    total = 0
+    for b in range(N_BATCHES):
+        t = T0 + timedelta(seconds=b * BATCH_SPACING_S)
+        rows = [
+            (b * DOCS_PER_BATCH + i, f"text {b} {i}", t + timedelta(seconds=i))
+            for i in range(DOCS_PER_BATCH)
+        ]
+        total += len(rows)
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(
+            str(src / f"b{b}"), mode="overwrite"
+        )
+
+    stream = spark.readStream.schema(SCHEMA).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(src / "*"))
+    q = (
+        dedup_documents_stream(stream, ts_col="ingest_ts", watermark=WATERMARK)
+        .writeStream.format("memory")
+        .queryName("t_state_bound")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if spark.sql("SELECT * FROM t_state_bound").count() >= total:
+            break
+        time.sleep(0.3)
+    progresses = [p for p in q.recentProgress if p.get("stateOperators")]
+    q.stop()
+
+    assert spark.sql("SELECT * FROM t_state_bound").count() == total  # all unique
+
+    state_rows = [p["stateOperators"][0]["numRowsTotal"] for p in progresses]
+    final = state_rows[-1]
+    # 6 batches x 10 docs ingested; horizon covers at most ~2 batches of
+    # fingerprints.  Unevicted state would sit at `total` (60).
+    assert final < total / 2, (
+        f"dedup state did not age out: {final} rows retained of {total} "
+        f"ingested (history: {state_rows})"
+    )
+    # eviction must actually have removed rows at some point
+    assert any(p["stateOperators"][0]["numRowsRemoved"] > 0 for p in progresses)
+
+    # the RocksDB provider is really in effect, not a silent fallback
+    custom = progresses[-1]["stateOperators"][0].get("customMetrics", {})
+    assert any("rocksdb" in k.lower() for k in custom), sorted(custom)[:5]
+
+
+def test_near_dup_stream_runs_under_rocksdb(rocksdb_session, tmp_path):
+    """The chained join+dedup topology (two stateful operators) runs under
+    the RocksDB provider and produces the same pairs as the default store
+    (result checked in test_near_dup_stream; here: pairs found + rocksdb
+    metrics present)."""
+    from supermusr_data_pipeline_spark.streaming.near_dup_stream import (
+        near_dup_pairs_stream,
+    )
+
+    spark = rocksdb_session
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi"
+    docs = [
+        (1, base, T0),
+        (2, base.replace("pi", "zzz15"), T0 + timedelta(seconds=1)),
+        (3, "unrelated words entirely here", T0 + timedelta(seconds=2)),
+    ]
+    src = tmp_path / "docs"
+    src.mkdir()
+    spark.createDataFrame(docs, SCHEMA).coalesce(1).write.parquet(str(src / "b1"))
+    stream = spark.readStream.schema(SCHEMA).parquet(str(src / "*"))
+    q = (
+        near_dup_pairs_stream(stream, ts_col="ingest_ts", horizon="1 hour")
+        .writeStream.format("memory")
+        .queryName("t_ndup_rocks")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if spark.sql("SELECT * FROM t_ndup_rocks").count() >= 1:
+            break
+        time.sleep(0.3)
+    progresses = [p for p in q.recentProgress if p.get("stateOperators")]
+    q.stop()
+    rows = spark.sql("SELECT * FROM t_ndup_rocks").collect()
+    assert {(r.doc_a, r.doc_b) for r in rows} == {(1, 2)}
+    ops = progresses[-1]["stateOperators"]
+    assert len(ops) >= 2  # join + dedup both keep state
+    assert any(
+        "rocksdb" in k.lower() for op in ops for k in op.get("customMetrics", {})
+    )
