@@ -173,8 +173,18 @@ def resize_image(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
-# color type → samples per pixel (8-bit depth only)
+# color type → samples per pixel
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass (RFC 2083 §2.6)
+_ADAM7 = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
 
 
 def _png_chunk(tag: bytes, body: bytes) -> bytes:
@@ -186,20 +196,15 @@ def _png_chunk(tag: bytes, body: bytes) -> bytes:
     )
 
 
-def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
-    """HxW (gray) or HxWx3 (RGB) uint8 → PNG bytes.  ``filter_type``
-    selects the scanline filter applied to EVERY row (0..4) — exposed so
-    tests can drive each of the decoder's defilter paths with real
-    spec-conformant streams."""
-    px = np.ascontiguousarray(pixels, dtype=np.uint8)
-    gray = px.ndim == 2
-    h, w = px.shape[:2]
-    color_type = 0 if gray else 2
-    bpp = 1 if gray else 3
-    flat = px.reshape(h, w * bpp).astype(np.int16)
-    prev = np.zeros(w * bpp, dtype=np.int16)
+def _filter_scanlines(rows: np.ndarray, bpp: int, filter_type: int) -> bytes:
+    """(n, stride) uint8 byte rows → filter-type-prefixed scanline stream.
+    Filters operate on BYTES at offset ``bpp`` (RFC 2083 §6.2) — the same
+    arithmetic for 8- and 16-bit samples."""
+    n, stride = rows.shape
+    flat = rows.astype(np.int16)
+    prev = np.zeros(stride, dtype=np.int16)
     raw = bytearray()
-    for y in range(h):
+    for y in range(n):
         row = flat[y]
         left = np.concatenate([np.zeros(bpp, dtype=np.int16), row[:-bpp]])
         upleft = np.concatenate([np.zeros(bpp, dtype=np.int16), prev[:-bpp]])
@@ -218,7 +223,42 @@ def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
         raw.append(filter_type)
         raw.extend((filt & 0xFF).astype(np.uint8).tobytes())
         prev = row
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return bytes(raw)
+
+
+def encode_png(
+    pixels: np.ndarray, filter_type: int = 0, interlace: int = 0
+) -> bytes:
+    """HxW (gray) or HxWx3 (RGB) → PNG bytes.  uint8 input writes depth 8,
+    uint16 writes depth 16 (big-endian samples).  ``filter_type`` selects
+    the scanline filter applied to EVERY row (0..4); ``interlace=1`` writes
+    Adam7 (each pass filtered independently) — exposed so tests can drive
+    each decoder path with real spec-conformant streams."""
+    px = np.asarray(pixels)
+    depth = 16 if px.dtype == np.uint16 else 8
+    px = np.ascontiguousarray(px, dtype=np.uint16 if depth == 16 else np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    color_type = 0 if ch == 1 else 2
+    bpp = ch * (depth // 8)
+
+    def byte_rows(sub: np.ndarray) -> np.ndarray:
+        if depth == 16:
+            b = np.frombuffer(sub.astype(">u2").tobytes(), dtype=np.uint8)
+            return b.reshape(sub.shape[0], -1)
+        return sub.reshape(sub.shape[0], -1)
+
+    raw = bytearray()
+    if interlace == 0:
+        raw += _filter_scanlines(byte_rows(px), bpp, filter_type)
+    else:
+        for xs, ys, xst, yst in _ADAM7:
+            sub = px[ys::yst, xs::xst]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue  # empty pass contributes no scanlines
+            raw += _filter_scanlines(byte_rows(sub), bpp, filter_type)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace)
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
@@ -234,10 +274,51 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
 
 
+def _defilter(data: np.ndarray, n_rows: int, stride: int, bpp: int) -> np.ndarray:
+    """Filter-prefixed scanlines → (n_rows, stride) reconstructed bytes.
+    One image or one Adam7 pass; all five filters."""
+    if len(data) != n_rows * (stride + 1):
+        raise ValueError("PNG scanline data size mismatch")
+    raw = data.reshape(n_rows, stride + 1)
+    filters = raw[:, 0]
+    rows = raw[:, 1:].astype(np.int16)
+    out = np.zeros((n_rows, stride), dtype=np.int16)
+    prev = np.zeros(stride, dtype=np.int16)
+    for y in range(n_rows):
+        row, ft = rows[y], filters[y]
+        if ft == 0:
+            rec = row
+        elif ft == 1:  # Sub: recon = raw + left ⇒ prefix sum per byte lane
+            rec = (
+                np.cumsum(row.reshape(-1, bpp).astype(np.int64), axis=0) & 0xFF
+            ).reshape(stride).astype(np.int16)
+        elif ft == 2:  # Up
+            rec = (row + prev) & 0xFF
+        elif ft in (3, 4):  # Average / Paeth: sequential in the pixel dim
+            rec = np.zeros(stride, dtype=np.int16)
+            left = np.zeros(bpp, dtype=np.int16)
+            upleft = np.zeros(bpp, dtype=np.int16)
+            for x in range(0, stride, bpp):
+                up = prev[x : x + bpp]
+                pred = (
+                    (left + up) // 2 if ft == 3 else _paeth(left, up, upleft)
+                )
+                left = (row[x : x + bpp] + pred) & 0xFF
+                rec[x : x + bpp] = left
+                upleft = up
+        else:
+            raise ValueError(f"bad PNG scanline filter {ft}")
+        out[y] = rec
+        prev = rec
+    return out.astype(np.uint8)
+
+
 def decode_png(payload: bytes) -> np.ndarray:
-    """PNG bytes → HxWx3 uint8 (RGB).  From-spec decoder: 8-bit depth,
-    color types 0/2/3/4/6, all five scanline filters, non-interlaced
-    (Adam7 raises).  Alpha is dropped; palette is applied; gray expands."""
+    """PNG bytes → HxWx3 uint8 (RGB).  From-spec decoder: depths 8 and 16,
+    color types 0/2/3/4/6, all five scanline filters, non-interlaced AND
+    Adam7.  Alpha is dropped; palette is applied; gray expands.  16-bit
+    samples downscale by high byte (exact inverse of the canonical v*257
+    8→16 expansion)."""
     if payload[: len(_PNG_SIG)] != _PNG_SIG:
         raise ValueError("not a PNG payload")
     pos = len(_PNG_SIG)
@@ -260,47 +341,36 @@ def decode_png(payload: bytes) -> np.ndarray:
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, color_type, _comp, _filt, interlace = ihdr
-    if depth != 8 or color_type not in _PNG_CHANNELS:
+    if color_type not in _PNG_CHANNELS:
+        raise NotImplementedError(f"PNG color type {color_type}")
+    if depth not in (8, 16) or (depth == 16 and color_type == 3):
+        # sub-byte depths (1/2/4) never appear in this pipeline's payloads
         raise NotImplementedError(f"PNG depth {depth} color type {color_type}")
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG")
+    if interlace not in (0, 1):
+        raise ValueError(f"bad PNG interlace method {interlace}")
     ch = _PNG_CHANNELS[color_type]
-    stride = w * ch
-    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG scanline data size mismatch")
-    raw = raw.reshape(h, stride + 1)
-    filters = raw[:, 0]
-    rows = raw[:, 1:].astype(np.int16)
-    out = np.zeros((h, stride), dtype=np.int16)
-    prev = np.zeros(stride, dtype=np.int16)
-    for y in range(h):
-        row, ft = rows[y], filters[y]
-        if ft == 0:
-            rec = row
-        elif ft == 1:  # Sub: recon = raw + left ⇒ prefix sum per byte lane
-            rec = (
-                np.cumsum(row.reshape(w, ch).astype(np.int64), axis=0) & 0xFF
-            ).reshape(stride).astype(np.int16)
-        elif ft == 2:  # Up
-            rec = (row + prev) & 0xFF
-        elif ft in (3, 4):  # Average / Paeth: sequential in the pixel dim
-            rec = np.zeros(stride, dtype=np.int16)
-            left = np.zeros(ch, dtype=np.int16)
-            upleft = np.zeros(ch, dtype=np.int16)
-            for x in range(0, stride, ch):
-                up = prev[x : x + ch]
-                pred = (
-                    (left + up) // 2 if ft == 3 else _paeth(left, up, upleft)
-                )
-                left = (row[x : x + ch] + pred) & 0xFF
-                rec[x : x + ch] = left
-                upleft = up
-        else:
-            raise ValueError(f"bad PNG scanline filter {ft}")
-        out[y] = rec
-        prev = rec
-    px = out.astype(np.uint8).reshape(h, w, ch)
+    sample_bytes = depth // 8
+    bpp = ch * sample_bytes
+    data = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    if interlace == 0:
+        img = _defilter(data, h, w * bpp, bpp)
+    else:
+        img3 = np.zeros((h, w, bpp), dtype=np.uint8)
+        pos = 0
+        for xs, ys, xst, yst in _ADAM7:
+            pw = len(range(xs, w, xst))
+            ph = len(range(ys, h, yst))
+            if pw == 0 or ph == 0:
+                continue
+            n = ph * (pw * bpp + 1)
+            sub = _defilter(data[pos : pos + n], ph, pw * bpp, bpp)
+            pos += n
+            img3[ys::yst, xs::xst] = sub.reshape(ph, pw, bpp)
+        if pos != len(data):
+            raise ValueError("PNG Adam7 pass data size mismatch")
+        img = img3.reshape(h, w * bpp)
+    # 16-bit: take the high byte of each big-endian sample
+    px = img.reshape(h, w, ch, sample_bytes)[:, :, :, 0]
     if color_type == 2:
         return px
     if color_type == 6:

@@ -134,23 +134,62 @@ def test_png_palette_and_alpha_color_types():
     np.testing.assert_array_equal(out[0], [[10, 20, 30], [40, 50, 60]])
 
 
-def test_png_interlace_and_depth_unsupported():
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+def test_png_adam7_roundtrip_all_filters(filter_type):
+    """Adam7 interlace: 7 independently-filtered passes reassemble to the
+    exact pixels under every scanline filter; odd dimensions exercise the
+    ragged pass extents."""
+    y, x = np.mgrid[0:13, 0:7]
+    px = np.stack([(y * 20 + x) % 256, (x * 37) % 256, (y * 3 + x * 11) % 256], axis=2)
+    px = px.astype(np.uint8)
+    buf = encode_png(px, filter_type=filter_type, interlace=1)
+    np.testing.assert_array_equal(decode_png(buf), px)
+
+
+def test_png_adam7_tiny_images():
+    """Images smaller than the 8x8 pass grid leave some passes empty."""
+    for h, w in [(1, 1), (1, 5), (2, 3), (3, 2), (5, 1), (8, 8), (9, 9)]:
+        px = (np.arange(h * w * 3, dtype=np.uint32) * 17 % 256).astype(
+            np.uint8
+        ).reshape(h, w, 3)
+        buf = encode_png(px, filter_type=1, interlace=1)
+        np.testing.assert_array_equal(decode_png(buf), px)
+
+
+def test_png_16bit_roundtrip():
+    """Depth-16 samples: the high-byte downscale inverts the canonical
+    v*257 8->16 expansion exactly."""
+    y, x = np.mgrid[0:9, 0:5]
+    px8 = np.stack([(y * 31 + x) % 256, (x * 53) % 256, (y * 7 + x * 13) % 256], axis=2)
+    px8 = px8.astype(np.uint8)
+    px16 = px8.astype(np.uint16) * 257
+    buf = encode_png(px16, filter_type=4)
+    assert buf[24] == 16  # IHDR bit depth byte
+    np.testing.assert_array_equal(decode_png(buf), px8)
+
+
+def test_png_16bit_adam7_gray():
+    g8 = (np.arange(77, dtype=np.uint32) * 13 % 256).astype(np.uint8).reshape(7, 11)
+    buf = encode_png(g8.astype(np.uint16) * 257, filter_type=2, interlace=1)
+    out = decode_png(buf)
+    assert out.shape == (7, 11, 3)
+    for c in range(3):
+        np.testing.assert_array_equal(out[:, :, c], g8)
+
+
+def test_png_sub_byte_depth_still_raises():
     import struct
     import zlib
 
     from supermusr_data_pipeline_spark.operators.multimodal import _png_chunk
 
     sig = b"\x89PNG\r\n\x1a\n"
-    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 1)  # Adam7
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 4, 0, 0, 0, 0)  # 4-bit gray
     buf = sig + _png_chunk(b"IHDR", ihdr)
     buf += _png_chunk(b"IDAT", zlib.compress(b"\x00\x00")) + _png_chunk(b"IEND", b"")
-    with pytest.raises(NotImplementedError, match="Adam7"):
-        decode_png(buf)
-    ihdr16 = struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
-    buf = sig + _png_chunk(b"IHDR", ihdr16)
-    buf += _png_chunk(b"IDAT", zlib.compress(b"\x00\x00\x00")) + _png_chunk(b"IEND", b"")
     with pytest.raises(NotImplementedError, match="depth"):
         decode_png(buf)
+
 
 
 def test_feature_extraction_pipeline(spark):
