@@ -1557,3 +1557,62 @@ def q47_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce("n", F.lit(0)).cast("double") / 3).alias("recall_at_3"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q48 — IVF index health: per-cell population and centroid fit quality
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q48_ivf_cell_stats",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ), d AS (
+        SELECT vec_id, emb, {_ivf_dots_duck('emb')} AS dots FROM e
+    ), cells AS (
+        SELECT vec_id,
+               ({_PROBE_ORDER_DUCK})[1] AS cell,
+               round(dots[({_PROBE_ORDER_DUCK})[1] + 1]
+                     / sqrt(list_sum([x * x for x in emb])), 6) AS cdot
+        FROM d
+    )
+    SELECT cell,
+           count(*)::INT AS n_vectors,
+           round(avg(cdot), 4) AS mean_centroid_sim,
+           round(min(cdot), 6) AS min_centroid_sim,
+           round(max(cdot), 6) AS max_centroid_sim
+    FROM cells GROUP BY cell
+    """,
+)
+def q48_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index health: per-cell population and cosine-to-centroid fit
+    quality — what an operator monitors to detect codebook drift (cells
+    ballooning = skewed probes; falling centroid similarity = the corpus
+    has moved since the fit, time to re-run the k-means job).
+
+    Scale shape: one narrow pass computes each vector's cell and its
+    similarity to the assigned (unit-norm) centroid from the broadcast
+    codebook literals, then a single keyed aggregation on cell id — the
+    same access pattern as building the index, no extra join."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("emb")
+    )
+    d = e.withColumn("dots", F.expr(_ivf_dots_spark("emb")))
+    norm = "sqrt(aggregate(transform(emb, x -> x * x), 0D, (a, x) -> a + x))"
+    cells = d.select(
+        "vec_id",
+        F.expr(f"element_at({_PROBE_ORDER_SPARK}, 1)").alias("cell"),
+        F.round(
+            F.expr(f"element_at(dots, element_at({_PROBE_ORDER_SPARK}, 1) + 1)")
+            / F.expr(norm),
+            6,
+        ).alias("cdot"),
+    )
+    return cells.groupBy("cell").agg(
+        F.count("*").cast("int").alias("n_vectors"),
+        F.round(F.avg("cdot"), 4).alias("mean_centroid_sim"),
+        F.round(F.min("cdot"), 6).alias("min_centroid_sim"),
+        F.round(F.max("cdot"), 6).alias("max_centroid_sim"),
+    )
