@@ -139,3 +139,52 @@ def test_near_dup_stream_runs_under_rocksdb(rocksdb_session, tmp_path):
     assert any(
         "rocksdb" in k.lower() for op in ops for k in op.get("customMetrics", {})
     )
+
+
+def test_duplicate_after_horizon_reemits(rocksdb_session, tmp_path):
+    """The documented bounded-state trade, pinned: a duplicate arriving
+    after its original aged out of the watermark window is re-emitted (the
+    batch layer owns cross-window exactness in the lambda split).  If this
+    test starts failing with one row, state stopped being evicted — the
+    memory win silently vanished."""
+    spark = rocksdb_session
+    src = tmp_path / "docs"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, "same text", T0)], SCHEMA
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    # two filler batches: the first advances the watermark past the
+    # original, the second lets the end-of-batch state cleanup run under
+    # that watermark (watermarks update at batch boundaries and eviction
+    # happens after a batch's input is matched, so a dup needs to arrive
+    # two batches after the horizon passed to see evicted state)
+    spark.createDataFrame(
+        [(10, "other text", T0 + timedelta(hours=1))], SCHEMA
+    ).coalesce(1).write.parquet(str(src / "b2"))
+    spark.createDataFrame(
+        [(11, "more text", T0 + timedelta(minutes=90))], SCHEMA
+    ).coalesce(1).write.parquet(str(src / "b3"))
+    # 2h later: far past the 30s horizon; original's fingerprint is evicted
+    spark.createDataFrame(
+        [(2, "same text", T0 + timedelta(hours=2))], SCHEMA
+    ).coalesce(1).write.parquet(str(src / "b4"))
+    stream = spark.readStream.schema(SCHEMA).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(src / "*"))
+    q = (
+        dedup_documents_stream(stream, ts_col="ingest_ts", watermark=WATERMARK)
+        .writeStream.format("memory")
+        .queryName("t_reemit")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if spark.sql("SELECT * FROM t_reemit").count() >= 4:
+            break
+        time.sleep(0.3)
+    q.stop()
+    rows = spark.sql("SELECT doc_id FROM t_reemit").collect()
+    assert sorted(r.doc_id for r in rows) == [1, 2, 10, 11]
