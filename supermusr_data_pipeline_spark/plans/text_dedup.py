@@ -794,7 +794,12 @@ def q29_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells.  The codebook is a spherical k-means fit snapshotted by
     tools/fit_ivf_centroids.py — the difference between ANN machinery and an
     ANN index (q47 measures recall@3 = 1.0 at sf0.01; the round-3 unfitted
-    single-probe codebook measured 0.23).
+    single-probe codebook measured 0.23).  Honest limits: these synthetic
+    embeddings are near-uniform on the sphere (random-pair cosine ≈ 0), so
+    recall is scan-fraction-bound — the same codebook measures 0.83 on the
+    10× sf0.1 corpus at the same ~62% scan; on real clustered embeddings
+    the identical machinery prunes far harder at equal recall.  q48 reports
+    the per-cell balance/fit stats an operator watches to schedule re-fits.
 
     Scale shape: the corpus is touched once, shuffles once on cell id; the
     exploded (query, probe-cell) side is tiny (|Q| x `_N_PROBE`) and
