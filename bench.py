@@ -106,12 +106,16 @@ def main() -> None:
             timings[name] = round(t1, 3)
 
     total = round(sum(timings.values()), 3)
+    # the pre-round-4 headline set, reported separately so round-over-round
+    # comparisons aren't skewed by the queries added to the set since
+    legacy = [h for h in headline if h not in single_shot and h != "q29_ivf_ann"]
     print(
         json.dumps(
             {
                 "metric": "headline_query_wall_time",
                 "value": total,
                 "unit": "sec",
+                "legacy_headline_sec": round(sum(timings[h] for h in legacy), 3),
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -1621,3 +1621,71 @@ def q48_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("cdot"), 6).alias("min_centroid_sim"),
         F.round(F.max("cdot"), 6).alias("max_centroid_sim"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q49 — per-(source, lang) corpus report card
+# ---------------------------------------------------------------------------
+
+
+def _q49_oracle() -> str:
+    return f"""
+    WITH qf AS ({ORACLES["q40_quality_filter"]}),
+    cl AS ({_q42_oracle()}),
+    t AS (
+        SELECT doc_id, source, lang, len({_TOKENS_SQL_DUCK}) AS n_toks
+        FROM documents
+    )
+    SELECT t.source, t.lang,
+           count(*)::INT AS n_docs,
+           sum(t.n_toks)::BIGINT AS n_tokens,
+           sum(CASE WHEN qf.passes THEN 1 ELSE 0 END)::INT AS n_quality_pass,
+           round(sum(CASE WHEN qf.passes THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 4) AS quality_pass_rate,
+           sum(CASE WHEN cl.doc_id IS NOT NULL AND NOT cl.is_canonical
+                    THEN 1 ELSE 0 END)::INT AS n_dup_drops,
+           round(sum(CASE WHEN cl.doc_id IS NOT NULL AND NOT cl.is_canonical
+                          THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS dup_drop_rate
+    FROM t JOIN qf USING (doc_id) LEFT JOIN cl ON cl.doc_id = t.doc_id
+    GROUP BY t.source, t.lang
+    """
+
+
+@_register("q49_source_report", oracle=_q49_oracle())
+def q49_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-(source, lang) corpus report card a pretraining pipeline
+    prints before committing to a mix: document and token counts, the
+    Gopher-filter pass rate (q40), and the share of documents the near-dup
+    clustering would drop as non-canonical (q42) — every number an operator
+    needs to weight or exclude a source.
+
+    Scale shape: quality signals are the q40 narrow pass; cluster labels
+    come from the shared materialized intermediate (one LSH pass per
+    session) and BROADCAST into the decision join (bounded by real
+    duplication); the only exchange is the final tiny (source, lang)
+    aggregation with map-side combine."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.expr(_TOKENS_EXPR_SPARK)
+    qf = QUERIES["q40_quality_filter"](spark, sf_dir).select("doc_id", "passes")
+    labels = QUERIES["q42_dedup_clusters"](spark, sf_dir)
+    dup_drop = F.col("cluster_id").isNotNull() & ~F.coalesce(
+        "is_canonical", F.lit(True)
+    )
+    joined = (
+        docs.select("doc_id", "source", "lang", F.size(toks).alias("n_toks"))
+        .join(qf, "doc_id")
+        .join(F.broadcast(labels.select("doc_id", "cluster_id", "is_canonical")),
+              "doc_id", "left")
+    )
+    return joined.groupBy("source", "lang").agg(
+        F.count("*").cast("int").alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("n_tokens"),
+        F.sum(F.col("passes").cast("int")).cast("int").alias("n_quality_pass"),
+        F.round(
+            F.sum(F.col("passes").cast("int")).cast("double") / F.count("*"), 4
+        ).alias("quality_pass_rate"),
+        F.sum(dup_drop.cast("int")).cast("int").alias("n_dup_drops"),
+        F.round(
+            F.sum(dup_drop.cast("int")).cast("double") / F.count("*"), 4
+        ).alias("dup_drop_rate"),
+    )

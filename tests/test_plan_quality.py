@@ -136,3 +136,12 @@ def test_q29_ivf_broadcasts_probe_side_jvm_only(spark, plan):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "SortMergeJoin" not in p
     assert "Python" not in p
+
+
+def test_q49_source_report_broadcasts_labels(spark, plan):
+    """Report card: cluster labels broadcast into the decision join; the
+    corpus side aggregates with no cartesian and no Python."""
+    p = plan(spark, "q49_source_report")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "Python" not in p
