@@ -76,3 +76,55 @@ def test_stream_pairs_match_batch_within_window(spark, tmp_path):
         for r in spark.sql("SELECT * FROM t_near_dup").collect()
     }
     assert got == expected  # stream == batch on in-window data, jaccard included
+
+
+def test_near_dup_survives_restart(spark, tmp_path):
+    """Join + dedup state recover from the checkpoint: a near-dup pair whose
+    two sides arrive on opposite sides of a query restart is still found,
+    and pairs already emitted are not re-emitted.  (File sink — the memory
+    sink does not support checkpoint recovery.)"""
+    src = tmp_path / "docs"
+    out = str(tmp_path / "out")
+    src.mkdir()
+    spark.createDataFrame(DOCS_B1, SCHEMA).coalesce(1).write.parquet(str(src / "b1"))
+
+    def start():
+        stream = spark.readStream.schema(SCHEMA).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(str(src / "*"))
+        return (
+            near_dup_pairs_stream(stream, ts_col="ingest_ts", horizon="1 hour")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+
+    def sink_pairs():
+        try:
+            return {
+                (r.doc_a, r.doc_b) for r in spark.read.parquet(out).collect()
+            }
+        except Exception:
+            return set()
+
+    def drain(q, min_pairs):
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if len(sink_pairs()) >= min_pairs:
+                break
+            time.sleep(0.3)
+        q.stop()
+
+    q = start()
+    drain(q, 1)  # (1, 2) from within b1
+    assert sink_pairs() == {(1, 2)}
+
+    # b2 lands while the query is DOWN; restart must resume from join state
+    spark.createDataFrame(DOCS_B2, SCHEMA).coalesce(1).write.parquet(str(src / "b2"))
+    q = start()
+    drain(q, 4)
+    # cross-restart pairs found; (1, 2) not re-emitted (exactly-once sink)
+    assert sink_pairs() == {(1, 2), (1, 5), (2, 5), (3, 6)}
