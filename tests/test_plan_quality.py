@@ -145,3 +145,12 @@ def test_q49_source_report_broadcasts_labels(spark, plan):
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "Python" not in p
+
+
+def test_q48_cell_stats_single_exchange_jvm_only(spark, plan):
+    """Index health: one narrow pass + one keyed aggregation — the partial/
+    final agg exchange is the only shuffle, nothing leaves the JVM."""
+    p = plan(spark, "q48_ivf_cell_stats")
+    # one Exchange node (formatted explain names each node twice)
+    assert p.count("Exchange") <= 2
+    assert "Python" not in p
