@@ -1689,3 +1689,58 @@ def q49_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dup_drop.cast("int")).cast("double") / F.count("*"), 4
         ).alias("dup_drop_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q50 — deterministic train/val/test split assignment
+# ---------------------------------------------------------------------------
+
+# split thresholds over a 1000-bucket hash space: [0,800) train,
+# [800,900) val, [900,1000) test
+_SPLIT_DENOM = 1000
+_SPLIT_TRAIN = 800
+_SPLIT_VAL = 900
+_SPLIT_SALT = "split:v1:"  # version the salt to rotate assignments on purpose
+
+
+@_register(
+    "q50_split_assign",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5('{_SPLIT_SALT}' || doc_id::VARCHAR), 1, 8))
+                   ::UBIGINT::BIGINT % {_SPLIT_DENOM} AS bucket
+        FROM documents
+    )
+    SELECT doc_id, lang, CAST(bucket AS INT) AS bucket,
+           CASE WHEN bucket < {_SPLIT_TRAIN} THEN 'train'
+                WHEN bucket < {_SPLIT_VAL} THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+)
+def q50_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split assignment: a salted md5 hash of
+    the document id lands each doc in one of 1000 buckets, carved 80/10/10.
+    The property a pretraining pipeline needs — and `rand()` lacks — is
+    stability: the same doc gets the same split under task retries,
+    repartitioning, corpus regrowth, or recomputation months later, and
+    rotating the salt re-splits on purpose.  Membership is a pure function
+    of the row, so val/test never leak into train across runs.
+
+    Scale shape: narrow, shuffle-free, no rand() (non-reproducible under
+    retry); the same hash-gate pattern as q45's stratified sampling."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(
+        f"cast(conv(substr(md5(concat('{_SPLIT_SALT}', cast(doc_id as string))),"
+        f" 1, 8), 16, 10) as bigint) % {_SPLIT_DENOM}"
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        bucket.cast("int").alias("bucket"),
+        F.when(F.col("bucket") < _SPLIT_TRAIN, "train")
+        .when(F.col("bucket") < _SPLIT_VAL, "val")
+        .otherwise("test")
+        .alias("split"),
+    )

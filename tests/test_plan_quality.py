@@ -154,3 +154,11 @@ def test_q48_cell_stats_single_exchange_jvm_only(spark, plan):
     # one Exchange node (formatted explain names each node twice)
     assert p.count("Exchange") <= 2
     assert "Python" not in p
+
+
+def test_q50_split_assign_shuffle_free(spark, plan):
+    """Split assignment is a pure narrow map: no exchange, no rand()."""
+    p = plan(spark, "q50_split_assign")
+    assert "Exchange" not in p
+    assert "rand" not in p
+    assert "Python" not in p
