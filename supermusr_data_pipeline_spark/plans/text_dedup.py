@@ -1744,3 +1744,145 @@ def q50_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q51 — IVF-SQ8 ANN: quantized-code search with exact re-ranking
+# ---------------------------------------------------------------------------
+
+_SQ8_SHORTLIST = 6  # approx-phase candidates re-ranked exactly (2x final k)
+
+
+def _q51_oracle() -> str:
+    mns = ", ".join(f"CAST(min(embedding[{i}]) AS DOUBLE)" for i in range(1, _SQ_DIM + 1))
+    mxs = ", ".join(f"CAST(max(embedding[{i}]) AS DOUBLE)" for i in range(1, _SQ_DIM + 1))
+    cos = (
+        "round(list_sum(list_transform(generate_series(1, 64), i -> {a}[i] * {b}[i]))"
+        " / (sqrt(list_sum(list_transform({a}, x -> x * x)))"
+        " * sqrt(list_sum(list_transform({b}, x -> x * x)))), 6)"
+    )
+    return f"""
+    WITH b AS (
+        SELECT list_value({mns}) AS mns, list_value({mxs}) AS mxs FROM embeddings
+    ), e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ), d AS (
+        SELECT vec_id, emb, {_ivf_dots_duck('emb')} AS dots FROM e
+    ), cells AS (
+        SELECT c.vec_id, c.emb, ({_PROBE_ORDER_DUCK})[1] AS cell,
+               list_transform(generate_series(1, {_SQ_DIM}), i ->
+                   CASE WHEN b.mxs[i] > b.mns[i]
+                        THEN b.mns[i]
+                             + round((c.emb[i] - b.mns[i])
+                                     / ((b.mxs[i] - b.mns[i]) / 255.0))
+                               * ((b.mxs[i] - b.mns[i]) / 255.0)
+                        ELSE b.mns[i] END) AS dq
+        FROM d c CROSS JOIN b
+    ), q AS (
+        SELECT vec_id AS query_id, emb AS qe,
+               ({_PROBE_ORDER_DUCK})[1:{_N_PROBE}] AS probe
+        FROM d WHERE vec_id % 50 = 0
+    ), qp AS (
+        SELECT query_id, qe, unnest(probe) AS pcell FROM q
+    ), approx AS (
+        SELECT qp.query_id, qp.qe, c.vec_id AS neighbor_id, c.emb AS cemb,
+               {cos.format(a='qp.qe', b='c.dq')} AS approx_sim
+        FROM qp JOIN cells c ON c.cell = qp.pcell AND c.vec_id <> qp.query_id
+    ), shortlist AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY approx_sim DESC, neighbor_id) AS arank
+            FROM approx
+        ) WHERE arank <= {_SQ8_SHORTLIST}
+    )
+    SELECT query_id, neighbor_id, approx_sim, sim, rank FROM (
+        SELECT query_id, neighbor_id, approx_sim,
+               {cos.format(a='qe', b='cemb')} AS sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY {cos.format(a='qe', b='cemb')} DESC,
+                                           neighbor_id) AS rank
+        FROM shortlist
+    ) WHERE rank <= 3
+    """
+
+
+@_register("q51_ivf_sq8_ann", oracle=_q51_oracle())
+def q51_ivf_sq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-SQ8 ANN — the memory-bound production configuration: candidates
+    in the probed cells are scored against DEQUANTIZED 8-bit codes (q41's
+    scalar quantizer: 64 B/vector instead of 512 B, so cell scans stay in
+    memory at 100 TB), the approx top-`_SQ8_SHORTLIST` shortlist is then
+    re-ranked with exact cosine, and the final top-3 carries both scores so
+    the quantization loss is observable per result.  Queries stay full
+    precision (the standard asymmetric-distance setup).
+
+    Scale shape: bounds are one broadcast single-row aggregate (q41), the
+    codebook is broadcast literals (q29), dequantize/score is per-row JVM
+    array math, and the only joins are the broadcast probe join and the
+    tiny shortlist re-rank.  At 100 TB only codes + cell ids live in the
+    scan path; full vectors are fetched for the shortlist alone."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("emb")
+    )
+    bounds = e.agg(
+        F.array(
+            *[F.min(F.element_at("emb", i)).cast("double") for i in range(1, _SQ_DIM + 1)]
+        ).alias("mns"),
+        F.array(
+            *[F.max(F.element_at("emb", i)).cast("double") for i in range(1, _SQ_DIM + 1)]
+        ).alias("mxs"),
+    )
+    d = e.withColumn("dots", F.expr(_ivf_dots_spark("emb")))
+    dq = F.expr(
+        f"""transform(sequence(1, {_SQ_DIM}), i ->
+            CASE WHEN mxs[i-1] > mns[i-1]
+                 THEN mns[i-1]
+                      + round((emb[i-1] - mns[i-1])
+                              / ((mxs[i-1] - mns[i-1]) / 255.0D))
+                        * ((mxs[i-1] - mns[i-1]) / 255.0D)
+                 ELSE mns[i-1] END)"""
+    )
+    cells = (
+        d.crossJoin(F.broadcast(bounds))
+        .select(
+            "vec_id",
+            "emb",
+            F.expr(f"element_at({_PROBE_ORDER_SPARK}, 1)").alias("cell"),
+            dq.alias("dq"),
+        )
+    )
+    q = d.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qe"),
+        F.expr(f"slice({_PROBE_ORDER_SPARK}, 1, {_N_PROBE})").alias("probe"),
+    )
+    qp = q.select("query_id", "qe", F.explode("probe").alias("pcell"))
+    cos = (
+        "round(aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (s, x) -> s + x)"
+        " / (sqrt(aggregate(transform({a}, x -> x * x), 0D, (s, x) -> s + x))"
+        " * sqrt(aggregate(transform({b}, x -> x * x), 0D, (s, x) -> s + x))), 6)"
+    )
+    approx = (
+        F.broadcast(qp)
+        .join(cells, (cells.cell == qp.pcell) & (cells.vec_id != qp.query_id))
+        .select(
+            "query_id",
+            "qe",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("emb").alias("cemb"),
+            F.expr(cos.format(a="qe", b="dq")).alias("approx_sim"),
+        )
+    )
+    wa = Window.partitionBy("query_id").orderBy(F.desc("approx_sim"), "neighbor_id")
+    shortlist = (
+        approx.withColumn("arank", F.row_number().over(wa))
+        .filter(F.col("arank") <= _SQ8_SHORTLIST)
+        .drop("arank")
+    )
+    exact = shortlist.withColumn("sim", F.expr(cos.format(a="qe", b="cemb")))
+    wr = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        exact.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "approx_sim", "sim", "rank")
+    )

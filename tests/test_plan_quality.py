@@ -162,3 +162,13 @@ def test_q50_split_assign_shuffle_free(spark, plan):
     assert "Exchange" not in p
     assert "rand" not in p
     assert "Python" not in p
+
+
+def test_q51_ivf_sq8_broadcasts_no_cartesian_jvm_only(spark, plan):
+    """IVF-SQ8: bounds and probe side broadcast, candidate generation is an
+    equi-join on cell id, everything JVM-side."""
+    p = plan(spark, "q51_ivf_sq8_ann")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+    assert "Python" not in p
