@@ -51,7 +51,7 @@ def test_stream_pairs_match_batch_within_window(spark, tmp_path):
     batch_docs = spark.createDataFrame(DOCS_B1 + DOCS_B2, SCHEMA)
     expected = {
         (r.doc_a, r.doc_b): r.jaccard
-        for r in near_dup_pairs_batch(batch_docs).collect()
+        for r in near_dup_pairs_batch(batch_docs, horizon="1 hour").collect()
     }
     # the corpus is built to contain these (exact dup 1-5; one-token swaps)
     assert (1, 5) in expected and expected[(1, 5)] == 1.0
@@ -128,3 +128,54 @@ def test_near_dup_survives_restart(spark, tmp_path):
     drain(q, 4)
     # cross-restart pairs found; (1, 2) not re-emitted (exactly-once sink)
     assert sink_pairs() == {(1, 2), (1, 5), (2, 5), (3, 6)}
+
+
+def test_degenerate_hot_bucket_is_capped(spark, tmp_path):
+    """The stop-bucket guard: 200 identical docs land in ONE band bucket
+    (all four, in fact) inside one horizon.  Uncapped, that is 19 900
+    verified pairs and quadratic join state; with the cap only the first
+    ``cap`` arrivals participate, so pair output is C(cap, 2) from the
+    lowest band and state stays at cap rows per bucket.  The batch oracle
+    applies the identical admission rule, so stream == batch even here."""
+    cap = 8
+    n_hot = 200
+    hot = [
+        (100 + i, BASE, T0 + timedelta(seconds=i)) for i in range(n_hot)
+    ]
+    normal = [
+        (1, BASE2, T0),
+        (2, BASE2.replace("sixteen", "yard"), T0 + timedelta(seconds=1)),
+    ]
+    docs = hot + normal
+    src = tmp_path / "docs"
+    src.mkdir()
+    spark.createDataFrame(docs, SCHEMA).coalesce(1).write.parquet(str(src / "b1"))
+
+    expected = {
+        (r.doc_a, r.doc_b)
+        for r in near_dup_pairs_batch(
+            spark.createDataFrame(docs, SCHEMA), horizon="1 hour", bucket_cap=cap
+        ).collect()
+    }
+    hot_expected = {p for p in expected if p[0] >= 100}
+    assert len(hot_expected) == cap * (cap - 1) // 2  # 28, not 19 900
+    # only the cap earliest arrivals are in any pair
+    assert max(d for p in hot_expected for d in p) == 100 + cap - 1
+    assert (1, 2) in expected  # sub-cap buckets unaffected
+
+    stream = spark.readStream.schema(SCHEMA).parquet(str(src / "*"))
+    q = (
+        near_dup_pairs_stream(stream, ts_col="ingest_ts", horizon="1 hour", bucket_cap=cap)
+        .writeStream.format("memory")
+        .queryName("t_hot_bucket")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    _drain(spark, q, "t_hot_bucket", len(expected))
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in spark.sql("SELECT * FROM t_hot_bucket").collect()
+    }
+    assert got == expected

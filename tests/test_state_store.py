@@ -97,10 +97,10 @@ def test_dedup_state_bounded_under_watermark(rocksdb_session, tmp_path):
 
 
 def test_near_dup_stream_runs_under_rocksdb(rocksdb_session, tmp_path):
-    """The chained join+dedup topology (two stateful operators) runs under
-    the RocksDB provider and produces the same pairs as the default store
-    (result checked in test_near_dup_stream; here: pairs found + rocksdb
-    metrics present)."""
+    """The single stateful pair-emitter (capped per-bucket state) runs
+    under the RocksDB provider and produces the same pairs as the default
+    store (result checked in test_near_dup_stream; here: pairs found +
+    rocksdb metrics present)."""
     from supermusr_data_pipeline_spark.streaming.near_dup_stream import (
         near_dup_pairs_stream,
     )
@@ -135,7 +135,9 @@ def test_near_dup_stream_runs_under_rocksdb(rocksdb_session, tmp_path):
     rows = spark.sql("SELECT * FROM t_ndup_rocks").collect()
     assert {(r.doc_a, r.doc_b) for r in rows} == {(1, 2)}
     ops = progresses[-1]["stateOperators"]
-    assert len(ops) >= 2  # join + dedup both keep state
+    # ONE stateful operator by design: the pair emitter needs no downstream
+    # dedup state (lowest-colliding-band ownership dedups by construction)
+    assert [op["operatorName"] for op in ops] == ["applyInPandasWithState"]
     assert any(
         "rocksdb" in k.lower() for op in ops for k in op.get("customMetrics", {})
     )
