@@ -709,8 +709,9 @@ _N_PROBE = 5
 # embedding table, snapshotted by tools/fit_ivf_centroids.py so the Spark
 # plan and the DuckDB oracle share byte-identical literals (the _MINHASH_A/_B
 # pattern).  At real scale the identical fit runs as a Spark job over a
-# deterministic sample and the codebook is broadcast; the snapshot stands in
-# for that artifact.  Multi-probe top-5 of 8 cells measured
+# deterministic sample — plans/ivf_fit.fit_ivf_centroids_spark, pinned
+# byte-for-byte against this snapshot by tests/test_ivf_fit_spark.py — and
+# the codebook is broadcast.  Multi-probe top-5 of 8 cells measured
 # recall@3 = 1.0 by q47 at sf0.01 (vs 0.23 for the round-3 single-probe
 # random codebook).
 _CENTROIDS = [
@@ -805,8 +806,9 @@ def q29_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded (query, probe-cell) side is tiny (|Q| x `_N_PROBE`) and
     BROADCAST, so candidate work per query is the probed cells only.  At
     100 TB the cell id becomes the table's physical partitioning so probes
-    prune files, and the codebook fit is a sampled k-means Spark job whose
-    output is this literal table."""
+    prune files, and the codebook fit is the sampled k-means Spark job in
+    ``plans/ivf_fit.py`` (reproduces this literal table byte-for-byte at
+    sf0.01 — tests/test_ivf_fit_spark.py)."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("emb")
     )
