@@ -15,6 +15,7 @@ LSH-bucketed variant as the scale path.
 
 from __future__ import annotations
 
+import os
 import random
 
 from pyspark.sql import DataFrame, SparkSession
@@ -725,6 +726,60 @@ _CENTROIDS = [
     [0.029941, 0.080413, 0.023028, -0.132450, 0.129141, 0.205262, -0.129647, -0.151815, -0.080094, -0.163253, 0.082008, -0.241264, 0.016225, 0.048273, 0.017459, 0.223865, -0.004427, 0.219086, 0.149587, 0.055952, 0.036858, -0.312898, -0.022442, -0.092348, -0.064335, -0.314904, -0.003223, 0.104952, 0.184124, 0.085182, 0.123772, -0.033719, 0.074883, -0.099524, -0.006792, -0.044133, 0.059409, 0.037662, -0.037596, -0.030389, 0.066122, -0.064105, 0.224589, 0.135730, -0.023031, 0.003790, 0.010341, -0.005527, 0.230669, -0.002724, 0.008423, -0.091070, -0.027625, -0.005759, 0.185517, -0.100658, -0.088332, 0.060392, -0.080458, 0.178900, 0.068341, -0.052723, 0.217341, 0.238246],
 ]
 
+# Per-corpus codebooks: an IVF codebook is an artifact OF a corpus — at
+# production scale each dataset gets its own fit (q48 monitors drift to
+# schedule re-fits).  The sf0.01 snapshot above (K=8, probe 5) is the one
+# the DuckDB oracles share, since the driver's correctness gate runs at
+# sf0.01.  The sf0.1 corpus (2 000 near-uniform synthetic vectors) needs
+# finer partitioning to hold recall at the same ~62% scan fraction, so its
+# snapshot is K=24 / probe 15 — measured recall@3 = 0.925 at sf0.1 (vs
+# 0.83 when the sf0.01 codebook is reused there), CI-gated >= 0.9 at BOTH
+# scales by tests/test_contract_gates.py.  Both snapshots come from the
+# SAME deterministic fit: tools/fit_ivf_centroids.py and the distributed
+# plans/ivf_fit.fit_ivf_centroids_spark agree byte-for-byte
+# (tests/test_ivf_fit_spark.py).  Honest limit, restated: these synthetic
+# embeddings are near-uniform on the sphere, so recall is scan-fraction-
+# bound — ~62% scan is what 0.9+ recall costs HERE; real clustered
+# embeddings prune far harder at equal recall.
+_CENTROIDS_SF0_1 = [
+    [-0.022576, 0.101992, 0.044157, -0.124455, -0.046750, 0.290796, 0.199149, 0.078406, 0.070713, 0.087876, 0.072197, 0.084275, 0.084922, -0.030464, 0.238855, -0.158252, -0.198754, 0.153389, 0.076347, -0.166689, -0.050346, 0.155475, 0.090776, 0.009614, 0.141967, -0.014615, 0.188489, -0.178716, 0.109786, -0.097267, -0.228440, 0.027404, 0.074584, 0.025647, -0.033823, 0.113182, -0.061572, 0.060343, -0.075826, -0.196994, 0.046872, -0.092001, 0.161344, -0.130391, -0.117021, -0.046095, -0.134647, 0.029154, 0.116367, -0.151076, 0.174527, 0.096540, -0.032398, 0.141443, 0.038444, 0.242889, 0.202108, 0.021537, 0.173712, -0.008720, -0.050439, -0.120323, 0.020381, 0.150066],
+    [0.028231, -0.014533, -0.154780, -0.117494, 0.235335, -0.192190, 0.012468, 0.014723, 0.037024, 0.194838, 0.047627, -0.040362, 0.028238, 0.004379, -0.093935, -0.043447, 0.187535, 0.011248, 0.093556, -0.116619, -0.260175, -0.001434, 0.242962, -0.113118, -0.337742, -0.061829, 0.044299, 0.135049, -0.041661, -0.006081, -0.014358, -0.260693, 0.024553, 0.018466, -0.108731, -0.238330, -0.150238, -0.228969, -0.087443, -0.083633, 0.098790, 0.156808, 0.100606, -0.056206, -0.036264, -0.053275, 0.010670, -0.106043, -0.099643, -0.073604, 0.057060, -0.047827, -0.189846, 0.030598, -0.236963, -0.111993, 0.078793, 0.029342, 0.160943, -0.071986, -0.007261, -0.006500, 0.058894, -0.133988],
+    [0.093990, -0.137960, -0.246690, 0.207802, -0.031255, -0.096558, 0.011883, -0.095560, 0.137412, 0.022422, -0.039549, -0.190027, -0.037359, 0.022202, 0.077152, 0.284547, 0.055344, 0.095382, 0.036877, -0.177107, 0.300586, 0.021215, 0.160031, 0.170309, -0.063405, 0.002910, -0.041227, 0.112381, -0.210419, 0.024443, 0.154865, -0.018459, -0.005482, -0.040716, 0.217205, -0.042408, 0.033495, -0.059663, 0.126344, -0.119858, 0.054720, -0.122314, 0.017042, -0.008766, 0.155484, 0.072740, 0.109329, -0.051172, 0.007836, 0.060280, -0.124059, 0.281238, 0.236972, 0.051562, -0.071310, 0.135017, 0.139283, -0.170825, 0.082098, 0.015383, 0.038870, 0.137102, -0.137252, -0.041803],
+    [-0.040203, 0.058207, -0.094581, 0.189650, -0.052678, -0.238378, 0.027594, 0.015637, 0.246987, -0.032149, -0.083656, 0.143632, 0.029674, -0.002128, -0.036082, -0.139213, 0.117379, -0.024651, -0.240766, 0.036870, 0.068223, -0.243348, -0.207900, -0.086983, 0.230581, -0.050554, 0.038040, -0.003595, 0.036986, 0.088518, 0.029789, -0.020799, 0.145880, 0.168550, -0.058286, -0.052476, -0.135834, 0.036039, -0.204646, 0.045278, 0.020634, -0.259854, 0.171692, 0.034170, -0.043045, 0.007625, 0.190577, 0.157402, -0.002499, -0.023506, -0.060375, 0.024664, 0.193484, -0.140510, -0.195841, -0.097560, -0.108429, 0.265740, -0.080942, -0.067503, -0.006365, -0.165811, 0.093035, 0.038836],
+    [0.004805, 0.058439, -0.028744, 0.009440, 0.025504, -0.196536, 0.082631, 0.078452, -0.111572, -0.057863, 0.095131, 0.051387, -0.197428, 0.004014, -0.072256, 0.301012, 0.158597, 0.255071, 0.047253, 0.038376, -0.180804, 0.064617, -0.078415, -0.063839, 0.015327, 0.064278, -0.084497, -0.178461, 0.098659, 0.071677, -0.230184, 0.077018, -0.066514, -0.011661, -0.163339, -0.118910, -0.045757, 0.111435, -0.125215, 0.076235, 0.088813, 0.069268, -0.156299, -0.017287, 0.180954, -0.111495, 0.061836, 0.150970, 0.055642, -0.002111, -0.185497, 0.016988, -0.048581, -0.183309, 0.032686, 0.125296, -0.022449, 0.058637, -0.176909, 0.053001, 0.073448, 0.335767, 0.154720, 0.248376],
+    [0.023912, -0.193277, -0.049110, 0.097786, 0.051561, 0.141521, 0.125010, 0.197152, 0.160872, -0.135887, -0.134128, 0.277198, -0.069655, 0.062759, 0.062803, 0.018663, -0.088528, -0.015380, -0.150630, -0.044365, -0.312172, 0.087517, 0.113810, 0.105612, 0.198034, 0.113186, -0.084051, -0.036485, -0.057355, -0.070069, -0.003938, 0.027676, -0.075845, 0.114063, -0.063967, -0.042038, 0.018479, 0.038128, 0.190442, 0.129240, -0.206428, 0.174538, -0.105204, 0.022720, 0.219959, 0.039454, 0.076065, -0.118874, -0.027245, -0.022129, 0.048311, -0.150595, -0.217392, 0.064061, -0.052525, -0.091465, -0.295614, 0.014345, 0.203561, 0.152499, -0.032912, -0.085434, 0.003683, -0.077368],
+    [0.032564, 0.171878, 0.031800, -0.122811, -0.151039, 0.067229, 0.157276, 0.177957, -0.193472, 0.120495, 0.006196, 0.104056, -0.069568, 0.033612, -0.289827, -0.108373, -0.125740, -0.298915, 0.073136, 0.126628, 0.119239, 0.040719, 0.098880, 0.039783, -0.113537, -0.010656, -0.111580, -0.180157, -0.322316, -0.056900, 0.102129, 0.002467, 0.090669, 0.063904, -0.225420, -0.058635, 0.128774, -0.127365, -0.061474, -0.130097, -0.137220, -0.013981, 0.179865, 0.034488, 0.112339, -0.009343, 0.108587, 0.078343, 0.136674, -0.063774, 0.074520, -0.008230, 0.148183, -0.110151, -0.008852, 0.015790, 0.173925, 0.056194, 0.002219, 0.020509, 0.064674, -0.253853, 0.048694, -0.070007],
+    [0.049669, -0.045534, 0.196515, -0.150805, 0.214925, -0.010139, -0.052191, 0.134464, 0.087760, 0.042141, -0.056979, 0.019217, -0.022631, -0.135888, -0.095452, 0.335417, -0.143953, -0.096245, -0.113923, 0.179962, 0.155142, -0.139628, 0.135907, 0.140183, -0.004268, -0.107295, 0.040406, -0.197115, 0.160892, 0.018402, -0.067363, -0.183586, -0.097069, -0.113424, 0.066918, 0.058050, 0.063815, 0.071511, 0.041196, -0.168768, -0.047282, 0.036177, -0.105624, 0.037921, -0.047947, 0.003981, 0.089641, -0.139546, 0.020593, -0.028186, -0.084714, 0.088379, -0.204215, 0.067634, 0.297276, 0.103284, -0.224074, 0.017992, -0.060214, -0.118537, 0.012195, -0.271603, -0.098863, 0.104419],
+    [0.024883, -0.020250, -0.240307, -0.078295, 0.170740, -0.052355, -0.354108, 0.003829, 0.197636, 0.160063, -0.034047, -0.020147, 0.126437, 0.012089, 0.113225, -0.065206, 0.120883, -0.160467, 0.142311, 0.142572, 0.002323, 0.083336, 0.000177, -0.028089, 0.044053, -0.065034, 0.262715, 0.095152, -0.088474, -0.193772, 0.059129, 0.200602, -0.056222, -0.035484, -0.081017, -0.159418, 0.050394, -0.019801, 0.141700, -0.061007, 0.050460, -0.061626, -0.146749, 0.116811, -0.010921, -0.045018, -0.121201, -0.089395, 0.079903, 0.033480, 0.239533, 0.048338, -0.019703, -0.065713, -0.086193, -0.027636, -0.055156, 0.069579, 0.030256, -0.046431, 0.124494, 0.171532, 0.168957, 0.349694],
+    [-0.027742, -0.107945, 0.204450, 0.065254, -0.122823, 0.033393, 0.097551, 0.067687, -0.083208, -0.026003, 0.157236, 0.002495, 0.084015, 0.087133, -0.200431, 0.194577, -0.031081, -0.011068, 0.027661, -0.115671, -0.199243, -0.024804, -0.277359, -0.017635, -0.102347, -0.013018, -0.094088, 0.080546, 0.086365, 0.253992, -0.044980, 0.037111, 0.139956, 0.214627, 0.232479, -0.117811, 0.045979, -0.032868, 0.015283, 0.143401, -0.002799, -0.090623, 0.123958, 0.064502, 0.027823, 0.050894, -0.246379, 0.001668, 0.099665, 0.178315, 0.045302, 0.275827, -0.109994, 0.043099, 0.015160, -0.058518, -0.065282, 0.050248, 0.111798, -0.088486, 0.269752, 0.104120, -0.110214, -0.205765],
+    [0.172073, 0.239219, 0.022919, -0.056555, 0.048531, -0.075640, 0.001010, -0.116280, 0.088191, -0.138050, -0.210425, 0.047784, -0.105511, 0.081002, 0.042867, 0.000326, 0.002199, -0.105180, -0.154815, 0.027095, 0.123155, -0.240888, -0.246837, -0.111194, -0.101730, 0.130229, -0.177691, 0.008996, -0.081627, 0.018542, -0.215071, 0.150953, -0.110958, 0.008763, 0.006630, 0.219428, 0.041723, -0.171305, 0.117671, -0.197966, -0.136718, 0.114811, 0.114678, 0.007706, -0.142604, -0.037389, -0.055908, -0.143412, -0.076216, -0.175292, -0.106393, -0.181485, -0.036510, -0.147160, 0.165020, -0.000008, 0.121521, -0.110402, 0.007104, -0.209141, -0.073762, 0.069167, 0.063569, -0.162491],
+    [-0.041352, 0.047491, 0.039270, 0.004541, 0.040326, 0.151165, 0.286089, -0.130560, -0.004562, -0.301502, -0.156112, 0.115613, 0.085013, -0.072262, -0.141087, 0.008211, 0.050556, -0.053319, 0.019613, 0.089266, -0.098789, -0.141212, 0.093533, -0.122554, 0.052375, -0.006217, 0.187330, 0.007094, -0.159211, -0.008775, 0.082315, 0.073234, 0.191750, -0.047747, -0.005684, -0.223550, -0.014883, 0.102439, -0.104549, -0.027926, 0.046488, -0.181447, 0.052473, -0.079371, -0.192905, -0.169933, -0.173653, -0.003767, -0.079990, -0.287877, 0.056777, -0.014976, -0.188795, 0.085861, -0.227046, -0.062934, -0.058868, -0.009741, -0.096750, 0.111023, -0.040433, 0.297633, 0.067372, -0.064654],
+    [0.058850, -0.032261, 0.028626, -0.147410, -0.169888, 0.019171, 0.059374, 0.176330, -0.047005, -0.012928, -0.049398, -0.033801, -0.263020, -0.183841, 0.032175, -0.094482, -0.055825, -0.065737, 0.208794, -0.189850, -0.160909, 0.156494, -0.161538, 0.059921, 0.088776, -0.409631, 0.230735, 0.042744, 0.139834, 0.087458, 0.056724, -0.002657, -0.004753, 0.065393, 0.203346, -0.074555, 0.025802, -0.017539, 0.144700, 0.100756, 0.065903, -0.004683, 0.002058, 0.131285, 0.045634, -0.033301, 0.145905, -0.019902, 0.156241, -0.091735, -0.021894, 0.004067, 0.059212, -0.087422, 0.062319, -0.076844, 0.164044, 0.014747, 0.053561, 0.025637, -0.339494, -0.044757, -0.060600, -0.162144],
+    [0.231022, 0.099911, 0.009598, 0.109955, -0.116738, -0.130751, -0.105808, -0.006155, 0.203566, 0.199197, -0.144662, -0.112602, -0.231539, -0.024143, -0.084435, -0.254032, -0.027689, 0.103559, 0.152889, -0.039352, -0.076550, -0.085041, -0.056780, 0.127380, -0.033287, 0.248165, -0.190057, 0.004763, -0.096582, 0.098089, -0.161732, -0.054337, 0.204308, 0.011840, 0.176578, 0.036022, 0.012896, 0.212147, -0.036609, 0.039466, 0.012331, 0.128679, 0.161019, 0.204671, -0.114617, -0.128052, 0.039125, -0.036173, -0.194252, 0.077249, 0.071310, 0.026871, -0.009656, -0.001915, 0.196291, 0.022197, 0.004365, -0.072022, -0.115383, -0.102402, -0.156607, -0.085273, -0.020788, 0.192041],
+    [0.018550, -0.094124, 0.119389, 0.053677, -0.132612, 0.068733, -0.016293, 0.162533, -0.287504, -0.032211, -0.113615, 0.073280, 0.074999, 0.064192, -0.028515, -0.169674, 0.094606, 0.153041, 0.093046, 0.047285, -0.059544, -0.105787, -0.026156, 0.100553, 0.296288, 0.157869, 0.064929, -0.027050, -0.007172, 0.102418, 0.094909, -0.022458, -0.162191, 0.090074, -0.014480, -0.018926, 0.106453, -0.186222, 0.008352, -0.197852, -0.061389, 0.122968, -0.060871, 0.184701, -0.208984, 0.029779, -0.303823, -0.030277, -0.013290, 0.081378, -0.252866, 0.007117, 0.045227, -0.116285, 0.150041, -0.145978, -0.086540, -0.013036, 0.019108, 0.091546, -0.049498, -0.134116, 0.295069, 0.089684],
+    [-0.172254, 0.048789, -0.014615, 0.000666, -0.214362, -0.029399, -0.251792, -0.201647, -0.180207, -0.098028, 0.020788, 0.034831, -0.123844, 0.119461, 0.040135, -0.003401, -0.076507, 0.028114, 0.070677, 0.205249, -0.107393, -0.040820, 0.104664, -0.043572, -0.035959, -0.083955, -0.035020, 0.018489, 0.236857, -0.091381, 0.094521, 0.105348, -0.189489, 0.083000, -0.008027, 0.038658, -0.146367, 0.156339, 0.201268, -0.298211, -0.061111, -0.122550, -0.084972, -0.189203, 0.096067, 0.096862, 0.025640, 0.143154, -0.133915, 0.188538, 0.296471, 0.018692, -0.026668, -0.029047, -0.085588, 0.088946, -0.034594, 0.128520, 0.068266, -0.027955, -0.219761, -0.095959, 0.066789, 0.053469],
+    [-0.166664, -0.102297, -0.046932, -0.125111, 0.218918, 0.023257, 0.030710, -0.128684, 0.010601, 0.069874, 0.275978, 0.236510, -0.112894, 0.132145, 0.112618, -0.040972, -0.122948, -0.112128, -0.056066, -0.013912, 0.049684, 0.132833, 0.116748, -0.038279, 0.045311, -0.081527, 0.066643, 0.094920, -0.083938, -0.125886, 0.176212, 0.144779, 0.265527, 0.173528, -0.002711, 0.226355, 0.039246, 0.066154, 0.034959, 0.278402, -0.127095, -0.097302, -0.021313, -0.045299, 0.203618, 0.019962, -0.011822, -0.133190, -0.214159, 0.129612, -0.042772, 0.059558, 0.121510, -0.015640, 0.209607, 0.008470, 0.230875, -0.009728, 0.001158, -0.097134, -0.027356, 0.049306, -0.046363, 0.115715],
+    [-0.016034, 0.028386, 0.043498, -0.000519, -0.030765, 0.053409, -0.072032, 0.080009, -0.186822, -0.025687, 0.151732, -0.203097, -0.219430, -0.086000, 0.161053, -0.019918, -0.066656, 0.109568, -0.150483, 0.197404, 0.086166, 0.149933, -0.010942, -0.074630, -0.238246, 0.068784, 0.015298, -0.003595, 0.099775, 0.093882, -0.011351, 0.124405, -0.068884, -0.102118, 0.106268, 0.011560, -0.219051, -0.111497, -0.138769, 0.220397, -0.111614, -0.114360, -0.121422, 0.116155, -0.229208, -0.112160, 0.048326, -0.261035, 0.234804, -0.011230, 0.145267, -0.052801, 0.030125, -0.013119, -0.154774, -0.239662, -0.109374, -0.085049, -0.005228, 0.074975, 0.170412, -0.006505, -0.170333, -0.037447],
+    [-0.226223, -0.049642, 0.031065, -0.021834, -0.101380, -0.205455, -0.138915, 0.010156, 0.048516, -0.014120, 0.036167, -0.092879, -0.028892, -0.135647, 0.001253, -0.102978, 0.148396, -0.142351, 0.047932, 0.064466, 0.170409, -0.018638, 0.206452, -0.255755, 0.123296, 0.063449, -0.173702, -0.029417, 0.132121, 0.083172, -0.015501, 0.183333, -0.047129, -0.216602, -0.133163, 0.107465, 0.057109, -0.099370, -0.102798, 0.179456, 0.154863, -0.031624, -0.125851, -0.185203, 0.254378, 0.180669, -0.043070, 0.104175, 0.160479, 0.113526, -0.068672, -0.207529, -0.044946, 0.124224, -0.025344, -0.066633, -0.011455, -0.144556, 0.226295, -0.077000, -0.008074, -0.024738, -0.166135, 0.033766],
+    [0.064598, 0.079490, 0.025040, 0.162794, -0.054636, 0.050404, 0.145580, -0.062842, -0.084887, -0.201280, 0.048621, 0.139903, 0.022064, 0.088375, -0.311664, 0.050745, -0.035701, 0.095357, -0.024870, -0.049045, 0.001779, 0.041430, 0.027752, -0.139626, 0.104650, 0.028326, 0.117040, 0.148589, 0.130510, -0.207973, -0.116214, -0.113815, 0.022141, -0.135798, -0.108467, 0.101677, 0.256015, -0.022907, -0.052935, -0.056957, 0.050310, -0.068948, -0.055829, 0.276449, -0.126912, -0.045865, 0.118998, -0.095191, 0.237637, 0.238178, -0.259311, -0.079391, -0.072024, 0.005583, -0.045802, 0.032225, -0.046902, -0.218113, 0.022625, -0.017952, 0.116982, -0.070687, -0.280358, -0.000328],
+    [0.021653, 0.001953, 0.136403, -0.108364, 0.173516, 0.075767, 0.061724, -0.057401, 0.075607, -0.030080, 0.135968, 0.165646, -0.039133, 0.295884, 0.107743, 0.056201, 0.051919, -0.195363, -0.076254, -0.009184, 0.166020, 0.005436, 0.048188, 0.040292, -0.032852, 0.062580, 0.191306, -0.000171, -0.218197, 0.002491, -0.064807, -0.013866, -0.027458, -0.068549, 0.179648, 0.020090, -0.207926, 0.003885, 0.157330, 0.049038, 0.205250, 0.119915, 0.184455, -0.250635, 0.093733, 0.016173, 0.133754, -0.023213, 0.205376, 0.036118, -0.000157, -0.297136, 0.097972, 0.100496, -0.029914, -0.015319, -0.088863, 0.088537, -0.291825, -0.070575, -0.161259, -0.027030, 0.108929, -0.107196],
+    [-0.222297, 0.105280, -0.019428, -0.077720, -0.169224, 0.131244, 0.078642, 0.041797, -0.036674, 0.130859, -0.011894, -0.094721, 0.089822, 0.132271, 0.045587, 0.013183, -0.032924, -0.162335, 0.042687, 0.141118, -0.006249, -0.153705, 0.136057, 0.042983, -0.122833, 0.104059, -0.180059, -0.144256, 0.036082, -0.079170, -0.015377, -0.364352, 0.029896, -0.032509, 0.054911, 0.178804, -0.130487, -0.064410, -0.109190, 0.208534, 0.087827, 0.081417, -0.208717, 0.154808, 0.093666, -0.097615, -0.034370, 0.205750, -0.264049, -0.121846, 0.000710, -0.019517, -0.169032, -0.069665, -0.179956, -0.014679, 0.216034, -0.019204, 0.175711, 0.104672, 0.073426, 0.003260, 0.084235, -0.037913],
+    [0.099253, -0.018805, -0.003998, 0.028187, 0.069757, 0.023642, -0.027250, -0.146634, -0.049446, 0.021747, -0.100915, -0.010484, 0.333283, 0.019880, -0.055329, -0.037244, -0.183890, 0.149056, 0.023541, 0.143726, 0.101522, 0.014714, -0.101835, -0.002243, -0.142022, -0.083631, -0.113581, 0.143411, -0.016204, 0.134754, 0.087640, 0.084252, -0.234549, -0.277378, 0.222347, 0.096819, 0.340331, 0.120518, -0.049106, 0.051283, -0.017026, 0.061977, -0.200525, 0.003322, -0.043647, 0.109312, 0.193301, 0.187785, 0.140474, -0.108853, -0.078378, -0.059094, 0.114958, 0.028052, 0.003774, 0.055135, -0.079573, 0.147943, 0.025045, 0.107005, -0.065134, 0.171366, 0.058843, -0.218120],
+    [0.081233, -0.051626, -0.073735, -0.050235, 0.120590, 0.171487, -0.094043, -0.252511, 0.116003, 0.066803, 0.102812, -0.130995, 0.009094, -0.132313, 0.142338, -0.282571, 0.053708, 0.094482, -0.057617, -0.137248, 0.057701, 0.070046, -0.272110, -0.005235, 0.046241, -0.143321, -0.004867, -0.040479, -0.020050, -0.243592, -0.033001, -0.008085, -0.224849, 0.062638, -0.195657, 0.003945, 0.160011, -0.092665, 0.100264, -0.007956, -0.060012, -0.055558, 0.134985, -0.134596, -0.108051, 0.038607, -0.051649, 0.053210, -0.243644, 0.071241, -0.067759, -0.043969, 0.090971, -0.041437, 0.134410, -0.173267, -0.010909, 0.189439, -0.242955, -0.017007, 0.208753, -0.008587, -0.083367, -0.166203],
+]
+_N_PROBE_SF0_1 = 15
+
+_CODEBOOKS = {"sf0.1": (_CENTROIDS_SF0_1, _N_PROBE_SF0_1)}
+
+
+def _codebook(sf_dir: str) -> tuple:
+    """(centroids, n_probe) for the corpus at ``sf_dir`` — the snapshot
+    fit ON that corpus, defaulting to the sf0.01 codebook the oracles
+    share."""
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return _CODEBOOKS.get(base, (_CENTROIDS, _N_PROBE))
+
+
 
 def _ivf_dots_duck(col: str) -> str:
     """List of dot products of `col` against every centroid (DuckDB)."""
@@ -735,9 +790,9 @@ def _ivf_dots_duck(col: str) -> str:
     return "[" + ",\n            ".join(per) + "]"
 
 
-def _ivf_dots_spark(col: str) -> str:
+def _ivf_dots_spark(col: str, centroids=None) -> str:
     per = []
-    for c in _CENTROIDS:
+    for c in (_CENTROIDS if centroids is None else centroids):
         lst = "array(" + ", ".join(f"{x}D" for x in c) + ")"
         per.append(
             f"aggregate(zip_with({col}, {lst}, (x, y) -> x * y), 0D, (a, x) -> a + x)"
@@ -751,10 +806,13 @@ _PROBE_ORDER_DUCK = (
     "[s.j for s in list_sort("
     f"[{{'nd': -dots[j + 1], 'j': j}} for j in range(0, {_N_CELLS})])]"
 )
-_PROBE_ORDER_SPARK = (
-    f"transform(array_sort(zip_with(dots, sequence(0, {_N_CELLS - 1}), "
-    "(d, j) -> named_struct('nd', -d, 'j', j))), s -> s.j)"
-)
+
+
+def _probe_order_spark(n_cells: int = _N_CELLS) -> str:
+    return (
+        f"transform(array_sort(zip_with(dots, sequence(0, {n_cells - 1}), "
+        "(d, j) -> named_struct('nd', -d, 'j', j))), s -> s.j)"
+    )
 
 
 @_register(
@@ -795,11 +853,13 @@ def q29_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells.  The codebook is a spherical k-means fit snapshotted by
     tools/fit_ivf_centroids.py — the difference between ANN machinery and an
     ANN index (q47 measures recall@3 = 1.0 at sf0.01; the round-3 unfitted
-    single-probe codebook measured 0.23).  Honest limits: these synthetic
-    embeddings are near-uniform on the sphere (random-pair cosine ≈ 0), so
-    recall is scan-fraction-bound — the same codebook measures 0.83 on the
-    10× sf0.1 corpus at the same ~62% scan; on real clustered embeddings
-    the identical machinery prunes far harder at equal recall.  q48 reports
+    single-probe codebook measured 0.23).  The codebook is per-corpus
+    (``_codebook``): sf0.1 uses its own K=24 / probe-15 snapshot, holding
+    recall@3 = 0.925 at the same ~62% scan fraction (the sf0.01 codebook
+    reused there measured 0.83); both scales are CI-gated >= 0.9.  Honest
+    limits: these synthetic embeddings are near-uniform on the sphere
+    (random-pair cosine ≈ 0), so recall is scan-fraction-bound here; real
+    clustered embeddings prune far harder at equal recall.  q48 reports
     the per-cell balance/fit stats an operator watches to schedule re-fits.
 
     Scale shape: the corpus is touched once, shuffles once on cell id; the
@@ -809,17 +869,19 @@ def q29_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     prune files, and the codebook fit is the sampled k-means Spark job in
     ``plans/ivf_fit.py`` (reproduces this literal table byte-for-byte at
     sf0.01 — tests/test_ivf_fit_spark.py)."""
+    cents, n_probe = _codebook(sf_dir)
+    po = _probe_order_spark(len(cents))
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("emb")
     )
-    d = e.withColumn("dots", F.expr(_ivf_dots_spark("emb")))
+    d = e.withColumn("dots", F.expr(_ivf_dots_spark("emb", cents)))
     cells = d.select(
-        "vec_id", "emb", F.expr(f"element_at({_PROBE_ORDER_SPARK}, 1)").alias("cell")
+        "vec_id", "emb", F.expr(f"element_at({po}, 1)").alias("cell")
     )
     q = d.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("qe"),
-        F.expr(f"slice({_PROBE_ORDER_SPARK}, 1, {_N_PROBE})").alias("probe"),
+        F.expr(f"slice({po}, 1, {n_probe})").alias("probe"),
     )
     qp = q.select("query_id", "qe", F.explode("probe").alias("pcell"))
     dot = F.expr("aggregate(zip_with(qe, emb, (x, y) -> x * y), 0D, (a, x) -> a + x)")
@@ -1603,16 +1665,18 @@ def q48_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity to the assigned (unit-norm) centroid from the broadcast
     codebook literals, then a single keyed aggregation on cell id — the
     same access pattern as building the index, no extra join."""
+    cents, _ = _codebook(sf_dir)
+    po = _probe_order_spark(len(cents))
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("emb")
     )
-    d = e.withColumn("dots", F.expr(_ivf_dots_spark("emb")))
+    d = e.withColumn("dots", F.expr(_ivf_dots_spark("emb", cents)))
     norm = "sqrt(aggregate(transform(emb, x -> x * x), 0D, (a, x) -> a + x))"
     cells = d.select(
         "vec_id",
-        F.expr(f"element_at({_PROBE_ORDER_SPARK}, 1)").alias("cell"),
+        F.expr(f"element_at({po}, 1)").alias("cell"),
         F.round(
-            F.expr(f"element_at(dots, element_at({_PROBE_ORDER_SPARK}, 1) + 1)")
+            F.expr(f"element_at(dots, element_at({po}, 1) + 1)")
             / F.expr(norm),
             6,
         ).alias("cdot"),
@@ -1834,7 +1898,9 @@ def q51_ivf_sq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[F.max(F.element_at("emb", i)).cast("double") for i in range(1, _SQ_DIM + 1)]
         ).alias("mxs"),
     )
-    d = e.withColumn("dots", F.expr(_ivf_dots_spark("emb")))
+    cents, n_probe = _codebook(sf_dir)
+    po = _probe_order_spark(len(cents))
+    d = e.withColumn("dots", F.expr(_ivf_dots_spark("emb", cents)))
     dq = F.expr(
         f"""transform(sequence(1, {_SQ_DIM}), i ->
             CASE WHEN mxs[i-1] > mns[i-1]
@@ -1849,14 +1915,14 @@ def q51_ivf_sq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "emb",
-            F.expr(f"element_at({_PROBE_ORDER_SPARK}, 1)").alias("cell"),
+            F.expr(f"element_at({po}, 1)").alias("cell"),
             dq.alias("dq"),
         )
     )
     q = d.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("qe"),
-        F.expr(f"slice({_PROBE_ORDER_SPARK}, 1, {_N_PROBE})").alias("probe"),
+        F.expr(f"slice({po}, 1, {n_probe})").alias("probe"),
     )
     qp = q.select("query_id", "qe", F.explode("probe").alias("pcell"))
     cos = (

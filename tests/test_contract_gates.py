@@ -128,3 +128,24 @@ def test_ivf_recall_gate(spark):
     assert len(rows) == 10
     mean_recall = sum(r.recall_at_3 for r in rows) / len(rows)
     assert mean_recall >= 0.9, f"IVF recall@3 degraded to {mean_recall:.3f}"
+
+
+def test_ivf_recall_gate_sf0_1(spark):
+    """The same gate at the 10x corpus, against ITS codebook (the per-
+    corpus K=24 / probe-15 snapshot): recall@3 >= 0.9 at sf0.1.  The
+    sf0.01 codebook reused here measured 0.83 — per-corpus re-fit is what
+    closes the gap, at the same ~62% scan fraction (these near-uniform
+    synthetic embeddings make recall scan-fraction-bound; the trade is
+    documented at the codebook registry in plans/text_dedup.py)."""
+    from supermusr_data_pipeline_spark.plans.text_dedup import clear_shared_cache
+
+    clear_shared_cache()
+    try:
+        rows = entry_mod.queries()["q47_ann_recall"](
+            spark, "/root/testdata/sf0.1"
+        ).collect()
+        assert len(rows) == 40
+        mean_recall = sum(r.recall_at_3 for r in rows) / len(rows)
+        assert mean_recall >= 0.9, f"sf0.1 IVF recall@3 at {mean_recall:.3f}"
+    finally:
+        clear_shared_cache()

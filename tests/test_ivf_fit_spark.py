@@ -20,6 +20,17 @@ def test_spark_fit_reproduces_snapshot(spark):
     np.testing.assert_array_equal(got, want)
 
 
+def test_spark_fit_reproduces_sf0_1_snapshot(spark):
+    """The per-corpus sf0.1 codebook (K=24) is likewise a Spark-fit
+    artifact — same provenance pin as the sf0.01 snapshot."""
+    from supermusr_data_pipeline_spark.plans.text_dedup import _CENTROIDS_SF0_1
+
+    got = fit_ivf_centroids_spark(spark, "/root/testdata/sf0.1", k=24)
+    want = np.array(_CENTROIDS_SF0_1, dtype=np.float64)
+    assert got.shape == want.shape
+    np.testing.assert_array_equal(got, want)
+
+
 def test_spark_fit_releases_checkpoint(spark):
     """The normalized matrix is materialized once per fit and released on
     exit — a fit must not leak persisted RDDs (the min_label_components

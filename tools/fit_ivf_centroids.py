@@ -31,7 +31,7 @@ SEED = 7
 ITERS = 40
 
 
-def fit(path: str) -> np.ndarray:
+def fit(path: str, k: int = K) -> np.ndarray:
     con = duckdb.connect()
     rows = con.execute(
         f"SELECT vec_id, embedding FROM '{path}' ORDER BY vec_id"
@@ -40,12 +40,12 @@ def fit(path: str) -> np.ndarray:
     x /= np.linalg.norm(x, axis=1)[:, None]
 
     rng = np.random.default_rng(SEED)
-    centroids = x[rng.choice(len(x), K, replace=False)].copy()
+    centroids = x[rng.choice(len(x), k, replace=False)].copy()
     centroids /= np.linalg.norm(centroids, axis=1)[:, None]
     for _ in range(ITERS):
         assign = (x @ centroids.T).argmax(1)
         new = centroids.copy()
-        for j in range(K):
+        for j in range(k):
             members = x[assign == j]
             if len(members):
                 v = members.mean(0)
@@ -68,6 +68,11 @@ def _print_literals(centroids: np.ndarray) -> None:
 
 def main() -> None:
     args = sys.argv[1:]
+    k = K
+    if "--k" in args:
+        i = args.index("--k")
+        k = int(args[i + 1])
+        del args[i : i + 2]
     if args and args[0] == "--spark":
         sf_dir = args[1] if len(args) > 1 else "/root/testdata/sf0.01"
         import os
@@ -84,11 +89,11 @@ def main() -> None:
             .config("spark.ui.enabled", "false")
             .getOrCreate()
         )
-        _print_literals(fit_ivf_centroids_spark(spark, sf_dir))
+        _print_literals(fit_ivf_centroids_spark(spark, sf_dir, k=k))
         spark.stop()
         return
     path = args[0] if args else "/root/testdata/sf0.01/embeddings.parquet"
-    _print_literals(fit(path))
+    _print_literals(fit(path, k=k))
 
 
 if __name__ == "__main__":
