@@ -55,15 +55,26 @@ def main() -> None:
         "q42_dedup_clusters",
         "q46_curated_corpus",
         "q29_ivf_ann",
+        "q47_ann_recall",
+        "q51_ivf_sq8_ann",
     ]
     headline = [h for h in headline if h in qs]
 
     # the dedup family shares materialized intermediates (one LSH pass per
     # session); timed once each, in pipeline order, so the numbers read as
     # incremental stage costs: q25 = LSH pass, q42 = CC over the pair
-    # graph, q46 = decision join.  Repeats would hit the checkpoint cache
+    # graph, q46 = decision join, q29 = IVF build + probe, q47 = recall
+    # evaluation over q29's checkpoint, q51 = the SQ8 approx+re-rank
+    # production configuration.  Repeats would hit the checkpoint cache
     # and time nothing.
-    single_shot = {"q25_lsh_near_dup", "q42_dedup_clusters", "q46_curated_corpus"}
+    single_shot = {
+        "q25_lsh_near_dup",
+        "q42_dedup_clusters",
+        "q46_curated_corpus",
+        "q29_ivf_ann",
+        "q47_ann_recall",
+        "q51_ivf_sq8_ann",
+    }
     try:
         from supermusr_data_pipeline_spark.plans.text_dedup import clear_shared_cache
 
