@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import os
 import random
+import threading
+from collections import OrderedDict
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -37,22 +39,100 @@ from .relational import ORACLES, QUERIES, _register
 # in the same session reuses it.  Keyed by (application, sf_dir, name) so
 # different datasets never alias.  `_SHARED_BUILDS` counts builder runs so a
 # test can pin "one LSH pass per session".
+#
+# Hygiene (a long-lived multi-tenant session must not accumulate checkpoints
+# indefinitely):
+#   * every entry records the persistent-RDD ids its checkpoint created, so
+#     eviction releases executor storage EXPLICITLY rather than waiting for
+#     JVM GC + ContextCleaner to notice the dropped reference;
+#   * the cache is LRU-bounded at `_SHARED_CACHE_MAX` entries — an evicted
+#     entry's next consumer simply rebuilds (and `_SHARED_BUILDS` counts it);
+#   * entries from stopped sessions (applicationId no longer active) are
+#     pruned on insert — their blocks died with the executors anyway;
+#   * an RLock makes check-then-insert atomic (no double-build from
+#     concurrent callers) and re-entrant, because composed builders recurse:
+#     q42's builder consumes q25 through this same function.  Builds of
+#     different keys serialize behind the lock; that is the price of the
+#     one-pass invariant and is irrelevant at scale, where these artifacts
+#     are written once per corpus snapshot by a single pipeline run.
 
-_SHARED_CACHE: dict = {}
+_SHARED_CACHE: "OrderedDict" = OrderedDict()  # key -> (DataFrame, frozenset[int])
 _SHARED_BUILDS: dict = {}
+_SHARED_CACHE_MAX = 16
+_SHARED_LOCK = threading.RLock()
+
+
+def _persistent_rdd_ids(sc) -> set:
+    """Ids of RDDs the JVM currently tracks as persisted (incl. local
+    checkpoints, which are persisted MEMORY_AND_DISK behind the scenes)."""
+    return {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+
+def _unpersist_rdd_ids(sc, ids) -> None:
+    """Explicitly release the given persistent RDDs (non-blocking).
+
+    Only ids produced by OUR eager localCheckpoint jobs are ever passed in
+    (captured as a before/after diff around the build under `_SHARED_LOCK`),
+    so this never touches caches owned by user code."""
+    if not ids:
+        return
+    jmap = sc._jsc.getPersistentRDDs()
+    it = jmap.entrySet().iterator()
+    while it.hasNext():
+        entry = it.next()
+        if int(entry.getKey()) in ids:
+            entry.getValue().unpersist(False)
 
 
 def _shared_checkpoint(spark: SparkSession, sf_dir: str, name: str, builder) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir, name)
-    if key not in _SHARED_CACHE:
+    sc = spark.sparkContext
+    key = (sc.applicationId, sf_dir, name)
+    with _SHARED_LOCK:
+        hit = _SHARED_CACHE.get(key)
+        if hit is not None:
+            _SHARED_CACHE.move_to_end(key)
+            return hit[0]
+        for stale in [k for k in _SHARED_CACHE if k[0] != key[0]]:
+            del _SHARED_CACHE[stale]  # stopped session: blocks already gone
+        before = _persistent_rdd_ids(sc)
+        built = builder()  # may recursively insert its own inputs (q42→q25)
+        mid = _persistent_rdd_ids(sc)
+        df = built.localCheckpoint()
+        after = _persistent_rdd_ids(sc)
+        # Checkpoints the builder materialized internally (e.g. the CC label
+        # rounds inside q42) are dead weight once the outer checkpoint holds
+        # the data — release them now, EXCEPT ids owned by cache entries the
+        # recursion just inserted (q25's shared pair graph must survive).
+        owned = set().union(*(e[1] for e in _SHARED_CACHE.values())) if _SHARED_CACHE else set()
+        _unpersist_rdd_ids(sc, (mid - before) - owned)
         _SHARED_BUILDS[key] = _SHARED_BUILDS.get(key, 0) + 1
-        _SHARED_CACHE[key] = builder().localCheckpoint()
-    return _SHARED_CACHE[key]
+        _SHARED_CACHE[key] = (df, frozenset(after - mid))
+        while len(_SHARED_CACHE) > _SHARED_CACHE_MAX:
+            _, (_old_df, old_ids) = _SHARED_CACHE.popitem(last=False)
+            _unpersist_rdd_ids(sc, old_ids)
+        return df
 
 
 def clear_shared_cache() -> None:
-    _SHARED_CACHE.clear()
-    _SHARED_BUILDS.clear()
+    """Drop every cached intermediate, explicitly unpersisting checkpoints
+    that belong to the still-active SparkContext (stopped sessions' blocks
+    are already gone)."""
+    from pyspark import SparkContext
+
+    with _SHARED_LOCK:
+        sc = SparkContext._active_spark_context
+        if sc is not None:
+            try:
+                app_id = sc.applicationId
+                ids: set = set()
+                for k, (_df, eids) in _SHARED_CACHE.items():
+                    if k[0] == app_id:
+                        ids |= set(eids)
+                _unpersist_rdd_ids(sc, ids)
+            except Exception:  # context raced to stop — nothing to release
+                pass
+        _SHARED_CACHE.clear()
+        _SHARED_BUILDS.clear()
 
 # ---------------------------------------------------------------------------
 # shared token / hash expressions (Spark side); SQL strings mirror them
@@ -1224,6 +1304,10 @@ def q42_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# rounds taken by the most recent min_label_components run (CI convergence pin)
+LAST_CC_ROUNDS: int | None = None
+
+
 def min_label_components(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
     """Connected components by min-label propagation WITH pointer jumping.
 
@@ -1235,46 +1319,70 @@ def min_label_components(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
     not just the shallow components plain propagation handles.  Convergence
     is detected by a _changed flag computed inside the same select as the
     update (labels only ever decrease), so each round is exactly one
-    localCheckpoint job plus a max() over materialized partitions."""
+    localCheckpoint job plus a max() over materialized partitions.
+
+    Memory hygiene: each round's localCheckpoint supersedes the previous
+    round's — once the new one is materialized (localCheckpoint is eager)
+    nothing can reference the old blocks again, so they are unpersisted
+    immediately instead of accumulating one label-table copy per round.
+    `edges` is released in a finally so the non-convergence raise doesn't
+    leak it.  The round count is recorded in ``LAST_CC_ROUNDS`` so CI can
+    pin "near-dup components converge in a handful of rounds" and catch a
+    pair-graph blowup before a cluster bill does."""
+    global LAST_CC_ROUNDS
+    sc = edges.sparkSession.sparkContext
     edges = edges.persist()
     labels = (
         edges.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
     )
-    for _ in range(max_rounds):
-        nbr_min = (
-            edges.join(labels, edges.v == labels.node)
-            .groupBy("u")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        mid = labels.join(nbr_min, labels.node == nbr_min.u, "left").select(
-            "node",
-            F.col("label").alias("old"),
-            F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("mid"),
-        )
-        # pointer jumping: follow the label's own label one hop
-        jump = mid.select(F.col("node").alias("jn"), F.col("mid").alias("jl"))
-        new_label = F.least(F.col("mid"), F.coalesce("jl", "mid"))
-        new_labels = (
-            mid.join(jump, mid.mid == jump.jn, "left")
-            .select(
-                "node",
-                new_label.alias("label"),
-                (new_label < F.col("old")).alias("_changed"),
+    prev_ckpt_ids: set = set()
+    rounds = 0
+    try:
+        for _ in range(max_rounds):
+            rounds += 1
+            nbr_min = (
+                edges.join(labels, edges.v == labels.node)
+                .groupBy("u")
+                .agg(F.min("label").alias("nbr_label"))
             )
-            .localCheckpoint()
-        )
-        changed = new_labels.agg(F.max("_changed")).first()[0]
-        labels = new_labels.drop("_changed")
-        if not changed:
-            break
-    else:  # pragma: no cover - needs diameter > ~2^max_rounds
-        raise RuntimeError(
-            f"connected components did not converge in {max_rounds} rounds "
-            f"(component diameter exceeds ~2^{max_rounds})"
-        )
-    edges.unpersist()
+            mid = labels.join(nbr_min, labels.node == nbr_min.u, "left").select(
+                "node",
+                F.col("label").alias("old"),
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("mid"),
+            )
+            # pointer jumping: follow the label's own label one hop
+            jump = mid.select(F.col("node").alias("jn"), F.col("mid").alias("jl"))
+            new_label = F.least(F.col("mid"), F.coalesce("jl", "mid"))
+            before = _persistent_rdd_ids(sc)
+            new_labels = (
+                mid.join(jump, mid.mid == jump.jn, "left")
+                .select(
+                    "node",
+                    new_label.alias("label"),
+                    (new_label < F.col("old")).alias("_changed"),
+                )
+                .localCheckpoint()
+            )
+            new_ids = _persistent_rdd_ids(sc) - before
+            changed = new_labels.agg(F.max("_changed")).first()[0]
+            _unpersist_rdd_ids(sc, prev_ckpt_ids)
+            prev_ckpt_ids = new_ids
+            labels = new_labels.drop("_changed")
+            if not changed:
+                break
+        else:
+            raise RuntimeError(
+                f"connected components did not converge in {max_rounds} rounds "
+                f"(component diameter exceeds ~2^{max_rounds})"
+            )
+    except BaseException:
+        _unpersist_rdd_ids(sc, prev_ckpt_ids)  # nobody will consume it now
+        raise
+    finally:
+        edges.unpersist()
+        LAST_CC_ROUNDS = rounds
     return labels
 
 
