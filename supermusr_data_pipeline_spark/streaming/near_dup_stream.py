@@ -255,7 +255,7 @@ def near_dup_pairs_stream(
 def near_dup_pairs_batch(
     docs: DataFrame,
     ts_col: str = "ingest_ts",
-    horizon: str = "10 minutes",
+    horizon: str | None = "10 minutes",
     bucket_cap: int = _LSH_BUCKET_CAP,
 ) -> DataFrame:
     """The equivalent transformation on a static frame — the parity oracle
@@ -263,7 +263,11 @@ def near_dup_pairs_batch(
     the cap with the SAME deterministic admission rule (first ``cap`` rows
     per bucket by (event time, doc_id) — a window-rank truncation here,
     arrival-order truncation there), so stream == batch holds on any tape
-    whose rows fall within one horizon, including degenerate hot buckets."""
+    whose rows fall within one horizon, including degenerate hot buckets.
+
+    ``horizon=None`` removes the time bound entirely: pairs anywhere on the
+    tape, the full-corpus q25 recipe — this is the authoritative pass the
+    lambda backfill (``near_dup_reconcile``) runs over the day's tape."""
     from pyspark.sql import Window
 
     banded = banded_signatures(docs, ts_col)
@@ -274,14 +278,18 @@ def near_dup_pairs_batch(
     a = capped.alias("a")
     b = capped.alias("b")
     ats, bts = F.col(f"a.{ts_col}"), F.col(f"b.{ts_col}")
-    joined = a.join(
-        b,
+    cond = (
         (F.col("a.band_no") == F.col("b.band_no"))
         & (F.col("a.key") == F.col("b.key"))
         & (F.col("a.doc_id") < F.col("b.doc_id"))
-        & (bts >= ats - F.expr(f"INTERVAL {horizon}"))
-        & (bts <= ats + F.expr(f"INTERVAL {horizon}")),
     )
+    if horizon is not None:
+        cond = (
+            cond
+            & (bts >= ats - F.expr(f"INTERVAL {horizon}"))
+            & (bts <= ats + F.expr(f"INTERVAL {horizon}"))
+        )
+    joined = a.join(b, cond)
     inter = F.size(F.array_intersect("a.th", "b.th"))
     union = F.size("a.th") + F.size("b.th") - inter
     jac = inter.cast("double") / union
@@ -294,4 +302,60 @@ def near_dup_pairs_batch(
         )
         .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+def near_dup_reconcile(
+    stream_pairs: DataFrame,
+    docs: DataFrame,
+    ts_col: str = "ingest_ts",
+    bucket_cap: int = _LSH_BUCKET_CAP,
+) -> DataFrame:
+    """Lambda reconciliation: close the stream's documented recall holes
+    with a batch backfill over the same tape.
+
+    The stream trades completeness for bounded state twice — a pair whose
+    partner aged out of the horizon is missed, and a pair landing past the
+    stop-bucket cap is dropped.  The lambda split's promise is that a
+    nightly batch pass restores completeness: run the SAME recipe with no
+    time bound (``near_dup_pairs_batch(horizon=None)`` — the full-corpus
+    q25 pass) over the day's tape and reconcile against what the stream
+    already emitted.
+
+    Returns one row per pair in the union, ids-deduped, with provenance:
+
+    * ``both``        — stream found it; downstream effects already applied
+    * ``backfill``    — only the batch pass found it (aged-out partner or
+                        capped bucket); downstream must apply it now
+    * ``stream_only`` — the stream emitted a pair the authoritative pass
+                        does not contain; impossible when both sides share
+                        the recipe and cap (stream ⊆ batch by construction)
+                        so any row here is an alarm, not data
+
+    ``jaccard``/``pair_ts`` come from the batch side when present (the
+    authoritative scores), falling back to the stream's values for
+    ``stream_only`` anomalies.
+
+    Scale shape: the tape pass is the standard q25 plan (banded buckets,
+    cap, ids-only pair shuffle); the reconcile join is pair-id against
+    pair-id — two tables orders of magnitude smaller than the corpus, one
+    shuffle on (doc_a, doc_b).  Reference analog: the nexus-writer resumes
+    a run after a gap by replaying from the tape rather than trusting the
+    live feed (nexus-writer/src/run_engine/engine.rs:144-173)."""
+    full = near_dup_pairs_batch(docs, ts_col, horizon=None, bucket_cap=bucket_cap)
+    seen = stream_pairs.select(
+        "doc_a",
+        "doc_b",
+        F.col("jaccard").alias("s_jaccard"),
+        F.col("pair_ts").alias("s_pair_ts"),
+    ).dropDuplicates(["doc_a", "doc_b"])
+    return full.join(seen, ["doc_a", "doc_b"], "full_outer").select(
+        "doc_a",
+        "doc_b",
+        F.coalesce("jaccard", "s_jaccard").alias("jaccard"),
+        F.coalesce("pair_ts", "s_pair_ts").alias("pair_ts"),
+        F.when(F.col("jaccard").isNull(), F.lit("stream_only"))
+        .when(F.col("s_jaccard").isNull(), F.lit("backfill"))
+        .otherwise(F.lit("both"))
+        .alias("source"),
     )
