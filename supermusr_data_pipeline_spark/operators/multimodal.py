@@ -227,26 +227,40 @@ def _filter_scanlines(rows: np.ndarray, bpp: int, filter_type: int) -> bytes:
 
 
 def encode_png(
-    pixels: np.ndarray, filter_type: int = 0, interlace: int = 0
+    pixels: np.ndarray,
+    filter_type: int = 0,
+    interlace: int = 0,
+    depth: int | None = None,
 ) -> bytes:
     """HxW (gray) or HxWx3 (RGB) → PNG bytes.  uint8 input writes depth 8,
-    uint16 writes depth 16 (big-endian samples).  ``filter_type`` selects
-    the scanline filter applied to EVERY row (0..4); ``interlace=1`` writes
-    Adam7 (each pass filtered independently) — exposed so tests can drive
-    each decoder path with real spec-conformant streams."""
+    uint16 writes depth 16 (big-endian samples); ``depth`` of 1/2/4 packs a
+    gray image at sub-byte depth (values must fit, scanlines bit-packed
+    big-endian and padded to a byte boundary per RFC 2083 §2.3).
+    ``filter_type`` selects the scanline filter applied to EVERY row
+    (0..4); ``interlace=1`` writes Adam7 (each pass filtered
+    independently) — exposed so tests can drive each decoder path with
+    real spec-conformant streams."""
     px = np.asarray(pixels)
-    depth = 16 if px.dtype == np.uint16 else 8
+    if depth is None:
+        depth = 16 if px.dtype == np.uint16 else 8
     px = np.ascontiguousarray(px, dtype=np.uint16 if depth == 16 else np.uint8)
     if px.ndim == 2:
         px = px[:, :, None]
     h, w, ch = px.shape
+    if depth < 8 and (ch != 1 or int(px.max(initial=0)) >= (1 << depth)):
+        raise ValueError(f"depth {depth} requires gray samples < {1 << depth}")
     color_type = 0 if ch == 1 else 2
-    bpp = ch * (depth // 8)
+    bpp = max(1, ch * depth // 8)  # filters act on bytes; ≥1 byte per spec
 
     def byte_rows(sub: np.ndarray) -> np.ndarray:
         if depth == 16:
             b = np.frombuffer(sub.astype(">u2").tobytes(), dtype=np.uint8)
             return b.reshape(sub.shape[0], -1)
+        if depth < 8:
+            n, sw = sub.shape[0], sub.shape[1]
+            shifts = np.arange(depth - 1, -1, -1)
+            bits = ((sub[:, :, 0, None] >> shifts) & 1).reshape(n, sw * depth)
+            return np.packbits(bits, axis=1)  # zero-pads to the byte boundary
         return sub.reshape(sub.shape[0], -1)
 
     raw = bytearray()
@@ -313,12 +327,25 @@ def _defilter(data: np.ndarray, n_rows: int, stride: int, bpp: int) -> np.ndarra
     return out.astype(np.uint8)
 
 
+def _unpack_subbyte(rows: np.ndarray, width: int, depth: int) -> np.ndarray:
+    """(n, stride) bit-packed rows → (n, width) uint8 samples.  Samples are
+    ``depth`` bits each, big-endian within bytes, rows padded to a byte
+    boundary (RFC 2083 §2.3) — the padding bits fall off the ``width``
+    truncation."""
+    bits = np.unpackbits(rows, axis=1)
+    n = rows.shape[0]
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    vals = bits.reshape(n, -1, depth) @ weights
+    return vals[:, :width].astype(np.uint8)
+
+
 def decode_png(payload: bytes) -> np.ndarray:
-    """PNG bytes → HxWx3 uint8 (RGB).  From-spec decoder: depths 8 and 16,
-    color types 0/2/3/4/6, all five scanline filters, non-interlaced AND
-    Adam7.  Alpha is dropped; palette is applied; gray expands.  16-bit
-    samples downscale by high byte (exact inverse of the canonical v*257
-    8→16 expansion)."""
+    """PNG bytes → HxWx3 uint8 (RGB).  From-spec decoder: depths 1/2/4
+    (gray + palette, bit-packed scanlines), 8 and 16; color types 0/2/3/4/6;
+    all five scanline filters; non-interlaced AND Adam7.  Alpha is dropped;
+    palette is applied; gray expands (sub-byte gray scales by the exact
+    255/(2^d−1) bit-replication factor).  16-bit samples downscale by high
+    byte (exact inverse of the canonical v*257 8→16 expansion)."""
     if payload[: len(_PNG_SIG)] != _PNG_SIG:
         raise ValueError("not a PNG payload")
     pos = len(_PNG_SIG)
@@ -343,34 +370,43 @@ def decode_png(payload: bytes) -> np.ndarray:
     w, h, depth, color_type, _comp, _filt, interlace = ihdr
     if color_type not in _PNG_CHANNELS:
         raise NotImplementedError(f"PNG color type {color_type}")
-    if depth not in (8, 16) or (depth == 16 and color_type == 3):
-        # sub-byte depths (1/2/4) never appear in this pipeline's payloads
+    valid = (1, 2, 4, 8) if color_type in (0, 3) else (8, 16)
+    if color_type == 0:
+        valid = (1, 2, 4, 8, 16)
+    if depth not in valid:
         raise NotImplementedError(f"PNG depth {depth} color type {color_type}")
     if interlace not in (0, 1):
         raise ValueError(f"bad PNG interlace method {interlace}")
     ch = _PNG_CHANNELS[color_type]
-    sample_bytes = depth // 8
-    bpp = ch * sample_bytes
+    bpp = max(1, ch * depth // 8)  # filter unit: whole bytes, min 1
+
+    def to_samples(rows: np.ndarray, width: int) -> np.ndarray:
+        """Defiltered byte rows → (n, width, ch) uint8 samples (16-bit by
+        high byte — exact inverse of the canonical v*257 expansion)."""
+        if depth < 8:
+            return _unpack_subbyte(rows, width, depth)[:, :, None]
+        return rows.reshape(rows.shape[0], width, ch, depth // 8)[:, :, :, 0]
+
     data = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
     if interlace == 0:
-        img = _defilter(data, h, w * bpp, bpp)
+        stride = (w * ch * depth + 7) // 8
+        px = to_samples(_defilter(data, h, stride, bpp), w)
     else:
-        img3 = np.zeros((h, w, bpp), dtype=np.uint8)
+        px = np.zeros((h, w, ch), dtype=np.uint8)
         pos = 0
         for xs, ys, xst, yst in _ADAM7:
             pw = len(range(xs, w, xst))
             ph = len(range(ys, h, yst))
             if pw == 0 or ph == 0:
                 continue
-            n = ph * (pw * bpp + 1)
-            sub = _defilter(data[pos : pos + n], ph, pw * bpp, bpp)
+            stride = (pw * ch * depth + 7) // 8
+            n = ph * (stride + 1)
+            px[ys::yst, xs::xst] = to_samples(
+                _defilter(data[pos : pos + n], ph, stride, bpp), pw
+            )
             pos += n
-            img3[ys::yst, xs::xst] = sub.reshape(ph, pw, bpp)
         if pos != len(data):
             raise ValueError("PNG Adam7 pass data size mismatch")
-        img = img3.reshape(h, w * bpp)
-    # 16-bit: take the high byte of each big-endian sample
-    px = img.reshape(h, w, ch, sample_bytes)[:, :, :, 0]
     if color_type == 2:
         return px
     if color_type == 6:
@@ -381,6 +417,8 @@ def decode_png(payload: bytes) -> np.ndarray:
         if plte is None:
             raise ValueError("palette PNG missing PLTE")
         return plte[px[:, :, 0]]
+    if depth < 8:  # gray bit replication: 255/(2^d−1) is exact for d=1/2/4
+        px = (px * (255 // ((1 << depth) - 1))).astype(np.uint8)
     return np.repeat(px, 3, axis=2)  # color type 0
 
 

@@ -177,7 +177,9 @@ def test_png_16bit_adam7_gray():
         np.testing.assert_array_equal(out[:, :, c], g8)
 
 
-def test_png_sub_byte_depth_still_raises():
+def test_png_sub_byte_minimal_stream_decodes():
+    """The 1x1 4-bit gray stream that used to raise now decodes (sub-byte
+    support landed); a single zero nibble is black."""
     import struct
     import zlib
 
@@ -187,8 +189,7 @@ def test_png_sub_byte_depth_still_raises():
     ihdr = struct.pack(">IIBBBBB", 1, 1, 4, 0, 0, 0, 0)  # 4-bit gray
     buf = sig + _png_chunk(b"IHDR", ihdr)
     buf += _png_chunk(b"IDAT", zlib.compress(b"\x00\x00")) + _png_chunk(b"IEND", b"")
-    with pytest.raises(NotImplementedError, match="depth"):
-        decode_png(buf)
+    np.testing.assert_array_equal(decode_png(buf), [[[0, 0, 0]]])
 
 
 
@@ -225,3 +226,85 @@ def test_media_payloads_decode_with_real_codecs(spark):
             assert sr == 16_000 and len(data) == 256
         else:
             assert len(decode_video_frames(payload)) == 4
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+def test_png_subbyte_gray_roundtrip(depth, filter_type):
+    """Depths 1/2/4 bit-pack scanlines; width 13 forces padding bits in
+    every row, and each of the five filters runs over the PACKED bytes
+    (bpp=1) exactly as RFC 2083 §6.2 specifies."""
+    rng = np.random.default_rng(depth * 10 + filter_type)
+    g = rng.integers(0, 1 << depth, size=(7, 13), dtype=np.uint8)
+    buf = encode_png(g, filter_type=filter_type, depth=depth)
+    out = decode_png(buf)
+    expect = (g * (255 // ((1 << depth) - 1))).astype(np.uint8)
+    for c in range(3):
+        np.testing.assert_array_equal(out[:, :, c], expect)
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_png_subbyte_gray_adam7(depth):
+    """Adam7 sub-byte: every pass re-packs at its own width (a 9x9 image
+    produces passes of width 1, 2, 4 — each with its own padding)."""
+    rng = np.random.default_rng(depth)
+    g = rng.integers(0, 1 << depth, size=(9, 9), dtype=np.uint8)
+    buf = encode_png(g, filter_type=1, depth=depth, interlace=1)
+    out = decode_png(buf)
+    expect = (g * (255 // ((1 << depth) - 1))).astype(np.uint8)
+    np.testing.assert_array_equal(out[:, :, 0], expect)
+
+
+def test_png_4bit_palette():
+    """Hand-built depth-4 color-type-3 stream: two indices per byte,
+    high nibble first, odd width pads the low nibble."""
+    import struct
+    import zlib
+
+    from supermusr_data_pipeline_spark.operators.multimodal import _png_chunk
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = struct.pack(">IIBBBBB", 3, 2, 4, 3, 0, 0, 0)
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    # indices [[0,1,2],[2,1,0]] → rows 0x01 0x20 / 0x21 0x00, filter 0
+    raw = bytes([0, 0x01, 0x20, 0, 0x21, 0x00])
+    buf = sig + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"PLTE", plte)
+    buf += _png_chunk(b"IDAT", zlib.compress(raw)) + _png_chunk(b"IEND", b"")
+    out = decode_png(buf)
+    np.testing.assert_array_equal(
+        out,
+        [
+            [[255, 0, 0], [0, 255, 0], [0, 0, 255]],
+            [[0, 0, 255], [0, 255, 0], [255, 0, 0]],
+        ],
+    )
+
+
+def test_png_1bit_palette():
+    """Depth-1 palette: eight indices per byte, big-endian bit order."""
+    import struct
+    import zlib
+
+    from supermusr_data_pipeline_spark.operators.multimodal import _png_chunk
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = struct.pack(">IIBBBBB", 5, 1, 1, 3, 0, 0, 0)
+    plte = bytes([9, 9, 9, 200, 100, 50])
+    raw = bytes([0, 0b10110_000])  # indices 1,0,1,1,0 then padding
+    buf = sig + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"PLTE", plte)
+    buf += _png_chunk(b"IDAT", zlib.compress(raw)) + _png_chunk(b"IEND", b"")
+    out = decode_png(buf)
+    np.testing.assert_array_equal(out[0, :, 0], [200, 9, 200, 200, 9])
+
+
+def test_png_16bit_palette_still_raises():
+    """Depth 16 + palette is invalid per spec — keep the honest raise."""
+    import struct
+
+    from supermusr_data_pipeline_spark.operators.multimodal import _png_chunk
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 3, 0, 0, 0)
+    buf = sig + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IDAT", b"x") + _png_chunk(b"IEND", b"")
+    with pytest.raises((NotImplementedError, ValueError)):
+        decode_png(buf)
