@@ -1931,7 +1931,8 @@ def _q51_oracle() -> str:
     mns = ", ".join(f"CAST(min(embedding[{i}]) AS DOUBLE)" for i in range(1, _SQ_DIM + 1))
     mxs = ", ".join(f"CAST(max(embedding[{i}]) AS DOUBLE)" for i in range(1, _SQ_DIM + 1))
     cos = (
-        "round(list_sum(list_transform(generate_series(1, 64), i -> {a}[i] * {b}[i]))"
+        f"round(list_sum(list_transform(generate_series(1, {_SQ_DIM}), "
+        "i -> {a}[i] * {b}[i]))"
         " / (sqrt(list_sum(list_transform({a}, x -> x * x)))"
         " * sqrt(list_sum(list_transform({b}, x -> x * x)))), 6)"
     )

@@ -26,17 +26,27 @@ _NANOS_TS_COLS = {"events": ["ts"]}
 
 # footer sample size for the mixed-generation check: a directory is assumed
 # era-uniform (one generator version per dataset); we verify that assumption
-# on a bounded prefix of part files rather than reading every footer on the
-# driver (at 100 TB a full footer sweep is its own job)
+# on a bounded sample of part files rather than reading every footer on the
+# driver (at 100 TB a full footer sweep is its own job).  The sample is an
+# even SPREAD (first/last/stride over the sorted listing), not a sorted
+# prefix — a deviant-era file appended late in the listing is the common
+# way mixes happen (a re-run with a newer generator), and a prefix-only
+# check would wave it through to a confusing scan-time failure.
 _FOOTER_SAMPLE = 16
 
 
 def _footer_dtypes(path: str, col: str) -> set[str]:
-    """Parquet-footer dtype(s) of `col` across (a sample of) part files."""
+    """Parquet-footer dtype(s) of `col` across (an even spread of) part
+    files.  Sampling bound: a mix confined to fewer than every
+    len(files)/_FOOTER_SAMPLE-th file can escape detection and surface as
+    a scan-time type error instead."""
     import pyarrow.parquet as pq
 
     if os.path.isdir(path):
-        files = sorted(glob.glob(os.path.join(path, "*.parquet")))[:_FOOTER_SAMPLE]
+        files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if len(files) > _FOOTER_SAMPLE:
+            step = (len(files) - 1) / (_FOOTER_SAMPLE - 1)
+            files = [files[round(i * step)] for i in range(_FOOTER_SAMPLE)]
     else:
         files = [path]
     kinds = set()
@@ -73,21 +83,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # set-and-restore around the lazy read() would corrupt the scan)
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
-    # the NTZ->timestamp cast below reads wall-clock values in the session
-    # timezone; pin UTC so the result is the same TZ-independent instant the
-    # bigint-nanos path produces (query wrappers also pin this, but ad-hoc
-    # sessions reach load_table directly)
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(path)
     dtypes = dict(df.dtypes)
     for c in ns_cols:
         if dtypes.get(c) == "bigint":
             # integer division — double arithmetic would lose ns precision
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
-        elif dtypes.get(c, "").startswith("timestamp"):
-            # already a timestamp; normalize NTZ → session-local TIMESTAMP
-            # so downstream unix_micros()/epoch arithmetic is uniform
-            df = df.withColumn(c, F.col(c).cast("timestamp"))
+        elif dtypes.get(c) == "timestamp_ntz":
+            # NTZ wall clocks are UTC by generator contract.  The conversion
+            # is scoped to the COLUMN: wall-clock microseconds since the NTZ
+            # epoch are an instant by definition, with no dependence on
+            # spark.sql.session.timeZone — a plain cast would read the wall
+            # time in the session zone, and pinning the session zone here
+            # would silently clobber a caller's deliberate setting for every
+            # later, unrelated query.
+            df = df.withColumn(
+                c,
+                F.expr(
+                    "timestamp_micros(timestampdiff(MICROSECOND, "
+                    f"timestamp_ntz'1970-01-01 00:00:00', `{c}`))"
+                ),
+            )
+        # plain "timestamp" is already a TZ-independent instant: leave it
     return df
 
 

@@ -1,7 +1,9 @@
 """Era-detection contract for the events table loader: the legacy
 nanosAsLong conf is only set when the parquet footer actually contains
 TIMESTAMP(NANOS), a directory mixing generator eras fails fast with a clear
-error, and the NTZ cast path is pinned to UTC (TZ-independent instants)."""
+error (even when the deviant file sorts late in the listing), and the NTZ
+conversion is column-scoped wall-as-UTC arithmetic — TZ-independent
+instants with no session-timezone side effect."""
 
 import os
 
@@ -52,16 +54,38 @@ def test_mixed_era_directory_fails_fast(spark, tmp_path):
         load_table(spark, str(tmp_path), "events")
 
 
-def test_ntz_cast_is_utc_pinned(spark, tmp_path):
-    """A session drifted off UTC still decodes NTZ data as UTC instants."""
+def test_mixed_era_detected_when_deviant_file_sorts_last(spark, tmp_path):
+    """The footer sample is an even spread over the sorted listing, so a
+    late-sorting deviant-era file (a re-run with a newer generator) is
+    caught by the fail-fast, not deferred to a confusing scan-time error."""
+    d = tmp_path / "events.parquet"
+    d.mkdir()
+    for i in range(20):  # more part files than the 16-footer sample
+        _write_events(str(d / f"part-{i:05d}.parquet"), "us")
+    _write_events(str(d / "part-99999.parquet"), "ns")  # past any 16-prefix
+    with pytest.raises(ValueError, match="mixes generator eras"):
+        load_table(spark, str(tmp_path), "events")
+
+
+def test_ntz_conversion_is_column_scoped_not_session_clobbering(spark, tmp_path):
+    """A session drifted off UTC still decodes NTZ data as UTC instants —
+    and the loader does NOT overwrite the caller's session timezone (the
+    conversion is column arithmetic, not a session-wide side effect)."""
+    from pyspark.sql import functions as F
+
     d = tmp_path / "events.parquet"
     d.mkdir()
     _write_events(str(d / "part-0.parquet"), "us")
     spark.conf.set("spark.sql.session.timeZone", "America/New_York")
     try:
         df = load_table(spark, str(tmp_path), "events")
-        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
-        assert str(df.collect()[0].ts) == "2020-09-13 12:26:40"
+        assert spark.conf.get("spark.sql.session.timeZone") == "America/New_York"
+        # instant comparison (unix micros) — collect() would render in the
+        # session zone, which is exactly the dependence we removed
+        assert (
+            df.select(F.unix_micros("ts")).collect()[0][0]
+            == 1_600_000_000 * 10**6
+        )
     finally:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
 
