@@ -1,0 +1,344 @@
+"""Training-set preparation operators — the steps between a curated corpus
+and a tokenizer/trainer: sequence packing, vocabulary coverage, keyword
+extraction, unigram-LM quality scoring, PII redaction.  Extends the
+text_dedup family (BASELINE.json LLM-extension scope; no reference analog)
+with the same engine-agnostic discipline: every query has a DuckDB oracle
+with identical column aliases, floats rounded in-query so both engines
+agree bit-for-bit after canonicalization.
+
+Scale notes: everything is exploded-token relational algebra — shuffles on
+token or (source) keys, no Python in any hot path, top-V vocabularies kept
+as broadcast dimensions.  The packing window partitions by source (the
+shard key a real pipeline packs within), so no global single-partition
+window exists anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.testdata import load_table
+from .relational import _register
+from .text_dedup import _TOKENS_EXPR_SPARK, _TOKENS_SQL_DUCK
+
+# ---------------------------------------------------------------------------
+# q52 — sequence packing (concat-then-chunk at document granularity)
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 256  # tokens per training sequence
+
+
+@_register(
+    "q52_sequence_packing",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source, len({_TOKENS_SQL_DUCK}) AS n_tokens
+        FROM documents
+    ), c AS (
+        SELECT doc_id, source, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cum_before
+        FROM t WHERE n_tokens > 0
+    )
+    SELECT doc_id, source, n_tokens, cum_before,
+           CAST(floor(cum_before / {_PACK_BUDGET}.0) AS BIGINT) AS seq_no
+    FROM c
+    """,
+)
+def q52_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign each document to a fixed-token-budget training sequence:
+    within a source shard, documents are concatenated in doc_id order and
+    chunked every _PACK_BUDGET tokens (the GPT-style concat-then-chunk
+    scheme, tracked at document granularity so provenance survives).
+
+    Scale shape: one window per SOURCE partition — the shard key a real
+    packing job works within — so parallelism is per-shard and no global
+    ordering exists; the cumulative sum is a single exchange on source.
+    Deterministic and retry-stable (pure function of doc_id order)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.expr(_TOKENS_EXPR_SPARK))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = docs.select("doc_id", "source", n_tok.alias("n_tokens")).filter(
+        F.col("n_tokens") > 0
+    )
+    cum = t.withColumn("cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    return cum.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "cum_before",
+        F.floor(F.col("cum_before") / _PACK_BUDGET).cast("bigint").alias("seq_no"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q53 — vocabulary coverage (top-V vocab fit + per-doc OOV rate)
+# ---------------------------------------------------------------------------
+
+_VOCAB_SIZE = 100
+
+
+@_register(
+    "q53_vocab_coverage",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_TOKENS_SQL_DUCK}) AS token FROM documents
+    ), freq AS (
+        SELECT token, count(*) AS cnt FROM tok GROUP BY token
+    ), vocab AS (
+        SELECT token FROM freq ORDER BY cnt DESC, token LIMIT {_VOCAB_SIZE}
+    ), per AS (
+        SELECT t.doc_id, count(*) AS n_tokens,
+               CAST(sum(CASE WHEN v.token IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_in_vocab
+        FROM tok t LEFT JOIN vocab v ON t.token = v.token
+        GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_tokens, n_in_vocab,
+           round(1.0 - n_in_vocab / CAST(n_tokens AS DOUBLE), 6) AS oov_rate
+    FROM per
+    """,
+)
+def q53_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit a top-V frequency vocabulary over the corpus (deterministic
+    count-desc/token-asc order) and score every document's coverage: the
+    fraction of token OCCURRENCES that fall outside the vocabulary — the
+    go/no-go statistic for sizing a tokenizer's vocab.
+
+    Scale shape: one token-count shuffle to fit the vocab; the vocab is a
+    tiny broadcast dimension, so the per-doc scoring pass is a broadcast
+    join plus one doc_id aggregation — the corpus is touched twice, never
+    joined to itself."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.expr(_TOKENS_EXPR_SPARK)).alias("token")
+    )
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(_VOCAB_SIZE)
+        .select("token", F.lit(1).alias("in_vocab"))
+    )
+    joined = tok.join(F.broadcast(vocab), "token", "left")
+    return joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.coalesce("in_vocab", F.lit(0))).alias("n_in_vocab"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "n_in_vocab",
+        F.round(
+            1.0 - F.col("n_in_vocab") / F.col("n_tokens").cast("double"), 6
+        ).alias("oov_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q54 — TF-IDF keyword extraction (per-doc top-k)
+# ---------------------------------------------------------------------------
+
+_TFIDF_K = 3
+
+
+@_register(
+    "q54_tfidf_keywords",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_TOKENS_SQL_DUCK}) AS token FROM documents
+    ), tf AS (
+        SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token
+    ), dl AS (
+        SELECT doc_id, sum(tf) AS dlen FROM tf GROUP BY doc_id
+    ), idf AS (
+        SELECT token, count(*) AS df FROM tf GROUP BY token
+    ), n AS (
+        SELECT count(DISTINCT doc_id) AS n_docs FROM tok
+    ), s AS (
+        SELECT tf.doc_id, tf.token,
+               round((tf.tf / CAST(dl.dlen AS DOUBLE))
+                     * ln(CAST(n.n_docs AS DOUBLE) / idf.df), 6) AS tfidf
+        FROM tf JOIN dl USING (doc_id) JOIN idf USING (token) CROSS JOIN n
+    ), r AS (
+        SELECT doc_id, token, tfidf,
+               row_number() OVER (
+                   PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rnk
+        FROM s
+    )
+    SELECT doc_id, token, tfidf, rnk FROM r WHERE rnk <= {_TFIDF_K}
+    """,
+)
+def q54_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-k tokens by TF-IDF (tf = in-doc occurrence share,
+    idf = ln(N/df)) — the classic keyword/topic signal a curation UI or a
+    domain-mix report is built on.  Ranking happens on the ROUNDED score
+    with a token tie-break, so both engines rank identically.
+
+    Scale shape: one (doc, token) count shuffle; doc length is a partial
+    re-aggregation of that same keyed frame; the df table shuffles on
+    token; the final top-k is a bounded per-doc window.  No self-join of
+    the raw corpus anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.expr(_TOKENS_EXPR_SPARK)).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dlen"))
+    idf = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = tf.select("doc_id").distinct().agg(F.count("*").alias("n_docs"))
+    s = (
+        tf.join(dl, "doc_id")
+        .join(idf, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                (F.col("tf") / F.col("dlen").cast("double"))
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        s.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TFIDF_K)
+        .select("doc_id", "token", "tfidf", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q55 — unigram-LM quality score (CCNet-style perplexity proxy)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q55_unigram_quality",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_TOKENS_SQL_DUCK}) AS token FROM documents
+    ), cnt AS (
+        SELECT token, count(*) AS c FROM tok GROUP BY token
+    ), tot AS (
+        SELECT count(*) AS total FROM tok
+    )
+    SELECT t.doc_id, count(*) AS n_tokens,
+           round(sum(-ln(cnt.c / CAST(tot.total AS DOUBLE))) / count(*), 6)
+               AS avg_neg_logprob
+    FROM tok t JOIN cnt USING (token) CROSS JOIN tot
+    GROUP BY t.doc_id
+    """,
+)
+def q55_unigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score each document by its average negative log-probability under a
+    corpus-fit unigram LM — the cheap stand-in for the KenLM perplexity
+    filter of CCNet-style pipelines (low = boilerplate-typical, high =
+    rare-token noise; both tails get filtered in practice).
+
+    Scale shape: one token-count shuffle fits the LM; scoring joins the
+    exploded corpus to the count table on token (standard shuffle join —
+    the vocab of a web corpus outgrows a broadcast) and re-aggregates per
+    doc.  The corpus-total is a broadcast scalar, kept in-plan (no driver
+    collect)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.expr(_TOKENS_EXPR_SPARK)).alias("token")
+    )
+    cnt = tok.groupBy("token").agg(F.count("*").alias("c"))
+    tot = tok.agg(F.count("*").alias("total"))
+    return (
+        tok.join(cnt, "token")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.sum(-F.log(F.col("c") / F.col("total").cast("double")))
+                / F.count("*"),
+                6,
+            ).alias("avg_neg_logprob"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q56 — PII detection + redaction (regex scrub, shared RE2/Java-safe syntax)
+# ---------------------------------------------------------------------------
+
+# patterns restricted to the RE2 ∩ java.util.regex common subset (no
+# lookaround), so Spark and the DuckDB oracle scrub identically
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+@_register(
+    "q56_pii_redaction",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_emails,
+           len(regexp_extract_all(text, '{_PII_PHONE}')) AS n_phones,
+           len(regexp_extract_all(
+               regexp_replace(text, '{_PII_PHONE}', '[PHONE]', 'g'),
+               '{_PII_IP}')) AS n_ips,
+           regexp_replace(regexp_replace(regexp_replace(
+               text, '{_PII_EMAIL}', '[EMAIL]', 'g'),
+                     '{_PII_PHONE}', '[PHONE]', 'g'),
+                     '{_PII_IP}', '[IP]', 'g') AS clean_text
+    FROM documents
+    """,
+)
+def q56_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detect and redact emails, phone numbers, and IPv4 addresses — the
+    compliance scrub every training corpus passes through before a
+    tokenizer sees it.  Counts ride along so a per-source PII rate report
+    is one aggregation away.  IPs are counted AFTER phone redaction (a
+    XXX.XXX.XXXX phone would otherwise double-count as a partial IP) —
+    the oracle mirrors the same order.
+
+    Scale shape: a pure narrow map — JVM regexp engines row-by-row, no
+    shuffle, no Python; predicate-pushdown and column pruning untouched.
+    The synthetic corpus contains no PII (all counts 0, text unchanged) —
+    the behavioral evidence lives in tests/test_text_train.py's crafted
+    fixtures; this query pins the plumbing at corpus scale."""
+    return scrub_pii(load_table(spark, sf_dir, "documents"))
+
+
+def scrub_pii(docs: DataFrame) -> DataFrame:
+    """The q56 transform over any (doc_id, text) frame — exposed so tests
+    can drive it with crafted PII fixtures (the synthetic corpus has
+    none)."""
+    no_phone = F.regexp_replace("text", _PII_PHONE, "[PHONE]")
+    # email FIRST (an address like user@1.2.3.4.net must become [EMAIL],
+    # not keep a [IP] inside it), then phone, then ip — oracle order exactly
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("text", _PII_EMAIL, "[EMAIL]"),
+            _PII_PHONE,
+            "[PHONE]",
+        ),
+        _PII_IP,
+        "[IP]",
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_PII_EMAIL), F.lit(0))).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit(_PII_PHONE), F.lit(0))).alias(
+            "n_phones"
+        ),
+        F.size(F.regexp_extract_all(no_phone, F.lit(_PII_IP), F.lit(0))).alias(
+            "n_ips"
+        ),
+        clean.alias("clean_text"),
+    )
