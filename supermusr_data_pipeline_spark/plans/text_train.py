@@ -271,6 +271,116 @@ def q55_unigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q57 — mixture construction with computed epoch repeats (up/down-sampling)
+# ---------------------------------------------------------------------------
+
+# target RELATIVE weights per source; sources not listed get the default.
+# Weights are normalized over the sources actually observed, so the op is
+# total-token-preserving in expectation regardless of what the corpus holds.
+_MIX_TARGETS = {"src0": 0.20, "src1": 0.10, "src2": 0.01}
+_MIX_DEFAULT = 0.02
+_MIX_DENOM = 1_000_000  # hash-gate resolution for fractional epochs
+
+
+def _mix_weight_case_duck() -> str:
+    arms = " ".join(
+        f"WHEN '{s}' THEN {w}" for s, w in sorted(_MIX_TARGETS.items())
+    )
+    return f"CASE source {arms} ELSE {_MIX_DEFAULT} END"
+
+
+@_register(
+    "q57_mixture_epochs",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source, len({_TOKENS_SQL_DUCK}) AS n_tokens
+        FROM documents
+    ), s AS (
+        SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+        FROM t WHERE n_tokens > 0 GROUP BY source
+    ), w AS (
+        SELECT source, src_tokens, {_mix_weight_case_duck()} AS wraw FROM s
+    ), n AS (
+        SELECT sum(wraw) AS wsum, CAST(sum(src_tokens) AS DOUBLE) AS total
+        FROM w
+    ), r AS (
+        SELECT w.source,
+               (n.total * (w.wraw / n.wsum)) / CAST(w.src_tokens AS DOUBLE)
+                   AS rep
+        FROM w CROSS JOIN n
+    ), d AS (
+        SELECT t.doc_id, t.source, t.n_tokens, r.rep,
+               CAST(floor(r.rep) AS BIGINT) AS n_full,
+               ('0x' || substr(md5('mix:' || t.doc_id::VARCHAR), 1, 8))
+                   ::UBIGINT::BIGINT % {_MIX_DENOM} AS gate_key
+        FROM t JOIN r USING (source) WHERE t.n_tokens > 0
+    )
+    SELECT doc_id, source, n_tokens, CAST(u.epoch AS BIGINT) AS epoch
+    FROM d, unnest(generate_series(0, n_full)) AS u(epoch)
+    WHERE epoch < n_full OR gate_key < (rep - n_full) * {_MIX_DENOM}
+    """,
+)
+def q57_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a training mixture from target source weights: per-source
+    repeat factors are COMPUTED from the corpus (target token share over
+    actual token share, normalized across observed sources and preserving
+    the total token budget in expectation), then applied as whole epoch
+    copies plus a deterministic hash gate for the fractional epoch — the
+    Llama/Dolma-style up/down-sampling step, reproducible across retries
+    because no rand() exists anywhere.
+
+    Output is one row per (document, epoch): epochs 0..n_full-1 are the
+    guaranteed copies, epoch n_full survives the fractional gate.
+
+    Scale shape: one partial-agg shuffle fits the per-source token stats
+    (20-ish rows); the repeat table broadcasts back onto the corpus, and
+    the epoch explode is narrow — the corpus is scanned twice, joined to
+    itself never."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "source", F.size(F.expr(_TOKENS_EXPR_SPARK)).alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    s = t.groupBy("source").agg(F.sum("n_tokens").alias("src_tokens"))
+    wraw = F.lit(_MIX_DEFAULT)
+    for src, wgt in sorted(_MIX_TARGETS.items()):
+        wraw = F.when(F.col("source") == src, F.lit(wgt)).otherwise(wraw)
+    w = s.select("source", "src_tokens", wraw.alias("wraw"))
+    n = w.agg(
+        F.sum("wraw").alias("wsum"),
+        F.sum("src_tokens").cast("double").alias("total"),
+    )
+    r = w.crossJoin(F.broadcast(n)).select(
+        "source",
+        (
+            (F.col("total") * (F.col("wraw") / F.col("wsum")))
+            / F.col("src_tokens").cast("double")
+        ).alias("rep"),
+    )
+    gate_key = F.expr(
+        f"cast(conv(substr(md5(concat('mix:', cast(doc_id as string))), 1, 8),"
+        f" 16, 10) as bigint) % {_MIX_DENOM}"
+    )
+    d = t.join(F.broadcast(r), "source").select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "rep",
+        F.floor("rep").cast("bigint").alias("n_full"),
+        gate_key.alias("gate_key"),
+    )
+    return (
+        d.select(
+            "*", F.explode(F.sequence(F.lit(0), F.col("n_full"))).alias("epoch")
+        )
+        .filter(
+            (F.col("epoch") < F.col("n_full"))
+            | (F.col("gate_key") < (F.col("rep") - F.col("n_full")) * _MIX_DENOM)
+        )
+        .select("doc_id", "source", "n_tokens", F.col("epoch").cast("bigint").alias("epoch"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # q56 — PII detection + redaction (regex scrub, shared RE2/Java-safe syntax)
 # ---------------------------------------------------------------------------
 

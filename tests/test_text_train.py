@@ -1,4 +1,4 @@
-"""Behavioral tests for the training-prep operators (q52–q56): packing
+"""Behavioral tests for the training-prep operators (q52–q57): packing
 invariants, vocab determinism, TF-IDF ranking shape, unigram-LM ordering,
 and PII redaction on crafted fixtures (the synthetic corpus contains no
 PII — correctness parity there only pins the plumbing)."""
@@ -131,3 +131,35 @@ def test_token_relational_queries_stay_jvm(spark, name):
     p = _plan(entry_mod.queries()[name](spark, SF_DIR))
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "CartesianProduct" not in p  # scalar cross-joins must broadcast
+
+
+def test_mixture_epochs_up_and_down_sample(spark):
+    rows = entry_mod.queries()["q57_mixture_epochs"](spark, SF_DIR).collect()
+    per_doc: dict = {}
+    tokens_by_source: dict = {}
+    for r in rows:
+        per_doc.setdefault((r.source, r.doc_id), []).append(r.epoch)
+        tokens_by_source[r.source] = tokens_by_source.get(r.source, 0) + r.n_tokens
+    # epochs per doc are contiguous from 0 (full copies + at most one gated)
+    for epochs in per_doc.values():
+        assert sorted(epochs) == list(range(len(epochs)))
+    # src0 (weight .20 vs uniform 1/20 share) oversamples: multiple epochs
+    assert max(len(v) for (s, _), v in per_doc.items() if s == "src0") >= 2
+    # src2 (weight .01) downsamples: nobody repeats, somebody drops
+    src2 = [v for (s, _), v in per_doc.items() if s == "src2"]
+    assert all(len(v) == 1 for v in src2)
+    n_src2_docs = 25  # uniform synthetic corpus at sf0.001
+    assert len(src2) < n_src2_docs
+    # realized token shares track the normalized targets (hash-gate noise
+    # allowed; sf0.001 strata are small)
+    total = sum(tokens_by_source.values())
+    wsum = 0.20 + 0.10 + 0.01 + 17 * 0.02
+    assert abs(tokens_by_source["src0"] / total - 0.20 / wsum) < 0.05
+    assert tokens_by_source["src2"] / total < 0.05
+
+
+def test_mixture_epochs_broadcasts_repeat_table(spark):
+    p = _plan(entry_mod.queries()["q57_mixture_epochs"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
