@@ -2063,3 +2063,157 @@ def q51_ivf_sq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("query_id", "neighbor_id", "approx_sim", "sim", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# q58 — semantic deduplication (SemDeDup over IVF cells)
+# ---------------------------------------------------------------------------
+
+_SEM_TAU = 0.2  # within-cell cosine threshold (q28's verify bar)
+
+
+@_register(
+    "q58_semantic_dedup",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ), d AS (
+        SELECT vec_id, emb, {_ivf_dots_duck('emb')} AS dots FROM e
+    ), cells AS (
+        SELECT vec_id, emb, ({_PROBE_ORDER_DUCK})[1] AS cell FROM d
+    ), edges AS (
+        SELECT a.vec_id AS v, b.vec_id AS o
+        FROM cells a JOIN cells b
+          ON a.cell = b.cell AND b.vec_id <> a.vec_id
+        WHERE round(list_sum([a.emb[i] * b.emb[i] for i in range(1, 65)])
+                    / (sqrt(list_sum([x * x for x in a.emb]))
+                       * sqrt(list_sum([x * x for x in b.emb]))), 6) >= {_SEM_TAU}
+    ), agg AS (
+        SELECT v, count(*) AS n, max(CASE WHEN o < v THEN 1 ELSE 0 END) AS hl
+        FROM edges GROUP BY v
+    )
+    SELECT c.vec_id, c.cell,
+           CAST(COALESCE(a.n, 0) AS BIGINT) AS n_sem_dups,
+           COALESCE(a.hl, 0) = 0 AS is_kept
+    FROM cells c LEFT JOIN agg a ON a.v = c.vec_id
+    """,
+)
+def q58_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication, SemDeDup-style (Abbas et al. 2023): cluster
+    the corpus with the fitted IVF codebook, compute pairwise cosine only
+    WITHIN each cluster, and greedily keep the lowest vec_id of every
+    near-identical group (a doc is dropped iff a lower-id in-cell neighbor
+    sits above the similarity bar).  Emits per-vector the cell, the in-cell
+    duplicate degree, and the keep decision — the cheap cluster-then-
+    compare alternative to q28's LSH when embeddings are already on hand.
+
+    Scale shape: the codebook is a broadcast literal, cell assignment is a
+    narrow JVM projection, and the corpus shuffles ONCE on cell id; the
+    pairwise stage is quadratic only in cluster size, which is the knob the
+    operator controls (K grows with the corpus so cells stay ~constant;
+    q48 monitors the balance that keeps this true).  Embeddings ride the
+    one cell shuffle, so the pair join is partition-local per cell — at
+    100 TB cell id is the physical partitioning and no second exchange
+    exists."""
+    cents, _ = _codebook(sf_dir)
+    po = _probe_order_spark(len(cents))
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("emb")
+    )
+    d = e.withColumn("dots", F.expr(_ivf_dots_spark("emb", cents)))
+    cells = d.select("vec_id", "emb", F.expr(f"element_at({po}, 1)").alias("cell"))
+    a = cells.select(
+        F.col("vec_id").alias("v"), F.col("emb").alias("ea"), F.col("cell").alias("ca")
+    )
+    b = cells.select(
+        F.col("vec_id").alias("o"), F.col("emb").alias("eb"), F.col("cell").alias("cb")
+    )
+    cos = (
+        "round(aggregate(zip_with(ea, eb, (x, y) -> x * y), 0D, (s, x) -> s + x)"
+        " / (sqrt(aggregate(transform(ea, x -> x * x), 0D, (s, x) -> s + x))"
+        " * sqrt(aggregate(transform(eb, x -> x * x), 0D, (s, x) -> s + x))), 6)"
+    )
+    edges = (
+        a.join(b, (F.col("ca") == F.col("cb")) & (F.col("o") != F.col("v")))
+        .filter(F.expr(cos) >= _SEM_TAU)
+        .select("v", "o")
+    )
+    agg = edges.groupBy("v").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.when(F.col("o") < F.col("v"), 1).otherwise(0)).alias("hl"),
+    )
+    return (
+        cells.select("vec_id", "cell")
+        .join(agg, cells.vec_id == agg.v, "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_sem_dups"),
+            (F.coalesce("hl", F.lit(0)) == 0).alias("is_kept"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q59 — train/val/test leakage audit over the near-dup pair graph
+# ---------------------------------------------------------------------------
+
+def _split_case_duck(col: str) -> str:
+    b = (
+        f"('0x' || substr(md5('{_SPLIT_SALT}' || {col}::VARCHAR), 1, 8))"
+        f"::UBIGINT::BIGINT % {_SPLIT_DENOM}"
+    )
+    return (
+        f"CASE WHEN {b} < {_SPLIT_TRAIN} THEN 'train' "
+        f"WHEN {b} < {_SPLIT_VAL} THEN 'val' ELSE 'test' END"
+    )
+
+
+def _split_case_spark(col: str) -> str:
+    b = (
+        f"cast(conv(substr(md5(concat('{_SPLIT_SALT}', cast({col} as string))),"
+        f" 1, 8), 16, 10) as bigint) % {_SPLIT_DENOM}"
+    )
+    return (
+        f"CASE WHEN {b} < {_SPLIT_TRAIN} THEN 'train' "
+        f"WHEN {b} < {_SPLIT_VAL} THEN 'val' ELSE 'test' END"
+    )
+
+
+@_register(
+    "q59_split_leakage",
+    oracle=f"""
+    WITH pairs AS ({ORACLES["q25_lsh_near_dup"]})
+    SELECT doc_a, doc_b, split_a, split_b, jaccard FROM (
+        SELECT doc_a, doc_b,
+               {_split_case_duck('doc_a')} AS split_a,
+               {_split_case_duck('doc_b')} AS split_b,
+               jaccard
+        FROM pairs
+    ) WHERE split_a <> split_b
+    """,
+)
+def q59_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split contamination audit: near-duplicate pairs (q25's verified
+    MinHash-LSH graph) whose two documents landed in DIFFERENT train/val/
+    test splits — exactly the leakage a hash split (q50) cannot prevent
+    when near-copies exist, and the reason production pipelines dedup
+    BEFORE splitting.  Emits the leaking pairs with both split labels so
+    the fix (drop the non-train member, or re-cluster) is actionable.
+
+    Scale shape: consumes the session-shared q25 pair checkpoint (no second
+    LSH pass) and — because split membership is a pure hash of the row
+    (q50's contract) — attaches both labels as narrow JVM projections on
+    the pair table itself.  Zero joins, zero exchanges beyond the pairs
+    already materialized."""
+    pairs = q25_lsh_near_dup(spark, sf_dir)
+    return (
+        pairs.select(
+            "doc_a",
+            "doc_b",
+            F.expr(_split_case_spark("doc_a")).alias("split_a"),
+            F.expr(_split_case_spark("doc_b")).alias("split_b"),
+            "jaccard",
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+    )

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..sources.testdata import load_table
-from .relational import _register
+from .relational import ORACLES, _register
 from .text_dedup import _TOKENS_EXPR_SPARK, _TOKENS_SQL_DUCK
 
 # ---------------------------------------------------------------------------
@@ -451,4 +451,76 @@ def scrub_pii(docs: DataFrame) -> DataFrame:
             "n_ips"
         ),
         clean.alias("clean_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q60 — global training order (distributed rank without a global window)
+# ---------------------------------------------------------------------------
+
+_ORDER_SALT = "order:v1:"  # rotate to reshuffle the epoch on purpose
+_ORDER_BUCKETS = 256  # two hex chars of the order hash
+
+
+@_register(
+    "q60_training_order",
+    oracle=f"""
+    WITH p AS ({ORACLES["q52_sequence_packing"]}),
+    seqs AS (
+        SELECT DISTINCT source, seq_no FROM p
+    ), h AS (
+        SELECT source, seq_no,
+               md5('{_ORDER_SALT}' || source || ':' || seq_no::VARCHAR)
+                   AS order_hash
+        FROM seqs
+    )
+    SELECT source, seq_no, order_hash,
+           CAST(row_number() OVER (ORDER BY order_hash, source, seq_no)
+                AS BIGINT) AS position
+    FROM h
+    """,
+)
+def q60_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle of the packed training sequences
+    (q52's (source, seq_no) units): each sequence's epoch position is the
+    rank of a salted hash, so the training order is reproducible under
+    retries and rotatable by salt — `rand()`-free, like q50's splits.
+
+    Scale shape: a naive `row_number() OVER (ORDER BY hash)` collapses the
+    corpus into ONE partition — the classic window scale-killer.  This
+    plan ranks in two phases instead: rows rank locally within 256 hash-
+    prefix buckets (the bucket id IS the leading byte of the hash, so
+    bucket order is hash order), a 256-row bucket-count table turns into
+    exclusive prefix offsets on the driver-side-sized aggregate, and
+    global position = broadcast offset + local rank.  The only full-data
+    exchange is the bucket hash partitioning; the offset window touches
+    {_ORDER_BUCKETS} rows regardless of corpus size."""
+    seqs = (
+        q52_sequence_packing(spark, sf_dir).select("source", "seq_no").distinct()
+    )
+    h = seqs.withColumn(
+        "order_hash",
+        F.expr(
+            f"md5(concat('{_ORDER_SALT}', source, ':', cast(seq_no as string)))"
+        ),
+    ).withColumn(
+        "bucket", F.expr("cast(conv(substr(order_hash, 1, 2), 16, 10) as int)")
+    )
+    w_local = Window.partitionBy("bucket").orderBy("order_hash", "source", "seq_no")
+    ranked = h.withColumn("local_rank", F.row_number().over(w_local))
+    counts = h.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    w_off = (
+        Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    )  # 256-row window — bounded by the bucket alphabet, not the data
+    offsets = counts.withColumn(
+        "offset", F.coalesce(F.sum("cnt").over(w_off), F.lit(0))
+    ).select("bucket", "offset")
+    return (
+        ranked.join(F.broadcast(offsets), "bucket")
+        .select(
+            "source",
+            "seq_no",
+            "order_hash",
+            (F.col("offset") + F.col("local_rank")).cast("bigint").alias("position"),
+        )
     )

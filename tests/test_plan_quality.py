@@ -172,3 +172,34 @@ def test_q51_ivf_sq8_broadcasts_no_cartesian_jvm_only(spark, plan):
     assert "CartesianProduct" not in p
     assert "SortMergeJoin" not in p
     assert "Python" not in p
+
+
+def test_q58_semantic_dedup_equi_join_on_cell_jvm_only(spark, plan):
+    """SemDeDup: the pairwise stage must be an equi-join ON the cell id
+    (quadratic only within a cluster) — never a cartesian over the corpus —
+    and the whole path stays JVM-side."""
+    p = plan(spark, "q58_semantic_dedup")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "Python" not in p
+
+
+def test_q59_split_leakage_no_second_lsh_pass_no_join(spark, plan):
+    """Leakage audit: split labels are pure hash projections on the shared
+    q25 pair checkpoint — no join, no exchange, no rand() in the plan."""
+    p = plan(spark, "q59_split_leakage")
+    assert "Exchange" not in p
+    assert "Join" not in p
+    assert "rand" not in p
+    assert "Python" not in p
+
+
+def test_q60_training_order_no_global_window(spark, plan):
+    """Global training order: the data-sized window must partition by the
+    hash-prefix bucket; the only SinglePartition exchange feeds the
+    256-row bucket-offset window (bounded by the bucket alphabet, not the
+    corpus)."""
+    p = plan(spark, "q60_training_order")
+    assert "windowspecdefinition(bucket" in p, "rank window must be bucket-partitioned"
+    assert p.count("Exchange SinglePartition") <= 1
+    assert "rand" not in p
+    assert "Python" not in p
