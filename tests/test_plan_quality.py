@@ -130,8 +130,16 @@ def test_q46_curated_corpus_broadcasts_cluster_labels(spark, plan):
 def test_q29_ivf_broadcasts_probe_side_jvm_only(spark, plan):
     """IVF ANN: the exploded (query, probe-cell) side is tiny and must
     broadcast; candidate generation is an equi-join on cell id — never a
-    cartesian — and the whole index path stays JVM-side."""
-    p = plan(spark, "q29_ivf_ann")
+    cartesian — and the whole index path stays JVM-side.  q29's registered
+    query returns the session-shared checkpoint (a scan), so the pin runs
+    against the underlying build plan."""
+    from supermusr_data_pipeline_spark.plans import text_dedup
+
+    df = text_dedup._q29_build(spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "SortMergeJoin" not in p
