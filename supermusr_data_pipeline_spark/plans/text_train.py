@@ -524,3 +524,235 @@ def q60_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("offset") + F.col("local_rank")).cast("bigint").alias("position"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q61 — duplicated n-gram spans (exact-substring dedup signal)
+# ---------------------------------------------------------------------------
+
+_DUP_K = 8  # tokens per exact-match gram (Lee et al. use 50 BPE tokens)
+
+
+def _gram_hash_spark(k: int) -> str:
+    toks = ", ".join(f"toks[i+{j}]" for j in range(k))
+    return (
+        f"transform(sequence(0, size(toks) - {k}), i -> "
+        f"cast(conv(substr(md5(concat_ws(' ', {toks})), 1, 8), 16, 10) as bigint))"
+    )
+
+
+def _gram_hash_duck(k: int) -> str:
+    toks = ", ".join(f"toks[i+{j}]" for j in range(1, k + 1))
+    return (
+        f"('0x' || substr(md5(concat_ws(' ', {toks})), 1, 8))::UBIGINT::BIGINT"
+    )
+
+
+@_register(
+    "q61_dup_ngram_spans",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKENS_SQL_DUCK} AS toks FROM documents
+    ), g AS (
+        SELECT doc_id, i AS pos, {_gram_hash_duck(_DUP_K)} AS h
+        FROM t, unnest(generate_series(0, len(toks) - {_DUP_K})) AS u(i)
+        WHERE len(toks) >= {_DUP_K}
+    ), hd AS (
+        SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    ), dup AS (
+        SELECT g.doc_id, count(*) AS n_dup FROM g JOIN hd ON hd.h = g.h
+        GROUP BY g.doc_id
+    ), per AS (
+        SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id
+    )
+    SELECT p.doc_id, CAST(p.n_grams AS BIGINT) AS n_grams,
+           CAST(COALESCE(d.n_dup, 0) AS BIGINT) AS n_dup_positions,
+           round(COALESCE(d.n_dup, 0) / CAST(p.n_grams AS DOUBLE), 6)
+               AS dup_fraction
+    FROM per p LEFT JOIN dup d ON d.doc_id = p.doc_id
+    """,
+)
+def q61_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication signal (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", at token-{_DUP_K}-gram
+    granularity): a gram is duplicated if it occurs in ≥2 distinct
+    documents; each document reports how many of its gram positions are
+    corpus-duplicated and the resulting fraction — the per-doc signal a
+    substring-level dedup pass thresholds on.
+
+    Scale shape: grams explode narrowly per document, then shuffle ONCE on
+    the 8-byte gram hash (ids only, never text) — the distributed analog
+    of the suffix-array pass, with skew bounded because a gram's group is
+    its true corpus frequency.  The per-doc re-aggregation keys on doc_id.
+    No Python, no windows over data-sized partitions."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = (
+        docs.select("doc_id", F.expr(_TOKENS_EXPR_SPARK).alias("toks"))
+        .filter(F.size("toks") >= _DUP_K)
+        .select("doc_id", F.explode(F.expr(_gram_hash_spark(_DUP_K))).alias("h"))
+    )
+    hd = (
+        g.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    dup = g.join(hd, "h").groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_dup"))
+    per = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    return (
+        per.join(dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+            F.coalesce("n_dup", F.lit(0)).cast("bigint").alias("n_dup_positions"),
+            F.round(
+                F.coalesce("n_dup", F.lit(0)) / F.col("n_grams").cast("double"), 6
+            ).alias("dup_fraction"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q62 — BPE merge candidates (adjacent-pair frequency, the tokenizer-fit step)
+# ---------------------------------------------------------------------------
+
+_MERGE_TOP = 50
+
+
+@_register(
+    "q62_bpe_merge_candidates",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKENS_SQL_DUCK} AS toks FROM documents
+    ), pc AS (
+        SELECT toks[i+1] AS left_tok, toks[i+2] AS right_tok,
+               count(*) AS pair_count
+        FROM t, unnest(generate_series(0, len(toks) - 2)) AS u(i)
+        WHERE len(toks) >= 2
+        GROUP BY 1, 2
+    )
+    SELECT left_tok, right_tok, pair_count, rank FROM (
+        SELECT left_tok, right_tok, pair_count,
+               CAST(row_number() OVER (ORDER BY pair_count DESC,
+                                       left_tok, right_tok) AS INT) AS rank
+        FROM pc
+    ) WHERE rank <= {_MERGE_TOP}
+    """,
+)
+def q62_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first step of BPE/WordPiece tokenizer training: count every
+    adjacent token pair across the corpus and emit the top-{_MERGE_TOP}
+    merge candidates (count desc, pair asc — the deterministic merge-order
+    tie-break).  Iterating this against a merge table is the full BPE fit;
+    one round is the operator the engine owns.
+
+    Scale shape: pairs explode narrowly, aggregate with map-side partial
+    combine on (left, right) — one shuffle whose width is the observed
+    bigram vocabulary.  The global top-k is TakeOrdered (per-partition
+    top-{_MERGE_TOP}, then a {_MERGE_TOP}-row merge on the driver-side
+    reduce), never a full sort; the rank window touches {_MERGE_TOP} rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (
+        docs.select("doc_id", F.expr(_TOKENS_EXPR_SPARK).alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1), i -> "
+                    "named_struct('l', toks[i - 1], 'r', toks[i]))"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.l").alias("left_tok"), F.col("p.r").alias("right_tok"))
+    )
+    pc = pairs.groupBy("left_tok", "right_tok").agg(
+        F.count(F.lit(1)).alias("pair_count")
+    )
+    top = pc.orderBy(
+        F.desc("pair_count"), "left_tok", "right_tok"
+    ).limit(_MERGE_TOP)
+    w = Window.orderBy(F.desc("pair_count"), "left_tok", "right_tok")
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+# ---------------------------------------------------------------------------
+# q63 — DSIR-style importance weights (target-vs-corpus unigram log-ratio)
+# ---------------------------------------------------------------------------
+
+_DSIR_TARGET_LANG = "en"  # the target distribution: English documents
+
+
+@_register(
+    "q63_importance_weights",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_TOKENS_SQL_DUCK}) AS token FROM documents
+    ), cc AS (
+        SELECT token, count(*) AS c FROM tok GROUP BY token
+    ), tc AS (
+        SELECT token, count(*) AS c FROM tok
+        JOIN documents USING (doc_id) WHERE lang = '{_DSIR_TARGET_LANG}'
+        GROUP BY token
+    ), tots AS (
+        SELECT (SELECT count(*) FROM tok) AS n_corpus,
+               (SELECT count(*) FROM tok JOIN documents USING (doc_id)
+                WHERE lang = '{_DSIR_TARGET_LANG}') AS n_target,
+               (SELECT count(DISTINCT token) FROM tok) AS v
+    )
+    SELECT d.doc_id, d.lang, CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(ln((COALESCE(tc.c, 0) + 1)
+                        / CAST(tots.n_target + tots.v AS DOUBLE))
+                     - ln((cc.c + 1)
+                          / CAST(tots.n_corpus + tots.v AS DOUBLE))), 6)
+               AS avg_log_ratio
+    FROM tok
+    JOIN documents d USING (doc_id)
+    JOIN cc USING (token)
+    LEFT JOIN tc USING (token)
+    CROSS JOIN tots
+    GROUP BY d.doc_id, d.lang
+    """,
+)
+def q63_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023): score every document by
+    the average log-ratio of an add-one-smoothed unigram LM fit on the
+    TARGET slice (lang = '{_DSIR_TARGET_LANG}') vs one fit on the whole
+    corpus.  Positive = looks more like the target than the average
+    document; sampling proportional to exp(weight) tilts a 100 TB corpus
+    toward the target domain without a neural scorer.
+
+    Scale shape: q55's access pattern twice over one exploded pass — both
+    count tables shuffle on token (web vocabularies outgrow a broadcast),
+    the three corpus totals ride as a broadcast scalar row, and the final
+    aggregation keys on doc_id.  All JVM."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(F.expr(_TOKENS_EXPR_SPARK)).alias("token")
+    )
+    cc = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cc"))
+    tc = (
+        tok.filter(F.col("lang") == _DSIR_TARGET_LANG)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tc"))
+    )
+    tots = tok.agg(
+        F.count(F.lit(1)).alias("n_corpus"),
+        F.sum(F.when(F.col("lang") == _DSIR_TARGET_LANG, 1).otherwise(0)).alias(
+            "n_target"
+        ),
+        F.countDistinct("token").alias("v"),
+    )
+    log_ratio = F.log(
+        (F.coalesce("tc", F.lit(0)) + 1)
+        / (F.col("n_target") + F.col("v")).cast("double")
+    ) - F.log((F.col("cc") + 1) / (F.col("n_corpus") + F.col("v")).cast("double"))
+    return (
+        tok.join(cc, "token")
+        .join(tc, "token", "left")
+        .crossJoin(F.broadcast(tots))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(F.avg(log_ratio), 6).alias("avg_log_ratio"),
+        )
+    )

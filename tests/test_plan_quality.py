@@ -201,6 +201,32 @@ def test_q59_split_leakage_no_second_lsh_pass_no_join(spark, plan):
     assert "Python" not in p
 
 
+def test_q61_dup_ngram_spans_jvm_only_no_cartesian(spark, plan):
+    """Exact-substring dup signal: ids-only shuffle on the gram hash, doc_id
+    re-aggregation — equi-joins throughout, everything JVM."""
+    p = plan(spark, "q61_dup_ngram_spans")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "Python" not in p
+
+
+def test_q62_merge_candidates_take_ordered_not_global_sort(spark, plan):
+    """BPE merge candidates: the global top-k must be TakeOrdered (partial
+    per-partition top-k), never a range-partitioned full sort of the bigram
+    table."""
+    p = plan(spark, "q62_bpe_merge_candidates")
+    assert "TakeOrderedAndProject" in p
+    assert "rangepartitioning" not in p
+    assert "Python" not in p
+
+
+def test_q63_importance_weights_jvm_only(spark, plan):
+    """DSIR weights: token-keyed shuffle joins (vocab outgrows broadcast),
+    totals ride a broadcast scalar row; no Python anywhere."""
+    p = plan(spark, "q63_importance_weights")
+    assert "CartesianProduct" not in p
+    assert "Python" not in p
+
+
 def test_q60_training_order_no_global_window(spark, plan):
     """Global training order: the data-sized window must partition by the
     hash-prefix bucket; the only SinglePartition exchange feeds the
