@@ -2082,7 +2082,12 @@ def q51_ivf_sq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q58 — semantic deduplication (SemDeDup over IVF cells)
 # ---------------------------------------------------------------------------
 
-_SEM_TAU = 0.2  # within-cell cosine threshold (q28's verify bar)
+# Within-cell cosine threshold.  Measured on the synthetic corpus: random
+# within-cell pairs sit below ~0.35 (near-uniform sphere + shared-centroid
+# lift), the planted near-duplicate pairs at 0.40-0.48 — 0.4 separates
+# them.  q28's 0.2 bar is looser because LSH buckets pre-filter candidates;
+# here every in-cell pair is scored, so the bar must reject the bulk.
+_SEM_TAU = 0.4
 
 
 @_register(

@@ -1,0 +1,121 @@
+"""Behavioral tests for the round-5 curation/training operators (q58-q63):
+semantic-dedup keep semantics, leakage-audit consistency, training-order
+permutation invariants, dup-span bounds, merge-candidate ordering, and
+importance-weight direction — properties the oracle hash can't state."""
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def q():
+    return entry_mod.queries()
+
+
+def test_semantic_dedup_keeps_lowest_id_per_group(spark, q):
+    rows = q["q58_semantic_dedup"](spark, SF_DIR).collect()
+    assert len(rows) == 500  # one verdict per vector
+    by_cell = {}
+    for r in rows:
+        by_cell.setdefault(r.cell, []).append(r)
+    # every cell keeps at least one vector, and any vector with zero
+    # duplicates is kept (nothing to dedup against)
+    for cell, members in by_cell.items():
+        assert any(m.is_kept for m in members), f"cell {cell} kept nothing"
+        for m in members:
+            if m.n_sem_dups == 0:
+                assert m.is_kept
+    # a dropped vector must have a lower-id kept-or-dropped neighbor: the
+    # greedy rule is "drop iff some lower-id neighbor above the bar"
+    dropped = [r for r in rows if not r.is_kept]
+    assert dropped, "corpus plants near-duplicate embeddings; some must drop"
+    for r in dropped:
+        assert r.n_sem_dups >= 1
+
+
+def test_semantic_dedup_drop_rate_is_surgical(spark, q):
+    """The threshold must remove the planted near-dups, not decimate the
+    corpus (a tau regression to random-pair level reads >50% dropped)."""
+    df = q["q58_semantic_dedup"](spark, SF_DIR)
+    dropped = df.filter(~F.col("is_kept")).count()
+    assert 1 <= dropped <= 100
+
+
+def test_split_leakage_pairs_are_near_dups_crossing_splits(spark, q):
+    leaks = q["q59_split_leakage"](spark, SF_DIR).collect()
+    assert leaks, "with random hash splits some near-dup pair must cross"
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in q["q25_lsh_near_dup"](spark, SF_DIR).collect()
+    }
+    splits = {
+        r.doc_id: r.split for r in q["q50_split_assign"](spark, SF_DIR).collect()
+    }
+    for r in leaks:
+        assert (r.doc_a, r.doc_b) in pairs  # subset of the near-dup graph
+        assert r.split_a != r.split_b
+        assert splits[r.doc_a] == r.split_a  # labels agree with q50
+        assert splits[r.doc_b] == r.split_b
+
+
+def test_training_order_is_a_permutation_and_deterministic(spark, q):
+    rows = q["q60_training_order"](spark, SF_DIR).collect()
+    n_seqs = (
+        q["q52_sequence_packing"](spark, SF_DIR)
+        .select("source", "seq_no")
+        .distinct()
+        .count()
+    )
+    assert len(rows) == n_seqs
+    assert sorted(r.position for r in rows) == list(range(1, n_seqs + 1))
+    # position order is exactly (hash, source, seq_no) order
+    by_pos = sorted(rows, key=lambda r: r.position)
+    assert by_pos == sorted(
+        rows, key=lambda r: (r.order_hash, r.source, r.seq_no)
+    )
+    again = q["q60_training_order"](spark, SF_DIR).collect()
+    assert {(r.source, r.seq_no): r.position for r in rows} == {
+        (r.source, r.seq_no): r.position for r in again
+    }
+
+
+def test_dup_ngram_spans_bounds_and_planted_dups(spark, q):
+    rows = q["q61_dup_ngram_spans"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_dup_positions <= r.n_grams
+        assert abs(r.dup_fraction - round(r.n_dup_positions / r.n_grams, 6)) < 1e-9
+    # the corpus plants near-duplicate documents that share 8-token runs
+    assert any(r.dup_fraction > 0 for r in rows)
+
+
+def test_merge_candidates_ordering(spark, q):
+    rows = q["q62_bpe_merge_candidates"](spark, SF_DIR).collect()
+    assert [r.rank for r in sorted(rows, key=lambda r: r.rank)] == list(
+        range(1, len(rows) + 1)
+    )
+    by_rank = sorted(rows, key=lambda r: r.rank)
+    for a, b in zip(by_rank, by_rank[1:]):
+        assert (-a.pair_count, a.left_tok, a.right_tok) < (
+            -b.pair_count,
+            b.left_tok,
+            b.right_tok,
+        )
+        assert a.pair_count >= 1
+
+
+def test_importance_weights_tilt_toward_target(spark, q):
+    df = q["q63_importance_weights"](spark, SF_DIR)
+    r = {
+        row.is_en: row.m
+        for row in df.groupBy((F.col("lang") == "en").alias("is_en"))
+        .agg(F.avg("avg_log_ratio").alias("m"))
+        .collect()
+    }
+    # the en-fit LM must score en documents above the rest on average —
+    # the direction DSIR sampling relies on
+    assert r[True] > r[False]
