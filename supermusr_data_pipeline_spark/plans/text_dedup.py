@@ -1138,52 +1138,54 @@ def q40_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     rules: word-count bounds, mean word length, punctuation ratio,
     stop-word presence).  Entirely JVM higher-order functions over one
     narrow pass — the canonical pre-training filter shape at 100 TB (the
-    filter column gates the corpus without a shuffle)."""
+    filter column gates the corpus without a shuffle).  The metric columns
+    are factored as ``with_quality_metrics`` so the streaming ingest gate
+    (streaming/curation_gate.py) applies the IDENTICAL expressions."""
     docs = load_table(spark, sf_dir, "documents")
+    return with_quality_metrics(docs).select(
+        "doc_id", "n_words", "mean_word_len", "punct_ratio", "stop_hits", "passes"
+    )
+
+
+def with_quality_metrics(docs: DataFrame) -> DataFrame:
+    """Append the q40 quality metrics + the ``passes`` gate to any frame
+    with a ``text`` column, preserving the input columns (batch q40 and the
+    streaming curation gate share this single definition)."""
     toks = F.expr(_TOKENS_EXPR_SPARK)
-    m = docs.select(
-        "doc_id",
-        "text",
-        F.size(toks).cast("bigint").alias("n_words"),
-        F.when(
-            F.size(toks) > 0,
-            F.round(
-                F.expr(
-                    f"aggregate(transform({_TOKENS_EXPR_SPARK}, x -> length(x)),"
-                    " 0L, (a, x) -> a + x)"
-                ).cast("double")
-                / F.size(toks),
+    return docs.withColumns(
+        {
+            "n_words": F.size(toks).cast("bigint"),
+            "mean_word_len": F.when(
+                F.size(toks) > 0,
+                F.round(
+                    F.expr(
+                        f"aggregate(transform({_TOKENS_EXPR_SPARK}, x -> length(x)),"
+                        " 0L, (a, x) -> a + x)"
+                    ).cast("double")
+                    / F.size(toks),
+                    4,
+                ),
+            ).otherwise(0.0),
+            "punct_ratio": F.round(
+                F.length(F.regexp_replace("text", r"[a-zA-Z0-9\s]", "")).cast(
+                    "double"
+                )
+                / F.greatest(F.length("text"), F.lit(1)),
                 4,
             ),
-        )
-        .otherwise(0.0)
-        .alias("mean_word_len"),
-        F.round(
-            F.length(F.regexp_replace("text", r"[a-zA-Z0-9\s]", "")).cast("double")
-            / F.greatest(F.length("text"), F.lit(1)),
-            4,
-        ).alias("punct_ratio"),
-        F.size(
-            F.array_intersect(
-                F.expr(f"transform({_TOKENS_EXPR_SPARK}, x -> lower(x))"),
-                F.expr(f"array({_QF_STOPWORDS})"),
-            )
-        )
-        .cast("bigint")
-        .alias("stop_hits"),
-    )
-    return m.select(
-        "doc_id",
-        "n_words",
-        "mean_word_len",
-        "punct_ratio",
-        "stop_hits",
-        (
-            F.col("n_words").between(5, 5000)
-            & F.col("mean_word_len").between(2, 12)
-            & (F.col("punct_ratio") < 0.2)
-            & (F.col("stop_hits") >= 1)
-        ).alias("passes"),
+            "stop_hits": F.size(
+                F.array_intersect(
+                    F.expr(f"transform({_TOKENS_EXPR_SPARK}, x -> lower(x))"),
+                    F.expr(f"array({_QF_STOPWORDS})"),
+                )
+            ).cast("bigint"),
+        }
+    ).withColumn(
+        "passes",
+        F.col("n_words").between(5, 5000)
+        & F.col("mean_word_len").between(2, 12)
+        & (F.col("punct_ratio") < 0.2)
+        & (F.col("stop_hits") >= 1),
     )
 
 

@@ -427,6 +427,15 @@ def scrub_pii(docs: DataFrame) -> DataFrame:
     """The q56 transform over any (doc_id, text) frame — exposed so tests
     can drive it with crafted PII fixtures (the synthetic corpus has
     none)."""
+    return with_pii_scrub(docs).select(
+        "doc_id", "n_emails", "n_phones", "n_ips", "clean_text"
+    )
+
+
+def with_pii_scrub(docs: DataFrame) -> DataFrame:
+    """Append the PII counts + ``clean_text`` to any frame with a ``text``
+    column, preserving the input columns (q56 and the streaming curation
+    gate share this single definition)."""
     no_phone = F.regexp_replace("text", _PII_PHONE, "[PHONE]")
     # email FIRST (an address like user@1.2.3.4.net must become [EMAIL],
     # not keep a [IP] inside it), then phone, then ip — oracle order exactly
@@ -439,18 +448,17 @@ def scrub_pii(docs: DataFrame) -> DataFrame:
         _PII_IP,
         "[IP]",
     )
-    return docs.select(
-        "doc_id",
-        F.size(F.regexp_extract_all("text", F.lit(_PII_EMAIL), F.lit(0))).alias(
-            "n_emails"
-        ),
-        F.size(F.regexp_extract_all("text", F.lit(_PII_PHONE), F.lit(0))).alias(
-            "n_phones"
-        ),
-        F.size(F.regexp_extract_all(no_phone, F.lit(_PII_IP), F.lit(0))).alias(
-            "n_ips"
-        ),
-        clean.alias("clean_text"),
+    return docs.withColumns(
+        {
+            "n_emails": F.size(
+                F.regexp_extract_all("text", F.lit(_PII_EMAIL), F.lit(0))
+            ),
+            "n_phones": F.size(
+                F.regexp_extract_all("text", F.lit(_PII_PHONE), F.lit(0))
+            ),
+            "n_ips": F.size(F.regexp_extract_all(no_phone, F.lit(_PII_IP), F.lit(0))),
+            "clean_text": clean,
+        }
     )
 
 
