@@ -57,6 +57,8 @@ def main() -> None:
         "q29_ivf_ann",
         "q47_ann_recall",
         "q51_ivf_sq8_ann",
+        "q58_semantic_dedup",
+        "q61_dup_ngram_spans",
     ]
     headline = [h for h in headline if h in qs]
 
@@ -74,6 +76,8 @@ def main() -> None:
         "q29_ivf_ann",
         "q47_ann_recall",
         "q51_ivf_sq8_ann",
+        "q58_semantic_dedup",
+        "q61_dup_ngram_spans",
     }
     try:
         from supermusr_data_pipeline_spark.plans.text_dedup import clear_shared_cache
