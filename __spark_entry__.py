@@ -22,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from supermusr_data_pipeline_spark.plans import relational  # noqa: E402
 from supermusr_data_pipeline_spark.plans import text_dedup  # noqa: E402,F401  (registers queries)
 from supermusr_data_pipeline_spark.plans import text_train  # noqa: E402,F401  (registers queries)
+from supermusr_data_pipeline_spark.plans import ivf_index  # noqa: E402,F401  (registers queries)
 from supermusr_data_pipeline_spark.plans import detectors  # noqa: E402,F401  (registers queries)
 from supermusr_data_pipeline_spark.plans import envelope  # noqa: E402,F401  (registers queries)
 from supermusr_data_pipeline_spark.plans.daq_chain import (  # noqa: E402
