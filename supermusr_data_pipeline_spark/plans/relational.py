@@ -989,3 +989,80 @@ def q36_se00_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sample_value",
         "from_explicit",
     )
+
+
+# ---------------------------------------------------------------------------
+# q65 — as-of attach (latest preceding reading joined to each event)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q65_asof_attach",
+    oracle="""
+    WITH o AS (
+        SELECT event_id, user_id, ts, event_type, value,
+               last_value(CASE WHEN event_type = 'view' THEN event_id END
+                          IGNORE NULLS) OVER w AS last_view_id,
+               last_value(CASE WHEN event_type = 'view' THEN epoch_us(ts) END
+                          IGNORE NULLS) OVER w AS last_view_ts_us,
+               last_value(CASE WHEN event_type = 'view' THEN value END
+                          IGNORE NULLS) OVER w AS last_view_value
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
+           last_view_id, last_view_ts_us, last_view_value
+    FROM o WHERE event_type = 'purchase' AND last_view_id IS NOT NULL
+    """,
+)
+def q65_asof_attach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event carries the most recent strictly-
+    preceding view reading of the same user — the attach-latest-sample
+    semantics the reference's writer applies when it stamps events with
+    the prevailing sample-environment value (nexus-writer selects the log
+    entry at-or-before each event time; see the J2/O4 backstep machinery,
+    trace-viewer/src/finder/task/backstep.rs and q35's one-sided match).
+
+    Scale shape: NOT a join at all — the classic distributed as-of
+    formulation is one hash exchange on the entity key and a per-key
+    ordered window with last(..., ignorenulls) over strictly-preceding
+    rows.  Both sides ride the same shuffle, skew is bounded by per-user
+    event counts, and no range-join explosion exists.  Tie-break is
+    (ts, event_id) — total, deterministic, identical in the oracle.
+    Inner as-of semantics (the SQL ASOF JOIN default): a purchase with no
+    preceding view has nothing to attach and drops."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+
+    def last_view(col):
+        return F.last(
+            F.when(F.col("event_type") == "view", col), ignorenulls=True
+        ).over(w)
+
+    return (
+        ev.withColumns(
+            {
+                "last_view_id": last_view(F.col("event_id")),
+                "last_view_ts_us": last_view(F.unix_micros("ts")),
+                "last_view_value": last_view(F.col("value")),
+            }
+        )
+        .filter(
+            (F.col("event_type") == "purchase")
+            & F.col("last_view_id").isNotNull()
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "value",
+            "last_view_id",
+            "last_view_ts_us",
+            "last_view_value",
+        )
+    )
