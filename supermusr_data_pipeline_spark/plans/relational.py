@@ -1066,3 +1066,67 @@ def q65_asof_attach(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last_view_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q66 — gap-based sessionization (session_window)
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_MIN = 30
+
+
+@_register(
+    "q66_sessionize",
+    oracle=f"""
+    WITH o AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL {_SESSION_GAP_MIN} MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+        SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS sess_no
+        FROM o
+    )
+    SELECT user_id,
+           epoch_us(min(ts)) AS session_start_us,
+           epoch_us(max(ts) + INTERVAL {_SESSION_GAP_MIN} MINUTE) AS session_end_us,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM s GROUP BY user_id, sess_no
+    """,
+)
+def q66_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a user's events belong to one session
+    until a {_SESSION_GAP_MIN}-minute silence, the standard behavioral
+    grouping (and the relational form of the frame cache's first-arrival
+    TTL grouping, digitiser-aggregator/src/frame/cache.rs:121-142 — events
+    cohere while arrivals keep the window alive).
+
+    Spark-native: ``F.session_window`` — the engine merges overlapping
+    per-event windows during the ONE hash aggregation on user_id, so the
+    plan is a single exchange with partial merge, no self-join and no
+    per-user sort pass; the oracle restates it as lag/gap-flag/cumsum.
+    The same expression runs under Structured Streaming with a watermark
+    (state evicts once the watermark passes a session's close), pinned by
+    tests/test_sessionize_stream.py."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id",
+            F.session_window("ts", f"{_SESSION_GAP_MIN} minutes").alias("sw"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("sw.start").alias("session_start_us"),
+            F.unix_micros("sw.end").alias("session_end_us"),
+            "n_events",
+            "total_value",
+        )
+    )

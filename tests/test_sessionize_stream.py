@@ -1,0 +1,81 @@
+"""Streaming sessionization: the q66 session_window aggregation must run
+unchanged under Structured Streaming — closed sessions (watermark passed)
+emit in append mode with exactly the batch values; the open session stays
+in state."""
+
+import time
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+T0 = datetime(2024, 1, 1, 12, 0, 0)
+SCHEMA = "event_id long, user_id long, value double, ts timestamp"
+GAP = "30 minutes"
+
+
+def _sessionize(df):
+    return (
+        df.groupBy("user_id", F.session_window("ts", GAP).alias("sw"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("sw.start").alias("session_start_us"),
+            F.unix_micros("sw.end").alias("session_end_us"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def test_stream_emits_closed_sessions_matching_batch(spark, tmp_path):
+    sessions = [
+        (1, 1, 10.0, T0),
+        (2, 1, 5.0, T0 + timedelta(minutes=10)),
+        (3, 1, 2.5, T0 + timedelta(minutes=20)),  # user 1, session A (3 events)
+        (4, 2, 7.0, T0 + timedelta(minutes=5)),   # user 2, session A (1 event)
+        (5, 1, 1.0, T0 + timedelta(hours=2)),     # user 1, session B
+    ]
+    flush = [(6, 9, 0.0, T0 + timedelta(hours=9))]  # advances the watermark
+    src = tmp_path / "ev"
+    src.mkdir()
+    spark.createDataFrame(sessions, SCHEMA).coalesce(1).write.parquet(
+        str(src / "b1"), mode="overwrite"
+    )
+    spark.createDataFrame(flush, SCHEMA).coalesce(1).write.parquet(
+        str(src / "b2"), mode="overwrite"
+    )
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+        .withWatermark("ts", "10 seconds")
+    )
+    q = (
+        _sessionize(stream)
+        .writeStream.format("memory")
+        .queryName("t_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if spark.sql("SELECT * FROM t_sessions").count() >= 3:
+            break
+        time.sleep(0.3)
+    q.stop()
+    got = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM t_sessions").collect()
+    }
+    # batch truth for the CLOSED sessions (everything before the flush event)
+    batch = {
+        tuple(r)
+        for r in _sessionize(spark.createDataFrame(sessions, SCHEMA)).collect()
+    }
+    assert got == batch  # stream emitted exactly the closed sessions
+    assert len(got) == 3
