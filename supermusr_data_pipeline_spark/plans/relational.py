@@ -1130,3 +1130,84 @@ def q66_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q67 — exact grouped percentiles (latency-quantile shape)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q67_value_quantiles",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(quantile_cont(value, 0.5), 6)  AS p50,
+           round(quantile_cont(value, 0.95), 6) AS p95,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def q67_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (the DAQ-stats tail-latency
+    readout shape, diagnostics/src/daq_trace/mod.rs:151-168 extended to
+    distribution tails).  Spark's ``percentile`` and DuckDB's
+    ``quantile_cont`` share the linear-interpolation definition, so the
+    oracle is value-exact.
+
+    Scale note: exact percentiles buffer each group's values — fine for
+    bounded group counts (event types); at 100 TB row volume per group the
+    drop-in is ``percentile_approx`` (t-digest, mergeable partial aggs),
+    same plan shape, bounded memory."""
+    ev = load_table(spark, sf_dir, "events")
+    pct = F.expr("percentile(value, array(0.5D, 0.95D, 0.99D))")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(pct.getItem(0), 6).alias("p50"),
+            F.round(pct.getItem(1), 6).alias("p95"),
+            F.round(pct.getItem(2), 6).alias("p99"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q68 — rollup (multi-level aggregation lattice)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q68_corpus_rollup",
+    oracle="""
+    SELECT COALESCE(source, 'ALL') AS source,
+           COALESCE(lang, 'ALL') AS lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY ROLLUP (source, lang)
+    """,
+)
+def q68_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation lattice over the corpus: per-(source, lang), per-source,
+    and grand totals in ONE pass via ROLLUP — the report-card rollup (q49)
+    generalized to the lattice an operator dashboard reads.
+
+    Scale shape: Spark expands grouping sets map-side and shares one
+    exchange across all three levels — strictly cheaper than three
+    aggregations and a union.  NULL lattice markers are coalesced to
+    'ALL' (lang/source are never null in data, so the marker is
+    unambiguous)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.rollup("source", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .select(
+            F.coalesce("source", F.lit("ALL")).alias("source"),
+            F.coalesce("lang", F.lit("ALL")).alias("lang"),
+            "n_docs",
+            "total_chars",
+        )
+    )
