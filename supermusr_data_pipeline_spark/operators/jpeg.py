@@ -1,17 +1,26 @@
-"""Baseline JPEG codec — pure numpy + stdlib, written from the public
-ITU-T T.81 spec (the reference pipeline treats compressed media as opaque
-payloads; this closes the "most common real-world image format" gap without
-external codec libraries).
+"""JPEG codec — pure numpy + stdlib, written from the public ITU-T T.81
+spec (the reference pipeline treats compressed media as opaque payloads;
+this closes the "most common real-world image format" gap without external
+codec libraries).
 
-Decoder: baseline sequential DCT (SOF0), 8-bit precision, generic DHT/DQT
-parsing (tables come from the stream, so any baseline JPEG decodes — not
-just this encoder's output), arbitrary sampling factors incl. 4:2:0,
-restart intervals, byte-stuffing.  Progressive (SOF2) and arithmetic coding
-raise ``NotImplementedError``.
+Decoder: baseline sequential (SOF0/1) AND progressive (SOF2) DCT, 8-bit
+precision, generic DHT/DQT parsing (tables come from the stream, so any
+conforming JPEG decodes — not just this encoder's output), arbitrary
+sampling factors incl. 4:2:0, restart intervals, byte-stuffing.  One
+architecture for both modes: every scan accumulates into a coefficient
+store (spectral selection + successive approximation per T.81 Annex G,
+incl. general EOB runs and refinement correction bits); IDCT runs once at
+EOI.  Arithmetic coding, lossless, and hierarchical modes raise
+``NotImplementedError``.
 
 Encoder: baseline 4:4:4 or 4:2:0, standard Annex-K quantization tables
 scaled by the libjpeg quality formula, per-image canonical Huffman tables
-(fixed-length, spec-conformant — written into DHT like any other table).
+(fixed-length, spec-conformant — written into DHT like any other table);
+plus a progressive encoder (``encode_progressive_jpeg``) with a DC + two
+spectral bands + refinement scan script over the SAME quantized
+coefficients, so progressive and baseline decode pixel-identically; EOB
+runs accumulate across blocks (EOBn with appended correction bits) on
+both the encode and decode side.
 
 Everything is 8x8-block numpy: the DCT/IDCT are orthonormal matrix
 products, so the only loss is quantization + uint8 clipping.
@@ -290,14 +299,13 @@ def _encode_component_blocks(blocks_zz: np.ndarray) -> tuple[list, set, set]:
     return stream, dc_syms, ac_syms
 
 
-def encode_jpeg(
-    pixels: np.ndarray,
-    quality: int = 90,
-    subsample: bool = False,
-    restart_interval: int = 0,
-) -> bytes:
-    """HxWx3 uint8 RGB → baseline JPEG bytes (4:2:0 when ``subsample``;
-    ``restart_interval`` > 0 emits DRI + RSTn markers every N MCUs)."""
+def _prepare_components(
+    pixels: np.ndarray, quality: int, subsample: bool
+) -> tuple:
+    """RGB pixels → (qt, samp, comp_zz, mcu_rows, mcu_cols): per-component
+    quantized zigzag block grids, shared by the baseline and progressive
+    encoders (same coefficients — progressive is a reorganization of the
+    entropy coding, not of the data)."""
     h, w = pixels.shape[:2]
     ycc = _rgb_to_ycbcr(np.asarray(pixels, dtype=np.uint8))
     qt = [_scaled_qt(_QT_LUMA, quality), _scaled_qt(_QT_CHROMA, quality)]
@@ -319,7 +327,6 @@ def encode_jpeg(
     mcu_cols = ceil(w / (8 * hmax))
     mcu_rows = ceil(h / (8 * vmax))
 
-    # per-component quantized zigzag blocks in MCU-interleaved order
     comp_zz = []
     for ci, plane in enumerate(planes):
         sh, sv = samp[ci]
@@ -334,9 +341,24 @@ def encode_jpeg(
         coef = np.einsum("km,rcmn,ln->rckl", _DCT_C, blocks - 128.0, _DCT_C)
         q = np.rint(coef / qt[0 if ci == 0 else 1]).astype(np.int32)
         comp_zz.append(q[:, :, _ZZ_ROWS, _ZZ_COLS])  # (rows, cols, 64)
+    return qt, samp, comp_zz, mcu_rows, mcu_cols
+
+
+def encode_jpeg(
+    pixels: np.ndarray,
+    quality: int = 90,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """HxWx3 uint8 RGB → baseline JPEG bytes (4:2:0 when ``subsample``;
+    ``restart_interval`` > 0 emits DRI + RSTn markers every N MCUs)."""
+    h, w = pixels.shape[:2]
+    qt, samp, comp_zz, mcu_rows, mcu_cols = _prepare_components(
+        pixels, quality, subsample
+    )
 
     # interleave blocks in MCU order, gather symbol stats per table class
-    interleaved: list[list[np.ndarray]] = [[] for _ in planes]
+    interleaved: list[list[np.ndarray]] = [[] for _ in comp_zz]
     for my in range(mcu_rows):
         for mx in range(mcu_cols):
             for ci, (sh, sv) in enumerate(samp):
@@ -344,7 +366,7 @@ def encode_jpeg(
                     for bx in range(sh):
                         interleaved[ci].append(comp_zz[ci][my * sv + by, mx * sh + bx])
     streams, dc_sets, ac_sets = [], [set(), set()], [set(), set()]
-    for ci in range(len(planes)):
+    for ci in range(len(comp_zz)):
         st, dcs, acs = _encode_component_blocks(np.array(interleaved[ci]))
         streams.append(st)
         t = 0 if ci == 0 else 1
@@ -356,15 +378,15 @@ def encode_jpeg(
     # entropy-code: walk the MCU interleave again, pulling from each stream
     writer = _BitWriter()
     iters = [iter(s) for s in streams]
-    n_blocks = [len(interleaved[ci]) for ci in range(len(planes))]
-    done = [0] * len(planes)
-    preds = [0] * len(planes)
+    n_blocks = [len(interleaved[ci]) for ci in range(len(comp_zz))]
+    done = [0] * len(comp_zz)
+    preds = [0] * len(comp_zz)
     mcu_idx = 0
     for my in range(mcu_rows):
         for mx in range(mcu_cols):
             if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
                 writer.write_marker(0xD0 + (mcu_idx // restart_interval - 1) % 8)
-                preds = [0] * len(planes)
+                preds = [0] * len(comp_zz)
             mcu_idx += 1
             for ci, (sh, sv) in enumerate(samp):
                 t = 0 if ci == 0 else 1
@@ -426,12 +448,410 @@ def encode_jpeg(
 
 
 # --------------------------------------------------------------------------
+# progressive encoder
+# --------------------------------------------------------------------------
+
+
+class _SymCollector:
+    """First pass over a scan body: records which Huffman symbols each
+    (class, table) needs; ignores raw bits."""
+
+    def __init__(self) -> None:
+        self.tables: dict[tuple[int, int], set[int]] = {}
+
+    def sym(self, cls: int, tid: int, s: int) -> None:
+        self.tables.setdefault((cls, tid), set()).add(s)
+
+    def bits(self, v: int, n: int) -> None:
+        pass
+
+
+class _ScanWriter:
+    """Second pass: same body, real entropy output."""
+
+    def __init__(self, writer: _BitWriter, enc: dict) -> None:
+        self.writer = writer
+        self.enc = enc
+
+    def sym(self, cls: int, tid: int, s: int) -> None:
+        ln, code = self.enc[(cls, tid)][s]
+        self.writer.write(code, ln)
+
+    def bits(self, v: int, n: int) -> None:
+        if n:
+            self.writer.write(v, n)
+
+
+def _mag_shift(v: int, al: int) -> int:
+    """AC point transform: sign-preserving magnitude shift (T.81)."""
+    return (abs(v) >> al) * (1 if v >= 0 else -1)
+
+
+def encode_progressive_jpeg(
+    pixels: np.ndarray, quality: int = 90, subsample: bool = False
+) -> bytes:
+    """HxWx3 uint8 RGB → progressive JPEG (SOF2) bytes.
+
+    Scan script (exercises every progressive mechanism): interleaved DC
+    first pass at Al=1, DC refinement bit, per-component AC first passes
+    split into two spectral bands (1-5, 6-63) at Al=1, then the matching
+    AC refinement scans at Al=0.  The quantized coefficients are identical
+    to ``encode_jpeg``'s — progressive is a lossless reorganization of the
+    entropy coding, so decode(progressive) == decode(baseline) pixel-exact
+    at equal quality (pinned by tests/test_jpeg.py).  EOB runs accumulate
+    across blocks (EOBn symbols with refinement correction bits appended
+    after the run length), per T.81 G.1.2.2-3."""
+    h, w = pixels.shape[:2]
+    qt, samp, comp_zz, mcu_rows, mcu_cols = _prepare_components(
+        pixels, quality, subsample
+    )
+    hmax = max(s0 for s0, _ in samp)
+    vmax = max(s1 for _, s1 in samp)
+    tgrid = []
+    for sh, sv in samp:
+        cw, chh = ceil(w * sh / hmax), ceil(h * sv / vmax)
+        tgrid.append((ceil(chh / 8), ceil(cw / 8)))
+
+    def dc_first_body(emit, al):
+        preds = [0] * len(comp_zz)
+        for my in range(mcu_rows):
+            for mx in range(mcu_cols):
+                for ci, (sh, sv) in enumerate(samp):
+                    t = 0 if ci == 0 else 1
+                    for by in range(sv):
+                        for bx in range(sh):
+                            v = int(comp_zz[ci][my * sv + by, mx * sh + bx, 0]) >> al
+                            diff = v - preds[ci]
+                            preds[ci] = v
+                            s = _category(diff)
+                            emit.sym(0, t, s)
+                            if s:
+                                emit.bits(_value_bits(diff, s), s)
+
+    def dc_refine_body(emit, al):
+        for my in range(mcu_rows):
+            for mx in range(mcu_cols):
+                for ci, (sh, sv) in enumerate(samp):
+                    for by in range(sv):
+                        for bx in range(sh):
+                            v = int(comp_zz[ci][my * sv + by, mx * sh + bx, 0])
+                            emit.bits((v >> al) & 1, 1)
+
+    def _flush_eob(emit, t, eobrun, ebits):
+        """Emit an accumulated EOBn (2^r <= run < 2^(r+1); r extra bits),
+        followed by any buffered refinement correction bits."""
+        r = eobrun.bit_length() - 1
+        emit.sym(1, t, r << 4)
+        emit.bits(eobrun - (1 << r), r)
+        for b in ebits:
+            emit.bits(b, 1)
+
+    def ac_first_body(emit, ci, ss, se, al):
+        t = 0 if ci == 0 else 1
+        tbr, tbc = tgrid[ci]
+        eobrun = 0
+        for by in range(tbr):
+            for bx in range(tbc):
+                blk = comp_zz[ci][by, bx]
+                vals = [_mag_shift(int(blk[k]), al) for k in range(ss, se + 1)]
+                if not any(vals):  # whole band zero: extend the EOB run
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        _flush_eob(emit, t, eobrun, [])
+                        eobrun = 0
+                    continue
+                if eobrun:
+                    _flush_eob(emit, t, eobrun, [])
+                    eobrun = 0
+                run = 0
+                for v in vals:
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        emit.sym(1, t, 0xF0)
+                        run -= 16
+                    s = _category(v)
+                    emit.sym(1, t, (run << 4) | s)
+                    emit.bits(_value_bits(v, s), s)
+                    run = 0
+                if run > 0:  # trailing zeros start a new EOB run
+                    eobrun += 1
+        if eobrun:
+            _flush_eob(emit, t, eobrun, [])
+
+    def ac_refine_body(emit, ci, ss, se, al):
+        t = 0 if ci == 0 else 1
+        tbr, tbc = tgrid[ci]
+        eobrun = 0
+        ebits: list[int] = []  # correction bits owed after the EOBn symbol
+        for by in range(tbr):
+            for bx in range(tbc):
+                blk = comp_zz[ci][by, bx]
+                absv = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+                eob = -1
+                for i, a in enumerate(absv):
+                    if a == 1:
+                        eob = i
+                if eob < 0:  # no new significances: whole band joins the run
+                    eobrun += 1
+                    ebits += [a & 1 for a in absv if a > 1]
+                    if eobrun == 0x7FFF:
+                        _flush_eob(emit, t, eobrun, ebits)
+                        eobrun, ebits = 0, []
+                    continue
+                if eobrun:
+                    _flush_eob(emit, t, eobrun, ebits)
+                    eobrun, ebits = 0, []
+                run = 0
+                pend: list[int] = []
+                for i, a in enumerate(absv):
+                    if a == 0:
+                        run += 1
+                        continue
+                    while run > 15 and i <= eob:
+                        emit.sym(1, t, 0xF0)
+                        for b in pend:
+                            emit.bits(b, 1)
+                        pend = []
+                        run -= 16
+                    if a > 1:  # history-nonzero: correction bit, not in run
+                        pend.append(a & 1)
+                        continue
+                    emit.sym(1, t, (run << 4) | 1)  # newly significant
+                    emit.bits(1 if int(blk[ss + i]) >= 0 else 0, 1)
+                    for b in pend:
+                        emit.bits(b, 1)
+                    pend = []
+                    run = 0
+                if run > 0 or pend:  # band tail starts a new EOB run
+                    eobrun += 1
+                    ebits += pend
+        if eobrun:
+            _flush_eob(emit, t, eobrun, ebits)
+
+    # scan script: (body, scan_component_ids or None for interleaved,
+    #               ss, se, ah, al, needs_tables)
+    scans = [
+        (lambda e: dc_first_body(e, 1), None, 0, 0, 0, 1, True),
+        (lambda e: dc_refine_body(e, 0), None, 0, 0, 1, 0, False),
+    ]
+    for ci in range(3):
+        for ss, se in ((1, 5), (6, 63)):
+            scans.append(
+                (lambda e, ci=ci, ss=ss, se=se: ac_first_body(e, ci, ss, se, 1),
+                 ci, ss, se, 0, 1, True)
+            )
+    for ci in range(3):
+        for ss, se in ((1, 5), (6, 63)):
+            scans.append(
+                (lambda e, ci=ci, ss=ss, se=se: ac_refine_body(e, ci, ss, se, 0),
+                 ci, ss, se, 1, 0, True)
+            )
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    out = [b"\xff\xd8"]
+    out.append(seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"))
+    for tq, table in enumerate(qt):
+        zz = table[_ZZ_ROWS, _ZZ_COLS].astype(np.uint8)
+        out.append(seg(0xFFDB, bytes([tq]) + zz.tobytes()))
+    sofb = struct.pack(">BHHB", 8, h, w, 3)
+    for ci in range(3):
+        sofb += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], 0 if ci == 0 else 1])
+    out.append(seg(0xFFC2, sofb))  # SOF2: progressive DCT
+
+    for body_fn, ci, ss, se, ah, al, needs_tables in scans:
+        enc_tables: dict = {}
+        if needs_tables:
+            coll = _SymCollector()
+            body_fn(coll)
+            for (cls, tid), syms in sorted(coll.tables.items()):
+                bits, vals, enc = _fixed_huff_table(syms)
+                out.append(
+                    seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+                )
+                enc_tables[(cls, tid)] = enc
+        if ci is None:  # interleaved DC scan over all three components
+            sos = bytes([3])
+            for c in range(3):
+                t = 0 if c == 0 else 1
+                sos += bytes([c + 1, (t << 4) | t])
+        else:
+            t = 0 if ci == 0 else 1
+            sos = bytes([1, ci + 1, (t << 4) | t])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out.append(seg(0xFFDA, sos))
+        writer = _BitWriter()
+        body_fn(_ScanWriter(writer, enc_tables))
+        out.append(writer.flush())
+    out.append(b"\xff\xd9")
+    return b"".join(out)
+
+
+# --------------------------------------------------------------------------
 # decoder
 # --------------------------------------------------------------------------
 
 
+def _block_dc_first(reader, blk, dc_table, pred: int, al: int) -> int:
+    s = _huff_read(reader, dc_table)
+    diff = _extend(reader.read_bits(s), s) if s else 0
+    pred += diff
+    blk[0] = pred << al
+    return pred
+
+
+def _block_ac_first(reader, blk, ss, se, al, ac_table, eobrun: int) -> int:
+    """First-pass AC band decode (also the baseline AC path with ss=1,
+    se=63, al=0 — baseline EOB is the degenerate EOB-run of one block)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = _huff_read(reader, ac_table)
+        r, sz = sym >> 4, sym & 0xF
+        if sz == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += reader.read_bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("AC run past band end")
+        blk[k] = _extend(reader.read_bits(sz), sz) << al
+        k += 1
+    return eobrun
+
+
+def _refine_nonzero(reader, blk, k: int, p1: int, m1: int) -> None:
+    if reader.read_bit():
+        if (int(blk[k]) & p1) == 0:
+            blk[k] += p1 if blk[k] >= 0 else m1
+
+
+def _block_ac_refine(reader, blk, ss, se, al, ac_table, eobrun: int) -> int:
+    """Successive-approximation AC refinement (T.81 G.1.2.3): runs count
+    only zero-history coefficients; already-nonzero coefficients crossed by
+    a run contribute one correction bit each, appended after the symbol's
+    sign bit; EOB-run blocks still carry correction bits for every nonzero
+    coefficient left in the band."""
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = _huff_read(reader, ac_table)
+            r, sz = sym >> 4, sym & 0xF
+            if sz:
+                if sz != 1:
+                    raise ValueError("bad refinement-scan symbol")
+                newval = p1 if reader.read_bit() else m1
+            else:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break
+                newval = 0  # ZRL: 16 zero-history positions, nothing placed
+            while k <= se:
+                if blk[k] != 0:
+                    _refine_nonzero(reader, blk, k, p1, m1)
+                else:
+                    if r == 0:
+                        blk[k] = newval
+                        k += 1
+                        break
+                    r -= 1
+                k += 1
+    if eobrun > 0:
+        while k <= se:
+            if blk[k] != 0:
+                _refine_nonzero(reader, blk, k, p1, m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_scan(
+    reader, scan_comps, ss, se, ah, al, huff, coef, geom, restart_interval
+) -> None:
+    """Decode one entropy-coded scan into the coefficient store.  Baseline
+    is the ss=0..se=63, ah=al=0 interleaved case of the same machinery."""
+    preds = {c["id"]: 0 for c, _, _ in scan_comps}
+    eobrun = 0
+    unit = 0
+
+    def maybe_restart():
+        nonlocal preds, eobrun
+        if restart_interval and unit and unit % restart_interval == 0:
+            reader.restart()
+            preds = {c["id"]: 0 for c, _, _ in scan_comps}
+            eobrun = 0
+
+    if len(scan_comps) > 1:  # interleaved (MCU order over the padded grid)
+        if ss != 0:
+            raise ValueError("progressive AC scans must be single-component")
+        g0 = geom[scan_comps[0][0]["id"]]
+        for my in range(g0["mcu_rows"]):
+            for mx in range(g0["mcu_cols"]):
+                maybe_restart()
+                unit += 1
+                for comp, tdc, tac in scan_comps:
+                    g = geom[comp["id"]]
+                    store = coef[comp["id"]]
+                    for by in range(comp["v"]):
+                        for bx in range(comp["h"]):
+                            blk = store[my * comp["v"] + by, mx * comp["h"] + bx]
+                            if ah == 0:
+                                preds[comp["id"]] = _block_dc_first(
+                                    reader, blk, huff[(0, tdc)], preds[comp["id"]], al
+                                )
+                                if se > 0:
+                                    eobrun = _block_ac_first(
+                                        reader, blk, 1, se, al, huff[(1, tac)], eobrun
+                                    )
+                            else:
+                                blk[0] += reader.read_bit() << al
+    else:  # non-interleaved: raster order over the TRUE block grid
+        comp, tdc, tac = scan_comps[0]
+        g = geom[comp["id"]]
+        store = coef[comp["id"]]
+        for by in range(g["tbrows"]):
+            for bx in range(g["tbcols"]):
+                maybe_restart()
+                unit += 1
+                blk = store[by, bx]
+                if ss == 0:
+                    if ah == 0:
+                        preds[comp["id"]] = _block_dc_first(
+                            reader, blk, huff[(0, tdc)], preds[comp["id"]], al
+                        )
+                        if se > 0:  # baseline-style single-component scan
+                            eobrun = _block_ac_first(
+                                reader, blk, 1, se, al, huff[(1, tac)], eobrun
+                            )
+                    else:
+                        blk[0] += reader.read_bit() << al
+                elif ah == 0:
+                    eobrun = _block_ac_first(
+                        reader, blk, ss, se, al, huff[(1, tac)], eobrun
+                    )
+                else:
+                    eobrun = _block_ac_refine(
+                        reader, blk, ss, se, al, huff[(1, tac)], eobrun
+                    )
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JPEG bytes → HxWx3 uint8 RGB (grayscale expands)."""
+    """Baseline (SOF0/1) or progressive (SOF2) JPEG bytes → HxWx3 uint8 RGB
+    (grayscale expands).  One architecture for both modes: every scan
+    accumulates into a per-component coefficient store (progressive scans
+    refine it across spectral bands / approximation bits); dequantization,
+    IDCT, upsampling, and color conversion run once at EOI."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -439,6 +859,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], dict] = {}
     sof = None
     restart_interval = 0
+    coef: dict[int, np.ndarray] = {}
+    geom: dict[int, dict] = {}
+    saw_scan = False
     while True:
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG segment marker")
@@ -447,7 +870,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
-            raise ValueError("JPEG has no scan data")
+            if not saw_scan:
+                raise ValueError("JPEG has no scan data")
+            break
         (ln,) = struct.unpack_from(">H", payload, pos)
         if ln < 2:
             raise ValueError(f"bad JPEG segment length {ln} for marker FF{marker:02X}")
@@ -474,7 +899,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 vals = list(body[b + 17 : b + 17 + n])
                 huff[(cls, tid)] = _huff_decode_map(bits, vals)
                 b += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # baseline / extended seq
+        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext seq / progressive
             prec, ih, iw, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError("only 8-bit JPEG precision")
@@ -483,11 +908,27 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, sampb, tq = body[6 + 3 * i : 9 + 3 * i]
                 comps.append({"id": cid, "h": sampb >> 4, "v": sampb & 0xF, "tq": tq})
             sof = (ih, iw, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError("only baseline sequential JPEG (SOF0/1)")
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcu_cols = ceil(iw / (8 * hmax))
+            mcu_rows = ceil(ih / (8 * vmax))
+            for c in comps:
+                cw = ceil(iw * c["h"] / hmax)
+                ch = ceil(ih * c["v"] / vmax)
+                geom[c["id"]] = {
+                    "mcu_rows": mcu_rows,
+                    "mcu_cols": mcu_cols,
+                    "tbrows": ceil(ch / 8),
+                    "tbcols": ceil(cw / 8),
+                }
+                coef[c["id"]] = np.zeros(
+                    (mcu_rows * c["v"], mcu_cols * c["h"], 64), dtype=np.int32
+                )
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("only baseline/progressive DCT (SOF0/1/2)")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
-        elif marker == 0xDA:  # SOS — entropy data follows
+        elif marker == 0xDA:  # SOS
             if sof is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = body[0]
@@ -496,61 +937,35 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, tb = body[1 + 2 * i], body[2 + 2 * i]
                 comp = next(c for c in sof[2] if c["id"] == cid)
                 scan_comps.append((comp, tb >> 4, tb & 0xF))
-            break
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            reader = _BitReader(payload, pos)
+            _decode_scan(
+                reader, scan_comps, ss, se, ahal >> 4, ahal & 0xF,
+                huff, coef, geom, restart_interval,
+            )
+            saw_scan = True
+            # skip entropy padding up to the next true marker
+            pos = reader.pos
+            while not (payload[pos] == 0xFF and payload[pos + 1] != 0x00):
+                pos += 1
         # else: APPn/COM/etc — skipped
+
     ih, iw, comps = sof
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
-    mcu_cols = ceil(iw / (8 * hmax))
-    mcu_rows = ceil(ih / (8 * vmax))
-    planes = {
-        c["id"]: np.zeros((mcu_rows * 8 * c["v"], mcu_cols * 8 * c["h"]), dtype=np.float64)
-        for c in comps
-    }
-    reader = _BitReader(payload, pos)
-    preds = {c["id"]: 0 for c in comps}
-    mcu_count = 0
-    for my in range(mcu_rows):
-        for mx in range(mcu_cols):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                reader.restart()
-                preds = {c["id"]: 0 for c in comps}
-            mcu_count += 1
-            for comp, tdc, tac in scan_comps:
-                qt = qts[comp["tq"]]
-                for by in range(comp["v"]):
-                    for bx in range(comp["h"]):
-                        zz = np.zeros(64, dtype=np.int32)
-                        s = _huff_read(reader, huff[(0, tdc)])
-                        diff = _extend(reader.read_bits(s), s) if s else 0
-                        preds[comp["id"]] += diff
-                        zz[0] = preds[comp["id"]]
-                        k = 1
-                        while k < 64:
-                            sym = _huff_read(reader, huff[(1, tac)])
-                            if sym == 0x00:
-                                break
-                            if sym == 0xF0:
-                                k += 16
-                                continue
-                            k += sym >> 4
-                            if k > 63:
-                                raise ValueError("AC run past block end")
-                            sz = sym & 0xF
-                            zz[k] = _extend(reader.read_bits(sz), sz)
-                            k += 1
-                        blk = np.zeros((8, 8), dtype=np.float64)
-                        blk[_ZZ_ROWS, _ZZ_COLS] = zz * qt[_ZZ_ROWS, _ZZ_COLS]
-                        px = _DCT_C.T @ blk @ _DCT_C + 128.0
-                        y0 = (my * comp["v"] + by) * 8
-                        x0 = (mx * comp["h"] + bx) * 8
-                        planes[comp["id"]][y0 : y0 + 8, x0 : x0 + 8] = px
-    # upsample to full resolution and crop
     full = []
     for c in comps:
-        p = planes[c["id"]]
-        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
-        full.append(p[:ih, :iw])
+        zz = coef[c["id"]]  # (brows, bcols, 64)
+        qt = qts[c["tq"]]
+        blocks = np.zeros(zz.shape[:2] + (8, 8), dtype=np.float64)
+        blocks[:, :, _ZZ_ROWS, _ZZ_COLS] = zz * qt[_ZZ_ROWS, _ZZ_COLS]
+        px = np.einsum("mk,rcmn,nl->rckl", _DCT_C, blocks, _DCT_C) + 128.0
+        plane = px.transpose(0, 2, 1, 3).reshape(px.shape[0] * 8, px.shape[1] * 8)
+        plane = np.repeat(
+            np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
+        )
+        full.append(plane[:ih, :iw])
     if len(full) == 1:
         g = np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
         return np.repeat(g[:, :, None], 3, axis=2)

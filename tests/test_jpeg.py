@@ -104,11 +104,11 @@ def test_fill_bytes_before_marker_are_skipped():
     np.testing.assert_array_equal(decode_jpeg(padded), decode_jpeg(buf))
 
 
-def test_progressive_and_garbage_raise():
+def test_lossless_and_garbage_raise():
     buf = bytearray(encode_jpeg(_smooth(8, 8)))
     i = buf.find(b"\xff\xc0")
-    buf[i + 1] = 0xC2  # pretend SOF2 progressive
-    with pytest.raises(NotImplementedError, match="baseline"):
+    buf[i + 1] = 0xC3  # pretend SOF3 lossless
+    with pytest.raises(NotImplementedError, match="SOF0/1/2"):
         decode_jpeg(bytes(buf))
     with pytest.raises(ValueError):
         decode_jpeg(b"not a jpeg")
@@ -124,3 +124,45 @@ def test_grayscale_single_component_scan():
     out = decode_jpeg(encode_jpeg(g, quality=95))
     assert np.abs(out.astype(int) - g.astype(int)).max() <= 4
     assert np.abs(out[:, :, 0].astype(int) - out[:, :, 1].astype(int)).max() <= 2
+
+
+def _noise(h=24, w=17, seed=3):
+    return np.random.RandomState(seed).randint(0, 256, (h, w, 3), dtype=np.uint8)
+
+
+def test_progressive_decodes_pixel_identical_to_baseline():
+    """Progressive is a lossless reorganization of the same quantized
+    coefficients: decode(progressive) must equal decode(baseline) exactly,
+    across subsampling (incl. padded-vs-true block grids), quality, and
+    smooth/noise content (noise stresses ZRL + refinement runs)."""
+    from supermusr_data_pipeline_spark.operators.jpeg import encode_progressive_jpeg
+
+    for img in (_smooth(24, 17), _noise(24, 17), _noise(20, 20, seed=5)):
+        for sub in (False, True):
+            for q in (50, 90, 100):
+                b = decode_jpeg(encode_jpeg(img, quality=q, subsample=sub))
+                p = decode_jpeg(
+                    encode_progressive_jpeg(img, quality=q, subsample=sub)
+                )
+                assert np.array_equal(b, p), (img.shape, sub, q)
+
+
+def test_progressive_stream_is_sof2_multiscan():
+    from supermusr_data_pipeline_spark.operators.jpeg import encode_progressive_jpeg
+
+    buf = encode_progressive_jpeg(_smooth(16, 16))
+    assert b"\xff\xc2" in buf and b"\xff\xc0" not in buf
+    # DC first + DC refine + 6 AC first + 6 AC refine = 14 SOS markers
+    assert buf.count(b"\xff\xda") == 14
+
+
+def test_progressive_uniform_image_exercises_eob_only_bands():
+    """A flat image quantizes every AC coefficient to zero: every AC scan
+    is pure EOB runs, every refinement scan pure EOB runs with no
+    correction bits — the degenerate paths must still roundtrip."""
+    from supermusr_data_pipeline_spark.operators.jpeg import encode_progressive_jpeg
+
+    img = np.full((16, 24, 3), 130, dtype=np.uint8)
+    b = decode_jpeg(encode_jpeg(img, quality=90))
+    p = decode_jpeg(encode_progressive_jpeg(img, quality=90))
+    assert np.array_equal(b, p)
