@@ -478,15 +478,23 @@ _LSH_BUCKET_CAP = 64
             UNION ALL SELECT doc_id, 2, band2 FROM banded
             UNION ALL SELECT doc_id, 3, band3 FROM banded
         )
+    ), sized AS (
+        SELECT *, count(*) OVER (PARTITION BY band_no, key) AS bucket_n
+        FROM long_banded
     ), capped AS (
-        SELECT doc_id, band_no, key FROM (
-            SELECT *, count(*) OVER (PARTITION BY band_no, key) AS bucket_n
-            FROM long_banded
-        ) WHERE bucket_n <= {_LSH_BUCKET_CAP}
+        SELECT doc_id, band_no, key FROM sized WHERE bucket_n <= {_LSH_BUCKET_CAP}
+    ), star AS (
+        SELECT rep AS doc_a, doc_id AS doc_b FROM (
+            SELECT doc_id, min(doc_id) OVER (PARTITION BY band_no, key) AS rep
+            FROM sized WHERE bucket_n > {_LSH_BUCKET_CAP}
+        ) WHERE doc_id > rep
     ), pairs AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM capped a JOIN capped b
-          ON a.band_no = b.band_no AND a.key = b.key AND b.doc_id > a.doc_id
+        SELECT DISTINCT doc_a, doc_b FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM capped a JOIN capped b
+              ON a.band_no = b.band_no AND a.key = b.key AND b.doc_id > a.doc_id
+            UNION ALL SELECT doc_a, doc_b FROM star
+        )
     )
     SELECT p.doc_a, p.doc_b,
            len(list_intersect(ta.th, tb.th))::INT::DOUBLE
@@ -505,8 +513,13 @@ def q25_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale design: (a) the bucket join carries only doc_ids — token arrays
     re-attach after pair dedup, so shuffle rows stay ~40 bytes; (b) buckets
-    larger than _LSH_BUCKET_CAP (64) are dropped (non-discriminative stop
-    buckets — the standard LSH skew guard); (c) never O(n²).
+    larger than _LSH_BUCKET_CAP (64) switch from all-pairs to STAR linking
+    — every member pairs with the bucket's min-doc_id representative, so
+    cost is O(bucket) instead of O(bucket²) while the family stays
+    CONNECTED for the clustering consumers (q42/q46 recover full
+    membership through connected components; dropping hot buckets outright
+    — the previous design — silently unlinked exactly the large template
+    families dedup exists to catch, measured by q69); (c) never O(n²).
 
     The verified pair graph is a shared materialized intermediate: one LSH
     pass per session, reused by q42/q46 (see ``_shared_checkpoint``)."""
@@ -535,24 +548,29 @@ def _q25_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("bk.band_no").alias("band_no"), F.col("bk.key").alias("key"))
     )
     bucket_sizes = banded.groupBy("band_no", "key").count()
-    capped = (
-        banded.join(
-            bucket_sizes.filter(F.col("count") <= _LSH_BUCKET_CAP), on=["band_no", "key"]
-        )
-        .select("doc_id", "band_no", "key")
+    sized = banded.join(bucket_sizes, on=["band_no", "key"])
+    capped = sized.filter(F.col("count") <= _LSH_BUCKET_CAP).select(
+        "doc_id", "band_no", "key"
     )
     a = capped.alias("a")
     b = capped.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band_no") == F.col("b.band_no"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("b.doc_id") > F.col("a.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
+    pairs_all = a.join(
+        b,
+        (F.col("a.band_no") == F.col("b.band_no"))
+        & (F.col("a.key") == F.col("b.key"))
+        & (F.col("b.doc_id") > F.col("a.doc_id")),
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    # over-cap buckets: O(bucket) star edges to the min-doc_id representative
+    big = sized.filter(F.col("count") > _LSH_BUCKET_CAP).select(
+        "doc_id", "band_no", "key"
     )
+    reps = big.groupBy("band_no", "key").agg(F.min("doc_id").alias("rep"))
+    pairs_star = (
+        big.join(reps, ["band_no", "key"])
+        .filter(F.col("doc_id") > F.col("rep"))
+        .select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    pairs = pairs_all.unionByName(pairs_star).dropDuplicates(["doc_a", "doc_b"])
     ta = th.select(F.col("doc_id").alias("doc_a"), F.col("th").alias("tha"))
     tb = th.select(F.col("doc_id").alias("doc_b"), F.col("th").alias("thb"))
     verified = pairs.join(ta, "doc_a").join(tb, "doc_b")
@@ -2236,4 +2254,101 @@ def q59_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jaccard",
         )
         .filter(F.col("split_a") != F.col("split_b"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q69 — LSH recall evaluation (exact near-dup ground truth on a sample)
+# ---------------------------------------------------------------------------
+
+_LSH_EVAL_MOD = 10  # evaluation sample: every 10th document
+
+
+@_register(
+    "q69_lsh_recall",
+    oracle=f"""
+    WITH RECURSIVE p AS ({ORACLES["q25_lsh_near_dup"]}),
+    e AS (
+        SELECT doc_a AS u, doc_b AS v FROM p
+        UNION ALL SELECT doc_b, doc_a FROM p
+    ),
+    n AS (SELECT DISTINCT u AS node FROM e),
+    reach(node, r) AS (
+        SELECT node, node FROM n
+        UNION
+        SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.node
+    ),
+    labels AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node),
+    t2 AS (SELECT doc_id, {_TOKENS_SQL_DUCK} AS tokens FROM documents),
+    s AS (
+        SELECT doc_id,
+               [{_TOKHASH_DUCK.format(t='t')} for t in list_distinct(tokens)] AS th
+        FROM t2 WHERE doc_id % {_LSH_EVAL_MOD} = 0 AND len(tokens) > 0
+    ), gt AS (
+        SELECT doc_a, doc_b, jaccard FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   round(len(list_intersect(a.th, b.th))::INT::DOUBLE
+                         / (len(a.th) + len(b.th)
+                            - len(list_intersect(a.th, b.th))), 6) AS jaccard
+            FROM s a JOIN s b ON b.doc_id > a.doc_id
+        ) WHERE jaccard >= 0.5
+    )
+    SELECT gt.doc_a, gt.doc_b, gt.jaccard,
+           COALESCE(p.doc_a IS NOT NULL, FALSE) AS found,
+           COALESCE(la.cluster_id = lb.cluster_id, FALSE) AS same_cluster
+    FROM gt
+    LEFT JOIN p ON p.doc_a = gt.doc_a AND p.doc_b = gt.doc_b
+    LEFT JOIN labels la ON la.doc_id = gt.doc_a
+    LEFT JOIN labels lb ON lb.doc_id = gt.doc_b
+    """,
+)
+def q69_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall evaluation for the MinHash-LSH dedup pipeline — the q47
+    measurement loop applied to the text side.  Exact all-pairs token-set
+    Jaccard over a deterministic sample is the ground truth; each true
+    near-dup pair (Jaccard ≥ 0.5) reports (a) ``found`` — the pair itself
+    is a q25 edge, and (b) ``same_cluster`` — both docs land in one q42
+    component, the recall that matters for dedup (the star edges inside
+    over-cap template buckets make family members transitively reachable
+    without all-pairs edges, so same_cluster ≫ found there by design).
+    This measurement caught the previous drop-hot-buckets design silently
+    unlinking the largest duplicate families.
+
+    Scale shape: exact ground truth is quadratic ONLY in the sample
+    (|S|²/2 pairs, the q47 |Q|·n pattern); the membership joins consume
+    the session-shared q25 pair and q42 label checkpoints, so no second
+    LSH or CC pass."""
+    df = _with_token_hashes(spark, sf_dir)
+    s = df.filter(
+        (F.col("doc_id") % _LSH_EVAL_MOD == 0) & (F.size("th") > 0)
+    ).select("doc_id", "th")
+    a = s.select(F.col("doc_id").alias("doc_a"), F.col("th").alias("tha"))
+    b = s.select(F.col("doc_id").alias("doc_b"), F.col("th").alias("thb"))
+    inter = F.size(F.array_intersect("tha", "thb"))
+    jac = F.round(
+        inter.cast("double") / (F.size("tha") + F.size("thb") - inter), 6
+    )
+    gt = (
+        F.broadcast(a)
+        .join(b, F.col("doc_b") > F.col("doc_a"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+    )
+    found = q25_lsh_near_dup(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(True).alias("found")
+    )
+    labels = QUERIES["q42_dedup_clusters"](spark, sf_dir)
+    la = labels.select(F.col("doc_id").alias("doc_a"), F.col("cluster_id").alias("ca"))
+    lb = labels.select(F.col("doc_id").alias("doc_b"), F.col("cluster_id").alias("cb"))
+    return (
+        gt.join(found, ["doc_a", "doc_b"], "left")
+        .join(la, "doc_a", "left")
+        .join(lb, "doc_b", "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            F.coalesce("found", F.lit(False)).alias("found"),
+            F.coalesce(F.col("ca") == F.col("cb"), F.lit(False)).alias("same_cluster"),
+        )
     )

@@ -119,3 +119,17 @@ def test_importance_weights_tilt_toward_target(spark, q):
     # the en-fit LM must score en documents above the rest on average —
     # the direction DSIR sampling relies on
     assert r[True] > r[False]
+
+
+def test_lsh_cluster_recall_gate(spark, q):
+    """q69's measurement: pair-level recall of 4x4 banding is inherently
+    low near the threshold, but CLUSTER recall — would the two near-dups
+    be deduped together? — must stay high; the star-linked over-cap
+    buckets are what keep template families connected.  found ⇒
+    same_cluster always (a q25 edge puts both docs in one component)."""
+    rows = q["q69_lsh_recall"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert not (r.found and not r.same_cluster)
+    recall = sum(r.same_cluster for r in rows) / len(rows)
+    assert recall >= 0.9, f"cluster recall {recall:.3f} regressed"
