@@ -59,6 +59,7 @@ def main() -> None:
         "q51_ivf_sq8_ann",
         "q58_semantic_dedup",
         "q61_dup_ngram_spans",
+        "q69_lsh_recall",
     ]
     headline = [h for h in headline if h in qs]
 
@@ -78,6 +79,7 @@ def main() -> None:
         "q51_ivf_sq8_ann",
         "q58_semantic_dedup",
         "q61_dup_ngram_spans",
+        "q69_lsh_recall",
     }
     try:
         from supermusr_data_pipeline_spark.plans.text_dedup import clear_shared_cache

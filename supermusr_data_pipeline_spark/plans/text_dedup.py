@@ -2352,3 +2352,79 @@ def q69_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("ca") == F.col("cb"), F.lit(False)).alias("same_cluster"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q70 — cluster-aware train/val/test split (leakage-free by construction)
+# ---------------------------------------------------------------------------
+
+_CSPLIT_SALT = "clustersplit:v1:"
+
+
+@_register(
+    "q70_cluster_split",
+    oracle=f"""
+    WITH RECURSIVE p AS ({ORACLES["q25_lsh_near_dup"]}),
+    e AS (
+        SELECT doc_a AS u, doc_b AS v FROM p
+        UNION ALL SELECT doc_b, doc_a FROM p
+    ),
+    n AS (SELECT DISTINCT u AS node FROM e),
+    reach(node, r) AS (
+        SELECT node, node FROM n
+        UNION
+        SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.node
+    ),
+    labels AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node),
+    keyed AS (
+        SELECT d.doc_id, d.lang,
+               CAST(COALESCE(l.cluster_id, d.doc_id) AS BIGINT) AS split_key
+        FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
+    ), b AS (
+        SELECT doc_id, lang, split_key,
+               ('0x' || substr(md5('{_CSPLIT_SALT}' || split_key::VARCHAR), 1, 8))
+                   ::UBIGINT::BIGINT % {_SPLIT_DENOM} AS bucket
+        FROM keyed
+    )
+    SELECT doc_id, lang, split_key, CAST(bucket AS INT) AS bucket,
+           CASE WHEN bucket < {_SPLIT_TRAIN} THEN 'train'
+                WHEN bucket < {_SPLIT_VAL} THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+)
+def q70_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fix for the leakage q59 measures: hash the SPLIT KEY, not the
+    document — a doc's key is its q42 near-dup cluster id (its own id when
+    unclustered), so every near-duplicate family lands in one split and no
+    q25 pair can ever cross train/val/test.  Retains q50's properties
+    (deterministic, retry-stable, salt-rotatable); the cost is that splits
+    move in family units, so the 80/10/10 carve is exact in expectation
+    over families rather than documents.
+
+    Scale shape: the label table is bounded by real duplication and
+    BROADCASTS into the corpus join (the q46 pattern); the split is then a
+    narrow hash of the joined key — no extra exchange."""
+    labels = QUERIES["q42_dedup_clusters"](spark, sf_dir).select(
+        "doc_id", "cluster_id"
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    keyed = docs.join(F.broadcast(labels), "doc_id", "left").select(
+        "doc_id",
+        "lang",
+        F.coalesce("cluster_id", "doc_id").cast("bigint").alias("split_key"),
+    )
+    bucket = F.expr(
+        f"cast(conv(substr(md5(concat('{_CSPLIT_SALT}', cast(split_key as string))),"
+        f" 1, 8), 16, 10) as bigint) % {_SPLIT_DENOM}"
+    )
+    return keyed.select(
+        "doc_id",
+        "lang",
+        "split_key",
+        bucket.cast("int").alias("bucket"),
+        F.when(F.col("bucket") < _SPLIT_TRAIN, "train")
+        .when(F.col("bucket") < _SPLIT_VAL, "val")
+        .otherwise("test")
+        .alias("split"),
+    )

@@ -23,9 +23,11 @@ Scale/state design:
   within the horizon; occupancy is bounded at cap rows per bucket and
   pair output at cap² per bucket per horizon.  Admission is deterministic
   (first ``cap`` rows by (event time, doc_id)); rows beyond the cap are
-  dropped for that band only — the same recall trade the batch path makes
-  by dropping hot buckets, except the stream keeps the bucket's earliest
-  ``cap`` members instead of none of them.
+  dropped for that band only.  The batch tier (q25) handles the same hot
+  buckets by STAR-LINKING members to a representative instead — bounded
+  cost with full family connectivity — so the lambda reconciliation below
+  is also what restores cluster membership the stream's admission cap
+  traded away inside a horizon.
 - Cross-band pair dedup needs NO second stateful operator: every banded
   row carries all four band keys, and a verified pair is emitted only by
   the LOWEST band on which the two signatures collide.  Each other

@@ -133,3 +133,17 @@ def test_lsh_cluster_recall_gate(spark, q):
         assert not (r.found and not r.same_cluster)
     recall = sum(r.same_cluster for r in rows) / len(rows)
     assert recall >= 0.9, f"cluster recall {recall:.3f} regressed"
+
+
+def test_cluster_split_has_zero_leakage(spark, q):
+    """q70's whole point: no q25 near-dup pair may cross splits (both
+    members share a cluster, hence a split key, hence a split)."""
+    splits = {r.doc_id: r.split for r in q["q70_cluster_split"](spark, SF_DIR).collect()}
+    pairs = q["q25_lsh_near_dup"](spark, SF_DIR).collect()
+    assert pairs
+    for p in pairs:
+        assert splits[p.doc_a] == splits[p.doc_b]
+    # and it is still a usable 80/10/10-ish split, not one giant bucket
+    from collections import Counter
+    frac = Counter(splits.values())
+    assert frac["train"] / len(splits) > 0.5
