@@ -755,7 +755,10 @@ def q28_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale design mirrors q25: (a) buckets above _LSH_BUCKET_CAP (64) members
     are dropped before pairing (stop-bucket skew guard — without it a
-    fixed-width code degenerates to Θ(n²/buckets) pair generation);
+    fixed-width code degenerates to Θ(n²/buckets) pair generation; the
+    8-bit band keys spread this corpus to ≤23-member buckets at every SF,
+    so the cap never binds here — if a corpus ever pushes past it, adopt
+    q25's star-linking so dense embedding families stay connected);
     (b) the pair join carries vec_ids only, embeddings re-attach after pair
     dedup so shuffle rows stay ~16 bytes; (c) cosine verify ≥ 0.2 runs once
     per deduped candidate pair.  Never O(n²)."""

@@ -237,3 +237,18 @@ def test_q60_training_order_no_global_window(spark, plan):
     assert p.count("Exchange SinglePartition") <= 1
     assert "rand" not in p
     assert "Python" not in p
+
+
+def test_q25_star_linked_lsh_no_cartesian_jvm_only(spark):
+    """MinHash-LSH build plan: candidate generation must stay equi-joins on
+    the band key (small buckets all-pairs, over-cap buckets star edges to a
+    representative) — no cartesian, no Python anywhere."""
+    from supermusr_data_pipeline_spark.plans import text_dedup
+
+    df = text_dedup._q25_build(spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "Python" not in p
