@@ -72,3 +72,41 @@ def curate_documents_stream(
             docs, ts_col=ts_col, watermark=dedup_watermark
         ).drop("fingerprint")
     return curate_documents(docs)
+
+
+def ingest_report_stream(
+    docs: DataFrame,
+    ts_col: str = "ingest_ts",
+    window: str = "1 minute",
+    watermark: str = "30 seconds",
+) -> DataFrame:
+    """Gate observability: per-(window, source) admission metrics over the
+    RAW stream (metrics see rejected docs too, so the reject rate is
+    visible — the number an ingest operator alarms on).  Emits doc counts,
+    quality pass counts/rate, and PII hit counts per tumbling window.
+
+    Scale shape: the quality/PII columns are the same narrow JVM
+    expressions as the gate; the only state is the windowed aggregation,
+    watermark-bounded (same pattern as the DAQ stats stream)."""
+    m = with_pii_scrub(with_quality_metrics(docs))
+    return (
+        m.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("passes").cast("long")).alias("n_pass"),
+            F.round(F.avg(F.col("passes").cast("double")), 4).alias("pass_rate"),
+            F.sum(F.col("n_emails") + F.col("n_phones") + F.col("n_ips")).alias(
+                "n_pii_hits"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "source",
+            "n_docs",
+            "n_pass",
+            "pass_rate",
+            "n_pii_hits",
+        )
+    )

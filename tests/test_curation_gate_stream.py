@@ -94,3 +94,39 @@ def test_full_stream_dedups_then_gates(spark, tmp_path):
     ids = sorted(r.doc_id for r in rows)
     assert ids == [1, 2]  # 3/4 quality-rejected, 5 dedup-dropped (dup of 1)
     assert [r for r in rows if r.doc_id == 2][0].n_emails == 1
+
+
+def test_ingest_report_counts_rejects_and_pii(spark, tmp_path):
+    from supermusr_data_pipeline_spark.streaming.curation_gate import (
+        ingest_report_stream,
+    )
+
+    rows = _rows() + [(6, GOOD, "en", "src9", T0 + timedelta(hours=6))]  # flush
+    src = tmp_path / "docs"
+    src.mkdir()
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(
+        str(src / "b1"), mode="overwrite"
+    )
+    stream = spark.readStream.schema(SCHEMA).parquet(str(src / "*"))
+    q = (
+        ingest_report_stream(stream, window="1 hour", watermark="1 second")
+        .writeStream.format("memory")
+        .queryName("t_ingest_report")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if spark.sql("SELECT * FROM t_ingest_report").count() >= 3:
+            break
+        time.sleep(0.3)
+    q.stop()
+    got = {r.source: r for r in spark.sql("SELECT * FROM t_ingest_report").collect()}
+    # src0: GOOD + PII doc — both pass, one carries 2 PII hits
+    assert got["src0"].n_docs == 2 and got["src0"].n_pass == 2
+    assert got["src0"].n_pii_hits == 2
+    # src1: SHORT + PUNCT — both rejected, visible in the report
+    assert got["src1"].n_docs == 2 and got["src1"].n_pass == 0
+    assert got["src2"].n_pass == 1
