@@ -2403,7 +2403,12 @@ def q70_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     q25 pair can ever cross train/val/test.  Retains q50's properties
     (deterministic, retry-stable, salt-rotatable); the cost is that splits
     move in family units, so the 80/10/10 carve is exact in expectation
-    over families rather than documents.
+    over families rather than documents.  Honest caveat, measured: this
+    synthetic corpus is so self-similar at the 0.5 token-set bar that one
+    family holds ~95% of documents (q42's biggest component), so here the
+    carve is dominated by where that family hashes — on such corpora the
+    operator raises the verify bar (or shards giant families) before
+    splitting; the leakage guarantee itself is unconditional.
 
     Scale shape: the label table is bounded by real duplication and
     BROADCASTS into the corpus join (the q46 pattern); the split is then a
