@@ -1211,3 +1211,101 @@ def q68_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_chars",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q71 — pivot (long → wide aggregation)
+# ---------------------------------------------------------------------------
+
+_PIVOT_SOURCES = ["src0", "src1", "src2", "src3", "src4"]
+
+
+@_register(
+    "q71_lang_source_pivot",
+    oracle=f"""
+    SELECT lang,
+           {", ".join(
+               f"CAST(COALESCE(sum(CASE WHEN source = '{s}' THEN n_chars END), 0)"
+               f" AS BIGINT) AS chars_{s}" for s in _PIVOT_SOURCES)}
+    FROM documents GROUP BY lang
+    """,
+)
+def q71_lang_source_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide pivot: per-language character totals across a FIXED list
+    of sources — the report-matrix shape.  The pivot value list is
+    explicit (never inferred): inference costs an extra distinct scan and
+    makes the output schema data-dependent, which breaks downstream
+    consumers at scale.  One partial-agg exchange, same as any groupBy."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = (
+        docs.groupBy("lang")
+        .pivot("source", _PIVOT_SOURCES)
+        .agg(F.sum("n_chars"))
+    )
+    return out.select(
+        "lang",
+        *[
+            F.coalesce(F.col(s), F.lit(0)).cast("bigint").alias(f"chars_{s}")
+            for s in _PIVOT_SOURCES
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# q72/q73 — anti-join and semi-join (existence predicates)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q72_customers_without_orders",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, CAST(round(c.c_acctbal * 100) AS BIGINT)
+               AS acctbal_cents
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q72_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as a left ANTI join — the set-difference probe (TPC-H
+    Q22's core).  Anti joins keep only the probe side's columns, so the
+    build side shuffles ids alone; at scale the orders side pre-projects
+    to its key before the exchange (visible as a one-column ReadSchema).
+    Money compared in exact cents (the q02 rule)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.round(F.col("c_acctbal") * 100).cast("bigint").alias("acctbal_cents"),
+        )
+    )
+
+
+@_register(
+    "q73_suppliers_of_large_parts",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name, s.s_nationkey
+    FROM supplier s
+    WHERE EXISTS (
+        SELECT 1 FROM part p
+        WHERE p.p_size >= 40 AND p.p_partkey % 10 = s.s_suppkey % 10
+    )
+    """,
+)
+def q73_suppliers_of_large_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as a left SEMI join: suppliers linked (by the synthetic
+    partkey↔suppkey relation) to at least one size-≥40 part.  Semi joins
+    short-circuit per probe row — no fan-out, no dedup pass afterwards —
+    and the filter on the build side is pushed below the exchange."""
+    s = load_table(spark, sf_dir, "supplier")
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size") >= 40)
+        .select((F.col("p_partkey") % 10).alias("pk_mod"))
+    )
+    return (
+        s.join(p, (s.s_suppkey % 10) == p.pk_mod, "left_semi")
+        .select("s_suppkey", "s_name", "s_nationkey")
+    )
