@@ -79,3 +79,55 @@ def test_stream_emits_closed_sessions_matching_batch(spark, tmp_path):
     }
     assert got == batch  # stream emitted exactly the closed sessions
     assert len(got) == 3
+
+
+from collections import defaultdict
+
+from hypothesis import given, settings, strategies as st
+
+_EPOCH = datetime(1970, 1, 1)
+_GAP_S = 1800
+
+
+def _us(dt):
+    return int((dt - _EPOCH).total_seconds() * 1_000_000)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100_000)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_session_window_matches_reference_model(spark, evs):
+    """session_window must agree with the straightforward sort-and-split
+    model (per user: order by time, cut at gaps >= 30 min) on arbitrary
+    event layouts — including ties, singletons, and back-to-back gaps."""
+    rows = [
+        (i, u, 1.0, T0 + timedelta(seconds=sec)) for i, (u, sec) in enumerate(evs)
+    ]
+    got = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events, r.total_value)
+        for r in _sessionize(spark.createDataFrame(rows, SCHEMA)).collect()
+    }
+    byu = defaultdict(list)
+    for i, (u, sec) in enumerate(evs):
+        byu[u].append((sec, i))
+    expect = set()
+    for u, lst in byu.items():
+        lst.sort()
+        groups, cur = [], [lst[0]]
+        for e in lst[1:]:
+            if e[0] - cur[-1][0] >= _GAP_S:
+                groups.append(cur)
+                cur = [e]
+            else:
+                cur.append(e)
+        groups.append(cur)
+        for g in groups:
+            start = T0 + timedelta(seconds=g[0][0])
+            end = T0 + timedelta(seconds=g[-1][0] + _GAP_S)
+            expect.add((u, _us(start), _us(end), len(g), float(len(g))))
+    assert got == expect
