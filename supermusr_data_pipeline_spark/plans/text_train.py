@@ -764,3 +764,44 @@ def q63_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(log_ratio), 6).alias("avg_log_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q74 — packing efficiency report (tokens delivered vs budget burned)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q74_packing_efficiency",
+    oracle=f"""
+    WITH p AS ({ORACLES["q52_sequence_packing"]})
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(max(seq_no) + 1 AS BIGINT) AS n_seqs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(sum(n_tokens)
+                 / CAST((max(seq_no) + 1) * {_PACK_BUDGET} AS DOUBLE), 6)
+               AS fill_ratio
+    FROM p GROUP BY source
+    """,
+)
+def q74_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing efficiency per source shard: sequences minted, tokens
+    delivered, and the fill ratio of the token budget — concat-then-chunk
+    (q52) wastes only the final partial chunk per shard, and this report
+    is how a pipeline confirms that (fill_ratio ≈ 1) or catches a
+    regression to per-document padding (fill_ratio collapses).
+
+    Scale shape: one keyed aggregation over q52's output — the packing
+    window's exchange on source is reused, nothing new shuffles."""
+    p = q52_sequence_packing(spark, sf_dir)
+    return p.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (F.max("seq_no") + 1).cast("bigint").alias("n_seqs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.round(
+            F.sum("n_tokens")
+            / ((F.max("seq_no") + 1) * _PACK_BUDGET).cast("double"),
+            6,
+        ).alias("fill_ratio"),
+    )

@@ -163,3 +163,29 @@ def test_mixture_epochs_broadcasts_repeat_table(spark):
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_packing_efficiency_fill_near_one(spark):
+    """Concat-then-chunk wastes at most the final partial chunk per shard
+    (fill near 1; it may exceed 1 when the shard's last document spills
+    past the last STARTED chunk, since n_seqs counts chunk starts)."""
+    rows = entry_mod.queries()["q74_packing_efficiency"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.5 < r.fill_ratio < 1.5
+        # chunks started is consistent with the tokens that precede them
+        assert (r.total_tokens - 1) // 256 + 1 >= r.n_seqs
+
+
+def test_approx_percentile_tracks_exact(spark):
+    """The documented 100 TB drop-in for q67: percentile_approx must land
+    within a tight relative band of the exact interpolated percentile."""
+    from pyspark.sql import functions as F
+    from supermusr_data_pipeline_spark.sources.testdata import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    exact = F.expr("percentile(value, 0.95D)")
+    approx = F.expr("percentile_approx(value, 0.95D, 10000)")
+    rows = ev.groupBy("event_type").agg(exact.alias("e"), approx.alias("a")).collect()
+    for r in rows:
+        assert abs(r.a - r.e) <= 0.05 * max(abs(r.e), 1.0), (r.event_type, r.e, r.a)
