@@ -2436,3 +2436,68 @@ def q70_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q75 — training-corpus assembly capstone (curate → split → count)
+# ---------------------------------------------------------------------------
+
+
+def _csplit_case(col: str, duck: bool) -> str:
+    if duck:
+        b = (
+            f"('0x' || substr(md5('{_CSPLIT_SALT}' || {col}::VARCHAR), 1, 8))"
+            f"::UBIGINT::BIGINT % {_SPLIT_DENOM}"
+        )
+    else:
+        b = (
+            f"cast(conv(substr(md5(concat('{_CSPLIT_SALT}', cast({col} as string))),"
+            f" 1, 8), 16, 10) as bigint) % {_SPLIT_DENOM}"
+        )
+    return (
+        f"CASE WHEN {b} < {_SPLIT_TRAIN} THEN 'train' "
+        f"WHEN {b} < {_SPLIT_VAL} THEN 'val' ELSE 'test' END"
+    )
+
+
+@_register(
+    "q75_training_corpus",
+    oracle=f"""
+    WITH cur AS ({_q46_oracle()}),
+    t AS (
+        SELECT doc_id, len({_TOKENS_SQL_DUCK}) AS n_tokens FROM documents
+    )
+    SELECT c.doc_id, c.lang, c.source, c.cluster_id,
+           {_csplit_case('c.cluster_id', True)} AS split,
+           CAST(t.n_tokens AS BIGINT) AS n_tokens
+    FROM cur c JOIN t USING (doc_id)
+    """,
+)
+def q75_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The assembly a trainer actually consumes: q46's curation decision
+    (dedup-canonical + stratified sampling), stamped with the
+    cluster-aware split (q70's leakage-free hash — computable INLINE here
+    because q46 already carries the cluster key, so the split costs zero
+    joins), plus the token count the packing/mixture stages (q52/q57)
+    budget with.  A doc's split here equals its q70 split by construction
+    (same key, same salt) — pinned by test.
+
+    Scale shape: q46's one-broadcast-join pass, a narrow hash for the
+    split, and a single doc_id equi-join to attach token counts (at 100 TB
+    the count rides the curation scan instead; the join form keeps the
+    composition explicit here)."""
+    cur = QUERIES["q46_curated_corpus"](spark, sf_dir)
+    t = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.expr(_TOKENS_EXPR_SPARK)).cast("bigint").alias("n_tokens")
+    )
+    return (
+        cur.join(t, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "cluster_id",
+            F.expr(_csplit_case("cluster_id", False)).alias("split"),
+            "n_tokens",
+        )
+    )

@@ -147,3 +147,14 @@ def test_cluster_split_has_zero_leakage(spark, q):
     from collections import Counter
     frac = Counter(splits.values())
     assert frac["train"] / len(splits) > 0.5
+
+
+def test_training_corpus_split_agrees_with_q70(spark, q):
+    """q75's inline split must equal q70's for every curated doc (same
+    cluster key, same salt — the composition can't drift)."""
+    q70 = {r.doc_id: r.split for r in q["q70_cluster_split"](spark, SF_DIR).collect()}
+    rows = q["q75_training_corpus"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.split == q70[r.doc_id]
+        assert r.n_tokens > 0
