@@ -137,3 +137,161 @@ def q64_ivf_indexed_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_ivf_index(spark, sf_dir, path)
         _BUILT[key] = True
     return probe_ivf_index(spark, sf_dir, path)
+
+
+# ---------------------------------------------------------------------------
+# SQ8 physical index: quantized codes in the scan path, vectors fetched
+# ---------------------------------------------------------------------------
+
+
+def ivf_sq8_index_path(sf_dir: str) -> str:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(
+        tempfile.gettempdir(), f"supermusr_ivf_sq8_index_{base}.parquet"
+    )
+
+
+def _lit_array(vals) -> str:
+    return "array(" + ", ".join(f"{v!r}D" for v in vals) + ")"
+
+
+def write_ivf_sq8_index(spark: SparkSession, sf_dir: str, out_path: str) -> None:
+    """The q51 configuration as a layout: cell-partitioned parquet holding
+    (vec_id, codes tinyint[64], emb) — parquet column pruning means the
+    approx scan reads vec_id+codes (~72 B/row) and never touches emb,
+    which only the shortlist fetch reads.  Per-dimension bounds land in a
+    ``<out>_meta`` sidecar so the index is self-contained.  Codes are the
+    EXACT q41/q51 quantizer (round((x-mn)/step)), stored shifted by -128
+    to fit signed tinyint."""
+    from .text_dedup import _SQ_DIM
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("emb")
+    )
+    b = e.agg(
+        F.array(
+            *[F.min(F.element_at("emb", i)).cast("double") for i in range(1, _SQ_DIM + 1)]
+        ).alias("mns"),
+        F.array(
+            *[F.max(F.element_at("emb", i)).cast("double") for i in range(1, _SQ_DIM + 1)]
+        ).alias("mxs"),
+    )
+    b.write.mode("overwrite").parquet(out_path + "_meta")
+    row = spark.read.parquet(out_path + "_meta").collect()[0]
+    mns, mxs = _lit_array(row.mns), _lit_array(row.mxs)
+    cents, _ = _codebook(sf_dir)
+    po = _probe_order_spark(len(cents))
+    codes = F.expr(
+        f"""transform(sequence(1, {_SQ_DIM}), i ->
+            CASE WHEN {mxs}[i-1] > {mns}[i-1]
+                 THEN cast(cast(round((emb[i-1] - {mns}[i-1])
+                                / (({mxs}[i-1] - {mns}[i-1]) / 255.0D)) as int)
+                           - 128 as tinyint)
+                 ELSE cast(-128 as tinyint) END)"""
+    )
+    (
+        e.withColumn("dots", F.expr(_ivf_dots_spark("emb", cents)))
+        .select(
+            "vec_id",
+            codes.alias("codes"),
+            "emb",
+            F.expr(f"element_at({po}, 1)").alias("cell"),
+        )
+        .repartition("cell")
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(out_path)
+    )
+
+
+_COS = (
+    "round(aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (s, x) -> s + x)"
+    " / (sqrt(aggregate(transform({a}, x -> x * x), 0D, (s, x) -> s + x))"
+    " * sqrt(aggregate(transform({b}, x -> x * x), 0D, (s, x) -> s + x))), 6)"
+)
+
+
+def probe_ivf_sq8_index(
+    spark: SparkSession, sf_dir: str, index_path: str, k: int = 3
+) -> DataFrame:
+    """q51's asymmetric search against the written SQ8 index: the
+    partition-pruned scan dequantizes codes against the sidecar bounds
+    (value-identical doubles: same code, same step, same ops as q51's
+    inline quantizer), exact cosine re-ranks a shortlist fetched from the
+    index's emb column by vec_id.  The approx scan's ReadSchema carries
+    codes but NOT emb — pinned by test."""
+    from .text_dedup import _SQ8_SHORTLIST, _SQ_DIM
+
+    row = spark.read.parquet(index_path + "_meta").collect()[0]
+    mns, mxs = _lit_array(row.mns), _lit_array(row.mxs)
+    cents, n_probe = _codebook(sf_dir)
+    po = _probe_order_spark(len(cents))
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("emb")
+    )
+    q = (
+        e.filter(F.col("vec_id") % 50 == 0)
+        .withColumn("dots", F.expr(_ivf_dots_spark("emb", cents)))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("qe"),
+            F.expr(f"slice({po}, 1, {n_probe})").alias("probe"),
+        )
+    )
+    qp = q.select("query_id", "qe", F.explode("probe").alias("pcell"))
+    probe_cells = sorted(r.pcell for r in qp.select("pcell").distinct().collect())
+    scan = (
+        spark.read.parquet(index_path)
+        .filter(F.col("cell").isin(probe_cells))
+        .select("vec_id", "codes", F.col("cell").cast("int").alias("cell"))
+    )
+    dq = F.expr(
+        f"""transform(sequence(1, {_SQ_DIM}), i ->
+            CASE WHEN {mxs}[i-1] > {mns}[i-1]
+                 THEN {mns}[i-1]
+                      + (cast(codes[i-1] as double) + 128.0D)
+                        * (({mxs}[i-1] - {mns}[i-1]) / 255.0D)
+                 ELSE {mns}[i-1] END)"""
+    )
+    approx = (
+        F.broadcast(qp)
+        .join(scan, (scan.cell == qp.pcell) & (scan.vec_id != qp.query_id))
+        .withColumn("dq", dq)
+        .select(
+            "query_id",
+            "qe",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(_COS.format(a="qe", b="dq")).alias("approx_sim"),
+        )
+    )
+    wa = Window.partitionBy("query_id").orderBy(F.desc("approx_sim"), "neighbor_id")
+    shortlist = (
+        approx.withColumn("arank", F.row_number().over(wa))
+        .filter(F.col("arank") <= _SQ8_SHORTLIST)
+        .drop("arank")
+    )
+    fetch = spark.read.parquet(index_path).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("cemb")
+    )
+    exact = F.broadcast(shortlist).join(fetch, "neighbor_id").withColumn(
+        "sim", F.expr(_COS.format(a="qe", b="cemb"))
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        exact.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "approx_sim", "sim", "rank")
+    )
+
+
+@_register("q76_ivf_sq8_indexed", oracle=_ORACLES["q51_ivf_sq8_ann"])
+def q76_ivf_sq8_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q51 through the physical SQ8 index (built once per session, the q64
+    pattern); registered with q51's oracle — quantized storage must not
+    move a value."""
+    path = ivf_sq8_index_path(sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, "sq8")
+    if not _BUILT.get(key):
+        write_ivf_sq8_index(spark, sf_dir, path)
+        _BUILT[key] = True
+    return probe_ivf_sq8_index(spark, sf_dir, path)

@@ -45,3 +45,37 @@ def test_probe_scan_is_partition_pruned(spark):
     assert " IN (" in scan
     probed = {r.cell for r in df.select("cell").distinct().collect()}
     assert len(probed) <= _N_PROBE < _N_CELLS
+
+
+def test_sq8_indexed_probe_matches_q51_exactly(spark):
+    q = entry_mod.queries()
+    indexed = {tuple(r) for r in q["q76_ivf_sq8_indexed"](spark, SF_DIR).collect()}
+    in_memory = {tuple(r) for r in q["q51_ivf_sq8_ann"](spark, SF_DIR).collect()}
+    assert indexed == in_memory
+
+
+def test_sq8_scan_reads_codes_not_vectors(spark):
+    """The memory-bound claim, proven on the plan: the approx-phase index
+    scan's ReadSchema must carry codes and NOT emb (parquet column
+    pruning); emb appears only in the shortlist fetch scan.  Both index
+    scans stay partition-pruned."""
+    from supermusr_data_pipeline_spark.plans.ivf_index import (
+        ivf_sq8_index_path,
+        probe_ivf_sq8_index,
+        write_ivf_sq8_index,
+    )
+
+    path = ivf_sq8_index_path(SF_DIR)
+    if not os.path.exists(path):
+        write_ivf_sq8_index(spark, SF_DIR, path)
+    df = probe_ivf_sq8_index(spark, SF_DIR, path)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = [
+        line for line in plan.splitlines()
+        if "FileScan parquet" in line and "supermusr_ivf_sq8_index" in line
+    ]
+    code_scans = [s for s in scans if "codes" in s]
+    assert code_scans, "approx scan over the index must exist"
+    for s in code_scans:
+        assert "emb" not in s.split("ReadSchema")[-1], "scan path must not read emb"
+    assert any("PartitionFilters: [cell" in s for s in scans)
