@@ -805,3 +805,52 @@ def q74_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("fill_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q77 — mixture budget report (what the epoch-repeat mixture delivers)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q77_mixture_budget",
+    oracle=f"""
+    WITH m AS ({ORACLES["q57_mixture_epochs"]})
+    SELECT source,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_doc_copies,
+           CAST(sum(n_tokens) AS BIGINT) AS effective_tokens,
+           round(sum(n_tokens) / CAST((SELECT sum(n_tokens) FROM m) AS DOUBLE),
+                 6) AS mixture_share
+    FROM m GROUP BY source
+    """,
+)
+def q77_mixture_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The report that validates q57's mixture: per source, documents,
+    copies after epoch repeats, effective training tokens, and the
+    realized mixture share — the numbers an operator compares against the
+    TARGET weights to confirm the up/down-sampling landed (and the input
+    to the cluster's storage/compute sizing for the run).
+
+    Scale shape: one keyed aggregation over q57's exploded output plus a
+    broadcast scalar total — nothing new shuffles beyond q57's own plan."""
+    m = q57_mixture_epochs(spark, sf_dir)
+    tot = m.agg(F.sum("n_tokens").cast("double").alias("total"))
+    return (
+        m.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_doc_copies"),
+            F.sum("n_tokens").cast("bigint").alias("effective_tokens"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_doc_copies",
+            "effective_tokens",
+            F.round(F.col("effective_tokens") / F.col("total"), 6).alias(
+                "mixture_share"
+            ),
+        )
+    )

@@ -79,3 +79,26 @@ def test_sq8_scan_reads_codes_not_vectors(spark):
     for s in code_scans:
         assert "emb" not in s.split("ReadSchema")[-1], "scan path must not read emb"
     assert any("PartitionFilters: [cell" in s for s in scans)
+
+
+def test_index_build_is_retry_stable(spark, tmp_path):
+    """Two independent builds of the same corpus produce identical row
+    sets — the property that makes the index a rebuildable artifact (a
+    failed write job can simply re-run; no rand(), no timestamps)."""
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    write_ivf_index(spark, SF_DIR, a)
+    write_ivf_index(spark, SF_DIR, b)
+    ra = {(r.vec_id, r.cell, tuple(r.emb)) for r in spark.read.parquet(a).collect()}
+    rb = {(r.vec_id, r.cell, tuple(r.emb)) for r in spark.read.parquet(b).collect()}
+    assert ra == rb
+
+
+def test_sq8_index_build_is_retry_stable(spark, tmp_path):
+    from supermusr_data_pipeline_spark.plans.ivf_index import write_ivf_sq8_index
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    write_ivf_sq8_index(spark, SF_DIR, a)
+    write_ivf_sq8_index(spark, SF_DIR, b)
+    ra = {(r.vec_id, r.cell, tuple(r.codes)) for r in spark.read.parquet(a).collect()}
+    rb = {(r.vec_id, r.cell, tuple(r.codes)) for r in spark.read.parquet(b).collect()}
+    assert ra == rb
