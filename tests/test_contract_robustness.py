@@ -1,0 +1,38 @@
+"""Contract robustness: the probes the verify recipe drives by hand —
+clean failure on a missing corpus, idempotent repeated entry() calls,
+and repeated queries() invocations returning consistent results."""
+
+import pytest
+from pyspark.errors import AnalysisException
+
+import __spark_entry__ as entry_mod
+from supermusr_data_pipeline_spark.sources.testdata import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_missing_corpus_fails_cleanly(spark):
+    with pytest.raises(AnalysisException):
+        load_table(spark, "/root/testdata/sf_nope", "documents").count()
+    with pytest.raises(AnalysisException):
+        entry_mod.queries()["q01_pricing_summary"](
+            spark, "/root/testdata/sf_nope"
+        ).count()
+
+
+def test_entry_is_idempotent(spark):
+    a = entry_mod.entry(spark).collect()
+    b = entry_mod.entry(spark).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) > 0
+
+
+def test_repeat_invocations_are_stable(spark):
+    """Hash-gated and checkpoint-backed queries must return the same rows
+    on a second call in the same session (retry-stability at the contract
+    boundary, incl. the shared-checkpoint and index-backed paths)."""
+    qs = entry_mod.queries()
+    for name in ("q50_split_assign", "q25_lsh_near_dup", "q64_ivf_indexed_probe"):
+        a = sorted(map(tuple, qs[name](spark, SF_DIR).collect()))
+        b = sorted(map(tuple, qs[name](spark, SF_DIR).collect()))
+        assert a == b, name
