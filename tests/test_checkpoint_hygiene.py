@@ -45,7 +45,10 @@ def test_cc_failure_path_releases_everything(spark):
     before = _persistent_rdd_ids(sc)
     with pytest.raises(RuntimeError, match="did not converge"):
         min_label_components(_chain_edges(spark, 64), max_rounds=1)
-    assert _persistent_rdd_ids(sc) == before
+    # subset, not equality: Spark's ContextCleaner may concurrently release
+    # out-of-scope blocks from EARLIER tests, shrinking the baseline set —
+    # the contract here is only "this call added nothing"
+    assert not (_persistent_rdd_ids(sc) - before)
 
 
 def test_clear_shared_cache_releases_blocks(spark):
@@ -55,7 +58,8 @@ def test_clear_shared_cache_releases_blocks(spark):
     entry_mod.queries()["q42_dedup_clusters"](spark, SF_DIR).count()
     assert _persistent_rdd_ids(sc) - before, "expected checkpoints while cached"
     text_dedup.clear_shared_cache()
-    assert _persistent_rdd_ids(sc) == before
+    # subset, not equality (see test_cc_failure_path_releases_everything)
+    assert not (_persistent_rdd_ids(sc) - before)
 
 
 def test_lru_eviction_unpersists(spark, monkeypatch):
