@@ -1,0 +1,193 @@
+"""Incremental near-duplicate detection (q79): pair a newly-arrived shard
+against an existing LSH index without re-pairing the base corpus.
+
+The operation a growing training corpus actually runs: the 100 TB base has
+already been deduplicated (q25) and its LSH artifacts persist — the banded
+bucket table (doc_id, band_no, key) and the token-hash sets used for exact
+verification.  When a new shard lands, the only NEW pairs are
+(delta x base) and (delta x delta); base x base pairs are already in the
+pair graph and must not be recomputed.  This plan generates exactly those:
+the base side contributes its bucket index to the join but never
+self-joins, so incremental cost is O(|delta| x bucket occupancy), not
+O(|corpus|^2) — re-running the full q25 on base+delta would re-shuffle and
+re-verify the entire history every time a shard lands.
+
+Semantics contract (pinned by tests/test_incremental_dedup.py): the output
+equals q25 run on the full corpus, restricted to pairs touching the delta
+— banding, the stop-bucket cap, star-linking of over-cap buckets, and the
+Jaccard >= 0.5 verification all measure COMBINED (base+delta) bucket
+occupancy, exactly as the maintained index would.  `kind` labels each pair
+delta_base or delta_delta so downstream clustering can count new-vs-known
+linkage.
+
+The delta here is the deterministic 10% slice doc_id % 10 = 7 (standing in
+for "the shard that just arrived"); at scale the split is the ingest
+boundary and the base artifacts are read from the persisted index rather
+than recomputed (the q64 physical-index pattern applied to LSH).
+
+Scale shape: delta signatures are a narrow map over the shard only; the
+bucket join shuffles ids-only rows; the star path stays O(bucket); token
+sets re-attach per verified candidate.  No base-base candidate is ever
+generated in the plan — not filtered after the fact.
+
+Reference: LLM-extension scope; reference analog is nexus-writer's
+resume-after-gap semantics (nexus-writer/src/run_engine/engine.rs:144-173)
+— new data reconciles against persisted state instead of replaying
+history.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .relational import _register
+from .text_dedup import (
+    _DUCK_TH_CTE,
+    _LSH_BUCKET_CAP,
+    _N_BANDS,
+    _ROWS_PER_BAND,
+    _band_keys_duck,
+    _minhash_cols_spark,
+    _with_token_hashes,
+)
+
+# the "newly arrived shard": a deterministic 10% slice
+_DELTA_MOD = 10
+_DELTA_REM = 7
+
+
+def _q79_oracle() -> str:
+    from .text_dedup import _minhash_cols_duck
+
+    return f"""
+    {_DUCK_TH_CTE}
+    , sigs AS (
+        SELECT doc_id, th,
+               {_minhash_cols_duck()}
+        FROM th_t WHERE len(th) > 0
+    ), banded AS (
+        SELECT doc_id,
+               {_band_keys_duck()}
+        FROM sigs
+    ), long_banded AS (
+        SELECT doc_id, band_no, key FROM (
+            SELECT doc_id, 0 AS band_no, band0 AS key FROM banded
+            UNION ALL SELECT doc_id, 1, band1 FROM banded
+            UNION ALL SELECT doc_id, 2, band2 FROM banded
+            UNION ALL SELECT doc_id, 3, band3 FROM banded
+        )
+    ), sized AS (
+        SELECT *, count(*) OVER (PARTITION BY band_no, key) AS bucket_n,
+               doc_id % {_DELTA_MOD} = {_DELTA_REM} AS is_delta
+        FROM long_banded
+    ), capped AS (
+        SELECT doc_id, band_no, key, is_delta
+        FROM sized WHERE bucket_n <= {_LSH_BUCKET_CAP}
+    ), star AS (
+        SELECT rep AS doc_a, doc_id AS doc_b FROM (
+            SELECT doc_id, is_delta,
+                   min(doc_id) OVER (PARTITION BY band_no, key) AS rep
+            FROM sized WHERE bucket_n > {_LSH_BUCKET_CAP}
+        ) WHERE doc_id > rep
+          AND (is_delta OR rep % {_DELTA_MOD} = {_DELTA_REM})
+    ), pairs AS (
+        SELECT DISTINCT doc_a, doc_b FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM capped a JOIN capped b
+              ON a.band_no = b.band_no AND a.key = b.key AND b.doc_id > a.doc_id
+            WHERE a.is_delta OR b.is_delta
+            UNION ALL SELECT doc_a, doc_b FROM star
+        )
+    )
+    SELECT p.doc_a, p.doc_b,
+           len(list_intersect(ta.th, tb.th))::INT::DOUBLE
+               / (len(ta.th) + len(tb.th) - len(list_intersect(ta.th, tb.th))) AS jaccard,
+           CASE WHEN p.doc_a % {_DELTA_MOD} = {_DELTA_REM}
+                 AND p.doc_b % {_DELTA_MOD} = {_DELTA_REM}
+                THEN 'delta_delta' ELSE 'delta_base' END AS kind
+    FROM pairs p
+    JOIN th_t ta ON ta.doc_id = p.doc_a
+    JOIN th_t tb ON tb.doc_id = p.doc_b
+    WHERE len(list_intersect(ta.th, tb.th))::INT::DOUBLE
+               / (len(ta.th) + len(tb.th) - len(list_intersect(ta.th, tb.th))) >= 0.5
+    """
+
+
+@_register("q79_incremental_dedup", oracle=_q79_oracle())
+def q79_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-shard near-dup pass: (delta x base) + (delta x delta) candidate
+    pairs only — see module docstring.  Output: verified pairs touching the
+    delta with exact Jaccard and a delta_base/delta_delta kind label."""
+    df = _with_token_hashes(spark, sf_dir)
+    th = df.filter(F.size("th") > 0).select("doc_id", "th")
+    sigs = df.filter(F.size("th") > 0).select("doc_id", *_minhash_cols_spark())
+    band_cols = []
+    for bnd in range(_N_BANDS):
+        parts = [
+            F.col(f"mh{bnd * _ROWS_PER_BAND + r:02d}").cast("string")
+            for r in range(_ROWS_PER_BAND)
+        ]
+        band_cols.append(
+            F.struct(
+                F.lit(bnd).alias("band_no"), F.md5(F.concat_ws(",", *parts)).alias("key")
+            ).alias(f"b{bnd}")
+        )
+    banded = (
+        sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("bk"))
+        .select("doc_id", F.col("bk.band_no").alias("band_no"), F.col("bk.key").alias("key"))
+    )
+    is_delta = F.col("doc_id") % _DELTA_MOD == _DELTA_REM
+    # occupancy is COMBINED (base+delta) — the maintained index's view
+    bucket_sizes = banded.groupBy("band_no", "key").count()
+    sized = banded.join(bucket_sizes, on=["band_no", "key"])
+    capped = sized.filter(F.col("count") <= _LSH_BUCKET_CAP).select(
+        "doc_id", "band_no", "key"
+    )
+    cap_delta = capped.filter(is_delta)
+    cap_base = capped.filter(~is_delta)
+
+    def _oriented(a: DataFrame, b: DataFrame) -> DataFrame:
+        aa, bb = a.alias("a"), b.alias("b")
+        return aa.join(
+            bb,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("b.doc_id") > F.col("a.doc_id")),
+        ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+
+    # delta x base in both orientations + delta x delta; NEVER base x base
+    pairs_new = (
+        _oriented(cap_delta, cap_base)
+        .unionByName(_oriented(cap_base, cap_delta))
+        .unionByName(_oriented(cap_delta, cap_delta))
+    )
+    # over-cap buckets: star edges to the bucket rep, kept only if the pair
+    # touches the delta (rep may be a base doc linking a delta member, or a
+    # delta rep linking any member)
+    big = sized.filter(F.col("count") > _LSH_BUCKET_CAP).select(
+        "doc_id", "band_no", "key"
+    )
+    reps = big.groupBy("band_no", "key").agg(F.min("doc_id").alias("rep"))
+    pairs_star = (
+        big.join(reps, ["band_no", "key"])
+        .filter(F.col("doc_id") > F.col("rep"))
+        .filter(is_delta | (F.col("rep") % _DELTA_MOD == _DELTA_REM))
+        .select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    pairs = pairs_new.unionByName(pairs_star).dropDuplicates(["doc_a", "doc_b"])
+    ta = th.select(F.col("doc_id").alias("doc_a"), F.col("th").alias("tha"))
+    tb = th.select(F.col("doc_id").alias("doc_b"), F.col("th").alias("thb"))
+    verified = pairs.join(ta, "doc_a").join(tb, "doc_b")
+    inter = F.size(F.array_intersect("tha", "thb"))
+    union = F.size("tha") + F.size("thb") - inter
+    jac = inter.cast("double") / union
+    kind = F.when(
+        (F.col("doc_a") % _DELTA_MOD == _DELTA_REM)
+        & (F.col("doc_b") % _DELTA_MOD == _DELTA_REM),
+        "delta_delta",
+    ).otherwise("delta_base")
+    return (
+        verified.select("doc_a", "doc_b", jac.alias("jaccard"), kind.alias("kind"))
+        .filter(F.col("jaccard") >= 0.5)
+    )

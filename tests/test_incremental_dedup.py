@@ -1,0 +1,64 @@
+"""q79 incremental dedup contract: the incremental pass over the delta
+shard must produce EXACTLY the full-corpus q25 pair set restricted to
+pairs touching the delta — same banding, same stop-bucket cap, same
+star-linking, same Jaccard verification — while never generating a
+base x base candidate."""
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+from supermusr_data_pipeline_spark.plans import incremental
+from supermusr_data_pipeline_spark.plans.text_dedup import clear_shared_cache
+
+SF_DIR = "/root/testdata/sf0.01"
+
+_D = incremental._DELTA_MOD
+_R = incremental._DELTA_REM
+
+
+def _touches_delta(a: int, b: int) -> bool:
+    return a % _D == _R or b % _D == _R
+
+
+def test_incremental_equals_full_pass_restricted(spark):
+    """The semantics contract from the module docstring, verified
+    literally: q79 == q25 ⋈ (doc_a or doc_b in delta)."""
+    clear_shared_cache()
+    full = {
+        (r.doc_a, r.doc_b): round(r.jaccard, 9)
+        for r in entry_mod.queries()["q25_lsh_near_dup"](spark, SF_DIR).collect()
+    }
+    expected = {k: v for k, v in full.items() if _touches_delta(*k)}
+    got = {
+        (r.doc_a, r.doc_b): round(r.jaccard, 9)
+        for r in entry_mod.queries()["q79_incremental_dedup"](spark, SF_DIR).collect()
+    }
+    assert got == expected
+    # the restriction is non-trivial in both directions: the delta shard
+    # has new pairs, and the base has pairs the incremental pass skips
+    assert expected, "fixture produced no delta-touching pairs"
+    assert len(full) > len(expected), "fixture produced no base-only pairs"
+    clear_shared_cache()
+
+
+def test_no_base_base_pairs_and_kinds(spark):
+    rows = entry_mod.queries()["q79_incremental_dedup"](spark, SF_DIR).collect()
+    for r in rows:
+        assert _touches_delta(r.doc_a, r.doc_b), f"base x base pair {r}"
+        both = r.doc_a % _D == _R and r.doc_b % _D == _R
+        assert r.kind == ("delta_delta" if both else "delta_base")
+
+
+def test_plan_stays_jvm_and_ids_only(spark):
+    """Signatures/banding/verification are JVM expressions; no Python in
+    the pair path, no cartesian product."""
+    df = entry_mod.queries()["q79_incremental_dedup"](spark, "/root/testdata/sf0.001")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
