@@ -854,3 +854,139 @@ def q77_mixture_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q80 — context-window chunking with overlap
+# ---------------------------------------------------------------------------
+
+# window/stride in TOKENS.  Test-corpus values (docs here are ~50 tokens);
+# production long-document splitting uses the same plan with e.g. 2048/1536.
+_CHUNK_W = 24
+_CHUNK_S = 16  # overlap = _CHUNK_W - _CHUNK_S
+
+
+@_register(
+    "q80_context_chunks",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKENS_SQL_DUCK} AS t FROM documents
+    ), sized AS (
+        SELECT doc_id, t, len(t) AS n,
+               CASE WHEN len(t) <= {_CHUNK_W} THEN 1
+                    ELSE 1 + CAST(ceil((len(t) - {_CHUNK_W})
+                                       / CAST({_CHUNK_S} AS DOUBLE)) AS INT)
+               END AS n_chunks
+        FROM toks WHERE len(t) > 0
+    ), chunks AS (
+        SELECT doc_id, n, n_chunks, unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+        FROM sized
+    )
+    SELECT c.doc_id, CAST(c.chunk_id AS INT) AS chunk_id,
+           CAST(c.chunk_id * {_CHUNK_S} AS INT) AS start_tok,
+           CAST(least(c.chunk_id * {_CHUNK_S} + {_CHUNK_W}, c.n)
+                - c.chunk_id * {_CHUNK_S} AS INT) AS n_chunk_toks,
+           md5(array_to_string(
+               s.t[c.chunk_id * {_CHUNK_S} + 1 :
+                   least(c.chunk_id * {_CHUNK_S} + {_CHUNK_W}, c.n)],
+               ' ')) AS chunk_digest
+    FROM chunks c JOIN sized s USING (doc_id)
+    """,
+)
+def q80_context_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-document splitting into fixed context windows with overlap —
+    the step between curation and packing (q52) when documents exceed the
+    model's context length.  Chunk starts advance by the stride; the final
+    window truncates at the document end, and a document shorter than one
+    window is a single chunk.  Overlap (window - stride) preserves
+    cross-boundary context; every token is covered by construction
+    (the last start is < n).  The digest fingerprints each chunk so
+    downstream exact-dedup (q22) can collapse repeated chunks (boilerplate
+    headers/footers surface naturally at chunk granularity).
+
+    Scale shape: tokenize once, explode chunk starts per document (narrow —
+    output rows ~ n_tokens / stride per doc), slice + hash inside the same
+    projection.  No shuffle at all; chunking a 100 TB corpus is a pure map
+    over documents and parallelizes with the input partitioning."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.expr(_TOKENS_EXPR_SPARK)
+    sized = docs.select(
+        "doc_id", t.alias("t"), F.size(t).alias("n")
+    ).filter(F.col("n") > 0).withColumn(
+        "n_chunks",
+        F.when(F.col("n") <= _CHUNK_W, F.lit(1)).otherwise(
+            1 + F.ceil((F.col("n") - _CHUNK_W) / F.lit(float(_CHUNK_S))).cast("int")
+        ),
+    )
+    chunks = sized.select(
+        "doc_id", "t", "n",
+        F.explode(F.expr("sequence(0, n_chunks - 1)")).alias("chunk_id"),
+    )
+    start = F.col("chunk_id") * _CHUNK_S
+    clen = F.least(start + _CHUNK_W, F.col("n")) - start
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        start.cast("int").alias("start_tok"),
+        clen.cast("int").alias("n_chunk_toks"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.expr(f"slice(t, chunk_id * {_CHUNK_S} + 1, "
+                       f"least(chunk_id * {_CHUNK_S} + {_CHUNK_W}, n)"
+                       f" - chunk_id * {_CHUNK_S})"),
+            )
+        ).alias("chunk_digest"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q81 — per-source rate cap (deterministic top-N per source)
+# ---------------------------------------------------------------------------
+
+_SOURCE_CAP = 15
+_CAP_SALT = "srccap:v1:"
+
+
+@_register(
+    "q81_source_cap",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT doc_id, source, n_chars,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('{_CAP_SALT}' || doc_id::VARCHAR), doc_id
+               ) AS pick_rank,
+               count(*) OVER (PARTITION BY source) AS source_total
+        FROM documents
+    )
+    SELECT doc_id, source, CAST(pick_rank AS INT) AS pick_rank,
+           CAST(source_total AS INT) AS source_total
+    FROM ranked WHERE pick_rank <= {_SOURCE_CAP}
+    """,
+)
+def q81_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source rate cap: keep at most `_SOURCE_CAP` documents per
+    source, selected by a salted-hash order — the guard that stops any one
+    domain/crawl from dominating the mixture.  Like q50's splits, the
+    selection is a pure function of the row (no rand()): stable under
+    retries and recomputation, rotated on purpose by versioning the salt.
+    `source_total` rides along so the report shows how hard each source
+    was capped.
+
+    Scale shape: one shuffle on source (the window), rank + filter inside
+    the partition; with sources as the natural skew axis, a hot source
+    costs one partition's sort (at 100 TB: pre-aggregate with a
+    per-partition top-N before the window, or bucket by source)."""
+    docs = load_table(spark, sf_dir, "documents")
+    order_key = F.md5(F.concat(F.lit(_CAP_SALT), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(order_key, "doc_id")
+    wt = Window.partitionBy("source")
+    return (
+        docs.select("doc_id", "source", "n_chars")
+        .withColumn("pick_rank", F.row_number().over(w))
+        .withColumn("source_total", F.count("*").over(wt).cast("int"))
+        .filter(F.col("pick_rank") <= _SOURCE_CAP)
+        .select("doc_id", "source", F.col("pick_rank").cast("int").alias("pick_rank"),
+                "source_total")
+    )

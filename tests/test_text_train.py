@@ -189,3 +189,71 @@ def test_approx_percentile_tracks_exact(spark):
     rows = ev.groupBy("event_type").agg(exact.alias("e"), approx.alias("a")).collect()
     for r in rows:
         assert abs(r.a - r.e) <= 0.05 * max(abs(r.e), 1.0), (r.event_type, r.e, r.a)
+
+
+# ---------------------------------------------------------------------------
+# q80 context chunking / q81 source cap
+# ---------------------------------------------------------------------------
+
+
+def test_chunking_covers_every_token(spark):
+    """Chunk invariants at sf0.01: starts advance by the stride, windows
+    truncate at the document end, consecutive chunks overlap by W - S, and
+    the union of [start, start+len) covers [0, n) with no gap."""
+    from supermusr_data_pipeline_spark.plans.text_train import _CHUNK_S, _CHUNK_W
+
+    rows = entry_mod.queries()["q80_context_chunks"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    docs = {}
+    for r in rows:
+        docs.setdefault(r.doc_id, []).append(r)
+    assert docs
+    multi = 0
+    for chunks in docs.values():
+        chunks.sort(key=lambda r: r.chunk_id)
+        n = chunks[-1].start_tok + chunks[-1].n_chunk_toks
+        covered = 0
+        for r in chunks:
+            assert r.start_tok == r.chunk_id * _CHUNK_S
+            assert 0 < r.n_chunk_toks <= _CHUNK_W
+            assert r.start_tok <= covered, "gap in token coverage"
+            covered = max(covered, r.start_tok + r.n_chunk_toks)
+        assert covered == n
+        if len(chunks) > 1:
+            multi += 1
+            # every non-final chunk is a full window
+            for r in chunks[:-1]:
+                assert r.n_chunk_toks == _CHUNK_W
+    assert multi > 0, "fixture has no multi-chunk docs — window too large"
+
+
+def test_chunking_is_narrow(spark):
+    """Chunking must be a pure map: no exchange in the plan at all."""
+    import contextlib
+    import io
+
+    df = entry_mod.queries()["q80_context_chunks"](spark, "/root/testdata/sf0.001")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "Exchange" not in p, "chunking grew a shuffle"
+    assert "BatchEvalPython" not in p
+
+
+def test_source_cap_caps_and_is_retry_stable(spark):
+    from supermusr_data_pipeline_spark.plans.text_train import _SOURCE_CAP
+
+    q = entry_mod.queries()["q81_source_cap"]
+    rows = q(spark, "/root/testdata/sf0.01").collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.source, []).append(r)
+    assert per
+    for source, rs in per.items():
+        assert len(rs) <= _SOURCE_CAP
+        assert rs[0].source_total >= len(rs)
+    # deterministic under re-execution (no rand in the selection)
+    again = {(r.doc_id, r.source) for r in q(spark, "/root/testdata/sf0.01").collect()}
+    assert again == {(r.doc_id, r.source) for r in rows}
