@@ -57,9 +57,11 @@ def main() -> None:
         "q29_ivf_ann",
         "q47_ann_recall",
         "q51_ivf_sq8_ann",
+        "q78_ivf_pq_ann",
         "q58_semantic_dedup",
         "q61_dup_ngram_spans",
         "q69_lsh_recall",
+        "q79_incremental_dedup",
     ]
     headline = [h for h in headline if h in qs]
 
@@ -77,9 +79,11 @@ def main() -> None:
         "q29_ivf_ann",
         "q47_ann_recall",
         "q51_ivf_sq8_ann",
+        "q78_ivf_pq_ann",
         "q58_semantic_dedup",
         "q61_dup_ngram_spans",
         "q69_lsh_recall",
+        "q79_incremental_dedup",
     }
     try:
         from supermusr_data_pipeline_spark.plans.text_dedup import clear_shared_cache

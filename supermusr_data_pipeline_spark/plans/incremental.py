@@ -191,3 +191,148 @@ def q79_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         verified.select("doc_a", "doc_b", jac.alias("jaccard"), kind.alias("kind"))
         .filter(F.col("jaccard") >= 0.5)
     )
+
+
+# ---------------------------------------------------------------------------
+# q82 — the incremental pass against a PERSISTED LSH index
+# ---------------------------------------------------------------------------
+#
+# q79 derives the base side's artifacts in-plan; this is the production
+# form: the base corpus's banded bucket table and verification token sets
+# are parquet artifacts written once (the index-build job), and the
+# incremental pass READS them — the only per-shard compute is the delta's
+# own signatures.  Registered with q79's oracle: moving the base side to a
+# stored layout must not move a single value.
+
+import os
+import tempfile
+
+_BUILT: dict = {}
+
+
+def lsh_index_path(sf_dir: str) -> str:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(tempfile.gettempdir(), f"supermusr_lsh_index_{base}.parquet")
+
+
+def _banded(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band_no, key) rows from a signature table — the exact q25
+    banding (md5 over each band's 4 signature values)."""
+    band_cols = []
+    for bnd in range(_N_BANDS):
+        parts = [
+            F.col(f"mh{bnd * _ROWS_PER_BAND + r:02d}").cast("string")
+            for r in range(_ROWS_PER_BAND)
+        ]
+        band_cols.append(
+            F.struct(
+                F.lit(bnd).alias("band_no"), F.md5(F.concat_ws(",", *parts)).alias("key")
+            ).alias(f"b{bnd}")
+        )
+    return (
+        sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("bk"))
+        .select("doc_id", F.col("bk.band_no").alias("band_no"), F.col("bk.key").alias("key"))
+    )
+
+
+def write_lsh_index(spark: SparkSession, sf_dir: str, out_path: str) -> None:
+    """Index-build job for the BASE corpus: two artifacts under one root —
+    ``bands/`` (doc_id, band_no, key) partitioned by band_no, and
+    ``tokens/`` (doc_id, th) for exact-Jaccard verification.  Token-id
+    arrays are bigints, so the parquet round-trip is exact.  At 100 TB
+    this is the standing dedup index a shard lands against; a shard that
+    passes is then APPENDED to it (band rows + token sets), which is the
+    whole point of the layout — growing the index is an append, not a
+    rebuild."""
+    df = _with_token_hashes(spark, sf_dir)
+    base = df.filter(
+        (F.col("doc_id") % _DELTA_MOD != _DELTA_REM) & (F.size("th") > 0)
+    )
+    base.select("doc_id", "th").write.mode("overwrite").parquet(
+        os.path.join(out_path, "tokens")
+    )
+    sigs = base.select("doc_id", *_minhash_cols_spark())
+    (
+        _banded(sigs)
+        .repartition("band_no")
+        .write.partitionBy("band_no")
+        .mode("overwrite")
+        .parquet(os.path.join(out_path, "bands"))
+    )
+
+
+@_register("q82_indexed_incremental", oracle=_q79_oracle())
+def q82_indexed_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q79 with the base side served from the persisted index: base band
+    rows and token sets are parquet scans (no recomputation of base
+    signatures from text); only the delta shard is tokenized, hashed, and
+    banded in this pass.  Build-once per session ($TMPDIR artifact, the
+    q64 pattern); value-identical to q79 by construction and by oracle."""
+    path = lsh_index_path(sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if not _BUILT.get(key):
+        write_lsh_index(spark, sf_dir, path)
+        _BUILT[key] = True
+
+    is_delta = F.col("doc_id") % _DELTA_MOD == _DELTA_REM
+    delta_df = _with_token_hashes(spark, sf_dir).filter(is_delta)
+    delta_th = delta_df.filter(F.size("th") > 0).select("doc_id", "th")
+    delta_banded = _banded(
+        delta_df.filter(F.size("th") > 0).select("doc_id", *_minhash_cols_spark())
+    )
+    base_banded = spark.read.parquet(os.path.join(path, "bands")).select(
+        "doc_id", F.col("band_no").cast("int").alias("band_no"), "key"
+    )
+    base_th = spark.read.parquet(os.path.join(path, "tokens"))
+
+    banded = base_banded.unionByName(delta_banded)
+    # combined occupancy — identical to the maintained index's view (q79)
+    bucket_sizes = banded.groupBy("band_no", "key").count()
+    sized = banded.join(bucket_sizes, on=["band_no", "key"])
+    capped = sized.filter(F.col("count") <= _LSH_BUCKET_CAP).select(
+        "doc_id", "band_no", "key"
+    )
+    cap_delta = capped.filter(is_delta)
+    cap_base = capped.filter(~is_delta)
+
+    def _oriented(a: DataFrame, b: DataFrame) -> DataFrame:
+        aa, bb = a.alias("a"), b.alias("b")
+        return aa.join(
+            bb,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("b.doc_id") > F.col("a.doc_id")),
+        ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+
+    pairs_new = (
+        _oriented(cap_delta, cap_base)
+        .unionByName(_oriented(cap_base, cap_delta))
+        .unionByName(_oriented(cap_delta, cap_delta))
+    )
+    big = sized.filter(F.col("count") > _LSH_BUCKET_CAP).select(
+        "doc_id", "band_no", "key"
+    )
+    reps = big.groupBy("band_no", "key").agg(F.min("doc_id").alias("rep"))
+    pairs_star = (
+        big.join(reps, ["band_no", "key"])
+        .filter(F.col("doc_id") > F.col("rep"))
+        .filter(is_delta | (F.col("rep") % _DELTA_MOD == _DELTA_REM))
+        .select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    pairs = pairs_new.unionByName(pairs_star).dropDuplicates(["doc_a", "doc_b"])
+    th = base_th.unionByName(delta_th)
+    ta = th.select(F.col("doc_id").alias("doc_a"), F.col("th").alias("tha"))
+    tb = th.select(F.col("doc_id").alias("doc_b"), F.col("th").alias("thb"))
+    verified = pairs.join(ta, "doc_a").join(tb, "doc_b")
+    inter = F.size(F.array_intersect("tha", "thb"))
+    union = F.size("tha") + F.size("thb") - inter
+    jac = inter.cast("double") / union
+    kind = F.when(
+        (F.col("doc_a") % _DELTA_MOD == _DELTA_REM)
+        & (F.col("doc_b") % _DELTA_MOD == _DELTA_REM),
+        "delta_delta",
+    ).otherwise("delta_base")
+    return (
+        verified.select("doc_a", "doc_b", jac.alias("jaccard"), kind.alias("kind"))
+        .filter(F.col("jaccard") >= 0.5)
+    )

@@ -62,3 +62,48 @@ def test_plan_stays_jvm_and_ids_only(spark):
     p = buf.getvalue()
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_indexed_incremental_equals_derived(spark):
+    """q82 (base side from the persisted index) must equal q79 (base side
+    derived in-plan) exactly — the layout change moves no value."""
+    q79 = {
+        (r.doc_a, r.doc_b): (round(r.jaccard, 9), r.kind)
+        for r in entry_mod.queries()["q79_incremental_dedup"](spark, SF_DIR).collect()
+    }
+    q82 = {
+        (r.doc_a, r.doc_b): (round(r.jaccard, 9), r.kind)
+        for r in entry_mod.queries()["q82_indexed_incremental"](spark, SF_DIR).collect()
+    }
+    assert q79 == q82
+
+
+def test_index_builds_once_and_plan_reads_it(spark):
+    """The index write is a once-per-session side effect; the probe plan
+    scans the persisted artifacts (both band and token parquet), and the
+    only text-derived signatures are the delta's."""
+    import os
+
+    q = entry_mod.queries()["q82_indexed_incremental"]
+    q(spark, SF_DIR).count()
+    path = incremental.lsh_index_path(SF_DIR)
+    assert os.path.isdir(os.path.join(path, "bands"))
+    assert os.path.isdir(os.path.join(path, "tokens"))
+    # band layout is partitioned by band_no
+    assert any(d.startswith("band_no=") for d in os.listdir(os.path.join(path, "bands")))
+    mtimes = {}
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            p = os.path.join(root, f)
+            mtimes[p] = os.path.getmtime(p)
+    q(spark, SF_DIR).count()  # second call must not rebuild
+    for p, t in mtimes.items():
+        assert os.path.getmtime(p) == t, f"index rewritten on second call: {p}"
+
+    df = q(spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "supermusr_lsh_index_" in p, "plan must scan the persisted index"
+    assert "BatchEvalPython" not in p
