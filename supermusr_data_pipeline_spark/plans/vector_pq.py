@@ -394,14 +394,33 @@ def _sub_dot_duck(col: str, s: int, cw: list[float]) -> str:
     )
 
 
+def _book_lit(s: int) -> str:
+    """Subspace s's codebook as ONE constant-foldable literal: an array of
+    (codeword, half-norm) structs.  Folding the 16 codewords into a single
+    literal + one `transform` lambda (instead of 16 inlined dot
+    expressions) shrinks the expression tree ~16x — same arithmetic per
+    element, far smaller codegen/task binaries (the inlined form shipped
+    ~2 MB task binaries and fell out of whole-stage codegen)."""
+    entries = ", ".join(
+        "named_struct('cw', array("
+        + ", ".join(f"{x}D" for x in cw)
+        + f"), 'hn', {_HALF_NORMS[s][j]}D)"
+        for j, cw in enumerate(_PQ_CODEBOOKS[s])
+    )
+    return f"array({entries})"
+
+
 def _pq_scores_spark(col: str, s: int) -> str:
     """Assignment scores for subspace s: x.c_j - 0.5||c_j||^2 (argmax of
-    this is the L2 argmin, with ||x||^2 constant per row)."""
-    per = [
-        f"{_sub_dot_spark(col, s, cw)} - {_HALF_NORMS[s][j]}D"
-        for j, cw in enumerate(_PQ_CODEBOOKS[s])
-    ]
-    return "array(" + ", ".join(per) + ")"
+    this is the L2 argmin, with ||x||^2 constant per row).  One transform
+    lambda over the literal codebook; the per-codeword dot keeps the
+    zip_with + left-fold order the q29/q51 oracles proved bit-stable
+    against DuckDB's list_sum."""
+    return (
+        f"transform({_book_lit(s)}, p -> "
+        f"aggregate(zip_with(slice({col}, {s * _PQ_SUB + 1}, {_PQ_SUB}), p.cw, "
+        "(x, y) -> x * y), 0D, (a, x) -> a + x) - p.hn)"
+    )
 
 
 def _pq_scores_duck(col: str, s: int) -> str:
@@ -413,11 +432,15 @@ def _pq_scores_duck(col: str, s: int) -> str:
 
 
 def _adc_tables_spark(col: str) -> str:
-    """Per-subspace 16-entry ADC lookup tables for a query vector."""
-    subs = []
-    for s in range(_PQ_M):
-        per = [_sub_dot_spark(col, s, cw) for cw in _PQ_CODEBOOKS[s]]
-        subs.append("array(" + ", ".join(per) + ")")
+    """Per-subspace 16-entry ADC lookup tables for a query vector — one
+    transform lambda per subspace over the same literal codebooks as the
+    encode path (the `- p.hn` term is omitted: ADC ranks by raw dot)."""
+    subs = [
+        f"transform({_book_lit(s)}, p -> "
+        f"aggregate(zip_with(slice({col}, {s * _PQ_SUB + 1}, {_PQ_SUB}), p.cw, "
+        "(x, y) -> x * y), 0D, (a, x) -> a + x))"
+        for s in range(_PQ_M)
+    ]
     return "array(" + ",\n        ".join(subs) + ")"
 
 
