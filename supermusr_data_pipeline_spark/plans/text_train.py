@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..sources.testdata import load_table
-from .relational import ORACLES, _register
+from .relational import ORACLES, QUERIES, _register
 from .text_dedup import _TOKENS_EXPR_SPARK, _TOKENS_SQL_DUCK
 
 # ---------------------------------------------------------------------------
@@ -989,4 +989,66 @@ def q81_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pick_rank") <= _SOURCE_CAP)
         .select("doc_id", "source", F.col("pick_rank").cast("int").alias("pick_rank"),
                 "source_total")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q84 — chunk-level exact dedup (boilerplate detection over q80's digests)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q84_chunk_dedup",
+    oracle=f"""
+    WITH chunks AS ({ORACLES["q80_context_chunks"]}),
+    dup AS (
+        SELECT chunk_digest,
+               count(*) AS n_copies,
+               count(DISTINCT doc_id) AS n_docs,
+               min(doc_id) AS keeper_doc_id
+        FROM chunks GROUP BY chunk_digest HAVING count(*) > 1
+    )
+    SELECT d.chunk_digest, CAST(d.n_copies AS INT) AS n_copies,
+           CAST(d.n_docs AS INT) AS n_docs, d.keeper_doc_id,
+           CAST(min(c.chunk_id) AS INT) AS keeper_chunk_id
+    FROM dup d JOIN chunks c
+      ON c.chunk_digest = d.chunk_digest AND c.doc_id = d.keeper_doc_id
+    GROUP BY d.chunk_digest, d.n_copies, d.n_docs, d.keeper_doc_id
+    """,
+)
+def q84_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup at CHUNK granularity: group q80's window digests and
+    report every digest that repeats — across documents this is shared
+    boilerplate (headers, footers, licenses) that document-level dedup
+    (q22) cannot see, and the keeper (lowest doc_id, then lowest chunk_id
+    within it) is the copy a chunk-level curation pass would retain.
+
+    Scale shape: q80's chunking is shuffle-free; this adds ONE exchange on
+    the digest (16-byte key, map-side combine) plus a self-join restricted
+    to the duplicated digests (bounded by real duplication, like q25's
+    verify step).  The 100 TB form of 'strip repeated boilerplate before
+    packing'."""
+    chunks = QUERIES["q80_context_chunks"](spark, sf_dir)
+    dup = (
+        chunks.groupBy("chunk_digest")
+        .agg(
+            F.count("*").cast("int").alias("n_copies"),
+            F.countDistinct("doc_id").cast("int").alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+    keeper = (
+        chunks.select("chunk_digest", "doc_id", "chunk_id")
+        .join(
+            F.broadcast(dup),
+            (F.col("doc_id") == F.col("keeper_doc_id"))
+            & (chunks.chunk_digest == dup.chunk_digest),
+        )
+        .drop(dup.chunk_digest)
+        .groupBy("chunk_digest", "n_copies", "n_docs", "keeper_doc_id")
+        .agg(F.min("chunk_id").cast("int").alias("keeper_chunk_id"))
+    )
+    return keeper.select(
+        "chunk_digest", "n_copies", "n_docs", "keeper_doc_id", "keeper_chunk_id"
     )

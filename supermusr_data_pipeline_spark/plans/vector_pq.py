@@ -587,3 +587,105 @@ def q78_ivf_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("query_id", "neighbor_id", "cell", "adc", "sim", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# q83 — PQ code health: per-(subspace, code) utilization + reconstruction MSE
+# ---------------------------------------------------------------------------
+#
+# The q48 pattern applied to the PQ layer: the report an operator watches to
+# decide when to re-fit the codebooks.  Dead codes (utilization 0) waste
+# index bits; a code whose members reconstruct badly (high MSE) marks a
+# drifted subspace.  256 rows (16 subspaces x 16 codes) at any corpus size.
+
+
+def _books_lit_spark() -> str:
+    return "array(" + ", ".join(_book_lit(s) for s in range(_PQ_M)) + ")"
+
+
+def _books_lit_duck() -> str:
+    subs = []
+    for book in _PQ_CODEBOOKS:
+        entries = ", ".join(
+            "{'cw': [" + ", ".join(f"{x}" for x in cw) + "]::DOUBLE[]}" for cw in book
+        )
+        subs.append(f"[{entries}]")
+    return "[" + ",\n           ".join(subs) + "]"
+
+
+def _q83_oracle() -> str:
+    sc_cols = ",\n           ".join(
+        f"{_pq_scores_duck('emb', s)} AS sc{s}" for s in range(_PQ_M)
+    )
+    codes = "[" + ", ".join(
+        f"list_position(sc{s}, list_max(sc{s})) - 1" for s in range(_PQ_M)
+    ) + "]"
+    err = (
+        f"list_sum([(c.emb[u.s * {_PQ_SUB} + i] - b.bk[u.s + 1][c.codes[u.s + 1] + 1].cw[i])"
+        f" * (c.emb[u.s * {_PQ_SUB} + i] - b.bk[u.s + 1][c.codes[u.s + 1] + 1].cw[i])"
+        f" for i in range(1, {_PQ_SUB + 1})])"
+    )
+    return f"""
+    WITH b AS (
+        SELECT {_books_lit_duck()} AS bk
+    ), e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ), sc AS (
+        SELECT vec_id, emb,
+           {sc_cols}
+        FROM e
+    ), codes AS (
+        SELECT vec_id, emb, {codes} AS codes FROM sc
+    ), percode AS (
+        SELECT u.s AS subspace, c.codes[u.s + 1] AS code, {err} AS err
+        FROM codes c, b, unnest(generate_series(0, {_PQ_M - 1})) AS u(s)
+    )
+    SELECT CAST(subspace AS INT) AS subspace, CAST(code AS INT) AS code,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           round(avg(err) * 1e6, 2) AS mse_e6
+    FROM percode GROUP BY subspace, code
+    """
+
+
+@_register("q83_pq_code_health", oracle=_q83_oracle())
+def q83_pq_code_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(subspace, code) PQ index health: member count and mean
+    reconstruction error (x 1e6, the q41 convention) for every codeword —
+    dead codes and high-MSE codes are the re-fit triggers.
+
+    Scale shape: encode is the same narrow all-JVM pass as q78; the
+    explode multiplies rows by M=16 but carries only (subspace, code, err)
+    — ~20 B/row; the final aggregation has 256 groups.  One exchange."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("emb")
+    )
+    sc = e.select(
+        "vec_id", "emb",
+        *[F.expr(_pq_scores_spark("emb", s)).alias(f"sc{s}") for s in range(_PQ_M)],
+    )
+    codes_expr = "array(" + ", ".join(
+        f"cast(array_position(sc{s}, array_max(sc{s})) - 1 as int)"
+        for s in range(_PQ_M)
+    ) + ")"
+    codes = sc.select("vec_id", "emb", F.expr(codes_expr).alias("codes"))
+    err = F.expr(
+        f"""aggregate(zip_with(
+                slice(emb, s * {_PQ_SUB} + 1, {_PQ_SUB}),
+                element_at(element_at({_books_lit_spark()}, s + 1),
+                           element_at(codes, s + 1) + 1).cw,
+                (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x)"""
+    )
+    percode = (
+        codes.select(
+            "emb", "codes", F.explode(F.expr(f"sequence(0, {_PQ_M - 1})")).alias("s")
+        )
+        .select(
+            F.col("s").cast("int").alias("subspace"),
+            F.expr("element_at(codes, s + 1)").cast("int").alias("code"),
+            err.alias("err"),
+        )
+    )
+    return percode.groupBy("subspace", "code").agg(
+        F.count("*").cast("bigint").alias("n_vectors"),
+        F.round(F.avg("err") * 1e6, 2).alias("mse_e6"),
+    )

@@ -113,3 +113,20 @@ def test_pq_plan_shapes(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert p.count("BroadcastHashJoin") >= 3, "probe/re-rank joins must broadcast"
+
+
+def test_pq_code_health_accounts_for_every_vector(spark):
+    """q83: code populations sum to n_vectors x M; codes stay in [0,16);
+    MSE is nonnegative; utilization is high at the fitted scale (the fit
+    corpus should leave few dead codes)."""
+    rows = entry_mod.queries()["q83_pq_code_health"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    n_vec = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").count()
+    assert sum(r.n_vectors for r in rows) == n_vec * vector_pq._PQ_M
+    assert all(0 <= r.code < vector_pq._PQ_K for r in rows)
+    assert all(r.mse_e6 >= 0 for r in rows)
+    used = len(rows)
+    assert used >= vector_pq._PQ_M * vector_pq._PQ_K * 0.9, (
+        f"only {used} live (subspace, code) cells — codebooks degenerate?"
+    )

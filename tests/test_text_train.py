@@ -257,3 +257,24 @@ def test_source_cap_caps_and_is_retry_stable(spark):
     # deterministic under re-execution (no rand in the selection)
     again = {(r.doc_id, r.source) for r in q(spark, "/root/testdata/sf0.01").collect()}
     assert again == {(r.doc_id, r.source) for r in rows}
+
+
+def test_chunk_dedup_finds_cross_doc_boilerplate(spark):
+    """q84: every reported digest repeats; the keeper is the lexicographic
+    minimum copy; and the fixture's exact-dup documents surface as
+    cross-document chunk duplicates."""
+    rows = entry_mod.queries()["q84_chunk_dedup"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert rows, "fixture has exact-dup docs; chunk dedup must find them"
+    assert any(r.n_docs > 1 for r in rows), "no cross-document duplicate chunks"
+    chunks = entry_mod.queries()["q80_context_chunks"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    by_digest = {}
+    for c in chunks:
+        by_digest.setdefault(c.chunk_digest, []).append((c.doc_id, c.chunk_id))
+    for r in rows:
+        copies = by_digest[r.chunk_digest]
+        assert len(copies) == r.n_copies > 1
+        assert (r.keeper_doc_id, r.keeper_chunk_id) == min(copies)
