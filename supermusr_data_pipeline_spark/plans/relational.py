@@ -1309,3 +1309,109 @@ def q73_suppliers_of_large_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.join(p, (s.s_suppkey % 10) == p.pk_mod, "left_semi")
         .select("s_suppkey", "s_name", "s_nationkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# q85 — corpus manifest: per-table row counts + content checksums
+# ---------------------------------------------------------------------------
+#
+# The integrity primitive a 100 TB pipeline runs after every copy,
+# migration, or engine swap: an order-independent fingerprint per table.
+# `key_xor` folds a 60-bit md5 digest of the stable columns with XOR
+# (commutative — partitioning and row order cannot move it; no overflow);
+# float columns are fingerprinted separately as an exact DECIMAL sum of
+# per-row rounded values (XOR of text-formatted floats would be fragile
+# across engines; decimal addition is exact and order-independent).
+# One narrow pass + scalar aggregate per table; rows never shuffle.
+
+
+def _manifest_duck(table: str, key_expr: str, num_expr: str) -> str:
+    return f"""
+    SELECT '{table}' AS table_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           bit_xor(('0x' || substr(md5({key_expr}), 1, 15))::UBIGINT::BIGINT)
+               AS key_xor,
+           round(CAST(sum({num_expr}) AS DOUBLE), 4) AS numeric_sum
+    FROM {table}
+    """
+
+
+@_register(
+    "q85_corpus_manifest",
+    oracle=(
+        _manifest_duck(
+            "documents",
+            "concat_ws('|', doc_id::VARCHAR, lang, source, text)",
+            "n_chars::DECIMAL(28, 6)",
+        )
+        + " UNION ALL "
+        + _manifest_duck(
+            "embeddings",
+            "concat_ws('|', vec_id::VARCHAR, label::VARCHAR)",
+            "round(list_sum(embedding::DOUBLE[]), 6)::DECIMAL(28, 6)",
+        )
+        + " UNION ALL "
+        + _manifest_duck(
+            "events",
+            "concat_ws('|', event_id::VARCHAR, epoch_us(ts)::VARCHAR,"
+            " user_id::VARCHAR, event_type, props)",
+            "round(value, 6)::DECIMAL(28, 6)",
+        )
+    ),
+)
+def q85_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content manifest over the LLM-pipeline tables (documents,
+    embeddings, events): row count, an XOR-folded md5 fingerprint of the
+    stable columns, and an exact decimal sum of the numeric payload —
+    see the section comment for why each piece is engine- and
+    order-stable.  Two runs disagree iff the data changed."""
+    def digest(key_col):
+        return F.expr(
+            f"cast(conv(substr(md5({key_col}), 1, 15), 16, 10) as bigint)"
+        )
+
+    docs = load_table(spark, sf_dir, "documents")
+    d_row = docs.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.expr(
+            "bit_xor(cast(conv(substr(md5(concat_ws('|', cast(doc_id as string),"
+            " lang, source, text)), 1, 15), 16, 10) as bigint))"
+        ).alias("key_xor"),
+        F.round(
+            F.sum(F.col("n_chars").cast("decimal(28,6)")).cast("double"), 4
+        ).alias("numeric_sum"),
+    ).select(F.lit("documents").alias("table_name"), "n_rows", "key_xor", "numeric_sum")
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e_row = emb.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.expr(
+            "bit_xor(cast(conv(substr(md5(concat_ws('|', cast(vec_id as string),"
+            " cast(label as string))), 1, 15), 16, 10) as bigint))"
+        ).alias("key_xor"),
+        F.round(
+            F.sum(
+                F.expr(
+                    "cast(round(aggregate(transform(embedding,"
+                    " x -> cast(x as double)), 0D, (a, x) -> a + x), 6)"
+                    " as decimal(28,6))"
+                )
+            ).cast("double"),
+            4,
+        ).alias("numeric_sum"),
+    ).select(F.lit("embeddings").alias("table_name"), "n_rows", "key_xor", "numeric_sum")
+
+    ev = load_table(spark, sf_dir, "events")
+    v_row = ev.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.expr(
+            "bit_xor(cast(conv(substr(md5(concat_ws('|', cast(event_id as string),"
+            " cast(unix_micros(ts) as string), cast(user_id as string),"
+            " event_type, props)), 1, 15), 16, 10) as bigint))"
+        ).alias("key_xor"),
+        F.round(
+            F.sum(F.expr("cast(round(value, 6) as decimal(28,6))")).cast("double"), 4
+        ).alias("numeric_sum"),
+    ).select(F.lit("events").alias("table_name"), "n_rows", "key_xor", "numeric_sum")
+
+    return d_row.unionByName(e_row).unionByName(v_row)

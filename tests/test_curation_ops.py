@@ -158,3 +158,35 @@ def test_training_corpus_split_agrees_with_q70(spark, q):
     for r in rows:
         assert r.split == q70[r.doc_id]
         assert r.n_tokens > 0
+
+
+def test_manifest_detects_any_row_change(spark, tmp_path):
+    """q85 is only useful if a one-row change moves the fingerprint: copy
+    the documents table, flip one character in one row, and assert key_xor
+    moves while n_rows stays put (and the untouched tables' rows do not)."""
+    import shutil
+
+    import duckdb
+
+    src = "/root/testdata/sf0.001"
+    mod = tmp_path / "modified_sf"
+    mod.mkdir()
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        shutil.copy(f"{src}/{t}.parquet", mod / f"{t}.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"""COPY (SELECT doc_id, CASE WHEN doc_id = 3 THEN text || '!' ELSE text END AS text,
+                        lang, source, n_chars
+                 FROM read_parquet('{src}/documents.parquet'))
+            TO '{mod / "documents.parquet"}' (FORMAT PARQUET)"""
+    )
+    base = {r.table_name: r for r in
+            entry_mod.queries()["q85_corpus_manifest"](spark, src).collect()}
+    tweaked = {r.table_name: r for r in
+               entry_mod.queries()["q85_corpus_manifest"](spark, str(mod)).collect()}
+    assert base["documents"].n_rows == tweaked["documents"].n_rows
+    assert base["documents"].key_xor != tweaked["documents"].key_xor
+    for t in ("embeddings", "events"):
+        assert base[t].key_xor == tweaked[t].key_xor
+        assert base[t].numeric_sum == tweaked[t].numeric_sum
