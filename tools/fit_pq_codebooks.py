@@ -81,7 +81,29 @@ def print_literals(books: np.ndarray) -> None:
 
 
 def main() -> None:
-    path = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01/embeddings.parquet"
+    args = sys.argv[1:]
+    if args and args[0] == "--spark":
+        # the distributed fit (plans/pq_fit.py) printing the same literal
+        # block — tests/test_pq_fit_spark.py pins both producers agree
+        sf_dir = args[1] if len(args) > 1 else "/root/testdata/sf0.01"
+        import os
+
+        sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        from pyspark.sql import SparkSession
+
+        from supermusr_data_pipeline_spark.plans.pq_fit import fit_pq_codebooks_spark
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+        try:
+            print_literals(fit_pq_codebooks_spark(spark, sf_dir))
+        finally:
+            spark.stop()
+        return
+    path = args[0] if args else "/root/testdata/sf0.01/embeddings.parquet"
     print_literals(fit(path))
 
 
