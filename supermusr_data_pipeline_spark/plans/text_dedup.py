@@ -529,9 +529,20 @@ def q25_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q25_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _with_token_hashes(spark, sf_dir)
-    th = df.filter(F.size("th") > 0).select("doc_id", "th")
-    sigs = df.filter(F.size("th") > 0).select("doc_id", *_minhash_cols_spark())
+    # materialize the token-hash + signature table ONCE: the build refers
+    # to it from four places (bucket sizing, the capped join's two sides,
+    # and both token re-attachments), and without this the minhash pass —
+    # the dominant CPU cost — re-runs for each.  The eager checkpoint is
+    # released by _shared_checkpoint as soon as the outer pair-graph
+    # checkpoint holds the data (the `mid - before` diff).
+    base = (
+        _with_token_hashes(spark, sf_dir)
+        .filter(F.size("th") > 0)
+        .select("doc_id", "th", *_minhash_cols_spark())
+        .localCheckpoint()
+    )
+    th = base.select("doc_id", "th")
+    sigs = base.select("doc_id", *[f"mh{i:02d}" for i in range(len(_MINHASH_A))])
     band_cols = []
     for bnd in range(_N_BANDS):
         parts = [
