@@ -1415,3 +1415,157 @@ def q85_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.lit("events").alias("table_name"), "n_rows", "key_xor", "numeric_sum")
 
     return d_row.unionByName(e_row).unionByName(v_row)
+
+
+# ---------------------------------------------------------------------------
+# q86 — gap-filled resampling with forward fill (telemetry densification)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q86_gap_fill",
+    oracle="""
+    WITH obs AS (
+        SELECT event_type, date_trunc('hour', ts) AS h, value,
+               row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn,
+               count(*) OVER (PARTITION BY event_type, date_trunc('hour', ts))
+                   AS n_events
+        FROM events
+    ), per_hour AS (
+        SELECT event_type, h, value AS last_value_in_hour, n_events
+        FROM obs WHERE rn = 1
+    ), bounds AS (
+        SELECT event_type, min(h) AS h0, max(h) AS h1 FROM per_hour GROUP BY 1
+    ), grid AS (
+        SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        FROM bounds
+    )
+    SELECT g.event_type, epoch_us(g.h) AS hour_us,
+           CAST(coalesce(p.n_events, 0) AS INT) AS n_events,
+           round(last_value(p.last_value_in_hour IGNORE NULLS)
+                     OVER (PARTITION BY g.event_type ORDER BY g.h
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 6) AS filled_value,
+           p.h IS NULL AS is_gap
+    FROM grid g LEFT JOIN per_hour p
+      ON p.event_type = g.event_type AND p.h = g.h
+    """,
+)
+def q86_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample the event stream onto a dense hourly grid per event type,
+    forward-filling the last observed value across gaps — the
+    densification step between raw telemetry and any fixed-step consumer
+    (rate dashboards, training-feature grids, the reference's fixed-cadence
+    DAQ statistics in A7).  Within an hour the carried value is the
+    latest event's (ts, then event_id as the deterministic tie-break);
+    hours before a type's first event stay NULL rather than inventing a
+    reading.
+
+    Scale shape: one keyed aggregation to per-(type, hour) summaries
+    (map-side combine over the raw stream — the only pass that sees all
+    events), a tiny per-type bounds row feeding a sequence() explode (the
+    grid is O(hours x types), independent of event volume), one
+    broadcast-able join of summaries onto the grid, and a per-type window
+    for the fill whose partitions are bounded by the grid, not the data."""
+    ev = load_table(spark, sf_dir, "events")
+    h = F.date_trunc("hour", F.col("ts"))
+    wobs = Window.partitionBy("event_type", "h").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    per_hour = (
+        ev.select("event_type", h.alias("h"), "ts", "event_id", "value")
+        .withColumn("rn", F.row_number().over(wobs))
+        .withColumn("n_events", F.count("*").over(Window.partitionBy("event_type", "h")))
+        .filter(F.col("rn") == 1)
+        .select("event_type", "h", F.col("value").alias("last_value_in_hour"), "n_events")
+    )
+    bounds = per_hour.groupBy("event_type").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("h"),
+    )
+    joined = grid.join(per_hour, ["event_type", "h"], "left")
+    wfill = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "event_type",
+        F.unix_micros(F.col("h")).alias("hour_us"),
+        F.coalesce("n_events", F.lit(0)).cast("int").alias("n_events"),
+        F.round(
+            F.last("last_value_in_hour", ignorenulls=True).over(wfill), 6
+        ).alias("filled_value"),
+        F.col("last_value_in_hour").isNull().alias("is_gap"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q87 — weekly retention cohorts
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q87_retention_cohorts",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort_w
+        FROM events GROUP BY user_id
+    ), cohort_sizes AS (
+        SELECT cohort_w, count(*) AS cohort_size FROM first_seen GROUP BY 1
+    ), activity AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events
+    )
+    SELECT epoch_us(f.cohort_w) AS cohort_week_us,
+           CAST(date_diff('day', f.cohort_w, a.w) / 7 AS INT) AS week_offset,
+           CAST(s.cohort_size AS INT) AS cohort_size,
+           CAST(count(DISTINCT a.user_id) AS INT) AS n_active,
+           round(count(DISTINCT a.user_id)::DOUBLE / s.cohort_size, 4) AS retention
+    FROM activity a
+    JOIN first_seen f USING (user_id)
+    JOIN cohort_sizes s ON s.cohort_w = f.cohort_w
+    GROUP BY f.cohort_w, date_diff('day', f.cohort_w, a.w) / 7, s.cohort_size
+    """,
+)
+def q87_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic cohort-retention matrix: users grouped by first-seen
+    week, each cohort's share still active N weeks later — the product
+    analytics every event pipeline eventually serves (and the template
+    for data-freshness cohorts over a training corpus's crawl dates).
+
+    Scale shape: first-seen is one keyed aggregation on user_id; weekly
+    activity dedups on (user, week) — both shuffle on the user axis,
+    which is the natural high-cardinality key (no skew: a user's rows are
+    bounded).  Cohort sizes are a tiny table BROADCAST into the final
+    aggregation; week_offset arithmetic is exact (date_trunc('week')
+    aligns Mondays in both engines, datediff/7 is integral)."""
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_w")
+    )
+    cohort_sizes = first_seen.groupBy("cohort_w").agg(
+        F.count("*").cast("int").alias("cohort_size")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("w")
+    ).distinct()
+    joined = (
+        activity.join(first_seen, "user_id")
+        .join(F.broadcast(cohort_sizes), "cohort_w")
+        .select(
+            F.unix_micros("cohort_w").alias("cohort_week_us"),
+            (F.datediff("w", "cohort_w") / 7).cast("int").alias("week_offset"),
+            "cohort_size",
+            "user_id",
+        )
+    )
+    return joined.groupBy("cohort_week_us", "week_offset", "cohort_size").agg(
+        F.countDistinct("user_id").cast("int").alias("n_active"),
+        F.round(
+            F.countDistinct("user_id").cast("double") / F.col("cohort_size"), 4
+        ).alias("retention"),
+    )

@@ -190,3 +190,43 @@ def test_manifest_detects_any_row_change(spark, tmp_path):
     for t in ("embeddings", "events"):
         assert base[t].key_xor == tweaked[t].key_xor
         assert base[t].numeric_sum == tweaked[t].numeric_sum
+
+
+def test_gap_fill_grid_is_dense_and_fill_is_correct(spark):
+    """q86: per type the hourly grid is contiguous, gap rows carry the most
+    recent earlier value, and n_events totals the raw stream."""
+    rows = entry_mod.queries()["q86_gap_fill"](spark, "/root/testdata/sf0.01").collect()
+    ev_n = spark.read.parquet("/root/testdata/sf0.01/events.parquet").count()
+    assert sum(r.n_events for r in rows) == ev_n
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    assert len(by_type) == 5
+    saw_gap = False
+    for rs in by_type.values():
+        rs.sort(key=lambda r: r.hour_us)
+        hours = [r.hour_us for r in rs]
+        assert hours == list(range(hours[0], hours[-1] + 1, 3_600_000_000)), "grid not dense"
+        last = None
+        for r in rs:
+            if r.is_gap:
+                saw_gap = True
+                assert r.n_events == 0
+                if last is not None:
+                    assert r.filled_value == last
+            else:
+                assert r.n_events > 0
+                last = r.filled_value
+    assert saw_gap, "fixture produced no gaps — grid too coarse"
+
+
+def test_retention_cohort_week_zero_is_full(spark):
+    """q87: every user is active in their own cohort week, so offset 0 has
+    retention exactly 1.0; later offsets never exceed the cohort size."""
+    rows = entry_mod.queries()["q87_retention_cohorts"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert rows
+    zero = [r for r in rows if r.week_offset == 0]
+    assert zero and all(r.n_active == r.cohort_size and r.retention == 1.0 for r in zero)
+    assert all(r.week_offset >= 0 and 0 < r.n_active <= r.cohort_size for r in rows)
