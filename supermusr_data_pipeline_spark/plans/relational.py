@@ -1569,3 +1569,39 @@ def q87_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").cast("double") / F.col("cohort_size"), 4
         ).alias("retention"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q88 — mergeable distinct-count sketches (HLL) vs exact
+# ---------------------------------------------------------------------------
+
+
+@_register("q88_distinct_sketches")  # rows-only: DuckDB cannot replay
+def q88_distinct_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type, exact AND via a DataSketches HLL
+    sketch (lgConfigK=12), with the relative error alongside — the
+    cardinality primitive that actually scales: `count(DISTINCT)` needs a
+    full shuffle of the key universe, while sketches are ~KB-sized
+    MERGEABLE partial aggregates (map-side combine; union across
+    partitions, days, or tenants is associative — pinned by
+    tests/test_curation_ops.py's union-vs-direct gate).  No SQL oracle:
+    the estimate depends on the sketch implementation, so the driver
+    records a rows-only check and the pytest gate bounds the error
+    against the exact count.
+
+    Reference analog: the DAQ run statistics (A7) report distinct
+    channels/digitisers per frame window; at 100 TB distincts this is
+    the form that survives."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("int").alias("n_exact"),
+        F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))").alias("n_hll"),
+    )
+    return per.select(
+        "event_type",
+        "n_exact",
+        "n_hll",
+        F.round(
+            F.abs(F.col("n_hll") - F.col("n_exact")) / F.col("n_exact"), 4
+        ).alias("rel_err"),
+    )

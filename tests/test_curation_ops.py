@@ -230,3 +230,32 @@ def test_retention_cohort_week_zero_is_full(spark):
     zero = [r for r in rows if r.week_offset == 0]
     assert zero and all(r.n_active == r.cohort_size and r.retention == 1.0 for r in zero)
     assert all(r.week_offset >= 0 and 0 < r.n_active <= r.cohort_size for r in rows)
+
+
+def test_hll_sketches_are_accurate_and_mergeable(spark):
+    """q88: estimates land within 5% of exact, and a union of per-source
+    partial sketches estimates the same cardinality as one global sketch
+    (within HLL noise) — the mergeability that makes sketches the 100 TB
+    distinct-count form."""
+    from pyspark.sql import functions as F
+
+    rows = entry_mod.queries()["q88_distinct_sketches"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert rows and all(r.rel_err <= 0.05 for r in rows)
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    merged = (
+        ev.groupBy("event_type")
+        .agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+        .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"))
+        .collect()[0]
+        .est
+    )
+    direct = (
+        ev.agg(F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))").alias("est"))
+        .collect()[0]
+        .est
+    )
+    exact = ev.select("user_id").distinct().count()
+    assert abs(merged - exact) / exact <= 0.05
+    assert abs(direct - exact) / exact <= 0.05

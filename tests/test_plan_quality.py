@@ -252,3 +252,34 @@ def test_q25_star_linked_lsh_no_cartesian_jvm_only(spark):
     p = buf.getvalue()
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "Python" not in p
+
+
+def test_q85_manifest_stays_narrow(spark, plan):
+    """Manifest: three narrow scans + scalar aggregates — no joins, no
+    Python, nothing but the single-partition final exchanges."""
+    p = plan(spark, "q85_corpus_manifest")
+    assert "Join" not in p
+    assert "Python" not in p
+
+
+def test_q86_gap_fill_no_cartesian_jvm_only(spark, plan):
+    p = plan(spark, "q86_gap_fill")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "Python" not in p
+
+
+def test_q87_retention_broadcasts_cohort_sizes(spark, plan):
+    """Cohort sizes are a tiny dimension: they must broadcast, not
+    shuffle-join the activity side."""
+    p = plan(spark, "q87_retention_cohorts")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "Python" not in p
+
+
+def test_q88_sketches_partial_aggregate(spark, plan):
+    """The HLL path must partial-aggregate (map-side combine) — two
+    HashAggregate levels around one exchange, no Python."""
+    p = plan(spark, "q88_distinct_sketches")
+    assert "Python" not in p
+    assert p.count("HashAggregate") >= 2
