@@ -1605,3 +1605,106 @@ def q88_distinct_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("n_hll") - F.col("n_exact")) / F.col("n_exact"), 4
         ).alias("rel_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q89 — ordered funnel conversion (view -> click -> purchase)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q89_funnel",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN v ON v.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t1
+        GROUP BY e.user_id
+    ), p AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN c ON c.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        GROUP BY e.user_id
+    ), counts AS (
+        SELECT 1 AS step_no, 'view' AS step, (SELECT count(*) FROM v) AS n_users
+        UNION ALL
+        SELECT 2, 'click', (SELECT count(*) FROM c)
+        UNION ALL
+        SELECT 3, 'purchase', (SELECT count(*) FROM p)
+    )
+    SELECT step_no, step, CAST(n_users AS INT) AS n_users,
+           round(n_users::DOUBLE
+                 / lag(n_users, 1, n_users) OVER (ORDER BY step_no), 4)
+               AS conv_from_prev,
+           round(n_users::DOUBLE
+                 / first_value(n_users) OVER (ORDER BY step_no), 4)
+               AS conv_overall
+    FROM counts
+    """,
+)
+def q89_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users who viewed, then clicked strictly after their
+    first view, then purchased strictly after that first qualifying click
+    — with per-step and overall conversion.  The ORDER constraint is what
+    separates a funnel from three distinct counts (a purchase before the
+    click must not convert), and `min(ts)` per step makes the stage
+    anchors deterministic.
+
+    Scale shape: each stage is one keyed aggregation on user_id joined to
+    the previous stage's per-user anchor — shuffles stay on the user axis
+    with bounded per-user rows, and stages prune: stage N scans only one
+    event type and joins against at most the stage-(N-1) survivors.  The
+    3-row result is driver-safe by construction."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    counts = (
+        v.agg(F.count("*").alias("n_users"))
+        .select(F.lit(1).alias("step_no"), F.lit("view").alias("step"), "n_users")
+        .unionByName(
+            c.agg(F.count("*").alias("n_users")).select(
+                F.lit(2).alias("step_no"), F.lit("click").alias("step"), "n_users"
+            )
+        )
+        .unionByName(
+            p.agg(F.count("*").alias("n_users")).select(
+                F.lit(3).alias("step_no"), F.lit("purchase").alias("step"), "n_users"
+            )
+        )
+    )
+    w = Window.orderBy("step_no")
+    return counts.select(
+        "step_no",
+        "step",
+        F.col("n_users").cast("int").alias("n_users"),
+        F.round(
+            F.col("n_users").cast("double")
+            / F.lag("n_users", 1, None).over(w).cast("double"),
+            4,
+        ).alias("conv_from_prev"),
+        F.round(
+            F.col("n_users").cast("double") / F.first("n_users").over(w), 4
+        ).alias("conv_overall"),
+    ).withColumn(
+        "conv_from_prev", F.coalesce("conv_from_prev", F.lit(1.0))
+    )

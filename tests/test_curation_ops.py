@@ -259,3 +259,33 @@ def test_hll_sketches_are_accurate_and_mergeable(spark):
     exact = ev.select("user_id").distinct().count()
     assert abs(merged - exact) / exact <= 0.05
     assert abs(direct - exact) / exact <= 0.05
+
+
+def test_funnel_order_constraint_binds(spark, tmp_path):
+    """q89: step counts are monotonically non-increasing on the fixture,
+    and on a constructed corpus a user whose purchase precedes any
+    qualifying click must NOT convert (the ts constraint is live)."""
+    rows = {r.step: r for r in
+            entry_mod.queries()["q89_funnel"](spark, "/root/testdata/sf0.01").collect()}
+    assert rows["view"].n_users >= rows["click"].n_users >= rows["purchase"].n_users
+    assert rows["view"].conv_from_prev == 1.0 and rows["view"].conv_overall == 1.0
+
+    # micro-fixture: user 1 = proper order; user 2 = purchase BEFORE click
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    mk = lambda m: base + dt.timedelta(minutes=m)
+    data = [
+        (1, mk(0), 1, "view", 1.0, ""), (2, mk(1), 1, "click", 1.0, ""),
+        (3, mk(2), 1, "purchase", 1.0, ""),
+        (4, mk(0), 2, "view", 1.0, ""), (5, mk(2), 2, "click", 1.0, ""),
+        (6, mk(1), 2, "purchase", 1.0, ""),  # before the click
+    ]
+    df = spark.createDataFrame(
+        data, "event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    micro = {r.step: r for r in
+             entry_mod.queries()["q89_funnel"](spark, str(tmp_path)).collect()}
+    assert micro["view"].n_users == 2 and micro["click"].n_users == 2
+    assert micro["purchase"].n_users == 1, "out-of-order purchase converted"
