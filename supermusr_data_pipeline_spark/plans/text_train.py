@@ -1052,3 +1052,70 @@ def q84_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keeper.select(
         "chunk_digest", "n_copies", "n_docs", "keeper_doc_id", "keeper_chunk_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# q90 — weighted sampling without replacement (deterministic exp-race)
+# ---------------------------------------------------------------------------
+
+_WS_K = 25            # sample size
+_WS_SALT = "wsample:v1:"
+# the race key is a libm ln() — not guaranteed bit-identical across
+# engines — so both sides RANK on the key rounded to 12 dp (libm
+# disagreement is ~1 ulp ~ 1e-16 relative; 1e-12 absorbs it)
+_WS_ROUND = 12
+
+
+@_register(
+    "q90_weighted_sample",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, source, n_chars,
+               round(
+                 -ln((('0x' || substr(md5('{_WS_SALT}' || doc_id::VARCHAR), 1, 13))
+                          ::UBIGINT::BIGINT + 1.0) / 4503599627370497.0)
+                 / n_chars, {_WS_ROUND}) AS race_key
+        FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, source, CAST(n_chars AS INT) AS weight,
+           round(race_key, 6) AS race_key_6, CAST(rk AS INT) AS sample_rank
+    FROM (
+        SELECT *, row_number() OVER (ORDER BY race_key, doc_id) AS rk FROM keyed
+    ) WHERE rk <= {_WS_K}
+    """,
+)
+def q90_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis
+    exponential race): each document draws a deterministic uniform from a
+    salted hash of its id, its race key is -ln(u)/weight, and the k
+    smallest keys are the sample — inclusion probability proportional to
+    weight (n_chars here), no rand() anywhere, so the sample is identical
+    under retries, repartitioning, and recomputation, and versioning the
+    salt redraws it on purpose.  The primitive under weighted mixture
+    draws (q57 up/down-samples by repeat counts; this samples exact-k).
+
+    Scale shape: the race key is a narrow projection; the global smallest-k
+    is TakeOrdered (per-partition top-k then a k-row merge — no full sort,
+    no single-partition window; pinned by tests/test_plan_quality.py).
+    13 hex digits = 52 uniform bits, +1 over (2^52 + 1) keeps u in (0, 1]
+    so ln(u) is finite."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        F.expr(
+            f"cast(conv(substr(md5(concat('{_WS_SALT}', cast(doc_id as string))),"
+            f" 1, 13), 16, 10) as bigint)"
+        ).cast("double")
+        + 1.0
+    ) / 4503599627370497.0
+    key = F.round(-F.log(u) / F.col("n_chars"), _WS_ROUND)
+    keyed = docs.select(
+        "doc_id", "source", F.col("n_chars").cast("int").alias("weight"),
+        key.alias("race_key"),
+    )
+    topk = keyed.orderBy("race_key", "doc_id").limit(_WS_K)
+    w = Window.orderBy("race_key", "doc_id")
+    return topk.select(
+        "doc_id", "source", "weight",
+        F.round("race_key", 6).alias("race_key_6"),
+        F.row_number().over(w).cast("int").alias("sample_rank"),
+    )

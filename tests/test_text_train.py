@@ -278,3 +278,36 @@ def test_chunk_dedup_finds_cross_doc_boilerplate(spark):
         copies = by_digest[r.chunk_digest]
         assert len(copies) == r.n_copies > 1
         assert (r.keeper_doc_id, r.keeper_chunk_id) == min(copies)
+
+
+def test_weighted_sample_is_stable_and_weight_biased(spark):
+    """q90: retry-stable (two runs identical), exactly k rows, and the
+    sample is measurably biased toward heavy documents (mean sampled
+    weight above the corpus mean) — the property weighted sampling buys."""
+    from supermusr_data_pipeline_spark.plans.text_train import _WS_K
+
+    q = entry_mod.queries()["q90_weighted_sample"]
+    a = [(r.doc_id, r.sample_rank) for r in q(spark, "/root/testdata/sf0.01").collect()]
+    b = [(r.doc_id, r.sample_rank) for r in q(spark, "/root/testdata/sf0.01").collect()]
+    assert a == b and len(a) == _WS_K
+    sampled_mean = (
+        sum(r.weight for r in q(spark, "/root/testdata/sf0.01").collect()) / _WS_K
+    )
+    corpus_mean = (
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .agg(F.avg("n_chars")).collect()[0][0]
+    )
+    assert sampled_mean > corpus_mean
+
+
+def test_weighted_sample_plan_uses_takeordered(spark):
+    import contextlib
+    import io
+
+    df = entry_mod.queries()["q90_weighted_sample"](spark, "/root/testdata/sf0.001")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "TakeOrderedAndProject" in p, "global top-k must not be a full sort"
+    assert "rand" not in p and "Python" not in p
