@@ -974,19 +974,22 @@ def q81_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     `source_total` rides along so the report shows how hard each source
     was capped.
 
-    Scale shape: one shuffle on source (the window), rank + filter inside
-    the partition; with sources as the natural skew axis, a hot source
-    costs one partition's sort (at 100 TB: pre-aggregate with a
-    per-partition top-N before the window, or bucket by source)."""
+    Scale shape: `source_total` comes from a tiny pre-aggregation that
+    BROADCASTS back (not a second window, which would block the rank-limit
+    pushdown), so the one remaining rank window carries a WindowGroupLimit:
+    each input partition keeps only its local top-cap rows per source
+    BEFORE the shuffle — a hot source ships cap rows per upstream
+    partition, not its whole population (pinned by
+    tests/test_plan_quality.py)."""
     docs = load_table(spark, sf_dir, "documents")
     order_key = F.md5(F.concat(F.lit(_CAP_SALT), F.col("doc_id").cast("string")))
     w = Window.partitionBy("source").orderBy(order_key, "doc_id")
-    wt = Window.partitionBy("source")
+    totals = docs.groupBy("source").agg(F.count("*").cast("int").alias("source_total"))
     return (
         docs.select("doc_id", "source", "n_chars")
         .withColumn("pick_rank", F.row_number().over(w))
-        .withColumn("source_total", F.count("*").over(wt).cast("int"))
         .filter(F.col("pick_rank") <= _SOURCE_CAP)
+        .join(F.broadcast(totals), "source")
         .select("doc_id", "source", F.col("pick_rank").cast("int").alias("pick_rank"),
                 "source_total")
     )

@@ -283,3 +283,13 @@ def test_q88_sketches_partial_aggregate(spark, plan):
     p = plan(spark, "q88_distinct_sketches")
     assert "Python" not in p
     assert p.count("HashAggregate") >= 2
+
+
+def test_q81_source_cap_window_group_limit(spark, plan):
+    """The rank filter must push a WindowGroupLimit below the exchange —
+    each input partition ships at most cap rows per source instead of a
+    hot source's whole population."""
+    p = plan(spark, "q81_source_cap")
+    assert "WindowGroupLimit" in p
+    assert "BroadcastHashJoin" in p
+    assert "Python" not in p
