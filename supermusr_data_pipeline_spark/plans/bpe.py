@@ -1,0 +1,216 @@
+"""BPE tokenizer training and application as Spark jobs (q91/q92).
+
+Byte-pair encoding is THE tokenizer-construction step of an LLM data
+pipeline; q62 surfaces single-pass merge candidates, this module runs the
+real iterative algorithm.  Training operates on the distinct-WORD
+frequency table (the classic Sennrich formulation: corpus -> (word, freq),
+each word a symbol sequence), which is the right distributed shape — the
+iterative state is the vocabulary, orders of magnitude smaller than the
+corpus, yet still a DataFrame (millions of distinct words at 100 TB, never
+a driver-side dict):
+
+- per iteration: explode each word's adjacent symbol pairs weighted by
+  word frequency (narrow), one keyed aggregation for pair counts, a 1-row
+  argmax collect (count desc, then lexicographic pair — deterministic
+  ties), then a mapInPandas pass rewriting symbol sequences that contain
+  the merged pair.  Word rows are independent, so the rewrite
+  parallelizes with the table's partitioning.
+- the merge TABLE (<= n_merges rows) is the learned artifact; application
+  (q92) tokenizes the distinct words once with the collected merge list
+  (Arrow-batched, greedy lowest-rank-first — the standard BPE apply) and
+  broadcast-joins word -> token count back onto documents, so encode cost
+  is O(distinct words), not O(corpus).
+
+Determinism: exact integer pair counts + lexicographic tie-break make the
+merge list independent of partitioning; tests/test_bpe.py pins the Spark
+learner EXACTLY against a pure-Python reference implementation.
+
+No SQL oracle (iterative fixpoint — not expressible as one query): q91/q92
+register as rows-only checks per the driver contract, with the reference
+equivalence and roundtrip gates carrying correctness.
+
+Reference: Sennrich, Haddow, Birch, "Neural Machine Translation of Rare
+Words with Subword Units" (ACL 2016) — public method, original
+implementation.  LLM-extension scope (no reference-repo analog).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.testdata import load_table
+from .relational import _register
+from .text_dedup import _TOKENS_EXPR_SPARK
+
+_BPE_MERGES = 30
+_END = "</w>"  # end-of-word marker so merges can learn suffixes
+
+
+def _word_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.expr(_TOKENS_EXPR_SPARK)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def _initial_symbols(words: DataFrame) -> DataFrame:
+    # word -> [c1, c2, ..., cn, </w>]
+    return words.select(
+        "word",
+        "freq",
+        F.expr(
+            f"concat(transform(split(word, ''), c -> c), array('{_END}'))"
+        ).alias("syms"),
+    )
+
+
+# learned merge lists per (appId, sf_dir, n_merges): the training artifact
+# is tiny (<= n_merges string pairs) and deterministic, so one learn per
+# session serves q91, q92, and any test that needs the ranks
+_LEARNED: dict = {}
+
+
+def learn_bpe_merges(
+    spark: SparkSession, sf_dir: str, n_merges: int = _BPE_MERGES
+) -> list[tuple[str, str]]:
+    """Run iterative BPE training; returns the ordered merge list."""
+    key = (spark.sparkContext.applicationId, sf_dir, n_merges)
+    hit = _LEARNED.get(key)
+    if hit is not None:
+        return list(hit)
+    from .text_dedup import _persistent_rdd_ids, _unpersist_rdd_ids
+
+    sc = spark.sparkContext
+    before = _persistent_rdd_ids(sc)
+    syms = _initial_symbols(_word_freqs(spark, sf_dir)).localCheckpoint()
+    merges: list[tuple[str, str]] = []
+    try:
+        for _ in range(n_merges):
+            pairs = (
+                # fully-merged words (one symbol) emit no pairs — and must
+                # be excluded BEFORE sequence(): sequence(0, -1) descends
+                syms.filter(F.size("syms") >= 2).select(
+                    "freq",
+                    F.explode(
+                        F.expr(
+                            "transform(sequence(0, size(syms) - 2), "
+                            "i -> struct(syms[i] as a, syms[i + 1] as b))"
+                        )
+                    ).alias("p"),
+                )
+                .groupBy("p.a", "p.b")
+                .agg(F.sum("freq").alias("n"))
+            )
+            top = pairs.orderBy(F.desc("n"), "a", "b").limit(1).collect()
+            if not top or top[0].n < 2:
+                break
+            a, b = top[0].a, top[0].b
+            merges.append((a, b))
+
+            def merge_fn(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                for pdf in pdfs:
+                    out = []
+                    for s in pdf["syms"]:
+                        s = list(s)
+                        i, res = 0, []
+                        while i < len(s):
+                            if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                                res.append(a + b)
+                                i += 2
+                            else:
+                                res.append(s[i])
+                                i += 1
+                        out.append(res)
+                    pdf = pdf.copy()
+                    pdf["syms"] = out
+                    yield pdf
+
+            held = _persistent_rdd_ids(sc)
+            syms = syms.mapInPandas(
+                merge_fn, "word string, freq bigint, syms array<string>"
+            ).localCheckpoint()
+            # release the superseded round's checkpoint blocks (DataFrame
+            # .unpersist() does NOT free localCheckpoint RDDs — the CC
+            # rounds in text_dedup learned the same lesson)
+            _unpersist_rdd_ids(sc, held - before)
+        _LEARNED[key] = list(merges)
+        return merges
+    finally:
+        _unpersist_rdd_ids(sc, _persistent_rdd_ids(sc) - before)
+
+
+def apply_bpe(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Greedy lowest-rank-first BPE apply (the standard algorithm)."""
+    s = list(word) + [_END]
+    while len(s) > 1:
+        best, best_rank = None, None
+        for i in range(len(s) - 1):
+            r = ranks.get((s[i], s[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best, best_rank = i, r
+        if best is None:
+            break
+        s = s[:best] + [s[best] + s[best + 1]] + s[best + 2 :]
+    return s
+
+
+@_register("q91_bpe_learn")  # rows-only: iterative fixpoint, no SQL oracle
+def q91_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned merge table: rank, the merged pair, and the resulting
+    symbol — the tokenizer artifact a training run ships.  See module
+    docstring for the distributed shape."""
+    merges = learn_bpe_merges(spark, sf_dir)
+    rows = [(i, a, b, a + b) for i, (a, b) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, "rank int, left string, right string, merged string"
+    )
+
+
+@_register("q92_bpe_encode")  # rows-only: depends on q91's iterative artifact
+def q92_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the learned merges: per document, the
+    whitespace token count, the BPE symbol count, and the compression
+    ratio the vocabulary buys.  Distinct words tokenize ONCE (Arrow
+    batches over the vocabulary table), then BROADCAST-join back onto the
+    exploded corpus — encode cost scales with the vocabulary, and the
+    corpus pass is one narrow explode + keyed re-aggregation."""
+    merges = learn_bpe_merges(spark, sf_dir)
+    ranks = {m: i for i, m in enumerate(merges)}
+
+    def encode_fn(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            yield pd.DataFrame(
+                {
+                    "word": pdf["word"],
+                    "n_syms": [len(apply_bpe(w, ranks)) for w in pdf["word"]],
+                }
+            )
+
+    words = _word_freqs(spark, sf_dir).select("word")
+    encoded = words.mapInPandas(encode_fn, "word string, n_syms int")
+    docs = load_table(spark, sf_dir, "documents")
+    exploded = docs.select(
+        "doc_id", F.explode(F.expr(_TOKENS_EXPR_SPARK)).alias("word")
+    )
+    return (
+        exploded.join(F.broadcast(encoded), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_words"),
+            F.sum("n_syms").cast("int").alias("n_bpe_syms"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_bpe_syms",
+            F.round(F.col("n_bpe_syms").cast("double") / F.col("n_words"), 4).alias(
+                "syms_per_word"
+            ),
+        )
+    )

@@ -1,0 +1,111 @@
+"""BPE training/apply gates: the Spark learner must match a pure-Python
+reference EXACTLY (same corpus, same tie-breaks), the merge list must be
+partitioning-independent, and the apply must reconstruct the original
+word when symbols are concatenated (roundtrip)."""
+
+import duckdb
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+from supermusr_data_pipeline_spark.plans.bpe import (
+    _END,
+    apply_bpe,
+    learn_bpe_merges,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _reference_bpe(sf_dir: str, n_merges: int):
+    """Straight-from-the-paper dict implementation."""
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""SELECT word, count(*) AS freq FROM (
+              SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                                        x -> x <> '')) AS word
+              FROM read_parquet('{sf_dir}/documents.parquet'))
+            GROUP BY word"""
+    ).fetchall()
+    vocab = {tuple(list(w) + [_END]): f for w, f in rows}
+    merges = []
+    for _ in range(n_merges):
+        counts: dict = {}
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = counts.get((syms[i], syms[i + 1]), 0) + f
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < 2:
+            break
+        (a, b), _n = best
+        merges.append((a, b))
+        new_vocab = {}
+        for syms, f in vocab.items():
+            s, i, res = list(syms), 0, []
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(s[i])
+                    i += 1
+            new_vocab[tuple(res)] = new_vocab.get(tuple(res), 0) + f
+        vocab = new_vocab
+    return merges
+
+
+def test_spark_learner_matches_reference_exactly(spark):
+    got = learn_bpe_merges(spark, SF_DIR, n_merges=20)
+    want = _reference_bpe(SF_DIR, 20)
+    assert got == want
+
+
+def test_merge_list_is_partitioning_independent(spark):
+    a = learn_bpe_merges(spark, SF_DIR, n_merges=8)
+    # same corpus forced through a different partitioning
+    from supermusr_data_pipeline_spark.plans import bpe as bpe_mod
+
+    orig = bpe_mod._word_freqs
+
+    def repartitioned(spark_, sf_dir_):
+        return orig(spark_, sf_dir_).repartition(13)
+
+    bpe_mod._word_freqs = repartitioned
+    try:
+        b = learn_bpe_merges(spark, SF_DIR, n_merges=8)
+    finally:
+        bpe_mod._word_freqs = orig
+    assert a == b
+
+
+def test_apply_roundtrips_and_compresses(spark):
+    merges = learn_bpe_merges(spark, SF_DIR, n_merges=20)
+    ranks = {m: i for i, m in enumerate(merges)}
+    words = [r.word for r in
+             entry_mod.queries()["q92_bpe_encode"](spark, SF_DIR).limit(0).sparkSession
+             .read.parquet(f"{SF_DIR}/documents.parquet")
+             .select(F.explode(F.expr(
+                 "filter(split(text, '\\\\s+'), x -> x != '')")).alias("word"))
+             .distinct().limit(200).collect()]
+    assert words
+    compressed = 0
+    for w in words:
+        syms = apply_bpe(w, ranks)
+        assert "".join(syms) == w + _END, f"roundtrip failed for {w!r}"
+        if len(syms) < len(w) + 1:
+            compressed += 1
+    assert compressed > 0, "no word compressed — merges are dead"
+
+
+def test_q91_q92_contract_rows(spark):
+    m = entry_mod.queries()
+    merges = m["q91_bpe_learn"](spark, SF_DIR).collect()
+    assert len(merges) > 0
+    assert [r.rank for r in merges] == list(range(len(merges)))
+    enc = m["q92_bpe_encode"](spark, SF_DIR)
+    rows = enc.collect()
+    assert rows and all(0 < r.n_bpe_syms for r in rows)
+    # BPE with the end marker starts at chars+1 per word; merges must pull
+    # the average well below that
+    assert any(r.n_bpe_syms < r.n_words * 6 for r in rows)
