@@ -1122,3 +1122,99 @@ def q90_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("race_key", 6).alias("race_key_6"),
         F.row_number().over(w).cast("int").alias("sample_rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q93 — feature-hashing vectorizer (hashing trick -> fixed-dim doc vectors)
+# ---------------------------------------------------------------------------
+
+_FH_DIM = 32
+_FH_SALT = "fhash:v1:"
+
+
+@_register(
+    "q93_feature_hash",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKENS_SQL_DUCK}) AS tok FROM documents
+    ), hashed AS (
+        SELECT doc_id,
+               ('0x' || substr(md5('{_FH_SALT}' || tok), 1, 8))::UBIGINT::BIGINT
+                   % {_FH_DIM} AS bucket,
+               CASE WHEN ('0x' || substr(md5('{_FH_SALT}' || tok), 9, 1))
+                             ::UBIGINT::BIGINT % 2 = 0
+                    THEN 1.0 ELSE -1.0 END AS sign
+        FROM toks
+    ), counts AS (
+        SELECT doc_id, bucket, sum(sign) AS v
+        FROM hashed GROUP BY doc_id, bucket
+    ), vecs AS (
+        SELECT doc_id,
+               [coalesce(list_sum([e.v for e in entries if e.b = i - 1]), 0.0)
+                for i in range(1, 33)] AS raw
+        FROM (
+            SELECT doc_id, list(struct_pack(b := bucket, v := v)) AS entries
+            FROM counts GROUP BY doc_id
+        )
+    )
+    SELECT doc_id,
+           round(sqrt(list_sum([x * x for x in raw])), 6) AS l2_norm,
+           CAST(len(list_filter(raw, x -> x <> 0)) AS INT) AS n_nonzero,
+           round(list_sum(raw), 6) AS signed_sum
+    FROM vecs WHERE list_sum([x * x for x in raw]) > 0
+    """,
+)
+def q93_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing-trick vectorizer: tokens hash to one of {_FH_DIM}
+    buckets with a salted md5 (and a second hash bit supplies the sign,
+    the Weinberger et al. trick that keeps bucket collisions unbiased) —
+    a fixed-dimension document representation with NO vocabulary state,
+    which is what makes it the scale-first featurizer: nothing to fit,
+    nothing to broadcast, new tokens land deterministically.  Output
+    reports the vector's norm, sparsity, and signed mass per document
+    (the full vector rides in `raw` upstream of the projection).
+
+    Scale shape: explode tokens (narrow), ONE keyed aggregation on
+    (doc_id, bucket), pivot to the fixed-width array inside the same
+    per-doc aggregation — no joins, no state, shuffle keyed by doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.expr(_TOKENS_EXPR_SPARK)).alias("tok"))
+    h = f"md5(concat('{_FH_SALT}', tok))"
+    hashed = toks.select(
+        "doc_id",
+        F.expr(f"cast(conv(substr({h}, 1, 8), 16, 10) as bigint) % {_FH_DIM}").alias(
+            "bucket"
+        ),
+        F.expr(
+            f"CASE WHEN cast(conv(substr({h}, 9, 1), 16, 10) as bigint) % 2 = 0"
+            " THEN 1.0D ELSE -1.0D END"
+        ).alias("sign"),
+    )
+    counts = hashed.groupBy("doc_id", "bucket").agg(F.sum("sign").alias("v"))
+    vecs = (
+        counts.groupBy("doc_id")
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("bucket", "v"))).alias("m")
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                f"transform(sequence(1, {_FH_DIM}), "
+                "i -> coalesce(element_at(m, cast(i - 1 as bigint)), 0.0D))"
+            ).alias("raw"),
+        )
+    )
+    norm2 = F.expr("aggregate(transform(raw, x -> x * x), 0D, (a, x) -> a + x)")
+    return (
+        vecs.select(
+            "doc_id",
+            F.round(F.sqrt(norm2), 6).alias("l2_norm"),
+            F.expr("size(filter(raw, x -> x != 0D))").cast("int").alias("n_nonzero"),
+            F.round(
+                F.expr("aggregate(raw, 0D, (a, x) -> a + x)"), 6
+            ).alias("signed_sum"),
+            norm2.alias("_n2"),
+        )
+        .filter(F.col("_n2") > 0)
+        .drop("_n2")
+    )

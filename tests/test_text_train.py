@@ -311,3 +311,18 @@ def test_weighted_sample_plan_uses_takeordered(spark):
     p = buf.getvalue()
     assert "TakeOrderedAndProject" in p, "global top-k must not be a full sort"
     assert "rand" not in p and "Python" not in p
+
+
+def test_feature_hash_is_stateless_and_stable(spark):
+    """q93: no fitted state — the same doc hashes identically in any run;
+    nonzero counts are bounded by the dimension; norms are positive."""
+    from supermusr_data_pipeline_spark.plans.text_train import _FH_DIM
+
+    q = entry_mod.queries()["q93_feature_hash"]
+    a = {r.doc_id: (r.l2_norm, r.n_nonzero, r.signed_sum)
+         for r in q(spark, "/root/testdata/sf0.01").collect()}
+    b = {r.doc_id: (r.l2_norm, r.n_nonzero, r.signed_sum)
+         for r in q(spark, "/root/testdata/sf0.01").collect()}
+    assert a == b and a
+    assert all(0 < nz <= _FH_DIM for (_n, nz, _s) in a.values())
+    assert all(n > 0 for (n, _nz, _s) in a.values())
