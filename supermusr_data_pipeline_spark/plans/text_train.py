@@ -1143,7 +1143,7 @@ _FH_SALT = "fhash:v1:"
                    % {_FH_DIM} AS bucket,
                CASE WHEN ('0x' || substr(md5('{_FH_SALT}' || tok), 9, 1))
                              ::UBIGINT::BIGINT % 2 = 0
-                    THEN 1.0 ELSE -1.0 END AS sign
+                    THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END AS sign
         FROM toks
     ), counts AS (
         SELECT doc_id, bucket, sum(sign) AS v
