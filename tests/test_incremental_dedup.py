@@ -107,3 +107,27 @@ def test_index_builds_once_and_plan_reads_it(spark):
     p = buf.getvalue()
     assert "supermusr_lsh_index_" in p, "plan must scan the persisted index"
     assert "BatchEvalPython" not in p
+
+
+def test_incremental_hot_bucket_stays_linear(spark, tmp_path):
+    """A degenerate shard (hundreds of identical documents) must ride the
+    same stop-bucket/star-link guard as the batch pass: pair output grows
+    linearly with the bucket, never O(bucket^2)."""
+    n = 240
+    delta_ids = [i for i in range(10 * n) if i % _D == _R][:n]
+    rows = [(i, "the same boilerplate text repeated for every document", "en",
+             "src_hot", 49) for i in delta_ids]
+    # a handful of distinct base docs so the index side is non-trivial
+    rows += [(j, f"unique base document number {j} with its own words", "en",
+              "src_base", 40) for j in range(0, 50) if j % _D != _R]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = entry_mod.queries()["q79_incremental_dedup"](spark, str(tmp_path)).collect()
+    from supermusr_data_pipeline_spark.plans.text_dedup import _LSH_BUCKET_CAP
+
+    # all-pairs would be ~n^2/2 = 28k; star-linking bounds it to ~n
+    assert 0 < len(out) <= 2 * n, f"hot delta bucket produced {len(out)} pairs"
+    # the family stays connected through the representative
+    reps = {r.doc_a for r in out if r.doc_b in set(delta_ids)}
+    assert len(reps) <= 3, "star linking should funnel through few representatives"
