@@ -336,3 +336,29 @@ def q82_indexed_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         verified.select("doc_a", "doc_b", jac.alias("jaccard"), kind.alias("kind"))
         .filter(F.col("jaccard") >= 0.5)
     )
+
+
+def append_shard_to_index(spark: SparkSession, sf_dir: str, out_path: str) -> None:
+    """Admit the delta shard into the standing index: append its band rows
+    and token sets to the persisted artifacts (parquet append — no rewrite
+    of the base).  After this, the index covers base + delta and the NEXT
+    shard's incremental pass sees the grown corpus — the growth path the
+    module docstring promises, as code.
+
+    At 100 TB this is the only index maintenance a landing shard needs;
+    the append is partitioned by band_no like the original layout, and
+    the band-key bucket occupancy used by future passes automatically
+    reflects the appended rows (occupancy is computed per pass, not
+    stored)."""
+    is_delta = F.col("doc_id") % _DELTA_MOD == _DELTA_REM
+    delta = _with_token_hashes(spark, sf_dir).filter(is_delta).filter(F.size("th") > 0)
+    delta.select("doc_id", "th").write.mode("append").parquet(
+        os.path.join(out_path, "tokens")
+    )
+    (
+        _banded(delta.select("doc_id", *_minhash_cols_spark()))
+        .repartition("band_no")
+        .write.partitionBy("band_no")
+        .mode("append")
+        .parquet(os.path.join(out_path, "bands"))
+    )

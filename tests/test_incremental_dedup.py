@@ -131,3 +131,30 @@ def test_incremental_hot_bucket_stays_linear(spark, tmp_path):
     # the family stays connected through the representative
     reps = {r.doc_a for r in out if r.doc_b in set(delta_ids)}
     assert len(reps) <= 3, "star linking should funnel through few representatives"
+
+
+def test_index_append_grows_to_full_corpus(spark, tmp_path):
+    """write_lsh_index(base) + append_shard_to_index(delta) must leave an
+    index whose contents equal an index built over ALL documents — the
+    append path is a rebuild-free admit."""
+    idx = str(tmp_path / "idx")
+    incremental.write_lsh_index(spark, SF_DIR, idx)
+    incremental.append_shard_to_index(spark, SF_DIR, idx)
+
+    from supermusr_data_pipeline_spark.plans.text_dedup import _with_token_hashes
+    from supermusr_data_pipeline_spark.plans.incremental import (
+        _banded,
+        _minhash_cols_spark,
+    )
+
+    all_docs = _with_token_hashes(spark, SF_DIR).filter(F.size("th") > 0)
+    want_tokens = {(r.doc_id, tuple(r.th)) for r in
+                   all_docs.select("doc_id", "th").collect()}
+    got_tokens = {(r.doc_id, tuple(r.th)) for r in
+                  spark.read.parquet(f"{idx}/tokens").collect()}
+    assert got_tokens == want_tokens
+    want_bands = {(r.doc_id, r.band_no, r.key) for r in
+                  _banded(all_docs.select("doc_id", *_minhash_cols_spark())).collect()}
+    got_bands = {(r.doc_id, int(r.band_no), r.key) for r in
+                 spark.read.parquet(f"{idx}/bands").collect()}
+    assert got_bands == want_bands
