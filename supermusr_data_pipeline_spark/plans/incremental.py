@@ -41,6 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..sources.testdata import load_table
 from .relational import _register
 from .text_dedup import (
     _DUCK_TH_CTE,
@@ -361,4 +362,89 @@ def append_shard_to_index(spark: SparkSession, sf_dir: str, out_path: str) -> No
         .write.partitionBy("band_no")
         .mode("append")
         .parquet(os.path.join(out_path, "bands"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q94 — shard admission: the admit/drop decision per incoming document
+# ---------------------------------------------------------------------------
+
+
+def _q94_oracle() -> str:
+    return f"""
+    WITH pairs AS ({_q79_oracle()}),
+    flags AS (
+        SELECT doc_id % {_DELTA_MOD} = {_DELTA_REM} AS _d, * FROM documents
+    ),
+    dupbase AS (
+        SELECT DISTINCT CASE WHEN doc_a % {_DELTA_MOD} = {_DELTA_REM}
+                             THEN doc_a ELSE doc_b END AS doc_id
+        FROM pairs WHERE kind = 'delta_base'
+    ),
+    duppeer AS (
+        SELECT DISTINCT doc_b AS doc_id FROM pairs
+        WHERE kind = 'delta_delta'
+    )
+    SELECT f.doc_id,
+           db.doc_id IS NOT NULL AS dups_base,
+           dp.doc_id IS NOT NULL AS dups_earlier_peer,
+           db.doc_id IS NULL AND dp.doc_id IS NULL AS admit,
+           CASE WHEN db.doc_id IS NOT NULL THEN 'near_dup_of_base'
+                WHEN dp.doc_id IS NOT NULL THEN 'near_dup_of_earlier_peer'
+                ELSE 'admitted' END AS reason
+    FROM flags f
+    LEFT JOIN dupbase db ON db.doc_id = f.doc_id
+    LEFT JOIN duppeer dp ON dp.doc_id = f.doc_id
+    WHERE f._d
+    """
+
+
+@_register("q94_shard_admission", oracle=_q94_oracle())
+def q94_shard_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decision layer over q79's pair graph: an incoming document is
+    DROPPED if it near-duplicates any base document (the corpus already
+    has it) or an earlier peer in its own shard (doc_a < doc_b keeps the
+    first copy), otherwise admitted — one row per shard document with the
+    reason, ready to gate `append_shard_to_index`.
+
+    Scale shape: q79's pair output is bounded by real duplication, so
+    both decision joins are BROADCAST against the shard; the shard scan
+    itself is one narrow filtered pass."""
+    pairs = q79_incremental_dedup(spark, sf_dir)
+    is_delta = F.col("doc_id") % _DELTA_MOD == _DELTA_REM
+    shard = load_table(spark, sf_dir, "documents").filter(is_delta).select("doc_id")
+    dup_base = (
+        pairs.filter(F.col("kind") == "delta_base")
+        .select(
+            F.when(F.col("doc_a") % _DELTA_MOD == _DELTA_REM, F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("doc_id")
+        )
+        .distinct()
+        .withColumn("dups_base", F.lit(True))
+    )
+    dup_peer = (
+        pairs.filter(F.col("kind") == "delta_delta")
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("dups_earlier_peer", F.lit(True))
+    )
+    out = (
+        shard.join(F.broadcast(dup_base), "doc_id", "left")
+        .join(F.broadcast(dup_peer), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("dups_base", F.lit(False)).alias("dups_base"),
+            F.coalesce("dups_earlier_peer", F.lit(False)).alias("dups_earlier_peer"),
+        )
+    )
+    return out.select(
+        "doc_id",
+        "dups_base",
+        "dups_earlier_peer",
+        (~F.col("dups_base") & ~F.col("dups_earlier_peer")).alias("admit"),
+        F.when(F.col("dups_base"), "near_dup_of_base")
+        .when(F.col("dups_earlier_peer"), "near_dup_of_earlier_peer")
+        .otherwise("admitted")
+        .alias("reason"),
     )

@@ -158,3 +158,25 @@ def test_index_append_grows_to_full_corpus(spark, tmp_path):
     got_bands = {(r.doc_id, int(r.band_no), r.key) for r in
                  spark.read.parquet(f"{idx}/bands").collect()}
     assert got_bands == want_bands
+
+
+def test_admission_covers_shard_and_agrees_with_pairs(spark):
+    """q94: one decision per shard doc; drops exactly the docs q79 pairs
+    against base or an earlier peer; at least one doc admitted and one
+    dropped on the fixture."""
+    decisions = {r.doc_id: r for r in
+                 entry_mod.queries()["q94_shard_admission"](spark, SF_DIR).collect()}
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    shard_ids = {r.doc_id for r in docs.collect() if r.doc_id % _D == _R}
+    assert set(decisions) == shard_ids
+    pairs = entry_mod.queries()["q79_incremental_dedup"](spark, SF_DIR).collect()
+    should_drop = set()
+    for p in pairs:
+        if p.kind == "delta_base":
+            should_drop.add(p.doc_a if p.doc_a % _D == _R else p.doc_b)
+        else:
+            should_drop.add(p.doc_b)
+    for did, r in decisions.items():
+        assert r.admit == (did not in should_drop)
+    admits = sum(1 for r in decisions.values() if r.admit)
+    assert 0 < admits < len(decisions)
