@@ -1218,3 +1218,46 @@ def q93_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_n2") > 0)
         .drop("_n2")
     )
+
+
+# ---------------------------------------------------------------------------
+# q95 — CUBE over (source, lang): every aggregation granularity at once
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q95_source_lang_cube",
+    oracle=f"""
+    SELECT source, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len({_TOKENS_SQL_DUCK})) AS BIGINT) AS n_tokens,
+           CAST(grouping(source) AS INT) AS g_source,
+           CAST(grouping(lang) AS INT) AS g_lang
+    FROM documents
+    GROUP BY CUBE (source, lang)
+    """,
+)
+def q95_source_lang_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four granularities of the (source, lang) corpus budget in one
+    pass — per cell, per source, per lang, and the grand total — with
+    GROUPING flags distinguishing a real NULL group from a rolled-up one.
+    Complements q68's rollup lattice with the full cube (rollup only
+    walks the prefix hierarchy; mixture planning wants the lang margin
+    too).
+
+    Scale shape: Spark expands the cube map-side and partial-aggregates
+    all granularities in the SAME shuffle — one exchange regardless of
+    how many grouping sets, which is exactly why CUBE beats four separate
+    GROUP BYs unioned (four corpus scans, four shuffles)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.expr(_TOKENS_EXPR_SPARK))
+    return (
+        docs.select("source", "lang", n_tok.alias("nt"))
+        .cube("source", "lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("nt").cast("bigint").alias("n_tokens"),
+            F.grouping("source").cast("int").alias("g_source"),
+            F.grouping("lang").cast("int").alias("g_lang"),
+        )
+    )
