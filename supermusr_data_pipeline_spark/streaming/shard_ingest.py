@@ -1,0 +1,220 @@
+"""Index-backed streaming shard ingestion: the admission gate (q94) as a
+continuous front door over the persisted LSH index (q82).
+
+Each micro-batch of arriving documents is checked against the STANDING
+index — not against recomputed history: batch signatures are a narrow
+map over the batch only, candidates come from the index's band-bucket
+parquet, and verified near-dups (of the base, or of an earlier peer in
+the same batch) are dropped.  Admitted documents are APPENDED to the
+index inside the same foreachBatch transaction, so the NEXT micro-batch
+deduplicates against them — cross-batch dedup emerges from index growth,
+with no unbounded stream state at all (the index IS the state, on disk,
+shared with every batch consumer).
+
+This composes the round's incremental pieces into the shape a production
+ingest actually runs: near_dup_stream answers "which pairs arrived close
+together" with watermarked in-memory state; THIS path answers "may this
+document enter the corpus" against the full standing index.
+
+Failure semantics: foreachBatch may re-run a batch after a crash, so the
+append must be idempotent.  A per-batch marker file under the index root
+guards the append (the same write-once discipline as the nexus sink's
+completed-file lifecycle, operators/nexus_sink.py); decisions land in a
+`batch_id`-partitioned parquet so re-runs overwrite their own partition
+instead of duplicating rows.
+
+Scale shape per batch: one narrow signature pass over the batch, one
+equi-join against bucket-truncated index bands (cap mirrors
+_LSH_BUCKET_CAP — a boilerplate bucket's representative is always inside
+the truncation, so template families still block admission), one
+batch-internal self-join bounded the same way, and an append of the
+admitted slice.  Nothing scans the base corpus.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..plans.text_dedup import _LSH_BUCKET_CAP, _TOKENS_EXPR_SPARK, _TOKHASH_SPARK
+from ..plans.incremental import _banded
+from ..plans.text_dedup import _minhash_cols_spark
+
+_JACCARD = 0.5
+
+
+def _batch_artifacts(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(tokens, bands) for an arbitrary docs frame — the q82 index recipe
+    applied to a micro-batch (no sf_dir, no event-time column needed)."""
+    th = F.expr(
+        "transform(array_distinct({toks}), t -> {h})".format(
+            toks=_TOKENS_EXPR_SPARK, h=_TOKHASH_SPARK.format(t="t")
+        )
+    )
+    base = docs.withColumn("th", th).filter(F.size("th") > 0)
+    tokens = base.select("doc_id", "th")
+    bands = _banded(base.select("doc_id", *_minhash_cols_spark()))
+    return tokens, bands
+
+
+def admit_batch(
+    batch_docs: DataFrame,
+    index_path: str,
+    bucket_cap: int = _LSH_BUCKET_CAP,
+) -> DataFrame:
+    """Admission decisions for one micro-batch against the standing index:
+    (doc_id, dups_base, dups_earlier_peer, admit, reason) — q94's output
+    contract, computed from the persisted artifacts."""
+    spark = batch_docs.sparkSession
+    tokens, bands = _batch_artifacts(batch_docs)
+    idx_bands = spark.read.parquet(os.path.join(index_path, "bands")).select(
+        "doc_id", F.col("band_no").cast("int").alias("band_no"), "key"
+    )
+    idx_tokens = spark.read.parquet(os.path.join(index_path, "tokens"))
+    # bucket truncation: the stop-bucket guard; min-doc_id members survive,
+    # so a template bucket's representative always remains checkable
+    rk = F.row_number().over(
+        Window.partitionBy("band_no", "key").orderBy("doc_id")
+    )
+    idx_capped = idx_bands.withColumn("rk", rk).filter(F.col("rk") <= bucket_cap)
+
+    cand_base = (
+        bands.alias("n")
+        .join(
+            idx_capped.alias("i"),
+            (F.col("n.band_no") == F.col("i.band_no"))
+            & (F.col("n.key") == F.col("i.key")),
+        )
+        .select(
+            F.col("n.doc_id").alias("new_id"), F.col("i.doc_id").alias("old_id")
+        )
+        .distinct()
+    )
+    verified_base = (
+        cand_base.join(tokens.select(F.col("doc_id").alias("new_id"),
+                                     F.col("th").alias("tha")), "new_id")
+        .join(idx_tokens.select(F.col("doc_id").alias("old_id"),
+                                F.col("th").alias("thb")), "old_id")
+        .withColumn("inter", F.size(F.array_intersect("tha", "thb")))
+        .withColumn(
+            "jac",
+            F.col("inter").cast("double")
+            / (F.size("tha") + F.size("thb") - F.col("inter")),
+        )
+        .filter(F.col("jac") >= _JACCARD)
+        .select("new_id")
+        .distinct()
+        .withColumn("dups_base", F.lit(True))
+    )
+
+    batch_rk = F.row_number().over(
+        Window.partitionBy("band_no", "key").orderBy("doc_id")
+    )
+    bands_capped = bands.withColumn("rk", batch_rk).filter(F.col("rk") <= bucket_cap)
+    cand_peer = (
+        bands_capped.alias("a")
+        .join(
+            bands_capped.alias("b"),
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("first_id"), F.col("b.doc_id").alias("new_id"))
+        .distinct()
+    )
+    verified_peer = (
+        cand_peer.join(tokens.select(F.col("doc_id").alias("first_id"),
+                                     F.col("th").alias("tha")), "first_id")
+        .join(tokens.select(F.col("doc_id").alias("new_id"),
+                            F.col("th").alias("thb")), "new_id")
+        .withColumn("inter", F.size(F.array_intersect("tha", "thb")))
+        .withColumn(
+            "jac",
+            F.col("inter").cast("double")
+            / (F.size("tha") + F.size("thb") - F.col("inter")),
+        )
+        .filter(F.col("jac") >= _JACCARD)
+        .select("new_id")
+        .distinct()
+        .withColumn("dups_earlier_peer", F.lit(True)))
+
+    shard = batch_docs.select("doc_id")
+    out = (
+        shard.join(
+            F.broadcast(verified_base.withColumnRenamed("new_id", "doc_id")),
+            "doc_id", "left",
+        )
+        .join(
+            F.broadcast(verified_peer.withColumnRenamed("new_id", "doc_id")),
+            "doc_id", "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("dups_base", F.lit(False)).alias("dups_base"),
+            F.coalesce("dups_earlier_peer", F.lit(False)).alias("dups_earlier_peer"),
+        )
+    )
+    return out.select(
+        "doc_id",
+        "dups_base",
+        "dups_earlier_peer",
+        (~F.col("dups_base") & ~F.col("dups_earlier_peer")).alias("admit"),
+        F.when(F.col("dups_base"), "near_dup_of_base")
+        .when(F.col("dups_earlier_peer"), "near_dup_of_earlier_peer")
+        .otherwise("admitted")
+        .alias("reason"),
+    )
+
+
+def _append_admitted(batch_docs: DataFrame, admitted: DataFrame, index_path: str) -> None:
+    tokens, bands = _batch_artifacts(
+        batch_docs.join(admitted.select("doc_id"), "doc_id")
+    )
+    tokens.write.mode("append").parquet(os.path.join(index_path, "tokens"))
+    (
+        bands.repartition("band_no")
+        .write.partitionBy("band_no")
+        .mode("append")
+        .parquet(os.path.join(index_path, "bands"))
+    )
+
+
+def ingest_shard_stream(
+    docs_stream: DataFrame,
+    index_path: str,
+    decisions_path: str,
+    checkpoint_dir: str,
+    bucket_cap: int = _LSH_BUCKET_CAP,
+    trigger_interval: str = "200 milliseconds",
+):
+    """Start the streaming front door: per micro-batch, decide admissions
+    against the standing index, write decisions (partitioned by batch_id,
+    re-run-safe), and append the admitted slice so later batches dedup
+    against it.  Returns the StreamingQuery."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        marker = os.path.join(index_path, f"_ingested_batch_{batch_id}")
+        decisions = admit_batch(batch_df, index_path, bucket_cap).localCheckpoint()
+        (
+            decisions.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(decisions_path)
+        )
+        if not os.path.exists(marker):
+            _append_admitted(batch_df, decisions.filter("admit"), index_path)
+            with open(marker, "w") as f:
+                f.write("done")
+
+    return (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=trigger_interval)
+        .start()
+    )

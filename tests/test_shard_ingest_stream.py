@@ -1,0 +1,113 @@
+"""Streaming shard ingestion against the standing LSH index: batch
+admission semantics on crafted docs, cross-batch dedup via index growth
+(a doc admitted in batch 1 blocks its copy in batch 2), and re-run
+idempotency of the index append."""
+
+import time
+
+from pyspark.sql import functions as F
+
+from supermusr_data_pipeline_spark.plans.incremental import write_lsh_index
+from supermusr_data_pipeline_spark.streaming.shard_ingest import (
+    admit_batch,
+    ingest_shard_stream,
+)
+
+SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+
+BASE_TEXT = "the quick brown fox jumps over the lazy dog near the river bank today"
+NEW_TEXT = "completely different content about spark executors shuffling partitions efficiently"
+NEW_TEXT2 = "yet another unique document describing parquet footers and column statistics"
+
+
+def _mk_index(spark, tmp_path):
+    """A standing index over a tiny base corpus (doc 1 = BASE_TEXT)."""
+    src = tmp_path / "base_sf"
+    src.mkdir()
+    rows = [(1, BASE_TEXT, "en", "s0", len(BASE_TEXT)),
+            (2, "some other base document with its own words entirely", "en", "s0", 50)]
+    spark.createDataFrame(rows, SCHEMA).write.parquet(str(src / "documents.parquet"))
+    idx = str(tmp_path / "idx")
+    write_lsh_index(spark, str(src), idx)
+    # the fixture base has no doc_id % 10 == 7 rows, so the whole corpus is
+    # "base"; sanity-check the artifacts exist
+    assert spark.read.parquet(f"{idx}/tokens").count() == 2
+    return idx
+
+
+def test_admit_batch_semantics(spark, tmp_path):
+    idx = _mk_index(spark, tmp_path)
+    batch = spark.createDataFrame(
+        [
+            (10, BASE_TEXT, "en", "s1", len(BASE_TEXT)),       # dup of base 1
+            (11, NEW_TEXT, "en", "s1", len(NEW_TEXT)),         # fresh
+            (12, NEW_TEXT, "en", "s1", len(NEW_TEXT)),         # dup of peer 11
+        ],
+        SCHEMA,
+    )
+    d = {r.doc_id: r for r in admit_batch(batch, idx).collect()}
+    assert not d[10].admit and d[10].reason == "near_dup_of_base"
+    assert d[11].admit and d[11].reason == "admitted"
+    assert not d[12].admit and d[12].reason == "near_dup_of_earlier_peer"
+
+
+def test_stream_dedups_across_batches_via_index_growth(spark, tmp_path):
+    idx = _mk_index(spark, tmp_path)
+    src = tmp_path / "incoming"
+    src.mkdir()
+    # batch 1: a fresh doc; batch 2: its copy under a new id + another fresh
+    spark.createDataFrame(
+        [(21, NEW_TEXT, "en", "s1", len(NEW_TEXT))], SCHEMA
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    spark.createDataFrame(
+        [(31, NEW_TEXT, "en", "s2", len(NEW_TEXT)),
+         (32, NEW_TEXT2, "en", "s2", len(NEW_TEXT2))], SCHEMA
+    ).coalesce(1).write.parquet(str(src / "b2"))
+
+    stream = spark.readStream.schema(SCHEMA).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(src / "*"))
+    dec_path = str(tmp_path / "decisions")
+    q = ingest_shard_stream(stream, idx, dec_path, str(tmp_path / "ckpt"))
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        try:
+            if spark.read.parquet(dec_path).count() >= 3:
+                break
+        except Exception:
+            pass
+        time.sleep(0.3)
+    q.stop()
+
+    d = {r.doc_id: r for r in spark.read.parquet(dec_path).collect()}
+    assert d[21].admit, "first arrival must be admitted"
+    assert not d[31].admit and d[31].reason == "near_dup_of_base", (
+        "the copy in a LATER batch must be blocked by the grown index"
+    )
+    assert d[32].admit
+    # index grew by exactly the admitted docs
+    got = {r.doc_id for r in spark.read.parquet(f"{idx}/tokens").collect()}
+    assert got == {1, 2, 21, 32}
+
+
+def test_append_is_rerun_idempotent(spark, tmp_path):
+    """Re-running a batch (crash/retry) must not duplicate index rows —
+    the marker-file guard."""
+    idx = _mk_index(spark, tmp_path)
+    batch = spark.createDataFrame(
+        [(41, NEW_TEXT, "en", "s1", len(NEW_TEXT))], SCHEMA
+    )
+    from supermusr_data_pipeline_spark.streaming import shard_ingest
+
+    decisions = admit_batch(batch, idx)
+    import os
+
+    marker = os.path.join(idx, "_ingested_batch_7")
+    shard_ingest._append_admitted(batch, decisions.filter("admit"), idx)
+    with open(marker, "w") as f:
+        f.write("done")
+    before = spark.read.parquet(f"{idx}/tokens").count()
+    # simulated re-run: the guard in process() consults the marker
+    if not os.path.exists(marker):
+        shard_ingest._append_admitted(batch, decisions.filter("admit"), idx)
+    assert spark.read.parquet(f"{idx}/tokens").count() == before
