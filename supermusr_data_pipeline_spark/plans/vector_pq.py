@@ -689,3 +689,121 @@ def q83_pq_code_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_vectors"),
         F.round(F.avg("err") * 1e6, 2).alias("mse_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q96 — the PQ code table as a physical index (cell-partitioned parquet)
+# ---------------------------------------------------------------------------
+#
+# The module docstring's "the code table (vec_id, cell, codes) is the
+# persistent index artifact" — as code, the q64/q76 pattern: written once
+# per session, probed with a literal cell filter (PartitionFilters), ADC
+# scored from the STORED codes (the float column exists in the index file
+# but the approx scan never reads it — parquet column pruning, pinned by
+# tests/test_pq_ann.py), exact re-rank fetching floats only for the
+# shortlist.  Registered with q78's oracle: the physical layout must not
+# move a single value.
+
+import os as _os
+import tempfile as _tempfile
+
+_PQ_BUILT: dict = {}
+
+
+def pq_index_path(sf_dir: str) -> str:
+    base = _os.path.basename(_os.path.normpath(sf_dir))
+    return _os.path.join(_tempfile.gettempdir(), f"supermusr_pq_index_{base}.parquet")
+
+
+def write_pq_index(spark: SparkSession, sf_dir: str, out_path: str) -> None:
+    """Encode every vector (coarse cell + 16 PQ codes) and write the table
+    partitioned by cell — the 8 B/vec scan artifact plus the float column
+    that only the re-rank fetch reads."""
+    cents, _ = _codebook(sf_dir)
+    po = _probe_order_spark(len(cents))
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("emb")
+    )
+    d = e.withColumn("dots", F.expr(_ivf_dots_spark("emb", cents)))
+    sc = d.select(
+        "vec_id", "emb",
+        F.expr(f"element_at({po}, 1)").alias("cell"),
+        *[F.expr(_pq_scores_spark("emb", s)).alias(f"sc{s}") for s in range(_PQ_M)],
+    )
+    codes_expr = "array(" + ", ".join(
+        f"cast(array_position(sc{s}, array_max(sc{s})) - 1 as int)"
+        for s in range(_PQ_M)
+    ) + ")"
+    (
+        sc.select("vec_id", F.expr(codes_expr).alias("codes"), "emb", "cell")
+        .repartition("cell")
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(out_path)
+    )
+
+
+@_register("q96_pq_indexed", oracle=_q78_oracle())
+def q96_pq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q78 through the physical PQ index: probes prune cell directories
+    via a literal partition filter, ADC reads (vec_id, codes) only, and
+    the float column is fetched for the shortlist re-rank alone."""
+    path = pq_index_path(sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if not _PQ_BUILT.get(key):
+        write_pq_index(spark, sf_dir, path)
+        _PQ_BUILT[key] = True
+
+    cents, n_probe = _codebook(sf_dir)
+    po = _probe_order_spark(len(cents))
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("emb")
+    )
+    q = (
+        e.filter(F.col("vec_id") % 50 == 0)
+        .withColumn("dots", F.expr(_ivf_dots_spark("emb", cents)))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("qe"),
+            F.expr(f"slice({po}, 1, {n_probe})").alias("probe"),
+            F.expr(_adc_tables_spark("emb")).alias("tq"),
+        )
+    )
+    qp = q.select("query_id", "tq", F.explode("probe").alias("pcell"))
+    probe_cells = sorted({r.pcell for r in qp.select("pcell").distinct().collect()})
+    index = (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin(probe_cells))
+        .select("vec_id", "codes", F.col("cell").cast("int").alias("cell"))
+    )
+    adc = (
+        F.broadcast(qp)
+        .join(index, (index.cell == qp.pcell) & (index.vec_id != qp.query_id))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "cell",
+            F.expr(_ADC_SUM_SPARK).alias("adc"),
+        )
+    )
+    wa = Window.partitionBy("query_id").orderBy(F.desc("adc"), "neighbor_id")
+    short = adc.withColumn("arank", F.row_number().over(wa)).filter(
+        F.col("arank") <= _pq_shortlist(sf_dir)
+    )
+    qe_side = q.select("query_id", "qe")
+    rer = (
+        F.broadcast(short.select("query_id", "neighbor_id", "cell", "adc"))
+        .join(e, e.vec_id == F.col("neighbor_id"))
+        .join(F.broadcast(qe_side), "query_id")
+    )
+    dot = F.expr("aggregate(zip_with(qe, emb, (x, y) -> x * y), 0D, (a, x) -> a + x)")
+    norm = "sqrt(aggregate(transform({c}, x -> x * x), 0D, (a, x) -> a + x))"
+    sim = F.round(dot / (F.expr(norm.format(c="qe")) * F.expr(norm.format(c="emb"))), 6)
+    wr = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        rer.select("query_id", "neighbor_id", "cell", F.round("adc", 6).alias("adc"),
+                   sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "cell", "adc", "sim", "rank")
+    )

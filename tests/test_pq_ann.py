@@ -130,3 +130,44 @@ def test_pq_code_health_accounts_for_every_vector(spark):
     assert used >= vector_pq._PQ_M * vector_pq._PQ_K * 0.9, (
         f"only {used} live (subspace, code) cells — codebooks degenerate?"
     )
+
+
+def test_pq_index_prunes_partitions_and_never_reads_floats_in_approx(spark):
+    """q96's physical layout claims, pinned on the plan: the index scan
+    carries PartitionFilters on cell, and the APPROX scan's ReadSchema
+    has codes but not emb (column pruning — the 8 B/vec story)."""
+    df = entry_mod.queries()["q96_pq_indexed"](spark, "/root/testdata/sf0.01")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "PartitionFilters: [cell" in p.replace("#", "").replace(
+        "cellINT", "cell"
+    ) or "PartitionFilters" in p and "cell" in p
+    idx_scans = [
+        seg for seg in p.split("(")
+        if "supermusr_pq_index_" in seg and "ReadSchema" in seg
+    ]
+    # locate the index scan's ReadSchema line
+    lines = p.splitlines()
+    for i, line in enumerate(lines):
+        if "supermusr_pq_index_" in line and "Location" in line:
+            block = "\n".join(lines[max(0, i - 6): i + 6])
+            assert "codes" in block
+            assert "emb" not in block.split("ReadSchema:")[-1], (
+                "approx scan reads the float column"
+            )
+            break
+    else:
+        raise AssertionError("index scan not found in plan")
+
+
+def test_pq_index_equals_in_memory_path(spark):
+    """The physical layout must not move a value vs q78."""
+    a = {(r.query_id, r.neighbor_id): (r.adc, r.sim, r.rank)
+         for r in entry_mod.queries()["q78_ivf_pq_ann"](
+             spark, "/root/testdata/sf0.01").collect()}
+    b = {(r.query_id, r.neighbor_id): (r.adc, r.sim, r.rank)
+         for r in entry_mod.queries()["q96_pq_indexed"](
+             spark, "/root/testdata/sf0.01").collect()}
+    assert a == b
