@@ -2512,3 +2512,50 @@ def q75_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q97 — language-ID confusion matrix (classifier QA against labels)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q97_lang_confusion",
+    oracle=f"""
+    WITH pred AS (
+        SELECT doc_id, lang, predicted_lang FROM ({ORACLES["q21_lang_id"]})
+    )
+    SELECT lang AS true_lang, predicted_lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(count(*)::DOUBLE
+                 / sum(count(*)) OVER (PARTITION BY lang), 4) AS row_share
+    FROM pred GROUP BY lang, predicted_lang
+    """,
+)
+def q97_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The confusion matrix for the q21 language classifier against the
+    table's labels: per (true, predicted) cell, document count and the
+    row-normalized share — the QA report that decides whether a cheap
+    classifier is good enough to route documents (and which languages it
+    confuses).  The quality-evaluation loop every heuristic filter in the
+    pipeline needs, expressed once.
+
+    Scale shape: q21's narrow scoring pass plus one small (|langs|^2
+    groups) aggregation; the row normalization is a window over at most
+    |langs| rows per partition."""
+    pred = QUERIES["q21_lang_id"](spark, sf_dir).select(
+        "doc_id", "lang", "predicted_lang"
+    )
+    w = Window.partitionBy("lang")
+    return (
+        pred.groupBy(F.col("lang").alias("true_lang"), F.col("predicted_lang"))
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .withColumn(
+            "row_share",
+            F.round(
+                F.col("n_docs").cast("double")
+                / F.sum("n_docs").over(Window.partitionBy("true_lang")),
+                4,
+            ),
+        )
+    )
