@@ -2559,3 +2559,103 @@ def q97_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q98 — dataset card: the datasheet numbers for a corpus release, one query
+# ---------------------------------------------------------------------------
+
+
+def _q98_oracle() -> str:
+    return f"""
+    WITH qf AS ({ORACLES["q40_quality_filter"]}),
+    cl AS ({_q42_oracle()}),
+    sp AS ({ORACLES["q50_split_assign"]}),
+    t AS (SELECT doc_id, len({_TOKENS_SQL_DUCK}) AS n_toks FROM documents)
+    SELECT 'n_docs' AS metric, CAST(count(*) AS DOUBLE) AS value FROM documents
+    UNION ALL
+    SELECT 'total_tokens', CAST(sum(n_toks) AS DOUBLE) FROM t
+    UNION ALL
+    SELECT 'mean_doc_tokens', round(avg(n_toks), 4) FROM t
+    UNION ALL
+    SELECT 'n_languages', CAST(count(DISTINCT lang) AS DOUBLE) FROM documents
+    UNION ALL
+    SELECT 'n_sources', CAST(count(DISTINCT source) AS DOUBLE) FROM documents
+    UNION ALL
+    SELECT 'quality_pass_rate',
+           round(sum(CASE WHEN passes THEN 1 ELSE 0 END)::DOUBLE / count(*), 4)
+    FROM qf
+    UNION ALL
+    SELECT 'dup_drop_rate',
+           round((SELECT count(*) FROM cl WHERE NOT is_canonical)::DOUBLE
+                 / (SELECT count(*) FROM documents), 4)
+    UNION ALL
+    SELECT 'train_share',
+           round(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 4) FROM sp
+    UNION ALL
+    SELECT 'val_share',
+           round(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 4) FROM sp
+    UNION ALL
+    SELECT 'test_share',
+           round(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 4) FROM sp
+    """
+
+
+@_register("q98_dataset_card", oracle=_q98_oracle())
+def q98_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card: the datasheet numbers a corpus release ships —
+    size, token budget, language/source breadth, quality pass rate, the
+    near-dup drop rate, and split shares — as (metric, value) rows from
+    one query.  Composes the existing curation operators (q40 quality,
+    q42 clustering via the shared checkpoint, q50 splits), so the card is
+    CONSISTENT with the pipeline's own decisions by construction, not a
+    parallel re-implementation.
+
+    Scale shape: each metric is a scalar aggregate over an
+    already-characterized pass; the union is ten 1-row frames."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.size(F.expr(_TOKENS_EXPR_SPARK)).alias("n_toks"))
+    qf = QUERIES["q40_quality_filter"](spark, sf_dir)
+    cl = QUERIES["q42_dedup_clusters"](spark, sf_dir)
+    sp = QUERIES["q50_split_assign"](spark, sf_dir)
+    n_docs = docs.count()
+
+    def row(metric: str, df: DataFrame) -> DataFrame:
+        return df.select(F.lit(metric).alias("metric"), F.col("value"))
+
+    parts = [
+        row("n_docs", docs.agg(F.count("*").cast("double").alias("value"))),
+        row("total_tokens", toks.agg(F.sum("n_toks").cast("double").alias("value"))),
+        row("mean_doc_tokens", toks.agg(F.round(F.avg("n_toks"), 4).alias("value"))),
+        row("n_languages",
+            docs.agg(F.countDistinct("lang").cast("double").alias("value"))),
+        row("n_sources",
+            docs.agg(F.countDistinct("source").cast("double").alias("value"))),
+        row("quality_pass_rate",
+            qf.agg(F.round(
+                F.sum(F.col("passes").cast("int")).cast("double") / F.count("*"), 4
+            ).alias("value"))),
+        row("dup_drop_rate",
+            cl.filter(~F.col("is_canonical")).agg(
+                F.round(F.count("*").cast("double") / F.lit(n_docs), 4).alias("value")
+            )),
+        row("train_share",
+            sp.agg(F.round(
+                F.sum((F.col("split") == "train").cast("int")).cast("double")
+                / F.count("*"), 4).alias("value"))),
+        row("val_share",
+            sp.agg(F.round(
+                F.sum((F.col("split") == "val").cast("int")).cast("double")
+                / F.count("*"), 4).alias("value"))),
+        row("test_share",
+            sp.agg(F.round(
+                F.sum((F.col("split") == "test").cast("int")).cast("double")
+                / F.count("*"), 4).alias("value"))),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
