@@ -190,3 +190,52 @@ def test_duplicate_after_horizon_reemits(rocksdb_session, tmp_path):
     q.stop()
     rows = spark.sql("SELECT doc_id FROM t_reemit").collect()
     assert sorted(r.doc_id for r in rows) == [1, 2, 10, 11]
+
+
+def test_gap_fill_stream_runs_under_rocksdb(rocksdb_session, tmp_path):
+    """The timer-driven gap-fill (O(1) state per event type, EventTime
+    timeout) runs under the RocksDB provider: gap rows emitted, rocksdb
+    custom metrics present (parity with batch q86 is pinned in
+    tests/test_gap_fill_stream.py under the default store)."""
+    from supermusr_data_pipeline_spark.streaming.gap_fill_stream import (
+        gap_fill_stream,
+    )
+
+    spark = rocksdb_session
+    ev_schema = (
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+    rows = [
+        (1, T0, 1, "a", 10.0, ""),
+        (2, T0 + timedelta(hours=2), 1, "a", 12.0, ""),  # hour 1 is a gap
+        (3, T0 + timedelta(hours=3), 1, "a", 13.0, ""),
+    ]
+    src = tmp_path / "ev"
+    src.mkdir()
+    spark.createDataFrame(rows, ev_schema).coalesce(1).write.parquet(str(src / "b1"))
+    stream = spark.readStream.schema(ev_schema).parquet(str(src / "*"))
+    q = (
+        gap_fill_stream(stream, ts_col="ts", watermark="1 minute")
+        .writeStream.format("memory")
+        .queryName("t_gapfill_rocks")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_gf"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if spark.sql("SELECT * FROM t_gapfill_rocks").count() >= 3:
+            break
+        time.sleep(0.3)
+    progresses = [p for p in q.recentProgress if p.get("stateOperators")]
+    q.stop()
+    got = {r.hour_us: r for r in spark.sql("SELECT * FROM t_gapfill_rocks").collect()}
+    assert len(got) >= 3
+    gaps = [r for r in got.values() if r.is_gap]
+    assert gaps and all(r.n_events == 0 and r.filled_value == 10.0 for r in gaps)
+    ops = progresses[-1]["stateOperators"]
+    assert any(
+        "rocksdb" in k.lower() for op in ops for k in op.get("customMetrics", {})
+    )
