@@ -40,7 +40,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
-from . import jpeg
+from . import gif, jpeg
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -157,6 +157,10 @@ def decode_image(payload: bytes) -> np.ndarray:
         from .jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import decode_gif
+
+        return decode_gif(payload)
     raise ValueError("unrecognized image payload")
 
 
@@ -581,18 +585,25 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
                     # cycle containers (and PNG filter / JPEG subsampling
                     # variants) so the contract query exercises every real
                     # decode path, including lossy JPEG
-                    variant = (doc_id // 3) % 3
+                    variant = (doc_id // 3) % 4
                     if variant == 0:
                         payload = encode_bmp(px)
                         meta = (16, 16, None, 1, "bmp24")
                     elif variant == 1:
                         payload = encode_png(px, filter_type=(doc_id // 9) % 5)
                         meta = (16, 16, None, 1, "png8")
-                    else:
+                    elif variant == 2:
                         payload = jpeg.encode_jpeg(
                             px, quality=95, subsample=(doc_id // 9) % 2 == 1
                         )
                         meta = (16, 16, None, 1, "jpeg-baseline")
+                    else:
+                        # GIF needs a <=256-color palette: index a small
+                        # deterministic palette instead of raw noise
+                        pal = rng.integers(0, 256, size=(32, 3), dtype=np.uint8)
+                        px = pal[rng.integers(0, 32, size=(16, 16))]
+                        payload = gif.encode_gif(px, interlace=(doc_id // 12) % 2 == 1)
+                        meta = (16, 16, None, 1, "gif89a")
                 elif kind == "audio":
                     samples = rng.integers(-3000, 3000, size=256, dtype=np.int16)
                     payload = encode_wav(samples, 16_000)
