@@ -469,8 +469,15 @@ def encode_video(frames: list[np.ndarray]) -> bytes:
 
 
 def decode_video_frames(payload: bytes, every_k: int = 1) -> list[np.ndarray]:
-    """Frame-sample a VID0 container: decode every k-th frame, skipping the
-    rest WITHOUT decoding them (the point of length prefixes)."""
+    """Frame-sample a frame container: decode every k-th frame.  VID0
+    skips unsampled frames WITHOUT decoding them (the point of length
+    prefixes); animated GIF must decode sequentially for compositing, so
+    sampling there saves output volume, not decode work — the honest
+    difference between a seekable container and an LZW stream."""
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import decode_gif_frames
+
+        return decode_gif_frames(payload)[::every_k]
     if payload[:4] != b"VID0":
         raise ValueError("not a VID0 payload")
     (n,) = struct.unpack_from("<I", payload, 4)

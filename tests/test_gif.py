@@ -67,3 +67,16 @@ def test_too_many_colors_raises():
 def test_not_a_gif_raises():
     with pytest.raises(ValueError, match="not a GIF"):
         decode_gif(b"NOPE" * 4)
+
+
+def test_animated_gif_frame_sampling():
+    from supermusr_data_pipeline_spark.operators.multimodal import (
+        decode_video_frames,
+    )
+
+    frames = [_img(8, 8, ncolors=4, seed=s) for s in range(4)]
+    payload = encode_gif(frames)
+    sampled = decode_video_frames(payload, every_k=2)
+    assert len(sampled) == 2
+    assert np.array_equal(sampled[0], frames[0])
+    assert np.array_equal(sampled[1], frames[2])
