@@ -36,3 +36,14 @@ def test_repeat_invocations_are_stable(spark):
         a = sorted(map(tuple, qs[name](spark, SF_DIR).collect()))
         b = sorted(map(tuple, qs[name](spark, SF_DIR).collect()))
         assert a == b, name
+
+
+def test_round5_artifact_queries_are_retry_stable(spark):
+    """Same gate for this round's artifact-backed paths: the physical PQ
+    index (q96), the persisted LSH index (q82), and the iterative BPE
+    artifact (q91) must all return identical rows on a second call."""
+    qs = entry_mod.queries()
+    for name in ("q96_pq_indexed", "q82_indexed_incremental", "q91_bpe_learn"):
+        a = sorted(map(tuple, qs[name](spark, SF_DIR).collect()))
+        b = sorted(map(tuple, qs[name](spark, SF_DIR).collect()))
+        assert a == b, name

@@ -293,3 +293,24 @@ def test_q81_source_cap_window_group_limit(spark, plan):
     assert "WindowGroupLimit" in p
     assert "BroadcastHashJoin" in p
     assert "Python" not in p
+
+
+def test_q93_feature_hash_no_join_single_doc_exchange(spark, plan):
+    """The hashing trick's point: no fitted state, so no join anywhere —
+    explode, one (doc, bucket) aggregation, one per-doc aggregation."""
+    p = plan(spark, "q93_feature_hash")
+    assert "Join" not in p
+    assert "Python" not in p
+
+
+def test_q84_chunk_dedup_broadcasts_duplicated_digests(spark, plan):
+    p = plan(spark, "q84_chunk_dedup")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "Python" not in p
+
+
+def test_q94_admission_broadcasts_decisions(spark, plan):
+    p = plan(spark, "q94_shard_admission")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
