@@ -109,3 +109,30 @@ def test_q91_q92_contract_rows(spark):
     # BPE with the end marker starts at chars+1 per word; merges must pull
     # the average well below that
     assert any(r.n_bpe_syms < r.n_words * 6 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# property tests
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    word=st.text(alphabet="abcde", min_size=1, max_size=24),
+    pairs=st.lists(
+        st.tuples(st.sampled_from("abcde"), st.sampled_from("abcde")),
+        max_size=8,
+        unique=True,
+    ),
+)
+def test_apply_bpe_roundtrips_any_word_any_ranks(word, pairs):
+    """For ANY word and ANY merge table, greedy apply must (a) concatenate
+    back to word + end marker, and (b) never emit more symbols than
+    len(word) + 1."""
+    ranks = {(a, b): i for i, (a, b) in enumerate(pairs)}
+    syms = apply_bpe(word, ranks)
+    assert "".join(syms) == word + _END
+    assert 1 <= len(syms) <= len(word) + 1

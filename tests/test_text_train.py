@@ -326,3 +326,20 @@ def test_feature_hash_is_stateless_and_stable(spark):
     assert a == b and a
     assert all(0 < nz <= _FH_DIM for (_n, nz, _s) in a.values())
     assert all(n > 0 for (n, _nz, _s) in a.values())
+
+
+def test_chunk_count_formula_property():
+    """The q80 chunk-count formula covers [0, n) with stride-spaced starts
+    for any n: pure-python property check of the same arithmetic."""
+    import math
+
+    from supermusr_data_pipeline_spark.plans.text_train import _CHUNK_S, _CHUNK_W
+
+    for n in range(1, 500):
+        n_chunks = 1 if n <= _CHUNK_W else 1 + math.ceil((n - _CHUNK_W) / _CHUNK_S)
+        starts = [i * _CHUNK_S for i in range(n_chunks)]
+        ends = [min(s + _CHUNK_W, n) for s in starts]
+        assert starts[0] == 0 and ends[-1] == n
+        for i in range(1, n_chunks):
+            assert starts[i] <= ends[i - 1], f"gap at n={n}"
+            assert starts[i] < n, f"empty tail chunk at n={n}"
