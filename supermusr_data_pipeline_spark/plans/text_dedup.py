@@ -2659,3 +2659,169 @@ def q98_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# q99 — token rank-frequency and Zipf slope (corpus-linguistics sanity)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q99_token_zipf",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest({_TOKENS_SQL_DUCK}) AS token FROM documents
+    ), freq AS (
+        SELECT token, count(*) AS cnt FROM tok GROUP BY token
+    ), ranked AS (
+        SELECT token, cnt,
+               row_number() OVER (ORDER BY cnt DESC, token) AS rnk
+        FROM freq
+    ), lg AS (
+        SELECT token, cnt, rnk, ln(rnk::DOUBLE) AS lx, ln(cnt::DOUBLE) AS ly
+        FROM ranked
+    ), fit AS (
+        SELECT (count(*) * sum(lx * ly) - sum(lx) * sum(ly))
+               / (count(*) * sum(lx * lx) - sum(lx) * sum(lx)) AS slope
+        FROM lg
+    )
+    SELECT l.token, CAST(l.cnt AS BIGINT) AS cnt, CAST(l.rnk AS INT) AS rnk,
+           round((SELECT slope FROM fit), 4) AS zipf_slope
+    FROM lg l WHERE l.rnk <= 20
+    """,
+)
+def q99_token_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token rank-frequency with the least-squares log-log slope — the
+    Zipf sanity check that catches a broken tokenizer or a template-
+    flooded corpus before training does (natural text slopes near -1;
+    boilerplate floods flatten the head).  Returns the top-20 tokens with
+    the corpus-wide fitted slope alongside.
+
+    Scale shape: one token-count shuffle; the regression is a scalar
+    aggregate over (log rank, log count) — closed form, no iteration; the
+    global rank is a window over the DISTINCT-token table (vocabulary-
+    sized, not corpus-sized)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.expr(_TOKENS_EXPR_SPARK)).alias("token"))
+    freq = tok.groupBy("token").agg(F.count("*").alias("cnt"))
+    ranked = freq.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.desc("cnt"), "token"))
+    )
+    lg = ranked.select(
+        "token", "cnt", "rnk",
+        F.log(F.col("rnk").cast("double")).alias("lx"),
+        F.log(F.col("cnt").cast("double")).alias("ly"),
+    )
+    fit = lg.agg(
+        (
+            (F.count("*") * F.sum(F.col("lx") * F.col("ly"))
+             - F.sum("lx") * F.sum("ly"))
+            / (F.count("*") * F.sum(F.col("lx") * F.col("lx"))
+               - F.sum("lx") * F.sum("lx"))
+        ).alias("slope")
+    )
+    return (
+        lg.filter(F.col("rnk") <= 20)
+        .crossJoin(F.broadcast(fit))
+        .select(
+            "token",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.col("rnk").cast("int").alias("rnk"),
+            F.round("slope", 4).alias("zipf_slope"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q100 — the curation funnel: retained documents per pipeline stage
+# ---------------------------------------------------------------------------
+
+
+def _q100_oracle() -> str:
+    return f"""
+    WITH qf AS ({ORACLES["q40_quality_filter"]}),
+    cl AS ({_q42_oracle()}),
+    sp AS ({ORACLES["q50_split_assign"]}),
+    survivors AS (
+        SELECT d.doc_id,
+               qf.passes AS q_pass,
+               coalesce(cl.is_canonical, TRUE) AS canonical,
+               sp.split
+        FROM documents d
+        JOIN qf USING (doc_id) JOIN sp USING (doc_id)
+        LEFT JOIN cl ON cl.doc_id = d.doc_id
+    )
+    SELECT 1 AS stage_no, 'raw' AS stage,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           1.0 AS retained_rate
+    FROM survivors
+    UNION ALL
+    SELECT 2, 'quality_pass', CAST(sum(CASE WHEN q_pass THEN 1 ELSE 0 END) AS BIGINT),
+           round(sum(CASE WHEN q_pass THEN 1 ELSE 0 END)::DOUBLE / count(*), 4)
+    FROM survivors
+    UNION ALL
+    SELECT 3, 'deduped', CAST(sum(CASE WHEN q_pass AND canonical THEN 1 ELSE 0 END) AS BIGINT),
+           round(sum(CASE WHEN q_pass AND canonical THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 4)
+    FROM survivors
+    UNION ALL
+    SELECT 4, 'train_split',
+           CAST(sum(CASE WHEN q_pass AND canonical AND split = 'train'
+                    THEN 1 ELSE 0 END) AS BIGINT),
+           round(sum(CASE WHEN q_pass AND canonical AND split = 'train'
+                     THEN 1 ELSE 0 END)::DOUBLE / count(*), 4)
+    FROM survivors
+    """
+
+
+@_register("q100_curation_funnel", oracle=_q100_oracle())
+def q100_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation funnel: how many documents survive each pipeline stage
+    (raw -> quality filter -> near-dup canonical -> train split), with the
+    retained fraction — the one-look diagnosis of WHERE a corpus loses its
+    volume, composed from the pipeline's own operators so the funnel and
+    the pipeline cannot disagree.
+
+    Scale shape: q40 is a narrow pass, cluster labels ride the shared
+    checkpoint (broadcast), the split is a hash projection; the funnel
+    itself is four scalar aggregates over ONE joined pass."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    qf = QUERIES["q40_quality_filter"](spark, sf_dir).select("doc_id", "passes")
+    cl = QUERIES["q42_dedup_clusters"](spark, sf_dir).select("doc_id", "is_canonical")
+    sp = QUERIES["q50_split_assign"](spark, sf_dir).select("doc_id", "split")
+    s = (
+        docs.join(qf, "doc_id")
+        .join(sp, "doc_id")
+        .join(F.broadcast(cl), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("passes").alias("q_pass"),
+            F.coalesce("is_canonical", F.lit(True)).alias("canonical"),
+            "split",
+        )
+    )
+    n = F.count("*")
+    q = F.sum(F.col("q_pass").cast("int"))
+    qc = F.sum((F.col("q_pass") & F.col("canonical")).cast("int"))
+    qct = F.sum(
+        (F.col("q_pass") & F.col("canonical") & (F.col("split") == "train")).cast("int")
+    )
+    agg = s.agg(n.alias("n"), q.alias("q"), qc.alias("qc"), qct.alias("qct"))
+
+    def stage(no, name, cnt_col, rate_col):
+        return agg.select(
+            F.lit(no).alias("stage_no"),
+            F.lit(name).alias("stage"),
+            F.col(cnt_col).cast("bigint").alias("n_docs"),
+            rate_col.alias("retained_rate"),
+        )
+
+    return (
+        stage(1, "raw", "n", F.lit(1.0))
+        .unionByName(stage(2, "quality_pass", "q",
+                           F.round(F.col("q").cast("double") / F.col("n"), 4)))
+        .unionByName(stage(3, "deduped", "qc",
+                           F.round(F.col("qc").cast("double") / F.col("n"), 4)))
+        .unionByName(stage(4, "train_split", "qct",
+                           F.round(F.col("qct").cast("double") / F.col("n"), 4)))
+    )
