@@ -46,6 +46,10 @@ def get_spark(
         # big Arrow batches amortize Python UDF overhead on 30k-sample traces
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # INT96 (the legacy default) carries no min/max statistics, which
+        # kills row-group skipping on every time predicate; micros is the
+        # modern annotated type both engines read
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # deterministic double formatting across JVM versions
         .config("spark.sql.legacy.respectNullabilityInTextDatasetConversion", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
