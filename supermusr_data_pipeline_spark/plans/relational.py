@@ -1708,3 +1708,83 @@ def q89_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "conv_from_prev", F.coalesce("conv_from_prev", F.lit(1.0))
     )
+
+
+# ---------------------------------------------------------------------------
+# q101 — last-touch click attribution (batch form of the stream-stream join)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q101_click_attribution",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, event_id AS click_id, ts AS click_ts
+        FROM events WHERE event_type = 'click'
+    ), purchases AS (
+        SELECT user_id, event_id AS purchase_id, ts AS purchase_ts, value
+        FROM events WHERE event_type = 'purchase'
+    ), pairs AS (
+        SELECT p.purchase_id, p.user_id, p.value, c.click_id,
+               date_diff('microsecond', c.click_ts, p.purchase_ts) / 1e6
+                   AS secs_to_convert,
+               row_number() OVER (
+                   PARTITION BY p.purchase_id
+                   ORDER BY c.click_ts DESC, c.click_id DESC) AS rn
+        FROM purchases p JOIN clicks c
+          ON c.user_id = p.user_id
+         AND p.purchase_ts >= c.click_ts
+         AND p.purchase_ts < c.click_ts + INTERVAL 1 HOUR
+    )
+    SELECT purchase_id, user_id, click_id,
+           round(value, 2) AS purchase_value,
+           round(secs_to_convert, 3) AS secs_to_convert
+    FROM pairs WHERE rn = 1
+    """,
+)
+def q101_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the LATEST click by
+    the same user within the preceding hour (ties on timestamp -> highest
+    click id) — the batch decision layer over the raw pair stream
+    (streaming/attribution_stream.py), registered against the oracle so
+    the window semantics are value-checked.
+
+    Scale shape: both sides filter to one event type before the join;
+    the range join shuffles on user_id (bounded per-user rows) and the
+    winner is a per-purchase window over pairs bounded by the horizon."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        "value",
+    )
+    pairs = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") < F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    w = Window.partitionBy("purchase_id").orderBy(
+        F.desc("click_ts"), F.desc("click_id")
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "purchase_id",
+            F.col("p_user_id").alias("user_id"),
+            "click_id",
+            F.round("value", 2).alias("purchase_value"),
+            F.round(
+                (
+                    F.col("purchase_ts").cast("double")
+                    - F.col("click_ts").cast("double")
+                ),
+                3,
+            ).alias("secs_to_convert"),
+        )
+    )
