@@ -1261,3 +1261,64 @@ def q95_source_lang_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.grouping("lang").cast("int").alias("g_lang"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q102 — equi-width length histogram per source (the plotting primitive)
+# ---------------------------------------------------------------------------
+
+_HIST_LO = 0
+_HIST_HI = 600
+_HIST_BINS = 12
+_HIST_W = (_HIST_HI - _HIST_LO) // _HIST_BINS
+
+
+@_register(
+    "q102_length_histogram",
+    oracle=f"""
+    WITH b AS (
+        SELECT source,
+               least(CAST(floor((n_chars - {_HIST_LO}) / {_HIST_W}.0) AS INT),
+                     {_HIST_BINS - 1}) AS bin
+        FROM documents WHERE n_chars >= {_HIST_LO}
+    )
+    SELECT source, CAST(bin AS INT) AS bin,
+           CAST(bin * {_HIST_W} + {_HIST_LO} AS INT) AS bin_lo,
+           CAST((bin + 1) * {_HIST_W} + {_HIST_LO} AS INT) AS bin_hi,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(count(*)::DOUBLE
+                 / sum(count(*)) OVER (PARTITION BY source), 4) AS share
+    FROM b GROUP BY source, bin
+    """,
+)
+def q102_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source equi-width histogram of document lengths (12 bins over
+    [0, 600), top bin open-ended) with within-source shares — the binned
+    aggregate every distribution dashboard and drift monitor consumes,
+    computed engine-side so only bins x sources rows leave the cluster
+    (never raw lengths).
+
+    Scale shape: binning is arithmetic in the scan projection; one keyed
+    aggregation with map-side combine; the share window runs over at most
+    `_HIST_BINS` rows per source."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") >= _HIST_LO)
+    bin_ = F.least(
+        F.floor((F.col("n_chars") - _HIST_LO) / float(_HIST_W)).cast("int"),
+        F.lit(_HIST_BINS - 1),
+    )
+    w = Window.partitionBy("source")
+    return (
+        docs.select("source", bin_.alias("bin"))
+        .groupBy("source", "bin")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .select(
+            "source",
+            F.col("bin").cast("int").alias("bin"),
+            (F.col("bin") * _HIST_W + _HIST_LO).cast("int").alias("bin_lo"),
+            ((F.col("bin") + 1) * _HIST_W + _HIST_LO).cast("int").alias("bin_hi"),
+            "n_docs",
+            F.round(
+                F.col("n_docs").cast("double") / F.sum("n_docs").over(w), 4
+            ).alias("share"),
+        )
+    )
