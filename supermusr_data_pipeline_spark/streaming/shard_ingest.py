@@ -200,6 +200,14 @@ def ingest_shard_stream(
             return
         marker = os.path.join(index_path, f"_ingested_batch_{batch_id}")
         decisions = admit_batch(batch_df, index_path, bucket_cap).localCheckpoint()
+        # append BEFORE publishing decisions: a batch's decisions must not
+        # become visible until the index reflects its admissions (and a
+        # stop/crash between the two steps then re-runs the decisions
+        # write, not the append — which the marker guards anyway)
+        if not os.path.exists(marker):
+            _append_admitted(batch_df, decisions.filter("admit"), index_path)
+            with open(marker, "w") as f:
+                f.write("done")
         (
             decisions.withColumn("batch_id", F.lit(batch_id))
             .write.mode("overwrite")
@@ -207,10 +215,6 @@ def ingest_shard_stream(
             .partitionBy("batch_id")
             .parquet(decisions_path)
         )
-        if not os.path.exists(marker):
-            _append_admitted(batch_df, decisions.filter("admit"), index_path)
-            with open(marker, "w") as f:
-                f.write("done")
 
     return (
         docs_stream.writeStream.foreachBatch(process)
