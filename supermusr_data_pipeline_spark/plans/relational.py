@@ -1788,3 +1788,51 @@ def q101_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("secs_to_convert"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q103 — semi-structured JSON property extraction
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q103_json_props",
+    oracle="""
+    WITH parsed AS (
+        SELECT event_type, CAST(json_extract(props, '$.k') AS INT) AS k
+        FROM events WHERE props IS NOT NULL AND props <> ''
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(k) AS BIGINT) AS n_parsed,
+           CAST(min(k) AS INT) AS k_min,
+           CAST(max(k) AS INT) AS k_max,
+           round(avg(k), 4) AS k_avg,
+           CAST(count(DISTINCT k) AS INT) AS k_distinct
+    FROM parsed GROUP BY event_type
+    """,
+)
+def q103_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction over the events payload: the `props`
+    column carries JSON, parsed with a declared schema (from_json — typed,
+    vectorized, malformed rows become NULL instead of failing the scan)
+    and profiled per event type.  The pattern every telemetry/clickstream
+    pipeline runs before promoting a JSON field to a real column; at
+    100 TB the win is schema-on-read with column pruning — only `$.k` is
+    materialized, never a generic JSON blob object.
+
+    Scale shape: parsing is a narrow JVM projection (Jackson inside
+    codegen, no Python); one keyed aggregation with map-side combine."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k INT").getField("k")
+    parsed = ev.filter(
+        F.col("props").isNotNull() & (F.col("props") != "")
+    ).select("event_type", k.alias("k"))
+    return parsed.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.count("k").cast("bigint").alias("n_parsed"),
+        F.min("k").cast("int").alias("k_min"),
+        F.max("k").cast("int").alias("k_max"),
+        F.round(F.avg("k"), 4).alias("k_avg"),
+        F.countDistinct("k").cast("int").alias("k_distinct"),
+    )
