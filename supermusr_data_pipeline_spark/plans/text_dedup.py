@@ -2825,3 +2825,53 @@ def q100_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage(4, "train_split", "qct",
                            F.round(F.col("qct").cast("double") / F.col("n"), 4)))
     )
+
+
+# ---------------------------------------------------------------------------
+# q104 — split-strategy agreement: naive hash splits vs cluster-aware splits
+# ---------------------------------------------------------------------------
+
+
+def _q104_oracle() -> str:
+    return f"""
+    WITH naive AS ({ORACLES["q50_split_assign"]}),
+    aware AS ({ORACLES["q70_cluster_split"]})
+    SELECT n.split AS naive_split, a.split AS cluster_split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(count(*)::DOUBLE / (SELECT count(*) FROM naive), 4) AS share
+    FROM naive n JOIN aware a USING (doc_id)
+    GROUP BY n.split, a.split
+    """
+
+
+@_register("q104_split_agreement", oracle=_q104_oracle())
+def q104_split_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The confusion matrix between the naive per-document hash split
+    (q50) and the leakage-free cluster-aware split (q70): how many
+    documents MOVE when split assignment respects near-dup families, and
+    between which cells.  The off-diagonal mass is exactly the population
+    the naive strategy was leaking across boundaries — the number that
+    justifies (or waives) the migration to family-keyed splits.
+
+    Scale shape: both inputs are hash projections (q70 rides the shared
+    cluster-label checkpoint); one equi-join on doc_id and a 9-cell
+    aggregation with a broadcast scalar total."""
+    naive = QUERIES["q50_split_assign"](spark, sf_dir).select(
+        "doc_id", F.col("split").alias("naive_split")
+    )
+    aware = QUERIES["q70_cluster_split"](spark, sf_dir).select(
+        "doc_id", F.col("split").alias("cluster_split")
+    )
+    joined = naive.join(aware, "doc_id")
+    total = naive.agg(F.count("*").cast("double").alias("total"))
+    return (
+        joined.groupBy("naive_split", "cluster_split")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "naive_split",
+            "cluster_split",
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("total"), 4).alias("share"),
+        )
+    )
