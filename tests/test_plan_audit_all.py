@@ -39,6 +39,7 @@ _BNLJ_OK = {
     "q69_lsh_recall",        # recall denominators (1 row)
     "q77_mixture_budget",    # grand total (1 row)
     "q99_token_zipf",        # the fitted slope (1 row)
+    "q104_split_agreement",  # corpus total (1 row)
 }
 
 # queries whose plans legitimately run Arrow-batched Python
