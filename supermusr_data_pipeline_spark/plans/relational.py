@@ -1836,3 +1836,71 @@ def q103_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("k"), 4).alias("k_avg"),
         F.countDistinct("k").cast("int").alias("k_distinct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q105 — windowed rate-anomaly detection over the dense hourly grid
+# ---------------------------------------------------------------------------
+
+_ANOM_LOOKBACK = 24  # trailing hours in the baseline window
+_ANOM_Z = 3.0
+
+
+@_register(
+    "q105_rate_anomaly",
+    oracle=f"""
+    WITH g AS ({ORACLES["q86_gap_fill"]})
+    , stats AS (
+        SELECT event_type, hour_us, n_events,
+               avg(n_events) OVER w AS mu,
+               stddev_samp(n_events) OVER w AS sigma,
+               count(*) OVER w AS n_window
+        FROM g
+        WINDOW w AS (PARTITION BY event_type ORDER BY hour_us
+                     ROWS BETWEEN {_ANOM_LOOKBACK} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, hour_us, CAST(n_events AS INT) AS n_events,
+           round(mu, 4) AS baseline_mean,
+           round((n_events - mu) / sigma, 4) AS z_score
+    FROM stats
+    WHERE n_window = {_ANOM_LOOKBACK} AND sigma > 0
+      AND abs((n_events - mu) / sigma) >= {_ANOM_Z}
+    """,
+)
+def q105_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-rate anomaly detection: each hour's count against the
+    trailing 24-hour baseline on the DENSE grid (q86's densification —
+    without gap rows a silent outage is invisible, which is the whole
+    point), flagging |z| >= 3 with the baseline alongside.  The alerting
+    primitive for both DAQ health (A7's statistics feed) and ingest
+    monitoring.
+
+    Scale shape: rides q86's plan (one keyed aggregation + the grid);
+    the baseline is a bounded ROWS window per type — no second pass over
+    raw events."""
+    g = QUERIES["q86_gap_fill"](spark, sf_dir)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_us")
+        .rowsBetween(-_ANOM_LOOKBACK, -1)
+    )
+    stats = g.select(
+        "event_type", "hour_us", "n_events",
+        F.avg("n_events").over(w).alias("mu"),
+        F.stddev_samp("n_events").over(w).alias("sigma"),
+        F.count("*").over(w).alias("n_window"),
+    )
+    z = (F.col("n_events") - F.col("mu")) / F.col("sigma")
+    return (
+        stats.filter(
+            (F.col("n_window") == _ANOM_LOOKBACK) & (F.col("sigma") > 0)
+        )
+        .filter(F.abs(z) >= _ANOM_Z)
+        .select(
+            "event_type",
+            "hour_us",
+            F.col("n_events").cast("int").alias("n_events"),
+            F.round("mu", 4).alias("baseline_mean"),
+            F.round(z, 4).alias("z_score"),
+        )
+    )
