@@ -807,3 +807,80 @@ def q96_pq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("query_id", "neighbor_id", "cell", "adc", "sim", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# q106 — embedding-distribution drift between corpus halves
+# ---------------------------------------------------------------------------
+#
+# q48/q83 monitor the INDEX (cell balance, code MSE); this monitors the
+# DATA: split the corpus into halves by vec_id (standing in for "before /
+# after the ingest boundary") and compare the embedding distribution —
+# norm quantiles and the mean direction's alignment.  A drifting second
+# half is the trigger to re-fit codebooks BEFORE recall decays.
+
+
+def _q106_oracle() -> str:
+    half = "CASE WHEN vec_id % 2 = 0 THEN 'even' ELSE 'odd' END"
+    return f"""
+    WITH e AS (
+        SELECT vec_id, {half} AS half, embedding::DOUBLE[] AS emb FROM embeddings
+    ), norms AS (
+        SELECT half, sqrt(list_sum([x * x for x in emb])) AS nrm FROM e
+    ), lanes AS (
+        SELECT half, u.i AS dim, emb[u.i] AS v
+        FROM e, unnest(generate_series(1, 64)) AS u(i)
+    ), mean_dir AS (
+        SELECT half, sqrt(sum(s * s)) AS dn FROM (
+            SELECT half, dim, sum(v) / count(*) AS s
+            FROM lanes GROUP BY half, dim
+        ) GROUP BY half
+    )
+    SELECT n.half,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           round(avg(n.nrm), 6) AS mean_norm,
+           round(quantile_cont(n.nrm, 0.5), 6) AS p50_norm,
+           round(quantile_cont(n.nrm, 0.95), 6) AS p95_norm,
+           round(any_value(m.dn), 6) AS mean_dir_norm
+    FROM norms n JOIN mean_dir m USING (half)
+    GROUP BY n.half
+    """
+
+
+@_register("q106_embedding_drift", oracle=_q106_oracle())
+def q106_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-drift report for the embedding corpus: per half (even/odd
+    vec_id — the ingest-boundary stand-in), vector count, norm mean and
+    p50/p95 quantiles (exact), and the L2 norm of the mean direction
+    (near 0 for isotropic data, growing as a direction bias appears).
+    Diverging halves mean the coarse/PQ codebooks were fitted on a
+    distribution the corpus no longer follows.
+
+    Scale shape: one narrow pass computes per-row norms; quantiles are
+    exact per-group (2 groups); the mean direction is one 64-lane
+    aggregate per half — all one shuffle on the 2-value half key."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.when(F.col("vec_id") % 2 == 0, "even").otherwise("odd").alias("half"),
+        F.expr("transform(embedding, x -> cast(x as double))").alias("emb"),
+    )
+    nrm = F.expr("sqrt(aggregate(transform(emb, x -> x * x), 0D, (a, x) -> a + x))")
+    rows = e.select("half", nrm.alias("nrm"), "emb")
+    mu = [
+        (F.sum(F.expr(f"element_at(emb, {i})")) / F.count("*")).alias(f"mu{i}")
+        for i in range(1, 65)
+    ]
+    agg = rows.groupBy("half").agg(
+        F.count("*").cast("bigint").alias("n_vectors"),
+        F.round(F.avg("nrm"), 6).alias("mean_norm"),
+        F.round(F.expr("percentile(nrm, 0.5D)"), 6).alias("p50_norm"),
+        F.round(F.expr("percentile(nrm, 0.95D)"), 6).alias("p95_norm"),
+        *mu,
+    )
+    dir_norm = F.sqrt(
+        sum(F.col(f"mu{i}") * F.col(f"mu{i}") for i in range(1, 65))
+    )
+    return agg.select(
+        "half", "n_vectors", "mean_norm", "p50_norm", "p95_norm",
+        F.round(dir_norm, 6).alias("mean_dir_norm"),
+    )
