@@ -2875,3 +2875,62 @@ def q104_split_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_docs") / F.col("total"), 4).alias("share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q107 — dedup savings: tokens the near-dup pass buys back, per source
+# ---------------------------------------------------------------------------
+
+
+def _q107_oracle() -> str:
+    return f"""
+    WITH cl AS ({_q42_oracle()}),
+    t AS (
+        SELECT doc_id, source, len({_TOKENS_SQL_DUCK}) AS n_toks FROM documents
+    ), flagged AS (
+        SELECT t.source, t.n_toks,
+               cl.doc_id IS NOT NULL AND NOT cl.is_canonical AS dropped
+        FROM t LEFT JOIN cl ON cl.doc_id = t.doc_id
+    )
+    SELECT source,
+           CAST(sum(n_toks) AS BIGINT) AS tokens_total,
+           CAST(sum(CASE WHEN dropped THEN 0 ELSE n_toks END) AS BIGINT)
+               AS tokens_kept,
+           CAST(sum(CASE WHEN dropped THEN n_toks ELSE 0 END) AS BIGINT)
+               AS tokens_saved,
+           round(sum(CASE WHEN dropped THEN n_toks ELSE 0 END)::DOUBLE
+                 / sum(n_toks), 4) AS saved_rate
+    FROM flagged GROUP BY source
+    """
+
+
+@_register("q107_dedup_savings", oracle=_q107_oracle())
+def q107_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What the near-dup pass is WORTH, in the pipeline's own currency:
+    per source, total tokens, tokens kept after dropping non-canonical
+    copies (q42), and the saved fraction — the line item that prices the
+    LSH infrastructure against the compute it saves downstream (every
+    saved token is a training FLOP not spent re-reading a duplicate).
+
+    Scale shape: token counts are a narrow pass; cluster labels ride the
+    shared checkpoint and BROADCAST; one (source) aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "source", F.size(F.expr(_TOKENS_EXPR_SPARK)).alias("n_toks")
+    )
+    cl = QUERIES["q42_dedup_clusters"](spark, sf_dir).select(
+        "doc_id", "is_canonical"
+    )
+    flagged = t.join(F.broadcast(cl), "doc_id", "left").select(
+        "source",
+        "n_toks",
+        (F.col("is_canonical").isNotNull() & ~F.col("is_canonical")).alias("dropped"),
+    )
+    kept = F.sum(F.when(F.col("dropped"), 0).otherwise(F.col("n_toks")))
+    saved = F.sum(F.when(F.col("dropped"), F.col("n_toks")).otherwise(0))
+    return flagged.groupBy("source").agg(
+        F.sum("n_toks").cast("bigint").alias("tokens_total"),
+        kept.cast("bigint").alias("tokens_kept"),
+        saved.cast("bigint").alias("tokens_saved"),
+        F.round(saved.cast("double") / F.sum("n_toks"), 4).alias("saved_rate"),
+    )
