@@ -1904,3 +1904,74 @@ def q105_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 4).alias("z_score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q108 — shipping priority (TPC-H Q3 shape: selective 3-way join + top-k)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q108_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           epoch_us(o.o_orderdate) AS orderdate_us,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q108_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3's shape: revenue of not-yet-shipped lineitems for one
+    market segment's pre-cutoff orders, top-10 by revenue.  The segment
+    filter prunes customers BEFORE the join (broadcast dim), the date
+    predicates push to both fact scans, and the global top-10 is
+    TakeOrdered — per-partition top-k, no full sort of the aggregate.
+
+    Ranking is on the ROUNDED revenue with the orderkey tie-break so
+    both engines order identically."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < "1998-03-15")
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > "1998-03-15")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    joined = li.join(
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey),
+        li.l_orderkey == o.o_orderkey,
+    )
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+        .select(
+            "l_orderkey",
+            "revenue",
+            # o_orderdate is NTZ in this corpus era; the session is pinned
+            # UTC, so the cast is wall-clock == UTC (the loader's convention)
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("orderdate_us"),
+            "o_orderpriority",
+        )
+    )
