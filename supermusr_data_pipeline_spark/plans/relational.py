@@ -1975,3 +1975,61 @@ def q108_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderpriority",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q109 — customer-value deciles (ntile) and revenue concentration
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q109_customer_deciles",
+    oracle="""
+    WITH cv AS (
+        SELECT o_custkey, round(sum(o_totalprice), 2) AS total
+        FROM orders GROUP BY o_custkey
+    ), ranked AS (
+        SELECT o_custkey, total,
+               ntile(10) OVER (ORDER BY total DESC, o_custkey) AS decile
+        FROM cv
+    )
+    SELECT CAST(decile AS INT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(total), 2) AS decile_revenue,
+           round(sum(total) / (SELECT sum(total) FROM cv), 4) AS revenue_share
+    FROM ranked GROUP BY decile
+    """,
+)
+def q109_customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration: customers ntile'd into deciles by lifetime
+    order value, with each decile's share of total revenue — the 80/20
+    diagnosis (and the template for token-budget concentration over
+    sources).  ntile ranks on the ROUNDED total with the custkey
+    tie-break so both engines cut identical deciles.
+
+    Scale shape: one keyed aggregation to per-customer totals (customer
+    cardinality, not order cardinality), then the decile window over
+    that aggregate; the share denominator is a broadcast scalar."""
+    cv = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+    ranked = cv.withColumn(
+        "decile", F.ntile(10).over(Window.orderBy(F.desc("total"), "o_custkey"))
+    )
+    tot = cv.agg(F.sum("total").alias("t"))
+    return (
+        ranked.groupBy("decile")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.round(F.sum("total"), 2).alias("decile_revenue"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            "n_customers",
+            "decile_revenue",
+            F.round(F.col("decile_revenue") / F.col("t"), 4).alias("revenue_share"),
+        )
+    )

@@ -40,6 +40,7 @@ _BNLJ_OK = {
     "q77_mixture_budget",    # grand total (1 row)
     "q99_token_zipf",        # the fitted slope (1 row)
     "q104_split_agreement",  # corpus total (1 row)
+    "q109_customer_deciles",  # revenue total (1 row)
 }
 
 # queries whose plans legitimately run Arrow-batched Python
