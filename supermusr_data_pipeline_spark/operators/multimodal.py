@@ -72,6 +72,8 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("mean_intensity", T.DoubleType()),
         T.StructField("std_intensity", T.DoubleType()),
         T.StructField("feature", T.ArrayType(T.DoubleType())),
+        T.StructField("decode_ok", T.BooleanType()),
+        T.StructField("decode_error", T.StringType()),
     ]
 )
 
@@ -538,26 +540,45 @@ def extract_features(media: DataFrame) -> DataFrame:
                     "n_bytes": len(payload),
                     "digest": hashlib.sha256(payload).hexdigest(),
                 }
-                if row.kind == "image":
-                    img = resize_image(decode_image(payload), 8, 8)
-                    flat = img.astype(np.float64)
-                    feat = _image_feature(img)
-                elif row.kind == "audio":
-                    samples, sr = decode_wav(payload)
-                    flat = samples.astype(np.float64)
-                    feat = _audio_feature(samples, sr)
-                else:  # video
-                    frames = decode_video_frames(payload, every_k=2)
-                    flat = np.stack(frames).astype(np.float64)
-                    feat = _image_feature(flat.mean(axis=0).astype(np.float64)) + [
-                        float(len(frames))
-                    ]
+                # salvage mode: a corrupt payload yields a FLAGGED row, not
+                # a dead task — at 100 TB one bad scrape must never kill a
+                # partition's worth of work (4 task retries would each hit
+                # the same deterministic byte string and fail the job)
+                try:
+                    if row.kind == "image":
+                        img = resize_image(decode_image(payload), 8, 8)
+                        flat = img.astype(np.float64)
+                        feat = _image_feature(img)
+                    elif row.kind == "audio":
+                        samples, sr = decode_wav(payload)
+                        flat = samples.astype(np.float64)
+                        feat = _audio_feature(samples, sr)
+                    else:  # video
+                        frames = decode_video_frames(payload, every_k=2)
+                        flat = np.stack(frames).astype(np.float64)
+                        feat = _image_feature(flat.mean(axis=0).astype(np.float64)) + [
+                            float(len(frames))
+                        ]
+                except Exception as ex:  # noqa: BLE001 — any decode defect
+                    out.append(
+                        {
+                            **base,
+                            "mean_intensity": None,
+                            "std_intensity": None,
+                            "feature": None,
+                            "decode_ok": False,
+                            "decode_error": f"{type(ex).__name__}: {ex}"[:200],
+                        }
+                    )
+                    continue
                 out.append(
                     {
                         **base,
                         "mean_intensity": float(flat.mean()),
                         "std_intensity": float(flat.std()),
                         "feature": feat,
+                        "decode_ok": True,
+                        "decode_error": None,
                     }
                 )
             yield pd.DataFrame(out) if out else pd.DataFrame(

@@ -308,3 +308,29 @@ def test_png_16bit_palette_still_raises():
     buf = sig + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IDAT", b"x") + _png_chunk(b"IEND", b"")
     with pytest.raises((NotImplementedError, ValueError)):
         decode_png(buf)
+
+
+def test_corrupt_payload_is_salvaged_not_fatal(spark):
+    """One corrupt payload in a batch must yield a flagged row while every
+    other row decodes normally — a dead task at 100 TB is a dead job."""
+    import hashlib
+
+    from supermusr_data_pipeline_spark.operators.multimodal import (
+        encode_bmp,
+        extract_features,
+    )
+
+    good = encode_bmp(np.full((4, 4, 3), 7, np.uint8))
+    rows = [
+        (1, "image", bytearray(good)),
+        (2, "image", bytearray(b"\x00\x01GARBAGE-not-an-image")),
+        (3, "image", bytearray(good[:10])),  # truncated header
+    ]
+    df = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+    out = {r.media_id: r for r in extract_features(df).collect()}
+    assert len(out) == 3
+    assert out[1].decode_ok and out[1].mean_intensity == 7.0
+    assert not out[2].decode_ok and "unrecognized" in out[2].decode_error
+    assert not out[3].decode_ok and out[3].feature is None
+    # provenance survives salvage: digest still identifies the bad bytes
+    assert out[2].digest == hashlib.sha256(bytes(rows[1][2])).hexdigest()
