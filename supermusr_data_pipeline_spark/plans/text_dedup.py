@@ -2934,3 +2934,96 @@ def q107_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
         saved.cast("bigint").alias("tokens_saved"),
         F.round(saved.cast("double") / F.sum("n_toks"), 4).alias("saved_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q110 — verified-pair Jaccard mass (threshold-tuning evidence)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q110_jaccard_histogram",
+    oracle=f"""
+    WITH p AS ({ORACLES["q25_lsh_near_dup"]}),
+    b AS (
+        SELECT CAST(least(floor((jaccard - 0.5) / 0.05), 9) AS INT) AS bin FROM p
+    )
+    SELECT bin, round(0.5 + bin * 0.05, 2) AS bin_lo,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(count(*)::DOUBLE / (SELECT count(*) FROM b), 4) AS share
+    FROM b GROUP BY bin
+    """,
+)
+def q110_jaccard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Where the near-dup mass sits relative to the 0.5 verify bar: the
+    verified pairs' Jaccard scores binned in 0.05 steps up to the exact-
+    dup bin — mass piled against the threshold means the bar is cutting
+    through a real cluster (raise-or-lower evidence an operator can act
+    on), mass at 1.0 means plain copies dominate.
+
+    Scale shape: rides the shared pair-graph checkpoint; binning is
+    arithmetic and the aggregation has ten groups."""
+    p = QUERIES["q25_lsh_near_dup"](spark, sf_dir)
+    bin_ = F.least(F.floor((F.col("jaccard") - 0.5) / 0.05), F.lit(9)).cast("int")
+    tot = p.agg(F.count("*").cast("double").alias("t"))
+    return (
+        p.select(bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            F.round(0.5 + F.col("bin") * 0.05, 2).alias("bin_lo"),
+            "n_pairs",
+            F.round(F.col("n_pairs") / F.col("t"), 4).alias("share"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q111 — cross-source duplication matrix (mirror / scrape-overlap detector)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q111_source_dup_matrix",
+    oracle=f"""
+    WITH p AS ({ORACLES["q25_lsh_near_dup"]})
+    SELECT least(da.source, db.source) AS source_a,
+           greatest(da.source, db.source) AS source_b,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN jaccard = 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_exact
+    FROM p
+    JOIN documents da ON da.doc_id = p.doc_a
+    JOIN documents db ON db.doc_id = p.doc_b
+    GROUP BY least(da.source, db.source), greatest(da.source, db.source)
+    """,
+)
+def q111_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHO duplicates WHOM: verified near-dup pairs attributed to their
+    (source, source) cell, unordered — a hot off-diagonal cell is a
+    mirror site or shared boilerplate between two crawls (drop one side),
+    a hot diagonal cell is a source that re-posts itself.  The report
+    that turns pair-level dedup into source-level curation decisions.
+
+    Scale shape: the pair graph is bounded by real duplication and rides
+    the shared checkpoint; two broadcast-able joins attach sources and
+    one aggregation has |sources|^2 groups at most."""
+    p = QUERIES["q25_lsh_near_dup"](spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    da = docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    db = docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    joined = p.join(da, "doc_a").join(db, "doc_b")
+    return (
+        joined.select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            "jaccard",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum((F.col("jaccard") == 1.0).cast("int")).cast("bigint").alias("n_exact"),
+        )
+    )

@@ -41,6 +41,7 @@ _BNLJ_OK = {
     "q99_token_zipf",        # the fitted slope (1 row)
     "q104_split_agreement",  # corpus total (1 row)
     "q109_customer_deciles",  # revenue total (1 row)
+    "q110_jaccard_histogram",  # pair-count total (1 row)
 }
 
 # queries whose plans legitimately run Arrow-batched Python
