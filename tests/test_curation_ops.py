@@ -289,3 +289,31 @@ def test_funnel_order_constraint_binds(spark, tmp_path):
              entry_mod.queries()["q89_funnel"](spark, str(tmp_path)).collect()}
     assert micro["view"].n_users == 2 and micro["click"].n_users == 2
     assert micro["purchase"].n_users == 1, "out-of-order purchase converted"
+
+
+def test_jaccard_histogram_mass_accounts_for_all_pairs(spark):
+    """q110: shares sum to 1, bins stay in [0, 9], and on this exact-dup-
+    heavy fixture the top bin (jaccard ~1.0) carries real mass."""
+    rows = entry_mod.queries()["q110_jaccard_histogram"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert rows and all(0 <= r.bin <= 9 for r in rows)
+    assert abs(sum(r.share for r in rows) - 1.0) < 0.005
+    top = next((r for r in rows if r.bin == 9), None)
+    assert top is not None and top.n_pairs > 0
+
+
+def test_source_dup_matrix_is_unordered_and_covers_pairs(spark):
+    """q111: cells are unordered (source_a <= source_b), totals equal the
+    pair graph, and the fixture's template families span sources (off-
+    diagonal mass exists)."""
+    rows = entry_mod.queries()["q111_source_dup_matrix"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert rows and all(r.source_a <= r.source_b for r in rows)
+    n_pairs = entry_mod.queries()["q25_lsh_near_dup"](
+        spark, "/root/testdata/sf0.01"
+    ).count()
+    assert sum(r.n_pairs for r in rows) == n_pairs
+    assert any(r.source_a != r.source_b for r in rows), "no cross-source dups found"
+    assert all(0 <= r.n_exact <= r.n_pairs for r in rows)
