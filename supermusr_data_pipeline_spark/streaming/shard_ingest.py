@@ -70,10 +70,24 @@ def admit_batch(
     contract, computed from the persisted artifacts."""
     spark = batch_docs.sparkSession
     tokens, bands = _batch_artifacts(batch_docs)
-    idx_bands = spark.read.parquet(os.path.join(index_path, "bands")).select(
-        "doc_id", F.col("band_no").cast("int").alias("band_no"), "key"
+    # Crash-retry idempotency: after a crash between the index append and
+    # the decisions write, foreachBatch re-runs this batch while its
+    # admitted docs ALREADY sit in the index.  Matching the batch against
+    # those rows would flip every previously-admitted doc to
+    # near_dup_of_base (it matches itself at Jaccard 1.0) and flip
+    # same-batch peer dups to base dups.  Excluding the batch's own
+    # doc_ids from the index side — BEFORE the bucket cap, so truncation
+    # picks the same survivors as the first run — makes the recompute
+    # byte-identical to the original decisions.
+    batch_ids = batch_docs.select("doc_id").distinct()
+    idx_bands = (
+        spark.read.parquet(os.path.join(index_path, "bands"))
+        .select("doc_id", F.col("band_no").cast("int").alias("band_no"), "key")
+        .join(F.broadcast(batch_ids), "doc_id", "left_anti")
     )
-    idx_tokens = spark.read.parquet(os.path.join(index_path, "tokens"))
+    idx_tokens = spark.read.parquet(os.path.join(index_path, "tokens")).join(
+        F.broadcast(batch_ids), "doc_id", "left_anti"
+    )
     # bucket truncation: the stop-bucket guard; min-doc_id members survive,
     # so a template bucket's representative always remains checkable
     rk = F.row_number().over(

@@ -111,3 +111,36 @@ def test_append_is_rerun_idempotent(spark, tmp_path):
     if not os.path.exists(marker):
         shard_ingest._append_admitted(batch, decisions.filter("admit"), idx)
     assert spark.read.parquet(f"{idx}/tokens").count() == before
+
+
+def test_decisions_are_rerun_idempotent(spark, tmp_path):
+    """Crash between the index append and the decisions write: the batch
+    re-runs with its own admitted docs already in the index.  admit_batch
+    must recompute the SAME decisions — a doc must not flip to
+    near_dup_of_base by matching itself, and a same-batch peer dup must
+    not flip to a base dup because its peer was appended."""
+    idx = _mk_index(spark, tmp_path)
+    batch = spark.createDataFrame(
+        [
+            (41, NEW_TEXT, "en", "s1", len(NEW_TEXT)),   # fresh → admitted
+            (42, NEW_TEXT, "en", "s1", len(NEW_TEXT)),   # dup of peer 41
+            (43, BASE_TEXT, "en", "s1", len(BASE_TEXT)), # dup of base 1
+        ],
+        SCHEMA,
+    )
+    from supermusr_data_pipeline_spark.streaming import shard_ingest
+
+    first = sorted(admit_batch(batch, idx).collect())
+    # crash point: append done, decisions write lost → foreachBatch re-runs
+    shard_ingest._append_admitted(
+        batch, admit_batch(batch, idx).filter("admit"), idx
+    )
+    rerun = sorted(admit_batch(batch, idx).collect())
+    assert rerun == first, (
+        "re-run decisions diverged from the original:\n"
+        f"first={first}\nrerun={rerun}"
+    )
+    d = {r.doc_id: r for r in rerun}
+    assert d[41].admit and d[41].reason == "admitted"
+    assert d[42].reason == "near_dup_of_earlier_peer"
+    assert d[43].reason == "near_dup_of_base"
