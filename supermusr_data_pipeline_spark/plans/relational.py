@@ -2008,24 +2008,70 @@ def q109_customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break so both engines cut identical deciles.
 
     Scale shape: one keyed aggregation to per-customer totals (customer
-    cardinality, not order cardinality), then the decile window over
-    that aggregate; the share denominator is a broadcast scalar."""
+    cardinality, not order cardinality).  A naive `ntile(10) OVER (ORDER
+    BY total DESC)` would sort every customer through ONE task — the
+    classic global-window scale-killer — so the rank is computed in two
+    phases instead (the q60 pattern, plans/text_train.py): customers
+    bucket on a fixed log2 grid of `total` (1/128-octave bins — a
+    monotone, data-independent function of the leading sort key, so
+    bucket-descending order IS total-descending order), rank locally
+    inside each bucket, and global rank = broadcast bucket offset +
+    local rank.  The offsets window touches one row per OCCUPIED grid
+    cell — bounded by the grid alphabet (64 octaves x 128 ≈ 8k cells),
+    never by customer cardinality.  ntile(10) is then pure arithmetic on
+    (rank, n): the first n%10 tiles take ceil(n/10) rows, the rest take
+    floor(n/10) — exactly SQL ntile semantics, no global window.  The
+    share denominator is a broadcast scalar."""
     cv = (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(F.round(F.sum("o_totalprice"), 2).alias("total"))
     )
-    ranked = cv.withColumn(
-        "decile", F.ntile(10).over(Window.orderBy(F.desc("total"), "o_custkey"))
+    # two-phase global rank over (total DESC, o_custkey ASC)
+    b = cv.withColumn(
+        "bucket", F.floor(F.log2(F.col("total") + F.lit(1.0)) * 128).cast("int")
     )
-    tot = cv.agg(F.sum("total").alias("t"))
+    w_local = Window.partitionBy("bucket").orderBy(F.desc("total"), "o_custkey")
+    ranked_local = b.withColumn("local_rank", F.row_number().over(w_local))
+    # grid-alphabet-bounded offset table: one row per occupied log2 cell
+    counts = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    w_off = Window.orderBy(F.desc("bucket")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.withColumn(
+        "off", F.coalesce(F.sum("cnt").over(w_off), F.lit(0))
+    ).select("bucket", "off")
+    tot = cv.agg(
+        F.sum("total").alias("t"), F.count(F.lit(1)).alias("n")
+    )
+    ranked = (
+        ranked_local.join(F.broadcast(offsets), "bucket")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("rnk", F.col("off") + F.col("local_rank"))
+        # ntile(10): base rows per tile = n div 10; first n%10 tiles hold
+        # one extra row.  decile(r) = ceil(r / (base+1)) inside the fat
+        # tiles, rem + ceil((r - fat_rows) / base) after them.
+        .withColumn("base", (F.col("n") / 10).cast("bigint"))
+        .withColumn("rem", F.col("n") % 10)
+        .withColumn("fat", F.col("rem") * (F.col("base") + 1))
+        .withColumn(
+            "decile",
+            F.when(
+                F.col("rnk") <= F.col("fat"),
+                F.floor((F.col("rnk") - 1) / (F.col("base") + 1)) + 1,
+            ).otherwise(
+                F.col("rem")
+                + F.floor((F.col("rnk") - F.col("fat") - 1) / F.col("base"))
+                + 1
+            ),
+        )
+    )
     return (
-        ranked.groupBy("decile")
+        ranked.groupBy("decile", "t")
         .agg(
             F.count("*").cast("bigint").alias("n_customers"),
             F.round(F.sum("total"), 2).alias("decile_revenue"),
         )
-        .crossJoin(F.broadcast(tot))
         .select(
             F.col("decile").cast("int").alias("decile"),
             "n_customers",

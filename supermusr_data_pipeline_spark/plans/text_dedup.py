@@ -2698,14 +2698,54 @@ def q99_token_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus-wide fitted slope alongside.
 
     Scale shape: one token-count shuffle; the regression is a scalar
-    aggregate over (log rank, log count) — closed form, no iteration; the
-    global rank is a window over the DISTINCT-token table (vocabulary-
-    sized, not corpus-sized)."""
+    aggregate over (log rank, log count) — closed form, no iteration.
+    The global rank over (cnt DESC, token) is NOT a global window — at
+    web scale the distinct-token table reaches 1e8-1e9 rows and a
+    single-partition sort dies — it is a three-level two-phase rank:
+
+      1. tokens bucket on (log2-band(cnt), cnt, 2-char token prefix) — a
+         lexicographic prefix of the full sort key, so bucket order IS
+         rank order; row_number inside each bucket is a PARTITIONED
+         window (the hottest bucket is one prefix cell of the cnt=1
+         class, ~vocab/1369, refinable by widening the prefix);
+      2. bucket sizes roll up to per-class offsets via a window
+         partitioned by the log2 band (metadata-sized: one row per
+         (cnt, prefix) cell, never per token);
+      3. band totals (<= 256 rows, bounded by the log2 alphabet) turn
+         into band offsets via the only global window in the plan.
+
+    rank = band offset + in-band class offset + local row_number."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(F.explode(F.expr(_TOKENS_EXPR_SPARK)).alias("token"))
     freq = tok.groupBy("token").agg(F.count("*").alias("cnt"))
-    ranked = freq.withColumn(
-        "rnk", F.row_number().over(Window.orderBy(F.desc("cnt"), "token"))
+    cls = freq.withColumn(
+        "band", F.floor(F.log2(F.col("cnt").cast("double")) * 4).cast("int")
+    ).withColumn("pref", F.substring("token", 1, 2))
+    # level 1: exact rank inside each (band, cnt, pref) bucket
+    w_tok = Window.partitionBy("band", "cnt", "pref").orderBy("token")
+    local = cls.withColumn("local_rank", F.row_number().over(w_tok))
+    # level 2: class offsets inside each band (one row per (cnt, pref))
+    sizes = cls.groupBy("band", "cnt", "pref").agg(F.count(F.lit(1)).alias("m"))
+    w_cls = Window.partitionBy("band").orderBy(
+        F.desc("cnt"), "pref"
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    cls_off = sizes.withColumn(
+        "cls_off", F.coalesce(F.sum("m").over(w_cls), F.lit(0))
+    )
+    # level 3: band offsets — bounded by the log2 grid (<= 4*64 rows)
+    band_tot = sizes.groupBy("band").agg(F.sum("m").alias("bm"))
+    w_band = Window.orderBy(F.desc("band")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    band_off = band_tot.withColumn(
+        "band_off", F.coalesce(F.sum("bm").over(w_band), F.lit(0))
+    ).select("band", "band_off")
+    offsets = cls_off.join(F.broadcast(band_off), "band").select(
+        "band", "cnt", "pref",
+        (F.col("band_off") + F.col("cls_off")).alias("start"),
+    )
+    ranked = local.join(offsets, ["band", "cnt", "pref"]).withColumn(
+        "rnk", (F.col("start") + F.col("local_rank")).cast("int")
     )
     lg = ranked.select(
         "token", "cnt", "rnk",

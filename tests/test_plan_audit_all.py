@@ -6,7 +6,11 @@ held to the two invariants that decide 100 TB viability —
 2. no row-at-a-time Python (BatchEvalPython) anywhere; Arrow-batched
    Python (ArrowEvalPython / mapInPandas / FlatMapGroupsInPandas) is
    allowed ONLY for the explicitly whitelisted detector/codec/BPE paths
-   whose semantics genuinely need numpy.
+   whose semantics genuinely need numpy;
+3. no Window without a partitionBy — an unpartitioned window sorts its
+   whole input through ONE task — except over inputs that are provably
+   bounded (a post-limit(k) frame, a bucket-alphabet offsets table, the
+   funnel's step list), each whitelisted with its bound.
 
 The sampled pins in test_plan_quality.py check specific shapes; this
 audit guarantees no NEW query can regress the baseline invariants
@@ -44,6 +48,19 @@ _BNLJ_OK = {
     "q110_jaccard_histogram",  # pair-count total (1 row)
 }
 
+# queries whose plans carry an UNPARTITIONED window over a provably
+# bounded input — the bound is the whole justification, so name it.
+# Any other query with a global window fails the audit (the q109/q99
+# rewrites replaced corpus-sized global windows with two-phase ranks).
+_GLOBAL_WINDOW_OK = {
+    "q60_training_order",      # 256-row bucket-offset table (hash-prefix alphabet)
+    "q62_bpe_merge_candidates",  # rank over a post-limit(50) frame
+    "q89_funnel",              # lead over the 3-row funnel-step list
+    "q90_weighted_sample",     # rank over a post-limit(25) frame
+    "q99_token_zipf",          # band-offset table (<= 4*64 log2 cells)
+    "q109_customer_deciles",   # bucket-offset table (<= 128*64 log2 cells)
+}
+
 # queries whose plans legitimately run Arrow-batched Python
 _PANDAS_OK = {
     "q14_threshold_detect",
@@ -62,6 +79,24 @@ _PANDAS_OK = {
 _NAMES = sorted(entry_mod.queries())
 
 
+def _global_windows(df):
+    """Window nodes with an empty partitionSpec in the optimized logical
+    plan (the physical plan hides behind AdaptiveSparkPlanExec)."""
+    hits = []
+
+    def walk(node):
+        if (
+            node.getClass().getSimpleName() == "Window"
+            and node.partitionSpec().size() == 0
+        ):
+            hits.append(str(node.windowExpressions().apply(0))[:120])
+        for i in range(node.children().size()):
+            walk(node.children().apply(i))
+
+    walk(df._jdf.queryExecution().optimizedPlan())
+    return hits
+
+
 @pytest.mark.parametrize("name", _NAMES)
 def test_plan_invariants(spark, name):
     df = entry_mod.queries()[name](spark, SF_DIR)
@@ -76,3 +111,6 @@ def test_plan_invariants(spark, name):
     if name not in _PANDAS_OK:
         for marker in ("ArrowEvalPython", "FlatMapGroupsInPandas", "MapInPandas"):
             assert marker not in p, f"{name}: unexpected Python stage {marker}"
+    if name not in _GLOBAL_WINDOW_OK:
+        gw = _global_windows(df)
+        assert not gw, f"{name}: unpartitioned window(s): {gw}"
