@@ -85,5 +85,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return q
 
 
-def oracle_sql() -> dict[str, str]:
-    return dict(relational.ORACLES)
+def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
+    """DuckDB oracle SQL per query.  Most oracles are static; the IVF/PQ
+    family bakes per-corpus constants (codebook, probe count, ADC
+    shortlist), so their SQL is generated for the correctness scale —
+    ``sf_dir`` if given, else $ORACLE_SF_DIR, else the driver's sf0.01.
+    At sf0.001/sf0.01 the resolved strings equal the historical static
+    ones (both fall back to the sf0.01 snapshot)."""
+    sf = sf_dir or os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    return relational.resolve_oracles(sf)

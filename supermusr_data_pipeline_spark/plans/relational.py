@@ -26,12 +26,23 @@ from pyspark.sql.window import Window
 from ..sources.testdata import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
+OracleFactory = Callable[[str], str]
 
 QUERIES: dict[str, QueryFn] = {}
-ORACLES: dict[str, str] = {}
+# str for static SQL; a factory of sf_dir for the IVF/PQ family whose SQL
+# bakes per-corpus constants (codebook, n_probe, ADC shortlist) — the same
+# constants the Spark plans select via _codebook()/_pq_shortlist(), so a
+# correctness run at ANY scale factor compares like against like.
+ORACLES: dict[str, "str | OracleFactory"] = {}
 
 
-def _register(name: str, oracle: str | None = None):
+def resolve_oracles(sf_dir: str) -> dict[str, str]:
+    """Materialize the oracle registry for one corpus: factories are
+    called with ``sf_dir``, static strings pass through."""
+    return {k: v(sf_dir) if callable(v) else v for k, v in ORACLES.items()}
+
+
+def _register(name: str, oracle: "str | OracleFactory | None" = None):
     def deco(fn: QueryFn) -> QueryFn:
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set("spark.sql.session.timeZone", "UTC")

@@ -896,10 +896,13 @@ def _codebook(sf_dir: str) -> tuple:
 
 
 
-def _ivf_dots_duck(col: str) -> str:
-    """List of dot products of `col` against every centroid (DuckDB)."""
+def _ivf_dots_duck(col: str, cents=None) -> str:
+    """List of dot products of `col` against every centroid (DuckDB).
+    ``cents`` defaults to the sf0.01 snapshot; pass the per-corpus
+    codebook (``_codebook(sf_dir)[0]``) when building an oracle for
+    another scale factor."""
     per = []
-    for c in _CENTROIDS:
+    for c in (_CENTROIDS if cents is None else cents):
         lst = "[" + ", ".join(f"{x}" for x in c) + "]::DOUBLE[]"
         per.append(f"list_sum([{col}[i] * ({lst})[i] for i in range(1, 65)])")
     return "[" + ",\n            ".join(per) + "]"
@@ -917,10 +920,14 @@ def _ivf_dots_spark(col: str, centroids=None) -> str:
 
 # centroid ids ordered by descending dot product, ties -> lowest id; both
 # engines sort (negated dot, id) structs so the order is bit-identical
-_PROBE_ORDER_DUCK = (
-    "[s.j for s in list_sort("
-    f"[{{'nd': -dots[j + 1], 'j': j}} for j in range(0, {_N_CELLS})])]"
-)
+def _probe_order_duck(n_cells: int = _N_CELLS) -> str:
+    return (
+        "[s.j for s in list_sort("
+        f"[{{'nd': -dots[j + 1], 'j': j}} for j in range(0, {n_cells})])]"
+    )
+
+
+_PROBE_ORDER_DUCK = _probe_order_duck()
 
 
 def _probe_order_spark(n_cells: int = _N_CELLS) -> str:
@@ -930,18 +937,22 @@ def _probe_order_spark(n_cells: int = _N_CELLS) -> str:
     )
 
 
-@_register(
-    "q29_ivf_ann",
-    oracle=f"""
+def _q29_oracle(sf_dir: str) -> str:
+    """Oracle factory: baked with the SAME per-corpus codebook/probe the
+    Spark plan selects via ``_codebook(sf_dir)``, so a correctness run at
+    sf0.1 compares against the sf0.1 parameters, not the sf0.01 snapshot."""
+    cents, n_probe = _codebook(sf_dir)
+    pod = _probe_order_duck(len(cents))
+    return f"""
     WITH e AS (
         SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
     ), d AS (
-        SELECT vec_id, emb, {_ivf_dots_duck('emb')} AS dots FROM e
+        SELECT vec_id, emb, {_ivf_dots_duck('emb', cents)} AS dots FROM e
     ), cells AS (
-        SELECT vec_id, emb, ({_PROBE_ORDER_DUCK})[1] AS cell FROM d
+        SELECT vec_id, emb, ({pod})[1] AS cell FROM d
     ), q AS (
         SELECT vec_id AS query_id, emb AS qe,
-               ({_PROBE_ORDER_DUCK})[1:{_N_PROBE}] AS probe
+               ({pod})[1:{n_probe}] AS probe
         FROM d WHERE vec_id % 50 = 0
     ), qp AS (
         SELECT query_id, qe, unnest(probe) AS pcell FROM q
@@ -957,8 +968,10 @@ def _probe_order_spark(n_cells: int = _N_CELLS) -> str:
                                      ORDER BY sim DESC, neighbor_id) AS rank
         FROM sims
     ) WHERE rank <= 3
-    """,
-)
+    """
+
+
+@_register("q29_ivf_ann", oracle=_q29_oracle)
 def q29_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-partitioned approximate nearest neighbor — the scale path past
     q27's brute force.  Every vector is assigned to its best coarse centroid
@@ -1698,9 +1711,9 @@ def q46_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _q47_oracle() -> str:
+def _q47_oracle(sf_dir: str) -> str:
     return f"""
-    WITH ivf AS ({ORACLES["q29_ivf_ann"]}),
+    WITH ivf AS ({_q29_oracle(sf_dir)}),
     e AS (
         SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
     ), q AS (
@@ -1729,7 +1742,7 @@ def _q47_oracle() -> str:
     """
 
 
-@_register("q47_ann_recall", oracle=_q47_oracle())
+@_register("q47_ann_recall", oracle=_q47_oracle)
 def q47_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality evaluation: recall@3 of the IVF index (q29) against
     exact brute-force ground truth — the measurement loop every production
@@ -1788,17 +1801,18 @@ def q47_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@_register(
-    "q48_ivf_cell_stats",
-    oracle=f"""
+def _q48_oracle(sf_dir: str) -> str:
+    cents, _ = _codebook(sf_dir)
+    pod = _probe_order_duck(len(cents))
+    return f"""
     WITH e AS (
         SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
     ), d AS (
-        SELECT vec_id, emb, {_ivf_dots_duck('emb')} AS dots FROM e
+        SELECT vec_id, emb, {_ivf_dots_duck('emb', cents)} AS dots FROM e
     ), cells AS (
         SELECT vec_id,
-               ({_PROBE_ORDER_DUCK})[1] AS cell,
-               round(dots[({_PROBE_ORDER_DUCK})[1] + 1]
+               ({pod})[1] AS cell,
+               round(dots[({pod})[1] + 1]
                      / sqrt(list_sum([x * x for x in emb])), 6) AS cdot
         FROM d
     )
@@ -1808,8 +1822,10 @@ def q47_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(min(cdot), 6) AS min_centroid_sim,
            round(max(cdot), 6) AS max_centroid_sim
     FROM cells GROUP BY cell
-    """,
-)
+    """
+
+
+@_register("q48_ivf_cell_stats", oracle=_q48_oracle)
 def q48_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF index health: per-cell population and cosine-to-centroid fit
     quality — what an operator monitors to detect codebook drift (cells
@@ -1974,7 +1990,9 @@ def q50_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQ8_SHORTLIST = 6  # approx-phase candidates re-ranked exactly (2x final k)
 
 
-def _q51_oracle() -> str:
+def _q51_oracle(sf_dir: str) -> str:
+    cents, n_probe = _codebook(sf_dir)
+    pod = _probe_order_duck(len(cents))
     mns = ", ".join(f"CAST(min(embedding[{i}]) AS DOUBLE)" for i in range(1, _SQ_DIM + 1))
     mxs = ", ".join(f"CAST(max(embedding[{i}]) AS DOUBLE)" for i in range(1, _SQ_DIM + 1))
     cos = (
@@ -1989,9 +2007,9 @@ def _q51_oracle() -> str:
     ), e AS (
         SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
     ), d AS (
-        SELECT vec_id, emb, {_ivf_dots_duck('emb')} AS dots FROM e
+        SELECT vec_id, emb, {_ivf_dots_duck('emb', cents)} AS dots FROM e
     ), cells AS (
-        SELECT c.vec_id, c.emb, ({_PROBE_ORDER_DUCK})[1] AS cell,
+        SELECT c.vec_id, c.emb, ({pod})[1] AS cell,
                list_transform(generate_series(1, {_SQ_DIM}), i ->
                    CASE WHEN b.mxs[i] > b.mns[i]
                         THEN b.mns[i]
@@ -2002,7 +2020,7 @@ def _q51_oracle() -> str:
         FROM d c CROSS JOIN b
     ), q AS (
         SELECT vec_id AS query_id, emb AS qe,
-               ({_PROBE_ORDER_DUCK})[1:{_N_PROBE}] AS probe
+               ({pod})[1:{n_probe}] AS probe
         FROM d WHERE vec_id % 50 = 0
     ), qp AS (
         SELECT query_id, qe, unnest(probe) AS pcell FROM q
@@ -2028,7 +2046,7 @@ def _q51_oracle() -> str:
     """
 
 
-@_register("q51_ivf_sq8_ann", oracle=_q51_oracle())
+@_register("q51_ivf_sq8_ann", oracle=_q51_oracle)
 def q51_ivf_sq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-SQ8 ANN — the memory-bound production configuration: candidates
     in the probed cells are scored against DEQUANTIZED 8-bit codes (q41's
@@ -2124,15 +2142,16 @@ def q51_ivf_sq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SEM_TAU = 0.4
 
 
-@_register(
-    "q58_semantic_dedup",
-    oracle=f"""
+def _q58_oracle(sf_dir: str) -> str:
+    cents, _ = _codebook(sf_dir)
+    pod = _probe_order_duck(len(cents))
+    return f"""
     WITH e AS (
         SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
     ), d AS (
-        SELECT vec_id, emb, {_ivf_dots_duck('emb')} AS dots FROM e
+        SELECT vec_id, emb, {_ivf_dots_duck('emb', cents)} AS dots FROM e
     ), cells AS (
-        SELECT vec_id, emb, ({_PROBE_ORDER_DUCK})[1] AS cell FROM d
+        SELECT vec_id, emb, ({pod})[1] AS cell FROM d
     ), edges AS (
         SELECT a.vec_id AS v, b.vec_id AS o
         FROM cells a JOIN cells b
@@ -2148,8 +2167,10 @@ _SEM_TAU = 0.4
            CAST(COALESCE(a.n, 0) AS BIGINT) AS n_sem_dups,
            COALESCE(a.hl, 0) = 0 AS is_kept
     FROM cells c LEFT JOIN agg a ON a.v = c.vec_id
-    """,
-)
+    """
+
+
+@_register("q58_semantic_dedup", oracle=_q58_oracle)
 def q58_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic deduplication, SemDeDup-style (Abbas et al. 2023): cluster
     the corpus with the fitted IVF codebook, compute pairwise cosine only

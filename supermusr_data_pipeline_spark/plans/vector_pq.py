@@ -43,7 +43,6 @@ from pyspark.sql import functions as F
 from ..sources.testdata import load_table
 from .relational import _register
 from .text_dedup import (
-    _PROBE_ORDER_DUCK,
     _codebook,
     _ivf_dots_duck,
     _ivf_dots_spark,
@@ -462,9 +461,15 @@ _ADC_SUM_DUCK = " + ".join(
 )
 
 
-def _q78_oracle() -> str:
-    from .text_dedup import _N_PROBE
+def _q78_oracle(sf_dir: str) -> str:
+    """Oracle factory: the IVF codebook/probe count AND the ADC shortlist
+    are per-corpus (`_codebook(sf_dir)`, `_pq_shortlist(sf_dir)`), so the
+    SQL is generated with the same constants the Spark plan reads."""
+    from .text_dedup import _probe_order_duck
 
+    cents, n_probe = _codebook(sf_dir)
+    pod = _probe_order_duck(len(cents))
+    shortlist = _pq_shortlist(sf_dir)
     sc_cols = ",\n           ".join(
         f"{_pq_scores_duck('emb', s)} AS sc{s}" for s in range(_PQ_M)
     )
@@ -480,16 +485,16 @@ def _q78_oracle() -> str:
     WITH e AS (
         SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
     ), d AS (
-        SELECT vec_id, emb, {_ivf_dots_duck('emb')} AS dots FROM e
+        SELECT vec_id, emb, {_ivf_dots_duck('emb', cents)} AS dots FROM e
     ), sc AS (
-        SELECT vec_id, emb, ({_PROBE_ORDER_DUCK})[1] AS cell,
+        SELECT vec_id, emb, ({pod})[1] AS cell,
            {sc_cols}
         FROM d
     ), codes AS (
         SELECT vec_id, cell, {codes} AS codes FROM sc
     ), q AS (
         SELECT vec_id AS query_id, emb AS qe,
-               ({_PROBE_ORDER_DUCK})[1:{_N_PROBE}] AS probe,
+               ({pod})[1:{n_probe}] AS probe,
                {_adc_tables_duck('emb')} AS tq
         FROM d WHERE vec_id % 50 = 0
     ), qp AS (
@@ -503,7 +508,7 @@ def _q78_oracle() -> str:
             SELECT *, row_number() OVER (PARTITION BY query_id
                                          ORDER BY adc DESC, neighbor_id) AS arank
             FROM adc
-        ) WHERE arank <= {_PQ_SHORTLIST}
+        ) WHERE arank <= {shortlist}
     ), rer AS (
         SELECT s.query_id, s.neighbor_id, s.cell, s.adc, {cos} AS sim
         FROM short s
@@ -518,7 +523,7 @@ def _q78_oracle() -> str:
     """
 
 
-@_register("q78_ivf_pq_ann", oracle=_q78_oracle())
+@_register("q78_ivf_pq_ann", oracle=_q78_oracle)
 def q78_ivf_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ approximate nearest neighbor: coarse IVF probes (q29's
     index), PQ asymmetric-distance scoring over 8-byte codes, exact cosine
@@ -743,7 +748,7 @@ def write_pq_index(spark: SparkSession, sf_dir: str, out_path: str) -> None:
     )
 
 
-@_register("q96_pq_indexed", oracle=_q78_oracle())
+@_register("q96_pq_indexed", oracle=_q78_oracle)
 def q96_pq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q78 through the physical PQ index: probes prune cell directories
     via a literal partition filter, ADC reads (vec_id, codes) only, and

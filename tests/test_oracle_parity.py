@@ -46,7 +46,7 @@ def _normalize(rows, colnames):
     return sorted(tuple(canon(r[i]) for i in order) for r in rows)
 
 
-ORACLE_NAMES = sorted(entry_mod.oracle_sql())
+ORACLE_NAMES = sorted(entry_mod.oracle_sql(SF_DIR))
 
 
 @pytest.mark.parametrize("name", ORACLE_NAMES)
@@ -56,7 +56,9 @@ def test_query_matches_oracle(spark, name):
     spark_cols = [c.lower() for c in sdf.columns]
     spark_rows = [tuple(r) for r in sdf.collect()]
 
-    pdf = _duck(entry_mod.oracle_sql()[name])
+    # resolve the oracle FOR the scale under test — the IVF/PQ family's
+    # SQL is parameterized by corpus (codebook / probe / shortlist)
+    pdf = _duck(entry_mod.oracle_sql(SF_DIR)[name])
     duck_cols = [c.lower() for c in pdf.columns]
     duck_rows = [tuple(r) for r in pdf.itertuples(index=False)]
 
