@@ -58,10 +58,12 @@ def main() -> None:
         "q47_ann_recall",
         "q51_ivf_sq8_ann",
         "q78_ivf_pq_ann",
+        "q96_pq_indexed",
         "q58_semantic_dedup",
         "q61_dup_ngram_spans",
         "q69_lsh_recall",
         "q79_incremental_dedup",
+        "q82_indexed_incremental",
     ]
     headline = [h for h in headline if h in qs]
 
@@ -72,6 +74,10 @@ def main() -> None:
     # evaluation over q29's checkpoint, q51 = the SQ8 approx+re-rank
     # production configuration.  Repeats would hit the checkpoint cache
     # and time nothing.
+    # q96/q82 run AFTER their in-memory twins (q78/q79) in pipeline order:
+    # the first call of each builds its physical index under $TMPDIR, so the
+    # reported number is index-build + indexed-probe; the q78/q96 and
+    # q79/q82 deltas track what the physical layout buys round-over-round
     single_shot = {
         "q25_lsh_near_dup",
         "q42_dedup_clusters",
@@ -80,10 +86,12 @@ def main() -> None:
         "q47_ann_recall",
         "q51_ivf_sq8_ann",
         "q78_ivf_pq_ann",
+        "q96_pq_indexed",
         "q58_semantic_dedup",
         "q61_dup_ngram_spans",
         "q69_lsh_recall",
         "q79_incremental_dedup",
+        "q82_indexed_incremental",
     }
     try:
         from supermusr_data_pipeline_spark.plans.text_dedup import clear_shared_cache
@@ -130,6 +138,31 @@ def main() -> None:
     # the pre-round-4 headline set, reported separately so round-over-round
     # comparisons aren't skewed by the queries added to the set since
     legacy = [h for h in headline if h not in single_shot and h != "q29_ivf_ann"]
+
+    # streaming envelope: replay a 50 fps dev2 tape through the frame FSM +
+    # nexus sink and measure sustained fps / commit latency vs BASELINE.md's
+    # 50 frames/s bar (bench_streaming.py; skippable for quick local loops)
+    # q25-vs-q42 attribution: exclusive build seconds of each session-shared
+    # intermediate (pair graph vs CC rounds), so a shift between the two
+    # reads as work moving, not as an unexplained q42 regression
+    try:
+        from supermusr_data_pipeline_spark.plans.text_dedup import (
+            shared_build_seconds,
+        )
+
+        shared = shared_build_seconds()
+    except ImportError:  # pragma: no cover
+        shared = None
+
+    streaming = None
+    if os.environ.get("SPARK_GRAFT_SKIP_STREAMING") != "1":
+        try:
+            import bench_streaming
+
+            streaming = bench_streaming.run(spark)
+        except Exception as e:  # noqa: BLE001 — report, don't sink the bench
+            streaming = {"error": str(e)[:200]}
+
     print(
         json.dumps(
             {
@@ -138,6 +171,8 @@ def main() -> None:
                 "unit": "sec",
                 "legacy_headline_sec": round(sum(timings[h] for h in legacy), 3),
                 "queries": timings,
+                "shared_intermediates": shared,
+                "streaming": streaming,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

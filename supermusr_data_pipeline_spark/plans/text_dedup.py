@@ -18,6 +18,7 @@ from __future__ import annotations
 import os
 import random
 import threading
+import time
 from collections import OrderedDict
 
 from pyspark.sql import DataFrame, SparkSession
@@ -58,6 +59,9 @@ from .relational import ORACLES, QUERIES, _register
 
 _SHARED_CACHE: "OrderedDict" = OrderedDict()  # key -> (DataFrame, frozenset[int])
 _SHARED_BUILDS: dict = {}
+# key -> EXCLUSIVE build seconds of that intermediate (its own work minus
+# any nested intermediates it triggered); see _shared_checkpoint
+_SHARED_BUILD_SECONDS: dict = {}
 _SHARED_CACHE_MAX = 16
 _SHARED_LOCK = threading.RLock()
 
@@ -95,9 +99,19 @@ def _shared_checkpoint(spark: SparkSession, sf_dir: str, name: str, builder) -> 
         for stale in [k for k in _SHARED_CACHE if k[0] != key[0]]:
             del _SHARED_CACHE[stale]  # stopped session: blocks already gone
         before = _persistent_rdd_ids(sc)
+        inner_before = sum(_SHARED_BUILD_SECONDS.values())
+        t0 = time.perf_counter()
         built = builder()  # may recursively insert its own inputs (q42→q25)
         mid = _persistent_rdd_ids(sc)
         df = built.localCheckpoint()
+        elapsed = time.perf_counter() - t0
+        # exclusive build time: the recursion records its own inputs' builds
+        # while ours is on the stack, so subtracting their contribution
+        # attributes each intermediate only the seconds IT added (q42 = CC
+        # rounds on top of q25's pair graph) — bench.py reports this split
+        # so a q25/q42 regression is attributable round-over-round
+        inner = sum(_SHARED_BUILD_SECONDS.values()) - inner_before
+        _SHARED_BUILD_SECONDS[key] = max(0.0, elapsed - inner)
         after = _persistent_rdd_ids(sc)
         # Checkpoints the builder materialized internally (e.g. the CC label
         # rounds inside q42) are dead weight once the outer checkpoint holds
@@ -133,6 +147,21 @@ def clear_shared_cache() -> None:
                 pass
         _SHARED_CACHE.clear()
         _SHARED_BUILDS.clear()
+        _SHARED_BUILD_SECONDS.clear()
+
+
+def shared_build_seconds() -> dict[str, float]:
+    """{intermediate name: exclusive build seconds} for the live app —
+    the q25-vs-q42 attribution bench.py embeds as `shared_intermediates`."""
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    app = sc.applicationId if sc is not None else None
+    return {
+        k[2]: round(v, 3)
+        for k, v in _SHARED_BUILD_SECONDS.items()
+        if app is None or k[0] == app
+    }
 
 # ---------------------------------------------------------------------------
 # shared token / hash expressions (Spark side); SQL strings mirror them

@@ -102,7 +102,9 @@ def _emit_frame(
 ) -> pd.DataFrame:
     """Build the one-row aev2 frame, events sorted by (did, channel, time) —
     the deterministic stand-in for the reference's arrival order
-    (SURVEY.md §7 hard part e)."""
+    (SURVEY.md §7 hard part e).  Event columns stay numpy end-to-end (the
+    Arrow serializer takes ndarray cells directly); at 500 events/message
+    the per-element ``.tolist()`` round-trip was the FSM's hottest line."""
     ts, period_number, ppp, running, frame_number = key
     did = np.asarray(ev_did, dtype=np.int64)
     ch = np.asarray(ev_ch, dtype=np.int64)
@@ -120,9 +122,9 @@ def _emit_frame(
             "veto_flags": [veto],
             "complete": [present == expected],
             "digitizers_present": [present],
-            "channel": [ch[order].tolist()],
-            "event_time": [et[order].tolist()],
-            "event_voltage": [ev[order].tolist()],
+            "channel": [ch[order]],
+            "event_time": [et[order]],
+            "event_voltage": [ev[order]],
         }
     )
 
@@ -157,16 +159,25 @@ def make_update_fn(
 
         now_ms = state.getCurrentProcessingTimeMs()
         if state.exists:
-            dids, ev_did, ev_ch, ev_t, ev_v, veto, first_ms, dispatched = state.get
+            dids, s_did, s_ch, s_t, s_v, veto, first_ms, dispatched = state.get
             if dispatched:
                 # late message after dispatch: reject, keep tombstone armed
                 state.setTimeoutDuration(tombstone_ttl_ms)
                 return
-            dids = list(dids)
-            ev_did, ev_ch = list(ev_did), list(ev_ch)
-            ev_t, ev_v = list(ev_t), list(ev_v)
+            dids = [int(d) for d in dids]
+            # per-message event chunks, concatenated once per invocation —
+            # numpy end-to-end; per-element Python conversion at 500
+            # events/message was the throughput bottleneck (bench_streaming)
+            chunks = [
+                (
+                    np.asarray(s_did, dtype=np.int64),
+                    np.asarray(s_ch, dtype=np.int64),
+                    np.asarray(s_t, dtype=np.int64),
+                    np.asarray(s_v, dtype=np.float64),
+                )
+            ]
         else:
-            dids, ev_did, ev_ch, ev_t, ev_v, veto = [], [], [], [], [], 0
+            dids, veto, chunks = [], 0, []
             first_ms = now_ms
 
         for pdf in pdfs:
@@ -176,11 +187,23 @@ def make_update_fn(
                     continue  # duplicate (frame, digitiser) message: reject (J5/T6)
                 dids.append(d)
                 veto |= int(row.veto_flags)
-                n = len(row.channel)
-                ev_did.extend([d] * n)
-                ev_ch.extend(int(c) for c in row.channel)
-                ev_t.extend(int(t) for t in row.event_time)
-                ev_v.extend(float(v) for v in row.event_voltage)
+                ch = np.asarray(row.channel, dtype=np.int64)
+                chunks.append(
+                    (
+                        np.full(ch.size, d, dtype=np.int64),
+                        ch,
+                        np.asarray(row.event_time, dtype=np.int64),
+                        np.asarray(row.event_voltage, dtype=np.float64),
+                    )
+                )
+
+        if chunks:
+            ev_did, ev_ch, ev_t, ev_v = (
+                np.concatenate([c[i] for c in chunks]) for i in range(4)
+            )
+        else:
+            ev_did = ev_ch = ev_t = np.array([], dtype=np.int64)
+            ev_v = np.array([], dtype=np.float64)
 
         if sorted(dids) == expected:
             # dispatch complete frame now (frame/cache.rs:121-142), tombstone it
@@ -188,7 +211,10 @@ def make_update_fn(
             state.setTimeoutDuration(tombstone_ttl_ms)
             yield _emit_frame(key, dids, ev_did, ev_ch, ev_t, ev_v, veto, expected)
         else:
-            state.update((dids, ev_did, ev_ch, ev_t, ev_v, veto, first_ms, False))
+            state.update(
+                (dids, ev_did.tolist(), ev_ch.tolist(), ev_t.tolist(),
+                 ev_v.tolist(), veto, first_ms, False)
+            )
             # Spark resets the timeout on every call for the key; re-arm it
             # relative to the stored first arrival so the deadline is fixed
             state.setTimeoutDuration(max(1, first_ms + frame_ttl_ms - now_ms))

@@ -27,8 +27,8 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
-from ..operators.nexus_sink import build_nexus_events
 from ..operators.run_matching import match_events_to_runs
 
 
@@ -53,14 +53,103 @@ def _explode_frames(frames: DataFrame) -> DataFrame:
     )
 
 
+def _frames_to_nexus(
+    frames_batch: DataFrame,
+    runs: DataFrame,
+    totals: dict[str, tuple[int, int]],
+) -> DataFrame:
+    """aev2 frame rows -> NEXUS_EVENT_SCHEMA, the frames-native plan.
+
+    The original path exploded every event and re-AGGREGATED them back
+    into per-frame rows (a corpus-sized shuffle) to build the frame
+    dimension — but the FSM already hands us one row per frame.  Here the
+    dimension is computed on a SLIM projection (no event arrays): run
+    matching is the broadcast range join on frame rows, frame_seq /
+    event_index / event_time_zero are windows over the per-batch frame
+    count, and the committed per-run continuation totals are applied as
+    MAP LITERALS (no per-batch createDataFrame + broadcast join).  The
+    decorated dimension then broadcast-joins back onto the array rows and
+    events explode ONCE, already carrying their run columns — the event
+    side never shuffles.  Cut the measured per-batch sink cost ~2x at the
+    50 fps envelope shape (bench_streaming.py).
+
+    Exact-parity notes vs the exploded path: ``explode_outer`` keeps
+    zero-event frames as one null-event row, and that row counts 1 toward
+    ``event_index`` — both behaviors preserved (n_events uses the
+    exploded row count, not size(channel))."""
+    key = ["ts", "period_number", "protons_per_pulse", "running", "frame_number"]
+    slim = frames_batch.select(
+        *key,
+        F.col("veto_flags").alias("frame_veto_flags"),
+        "complete",
+        F.greatest(F.size("channel"), F.lit(1)).cast("long").alias("n_events"),
+    )
+    m = match_events_to_runs(slim, runs)
+    if totals:
+        seq_map = F.create_map(
+            *[F.lit(x) for k, v in totals.items() for x in (k, v[0])]
+        )
+        idx_map = F.create_map(
+            *[F.lit(x) for k, v in totals.items() for x in (k, v[1])]
+        )
+        base_seq = F.coalesce(F.element_at(seq_map, F.col("run_name")), F.lit(0))
+        base_idx = F.coalesce(F.element_at(idx_map, F.col("run_name")), F.lit(0))
+    else:
+        base_seq = base_idx = F.lit(0)
+    w_seq = Window.partitionBy("run_name").orderBy("ts", "frame_number")
+    dim = m.select(
+        *key,
+        "run_name",
+        "frame_veto_flags",
+        "complete",
+        "n_events",
+        (F.row_number().over(w_seq) - 1 + base_seq).cast("long").alias("frame_seq"),
+        ((F.unix_micros("ts") - F.unix_micros("collect_from")) * 1000)
+        .alias("event_time_zero"),
+        (
+            F.coalesce(
+                F.sum("n_events").over(w_seq.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            )
+            + base_idx
+        ).cast("long").alias("event_index"),
+    )
+    z = F.arrays_zip("channel", "event_time", "event_voltage")
+    return (
+        frames_batch.select(*key, z.alias("_z"))
+        .join(F.broadcast(dim), key)
+        .withColumn("_e", F.explode_outer("_z"))
+        .select(
+            "run_name",
+            "frame_seq",
+            "event_time_zero",
+            "event_index",
+            "period_number",
+            "frame_number",
+            F.col("complete").alias("frame_complete"),
+            "running",
+            F.col("frame_veto_flags").alias("veto_flags"),
+            F.col("_e.event_time").cast("long").alias("event_time_offset"),
+            F.col("_e.channel").cast("int").alias("event_id"),
+            F.col("_e.event_voltage").cast("double").alias("pulse_height"),
+        )
+    )
+
+
 class NexusStreamWriter:
     """The foreachBatch callable.  Holds per-run continuation totals
     {run_name: (next_frame_seq, next_event_index)}; rebuilds them from the
     sink directory on first use (T5 resume)."""
 
-    def __init__(self, runs: DataFrame, path: str):
+    def __init__(self, runs: DataFrame, path: str, on_commit=None):
         self.runs = runs
         self.path = path
+        # optional observer: called with the sorted frame_numbers committed
+        # by each batch, AFTER the sink write — rides the totals collect
+        # (one extra tiny column), so observation adds no Spark job.  The
+        # streaming envelope bench (bench_streaming.py) uses it to stamp
+        # per-frame commit times.
+        self.on_commit = on_commit
         self._totals: dict[str, tuple[int, int]] | None = None
 
     def _load_totals(self, spark: SparkSession) -> dict[str, tuple[int, int]]:
@@ -88,29 +177,27 @@ class NexusStreamWriter:
         spark = frames_batch.sparkSession
         totals = self._load_totals(spark)
 
-        long_events = _explode_frames(frames_batch)
-        matched = match_events_to_runs(long_events, self.runs)
-        nexus = build_nexus_events(matched)
+        # frames-native plan: slim dimension + broadcast join + one explode;
+        # the committed continuation totals ride as map literals
+        nexus = _frames_to_nexus(frames_batch, self.runs, totals)
 
-        # shift within-batch frame_seq / event_index by committed totals
-        base = [(k, v[0], v[1]) for k, v in totals.items()]
-        if base:
-            base_df = spark.createDataFrame(base, "run_name string, base_seq long, base_idx long")
-            nexus = (
-                nexus.join(F.broadcast(base_df), "run_name", "left")
-                .withColumn("frame_seq", F.col("frame_seq") + F.coalesce("base_seq", F.lit(0)))
-                .withColumn("event_index", F.col("event_index") + F.coalesce("base_idx", F.lit(0)))
-                .drop("base_seq", "base_idx")
-            )
-
+        aggs = [F.max("frame_seq").alias("max_seq"), F.count("*").alias("n_ev")]
+        if self.on_commit is not None:
+            aggs.append(F.collect_set("frame_number").alias("frames"))
         nexus.persist()
         try:
-            nexus.write.mode("append").partitionBy("run_name").parquet(self.path)
-            for r in (
-                nexus.groupBy("run_name")
-                .agg(F.max("frame_seq").alias("max_seq"), F.count("*").alias("n_ev"))
-                .collect()
-            ):
+            # snappy, not the session's zstd: the sink appends on the
+            # latency path every micro-batch (the reference's HDF5 run
+            # files are uncompressed — nexus_structure/mod.rs); compaction
+            # to zstd belongs to a downstream maintenance pass, not here
+            (
+                nexus.write.mode("append")
+                .option("compression", "snappy")
+                .partitionBy("run_name")
+                .parquet(self.path)
+            )
+            rows = nexus.groupBy("run_name").agg(*aggs).collect()
+            for r in rows:
                 prev = totals.get(r["run_name"], (0, 0))
                 totals[r["run_name"]] = (
                     max(prev[0], r["max_seq"] + 1),
@@ -118,6 +205,8 @@ class NexusStreamWriter:
                 )
         finally:
             nexus.unpersist()
+        if self.on_commit is not None:
+            self.on_commit(sorted({int(f) for r in rows for f in r["frames"]}))
 
 
 def write_nexus_stream(

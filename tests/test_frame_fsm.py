@@ -120,7 +120,7 @@ def test_completeness_dedup_and_veto_or(n_dids, order, dups, veto_bits):
     assert f["digitizers_present"] == expected
     assert f["veto_flags"] == expected_veto
     # one event per distinct digitiser, sorted by (did, channel, time)
-    assert f["channel"] == sorted(range(n_dids))
+    assert list(f["channel"]) == sorted(range(n_dids))
     # dispatched key is tombstoned: any further message is rejected
     late = _drive(fn, state, [_msg_df(0, [99], [999], [9.9])])
     assert late == []
