@@ -20,6 +20,14 @@ a driver-side dict):
   (Arrow-batched, greedy lowest-rank-first — the standard BPE apply) and
   broadcast-joins word -> token count back onto documents, so encode cost
   is O(distinct words), not O(corpus).
+- ``batch_k > 1`` amortizes the per-merge driver round-trip (the 50k-merge
+  production concern): each scan selects up to k SYMBOL-DISJOINT merges —
+  disjoint pairs' occurrences cannot overlap, so the scan's counts are
+  their true sequential counts — applied in one rewrite pass.  The honest
+  trade: sequential BPE builds chains ('t'+'h' then 'th'+'e') that a batch
+  cannot see, so the batched table compresses slightly worse at equal
+  merge count (gated <= 10% on the fixture, tests/test_bpe.py); k=1 stays
+  the default, pinned byte-exact against the pure-Python reference.
 
 Determinism: exact integer pair counts + lexicographic tie-break make the
 merge list independent of partitioning; tests/test_bpe.py pins the Spark
@@ -70,17 +78,54 @@ def _initial_symbols(words: DataFrame) -> DataFrame:
     )
 
 
-# learned merge lists per (appId, sf_dir, n_merges): the training artifact
-# is tiny (<= n_merges string pairs) and deterministic, so one learn per
-# session serves q91, q92, and any test that needs the ranks
+# learned merge lists per (appId, sf_dir, n_merges, batch_k): the training
+# artifact is tiny (<= n_merges string pairs) and deterministic, so one
+# learn per session serves q91, q92, and any test that needs the ranks
 _LEARNED: dict = {}
+
+# scan rounds of the last learn_bpe_merges call — the batched-selection
+# speedup is "rounds drop ~k x", so expose the number a test can gate on
+LAST_BPE_ROUNDS = 0
+
+
+def _select_compatible(top_rows, k: int, remaining: int) -> list[tuple[str, str]]:
+    """Greedy top-k batch from one scan's sorted pair counts: a pair joins
+    the batch only if its symbols are DISJOINT from every already-selected
+    pair's.  Disjointness is what makes the batch exact-ish: occurrences of
+    symbol-disjoint pairs cannot overlap, so applying one cannot change the
+    others' counts — the stale scan counts are the true sequential counts.
+    The only divergence from k=1 is that a pair CREATED by a merge this
+    round (involving the new symbol) cannot out-rank the batch's tail; the
+    k=1 path stays the pinned-against-reference default."""
+    selected: list[tuple[str, str]] = []
+    used: set[str] = set()
+    for r in top_rows:
+        if len(selected) >= min(k, remaining):
+            break
+        if r.n < 2:
+            break
+        if r.a in used or r.b in used:
+            continue
+        selected.append((r.a, r.b))
+        used.update((r.a, r.b))
+    return selected
 
 
 def learn_bpe_merges(
-    spark: SparkSession, sf_dir: str, n_merges: int = _BPE_MERGES
+    spark: SparkSession,
+    sf_dir: str,
+    n_merges: int = _BPE_MERGES,
+    batch_k: int = 1,
 ) -> list[tuple[str, str]]:
-    """Run iterative BPE training; returns the ordered merge list."""
-    key = (spark.sparkContext.applicationId, sf_dir, n_merges)
+    """Run iterative BPE training; returns the ordered merge list.
+
+    ``batch_k > 1`` selects up to k symbol-disjoint merges per corpus scan
+    and applies them in ONE rewrite pass — the driver round-trip count
+    (the 50k-merge production concern) drops ~k x.  ``batch_k=1`` is the
+    classic Sennrich loop, pinned byte-exact against the pure-Python
+    reference in tests/test_bpe.py."""
+    global LAST_BPE_ROUNDS
+    key = (spark.sparkContext.applicationId, sf_dir, n_merges, batch_k)
     hit = _LEARNED.get(key)
     if hit is not None:
         return list(hit)
@@ -90,8 +135,9 @@ def learn_bpe_merges(
     before = _persistent_rdd_ids(sc)
     syms = _initial_symbols(_word_freqs(spark, sf_dir)).localCheckpoint()
     merges: list[tuple[str, str]] = []
+    rounds = 0
     try:
-        for _ in range(n_merges):
+        while len(merges) < n_merges:
             pairs = (
                 # fully-merged words (one symbol) emit no pairs — and must
                 # be excluded BEFORE sequence(): sequence(0, -1) descends
@@ -107,11 +153,18 @@ def learn_bpe_merges(
                 .groupBy("p.a", "p.b")
                 .agg(F.sum("freq").alias("n"))
             )
-            top = pairs.orderBy(F.desc("n"), "a", "b").limit(1).collect()
-            if not top or top[0].n < 2:
+            # headroom over k: compat filtering may skip sorted rows
+            top = (
+                pairs.orderBy(F.desc("n"), "a", "b")
+                .limit(max(1, batch_k * 8))
+                .collect()
+            )
+            rounds += 1
+            selected = _select_compatible(top, batch_k, n_merges - len(merges))
+            if not selected:
                 break
-            a, b = top[0].a, top[0].b
-            merges.append((a, b))
+            merges.extend(selected)
+            pairmap = {pair: pair[0] + pair[1] for pair in selected}
 
             def merge_fn(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 for pdf in pdfs:
@@ -120,8 +173,13 @@ def learn_bpe_merges(
                         s = list(s)
                         i, res = 0, []
                         while i < len(s):
-                            if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
-                                res.append(a + b)
+                            m = (
+                                pairmap.get((s[i], s[i + 1]))
+                                if i + 1 < len(s)
+                                else None
+                            )
+                            if m is not None:
+                                res.append(m)
                                 i += 2
                             else:
                                 res.append(s[i])
@@ -139,6 +197,7 @@ def learn_bpe_merges(
             # .unpersist() does NOT free localCheckpoint RDDs — the CC
             # rounds in text_dedup learned the same lesson)
             _unpersist_rdd_ids(sc, held - before)
+        LAST_BPE_ROUNDS = rounds
         _LEARNED[key] = list(merges)
         return merges
     finally:

