@@ -8,11 +8,11 @@ CLEAR/END codes and 12-bit dictionary cap) — no codec library.
 
 Decoder features: global and local color tables, the 4-pass interlace,
 multi-frame animations with graphic-control extensions (transparency
-index honored, frames composited onto the running canvas — disposal
-methods 0/1; 2 "restore to background" restores the frame rect to the
-background color, 3 is rare and raises honestly).  Encoder: single- or
-multi-frame, optional interlace, palette built from the image (>256
-distinct colors raises — quantization is a separate concern).
+index honored, frames composited onto the running canvas — all four
+disposal methods: 0/1 leave the canvas, 2 restores the frame rect to the
+global-table background color, 3 restores the pre-draw rect).  Encoder:
+single- or multi-frame, optional interlace, palette built from the image
+(>256 distinct colors raises — quantization is a separate concern).
 
 Like the JPEG/PNG codecs, this runs inside Arrow batches on executors
 (operators/multimodal.py's mapInPandas pipeline) — per-payload decode is
@@ -211,7 +211,8 @@ def decode_gif_frames(payload: bytes) -> list[np.ndarray]:
         pos += 3 * n
 
     canvas = np.zeros((h, w, 3), np.uint8)
-    if gct is not None:
+    if gct is not None and bg_index < len(gct):
+        # clamp: a foreign/corrupt GIF may declare bg_index past the table
         canvas[:] = gct[bg_index]
     frames: list[np.ndarray] = []
     transparent: int | None = None
@@ -276,10 +277,14 @@ def decode_gif_frames(payload: bytes) -> list[np.ndarray]:
             canvas[top : top + fh, left : left + fw] = rgb
         frames.append(canvas.copy())
         if disposal == 2:  # restore rect to background
-            bg = table[bg_index] if bg_index < len(table) else 0
+            # spec: the background color indexes the GLOBAL table (the
+            # logical-screen descriptor's bg field), not the frame's local
+            # table; black when there is no global table or the index is
+            # out of range
+            bg = gct[bg_index] if gct is not None and bg_index < len(gct) else 0
             canvas[top : top + fh, left : left + fw] = bg
-        elif disposal == 3:
-            raise NotImplementedError("GIF disposal 3 (restore previous)")
+        elif disposal == 3:  # restore previous: the rect as it was pre-draw
+            canvas[top : top + fh, left : left + fw] = prev_rect
         # disposal 0/1: leave the canvas as drawn
         transparent = None
         disposal = 0

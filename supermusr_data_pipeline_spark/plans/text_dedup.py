@@ -2596,7 +2596,6 @@ def q97_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     pred = QUERIES["q21_lang_id"](spark, sf_dir).select(
         "doc_id", "lang", "predicted_lang"
     )
-    w = Window.partitionBy("lang")
     return (
         pred.groupBy(F.col("lang").alias("true_lang"), F.col("predicted_lang"))
         .agg(F.count("*").cast("bigint").alias("n_docs"))
