@@ -26,6 +26,7 @@ from supermusr_data_pipeline_spark.plans import ivf_index  # noqa: E402,F401  (r
 from supermusr_data_pipeline_spark.plans import vector_pq  # noqa: E402,F401  (registers queries)
 from supermusr_data_pipeline_spark.plans import incremental  # noqa: E402,F401  (registers queries)
 from supermusr_data_pipeline_spark.plans import bpe  # noqa: E402,F401  (registers queries)
+from supermusr_data_pipeline_spark.plans import retrieval  # noqa: E402,F401  (registers queries)
 from supermusr_data_pipeline_spark.plans import detectors  # noqa: E402,F401  (registers queries)
 from supermusr_data_pipeline_spark.plans import envelope  # noqa: E402,F401  (registers queries)
 from supermusr_data_pipeline_spark.plans.daq_chain import (  # noqa: E402

@@ -1,0 +1,222 @@
+"""Text retrieval over the documents table: BM25 top-k (q112) and
+positional phrase search (q113).
+
+A training-data pipeline is also a retrieval system: decontamination
+lookups, targeted curation ("pull everything about X"), and eval-set
+mining all run lexical retrieval over the corpus.  Both operators here
+are the classic inverted-index computations expressed relationally —
+the index IS a grouped table, the queries are broadcast dimensions, and
+the scoring is one partitioned window.
+
+Scale shape (both): one explode + keyed aggregation builds the postings
+(the same shuffle the corpus tokenization already pays), query terms are
+a tiny broadcast side, so scoring touches only the matching postings;
+the per-query top-k is a window partitioned by query.  At 100 TB the
+postings table is the persisted artifact (term-bucketed parquet) and
+these queries are probes against it — the q64/q82 physical-index pattern
+applies unchanged.
+
+Determinism: query terms/phrases are derived FROM the corpus (document
+frequency / bigram count with lexicographic tie-breaks), not hardcoded,
+so the operators exercise real selectivity at every scale factor and the
+DuckDB oracles reproduce them exactly.
+
+Reference: LLM-extension scope (no reference-repo analog).  BM25 per
+Robertson-Walker-Jones (TREC-3, 1994) — public method, original
+implementation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.testdata import load_table
+from .relational import _register
+from .text_dedup import _TOKENS_EXPR_SPARK, _TOKENS_SQL_DUCK
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_N_QUERIES = 5   # query terms: the corpus's rarest terms (most selective)
+_BM25_TOPK = 10
+
+
+@_register(
+    "q112_bm25_topk",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_TOKENS_SQL_DUCK}) AS term FROM documents
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+    ), dl AS (
+        SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id
+    ), stats AS (
+        SELECT (SELECT count(*) FROM documents) AS n,
+               (SELECT avg(dl) FROM dl) AS avgdl
+    ), df AS (
+        SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), qterms AS (
+        SELECT term, df FROM (
+            SELECT term, df,
+                   row_number() OVER (ORDER BY df ASC, term) AS r
+            FROM df
+        ) WHERE r <= {_BM25_N_QUERIES}
+    ), scored AS (
+        SELECT q.term AS query_term, t.doc_id,
+               round(
+                 ln(1 + (s.n - q.df + 0.5) / (q.df + 0.5))
+                 * (t.tf * ({_BM25_K1} + 1))
+                 / (t.tf + {_BM25_K1} * (1 - {_BM25_B}
+                                         + {_BM25_B} * d.dl / s.avgdl)),
+                 6) AS score
+        FROM qterms q
+        JOIN tf t ON t.term = q.term
+        JOIN dl d ON d.doc_id = t.doc_id
+        CROSS JOIN stats s
+    )
+    SELECT query_term, doc_id, score, CAST(rank AS INT) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_term
+                                     ORDER BY score DESC, doc_id) AS rank
+        FROM scored
+    ) WHERE rank <= {_BM25_TOPK}
+    """,
+)
+def q112_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-{_BM25_TOPK} per query term (k1={_BM25_K1}, b={_BM25_B}).
+    Query terms are the {_BM25_N_QUERIES} RAREST terms (lowest document
+    frequency, lexicographic tie-break) — deterministic, corpus-derived,
+    and maximally selective at every scale; real retrieval cost is always
+    dominated by the rare-term postings a query actually probes.
+
+    Scale shape: postings (doc_id, term, tf) and doc lengths are one
+    explode + two keyed aggregations; N/avgdl is a broadcast scalar;
+    query terms are a broadcast {_BM25_N_QUERIES}-row dimension (built as
+    TakeOrdered + post-limit rank, never a global sort); scoring touches
+    only the query terms' postings and the per-query top-k is a window
+    partitioned by query_term."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.expr(_TOKENS_EXPR_SPARK)).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = docs.select(F.count(F.lit(1)).alias("n")).crossJoin(
+        dl.agg(F.avg("dl").alias("avgdl"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # rarest terms: TakeOrdered (per-partition bottom-k + k-row merge),
+    # never a global sort
+    qterms = df.orderBy(F.asc("df"), "term").limit(_BM25_N_QUERIES)
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    norm = F.col("tf") + _BM25_K1 * (
+        1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    scored = (
+        F.broadcast(qterms.withColumnRenamed("term", "query_term"))
+        .join(tf, tf.term == F.col("query_term"))
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_term",
+            "doc_id",
+            F.round(idf * (F.col("tf") * (_BM25_K1 + 1)) / norm, 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_term").orderBy(F.desc("score"), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _BM25_TOPK)
+        .select("query_term", "doc_id", "score", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q113 — positional phrase search (exact adjacent-token phrase)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q113_phrase_search",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, toks[i] AS term, CAST(i AS BIGINT) AS pos
+        FROM (SELECT doc_id, {_TOKENS_SQL_DUCK} AS toks FROM documents),
+             unnest(generate_series(1, len(toks))) AS g(i)
+    ), bigrams AS (
+        SELECT a.term AS t1, b.term AS t2, count(*) AS n
+        FROM tok a JOIN tok b
+          ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        GROUP BY a.term, b.term
+    ), phrase AS (
+        SELECT t1, t2 FROM bigrams
+        ORDER BY n DESC, t1, t2 LIMIT 1
+    ), hits AS (
+        SELECT a.doc_id, a.pos
+        FROM phrase p
+        JOIN tok a ON a.term = p.t1
+        JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+                   AND b.term = p.t2
+    )
+    SELECT h.doc_id,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(min(h.pos) AS BIGINT) AS first_pos,
+           any_value(p.t1 || ' ' || p.t2) AS phrase
+    FROM hits h CROSS JOIN phrase p
+    GROUP BY h.doc_id
+    """,
+)
+def q113_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search over a positional index: find every document
+    containing the corpus's most frequent bigram as ADJACENT tokens, with
+    occurrence count and first position — the primitive under n-gram
+    decontamination lookups and quote mining.  The phrase is derived from
+    the corpus (top bigram, lexicographic tie-break), so both engines
+    search for the same string at every scale.
+
+    Scale shape: the positional postings are one explode with ordinality;
+    the phrase is a 1-row broadcast; matching joins ONLY the two phrase
+    terms' postings on (doc_id, adjacent position) — at 100 TB this is a
+    probe of a term-bucketed postings artifact, never a corpus scan of
+    anything but the tokenize pass it shares with q112."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.expr(_TOKENS_EXPR_SPARK)).alias("pos0", "term"),
+    ).select("doc_id", "term", (F.col("pos0") + 1).cast("long").alias("pos"))
+    # top bigram via the adjacent-pair struct explode (q62's shape)
+    pairs = (
+        docs.select(F.expr(_TOKENS_EXPR_SPARK).alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1), i -> "
+                    "named_struct('t1', toks[i - 1], 't2', toks[i]))"
+                )
+            ).alias("p")
+        )
+        .groupBy("p.t1", "p.t2")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    phrase = pairs.orderBy(F.desc("n"), "t1", "t2").limit(1).select("t1", "t2")
+    left = tok.join(F.broadcast(phrase), tok.term == F.col("t1")).select(
+        F.col("doc_id"), F.col("pos"), "t1", "t2"
+    )
+    right = tok.select(
+        F.col("doc_id").alias("r_doc"),
+        F.col("pos").alias("r_pos"),
+        F.col("term").alias("r_term"),
+    )
+    hits = left.join(
+        right,
+        (F.col("r_doc") == F.col("doc_id"))
+        & (F.col("r_pos") == F.col("pos") + 1)
+        & (F.col("r_term") == F.col("t2")),
+    ).select("doc_id", "pos", "t1", "t2")
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+        F.min("pos").cast("bigint").alias("first_pos"),
+        F.any_value(F.concat_ws(" ", "t1", "t2")).alias("phrase"),
+    )

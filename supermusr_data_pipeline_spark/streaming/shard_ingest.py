@@ -209,26 +209,35 @@ def ingest_shard_stream(
     re-run-safe), and append the admitted slice so later batches dedup
     against it.  Returns the StreamingQuery."""
 
+    from ..plans.text_dedup import _persistent_rdd_ids, _unpersist_rdd_ids
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        marker = os.path.join(index_path, f"_ingested_batch_{batch_id}")
-        decisions = admit_batch(batch_df, index_path, bucket_cap).localCheckpoint()
-        # append BEFORE publishing decisions: a batch's decisions must not
-        # become visible until the index reflects its admissions (and a
-        # stop/crash between the two steps then re-runs the decisions
-        # write, not the append — which the marker guards anyway)
-        if not os.path.exists(marker):
-            _append_admitted(batch_df, decisions.filter("admit"), index_path)
-            with open(marker, "w") as f:
-                f.write("done")
-        (
-            decisions.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(decisions_path)
-        )
+        sc = batch_df.sparkSession.sparkContext
+        before = _persistent_rdd_ids(sc)
+        try:
+            marker = os.path.join(index_path, f"_ingested_batch_{batch_id}")
+            decisions = admit_batch(batch_df, index_path, bucket_cap).localCheckpoint()
+            # append BEFORE publishing decisions: a batch's decisions must not
+            # become visible until the index reflects its admissions (and a
+            # stop/crash between the two steps then re-runs the decisions
+            # write, not the append — which the marker guards anyway)
+            if not os.path.exists(marker):
+                _append_admitted(batch_df, decisions.filter("admit"), index_path)
+                with open(marker, "w") as f:
+                    f.write("done")
+            (
+                decisions.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(decisions_path)
+            )
+        finally:
+            # per-batch checkpoint blocks must not accumulate over the
+            # stream's lifetime (the q42 checkpoint-hygiene rule)
+            _unpersist_rdd_ids(sc, _persistent_rdd_ids(sc) - before)
 
     return (
         docs_stream.writeStream.foreachBatch(process)

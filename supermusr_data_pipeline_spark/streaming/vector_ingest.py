@@ -1,0 +1,214 @@
+"""Streaming vector-index ingestion: SemDeDup admission as a continuous
+front door over the persisted IVF index (the embedding-side twin of
+streaming/shard_ingest.py).
+
+Each micro-batch of arriving vectors is checked against the STANDING
+cell-partitioned index (plans/ivf_index.py's layout): batch vectors
+assign to their coarse cell via the broadcast codebook literals, the
+index is scanned ONLY in the batch's occupied cells (a literal
+``cell IN (...)`` — PartitionFilters, unprobed directories never read),
+and a vector whose in-cell cosine against the index (or an earlier peer
+in the same batch) reaches the SemDeDup bar is rejected.  Admitted
+vectors APPEND to the index inside the same foreachBatch transaction, so
+the next micro-batch deduplicates against them — cross-batch semantic
+dedup emerges from index growth, with no stream state at all (the index
+IS the state, on disk, shared with every q64-style probe).
+
+In-cell-only comparison is q58's rule, with q58's recall trade: a
+near-dup pair split across a cell boundary is missed; the operator
+controls that with the codebook fit (q48 monitors it), and the full-tape
+q58 pass is the lambda backfill, exactly as near_dup_reconcile backfills
+the LSH stream.
+
+Failure semantics (the shard_ingest lessons, both of them): the index
+append is guarded by a per-batch marker file, and decisions land in a
+``batch_id``-partitioned parquet so re-runs overwrite their own
+partition; AND the index side is anti-joined against the batch's own
+vec_ids BEFORE matching, so a crash-retry that already appended
+recomputes decisions byte-identical to the first run (a vector must not
+flip to dup-of-base by matching itself at cosine 1.0).
+
+Scale shape per batch: one narrow cell-assignment pass over the batch,
+one partition-pruned index scan of the occupied cells, one broadcast
+join (the batch side is micro-batch-sized), one batch-internal self-join
+bounded by per-cell batch counts, and an append of the admitted slice.
+Nothing scans the base corpus.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..plans.text_dedup import _SEM_TAU, _codebook, _ivf_dots_spark, _probe_order_spark
+
+_COS = (
+    "round(aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (s, x) -> s + x)"
+    " / (sqrt(aggregate(transform({a}, x -> x * x), 0D, (s, x) -> s + x))"
+    " * sqrt(aggregate(transform({b}, x -> x * x), 0D, (s, x) -> s + x))), 6)"
+)
+
+
+def assign_cells(vecs: DataFrame, cents) -> DataFrame:
+    """(vec_id, emb, cell): the q29 coarse assignment over arbitrary rows
+    with an ``embedding`` array column (any float width)."""
+    po = _probe_order_spark(len(cents))
+    return (
+        vecs.select(
+            "vec_id",
+            F.expr("transform(embedding, x -> cast(x as double))").alias("emb"),
+        )
+        .withColumn("dots", F.expr(_ivf_dots_spark("emb", cents)))
+        .select("vec_id", "emb", F.expr(f"element_at({po}, 1)").alias("cell"))
+    )
+
+
+def admit_vector_batch(
+    batch_vecs: DataFrame,
+    index_path: str,
+    cents,
+    tau: float = _SEM_TAU,
+) -> DataFrame:
+    """Admission decisions for one micro-batch against the standing index:
+    (vec_id, cell, dups_base, dups_earlier_peer, admit, reason)."""
+    return _admit_assigned(assign_cells(batch_vecs, cents), index_path, tau)
+
+
+def _admit_assigned(batch: DataFrame, index_path: str, tau: float) -> DataFrame:
+    """Decisions from an already-assigned (vec_id, emb, cell) batch — the
+    streaming path hands a per-batch checkpoint here so the assignment
+    isn't recomputed per consumer (and releases it after the writes)."""
+    spark = batch.sparkSession
+    batch_ids = batch.select("vec_id").distinct()
+    # literal partition filter: only the batch's occupied cells are read
+    cells = sorted(r.cell for r in batch.select("cell").distinct().collect())
+    idx = (
+        spark.read.parquet(index_path)
+        .filter(F.col("cell").isin(cells))
+        .select(
+            F.col("vec_id").alias("old_id"),
+            F.col("emb").alias("old_emb"),
+            F.col("cell").cast("int").alias("cell"),
+        )
+        # crash-retry idempotency: this batch's admitted rows may already
+        # sit in the index — exclude them so the recompute equals run one
+        .join(
+            F.broadcast(batch_ids.withColumnRenamed("vec_id", "old_id")),
+            "old_id",
+            "left_anti",
+        )
+    )
+    cos_base = _COS.format(a="emb", b="old_emb")
+    dups_base = (
+        F.broadcast(batch)
+        .join(idx, "cell")
+        .filter(F.expr(cos_base) >= tau)
+        .select("vec_id")
+        .distinct()
+        .withColumn("dups_base", F.lit(True))
+    )
+    a = batch.select(
+        F.col("vec_id").alias("first_id"), F.col("emb").alias("ea"), "cell"
+    )
+    b = batch.select(
+        F.col("vec_id").alias("vec_id"), F.col("emb").alias("eb"),
+        F.col("cell").alias("cb"),
+    )
+    cos_peer = _COS.format(a="ea", b="eb")
+    dups_peer = (
+        a.join(b, (F.col("cell") == F.col("cb")) & (F.col("first_id") < F.col("vec_id")))
+        .filter(F.expr(cos_peer) >= tau)
+        .select("vec_id")
+        .distinct()
+        .withColumn("dups_earlier_peer", F.lit(True))
+    )
+    return (
+        batch.select("vec_id", "cell")
+        .join(F.broadcast(dups_base), "vec_id", "left")
+        .join(F.broadcast(dups_peer), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.coalesce("dups_base", F.lit(False)).alias("dups_base"),
+            F.coalesce("dups_earlier_peer", F.lit(False)).alias("dups_earlier_peer"),
+        )
+        .select(
+            "vec_id",
+            "cell",
+            "dups_base",
+            "dups_earlier_peer",
+            (~F.col("dups_base") & ~F.col("dups_earlier_peer")).alias("admit"),
+            F.when(F.col("dups_base"), "sem_dup_of_base")
+            .when(F.col("dups_earlier_peer"), "sem_dup_of_earlier_peer")
+            .otherwise("admitted")
+            .alias("reason"),
+        )
+    )
+
+
+def _append_admitted(
+    batch_vecs: DataFrame, admitted: DataFrame, index_path: str, cents
+) -> None:
+    _append_assigned(assign_cells(batch_vecs, cents), admitted, index_path)
+
+
+def _append_assigned(assigned: DataFrame, admitted: DataFrame, index_path: str) -> None:
+    rows = assigned.join(admitted.select("vec_id"), "vec_id")
+    (
+        rows.repartition("cell")
+        .write.partitionBy("cell")
+        .mode("append")
+        .parquet(index_path)
+    )
+
+
+def ingest_vector_stream(
+    vecs_stream: DataFrame,
+    index_path: str,
+    decisions_path: str,
+    checkpoint_dir: str,
+    cents=None,
+    tau: float = _SEM_TAU,
+    trigger_interval: str = "200 milliseconds",
+):
+    """Start the streaming front door over the vector index.  ``cents``
+    defaults to the sf0.01 codebook snapshot (`_codebook`); production
+    passes the codebook fit for the corpus the index serves.  Returns the
+    StreamingQuery."""
+    if cents is None:
+        cents = _codebook("")[0]
+    from ..plans.text_dedup import _persistent_rdd_ids, _unpersist_rdd_ids
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sc = batch_df.sparkSession.sparkContext
+        before = _persistent_rdd_ids(sc)
+        try:
+            assigned = assign_cells(batch_df, cents).localCheckpoint()
+            marker = os.path.join(index_path, f"_ingested_batch_{batch_id}")
+            decisions = _admit_assigned(assigned, index_path, tau).localCheckpoint()
+            if not os.path.exists(marker):
+                _append_assigned(assigned, decisions.filter("admit"), index_path)
+                with open(marker, "w") as f:
+                    f.write("done")
+            (
+                decisions.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(decisions_path)
+            )
+        finally:
+            # per-batch checkpoints must not accumulate over the stream's
+            # lifetime (the q42 checkpoint-hygiene rule applied here)
+            _unpersist_rdd_ids(sc, _persistent_rdd_ids(sc) - before)
+
+    return (
+        vecs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=trigger_interval)
+        .start()
+    )
