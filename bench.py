@@ -64,6 +64,8 @@ def main() -> None:
         "q69_lsh_recall",
         "q79_incremental_dedup",
         "q82_indexed_incremental",
+        "q112_bm25_topk",
+        "q114_bm25_indexed",
     ]
     headline = [h for h in headline if h in qs]
 
@@ -92,6 +94,8 @@ def main() -> None:
         "q69_lsh_recall",
         "q79_incremental_dedup",
         "q82_indexed_incremental",
+        "q112_bm25_topk",
+        "q114_bm25_indexed",
     }
     try:
         from supermusr_data_pipeline_spark.plans.text_dedup import clear_shared_cache

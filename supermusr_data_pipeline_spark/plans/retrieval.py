@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..sources.testdata import load_table
-from .relational import _register
+from .relational import ORACLES, _register
 from .text_dedup import _TOKENS_EXPR_SPARK, _TOKENS_SQL_DUCK
 
 _BM25_K1 = 1.2
@@ -219,4 +219,119 @@ def q113_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
         F.min("pos").cast("bigint").alias("first_pos"),
         F.any_value(F.concat_ws(" ", "t1", "t2")).alias("phrase"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q114 — BM25 through a physical postings index (term-hash-bucketed parquet)
+# ---------------------------------------------------------------------------
+#
+# The q64/q82/q96 pattern applied to lexical retrieval: the postings list
+# IS the persisted artifact, laid out so a query reads only its terms'
+# buckets.  Directories are `tb=<hash(term) % _N_TERM_BUCKETS>` — a FIXED
+# fan-out (millions of `term=` directories would be the wrong layout at
+# web scale; a bounded hash-bucket alphabet is the standard inverted-index
+# sharding).  A probe computes its terms' buckets driver-side (a handful
+# of ints — the literal PartitionFilters pattern), scans only those
+# directories, and broadcast-joins the tiny query-term dimension to drop
+# hash collisions.  Registered with q112's oracle: the physical layout
+# must not move a single value.
+
+import os as _os
+import tempfile as _tempfile
+
+_N_TERM_BUCKETS = 64
+_POSTINGS_BUILT: dict = {}
+
+
+def postings_index_path(sf_dir: str) -> str:
+    base = _os.path.basename(_os.path.normpath(sf_dir))
+    return _os.path.join(
+        _tempfile.gettempdir(), f"supermusr_postings_{base}.parquet"
+    )
+
+
+def write_postings_index(spark: SparkSession, sf_dir: str, out: str) -> None:
+    """One tokenize pass -> three artifacts: term-bucketed postings
+    (term, doc_id, tf), the vocabulary with document frequencies (for
+    query planning: rarest-term selection runs on THIS, never the
+    corpus), and doc lengths + corpus stats for the BM25 norm."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.expr(_TOKENS_EXPR_SPARK)).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tb = F.pmod(F.hash("term"), F.lit(_N_TERM_BUCKETS)).alias("tb")
+    (
+        tf.withColumn("tb", tb)
+        .repartition("tb")
+        .write.partitionBy("tb")
+        .mode("overwrite")
+        .parquet(_os.path.join(out, "postings"))
+    )
+    (
+        tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        .withColumn("tb", tb)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(_os.path.join(out, "terms"))
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    dl.write.mode("overwrite").parquet(_os.path.join(out, "doclen"))
+    (
+        docs.select(F.count(F.lit(1)).alias("n"))
+        .crossJoin(dl.agg(F.avg("dl").alias("avgdl")))
+        .write.mode("overwrite")
+        .parquet(_os.path.join(out, "stats"))
+    )
+
+
+@_register("q114_bm25_indexed", oracle=ORACLES["q112_bm25_topk"])
+def q114_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q112 through the physical postings index: query terms come from the
+    vocabulary artifact (rarest-df, same rule), their hash buckets become
+    a literal partition filter on the postings directories, and scoring
+    touches only the probed buckets + the doc-length and stats artifacts.
+    Registered with q112's oracle — layout must not move a value."""
+    path = postings_index_path(sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if not _POSTINGS_BUILT.get(key):
+        write_postings_index(spark, sf_dir, path)
+        _POSTINGS_BUILT[key] = True
+
+    terms = spark.read.parquet(_os.path.join(path, "terms"))
+    qrows = (
+        terms.orderBy(F.asc("df"), "term").limit(_BM25_N_QUERIES).collect()
+    )
+    buckets = sorted({int(r.tb) for r in qrows})
+    qterms = spark.createDataFrame(
+        [(r.term, int(r.df)) for r in qrows], "query_term string, df bigint"
+    )
+    postings = (
+        spark.read.parquet(_os.path.join(path, "postings"))
+        .filter(F.col("tb").isin(buckets))
+        .select("term", "doc_id", "tf")
+    )
+    dl = spark.read.parquet(_os.path.join(path, "doclen"))
+    stats = spark.read.parquet(_os.path.join(path, "stats"))
+    idf = F.log(
+        F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    norm = F.col("tf") + _BM25_K1 * (
+        1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    scored = (
+        F.broadcast(qterms)
+        .join(postings, postings.term == F.col("query_term"))
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_term",
+            "doc_id",
+            F.round(idf * (F.col("tf") * (_BM25_K1 + 1)) / norm, 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_term").orderBy(F.desc("score"), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _BM25_TOPK)
+        .select("query_term", "doc_id", "score", "rank")
     )

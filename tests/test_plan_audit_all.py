@@ -47,6 +47,7 @@ _BNLJ_OK = {
     "q109_customer_deciles",  # revenue total (1 row)
     "q110_jaccard_histogram",  # pair-count total (1 row)
     "q112_bm25_topk",        # N/avgdl scalar (1 row)
+    "q114_bm25_indexed",     # stats artifact scalar (1 row)
 }
 
 # queries whose plans carry an UNPARTITIONED window over a provably
