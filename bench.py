@@ -76,10 +76,10 @@ def main() -> None:
     # evaluation over q29's checkpoint, q51 = the SQ8 approx+re-rank
     # production configuration.  Repeats would hit the checkpoint cache
     # and time nothing.
-    # q96/q82 run AFTER their in-memory twins (q78/q79) in pipeline order:
-    # the first call of each builds its physical index under $TMPDIR, so the
-    # reported number is index-build + indexed-probe; the q78/q96 and
-    # q79/q82 deltas track what the physical layout buys round-over-round
+    # q96/q82 run AFTER their in-memory twins (q78/q79) in pipeline order;
+    # their physical indexes are pre-built (and timed) separately below, so
+    # the per-query numbers are probe-only and the q78/q96 and q79/q82
+    # deltas read directly as what the physical layout buys
     single_shot = {
         "q25_lsh_near_dup",
         "q42_dedup_clusters",
@@ -121,6 +121,44 @@ def main() -> None:
     spark.range(0, 10_000, numPartitions=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))).select(
         _warm_udf(F.col("id").cast("double"))
     ).count()
+
+    # physical-index builds timed SEPARATELY (VERDICT r6 #5): q82/q96/q114
+    # build their $TMPDIR artifact on first call, which used to fold the
+    # one-time build into the first probe's number.  Pre-building here (and
+    # setting each module's session guard) makes the per-query timings
+    # probe-only, and `index_builds` reports what each artifact cost.
+    index_builds: dict[str, float] = {}
+
+    def _prebuild(label: str, guard: dict, key, write_fn, path: str) -> None:
+        if guard.get(key):
+            return
+        t0 = time.perf_counter()
+        write_fn(spark, sf_dir, path)
+        guard[key] = True
+        index_builds[label] = round(time.perf_counter() - t0, 3)
+
+    app = spark.sparkContext.applicationId
+    try:
+        from supermusr_data_pipeline_spark.plans import incremental, retrieval, vector_pq
+
+        if "q82_indexed_incremental" in headline:
+            _prebuild(
+                "lsh_index", incremental._BUILT, (app, sf_dir),
+                incremental.write_lsh_index, incremental.lsh_index_path(sf_dir),
+            )
+        if "q96_pq_indexed" in headline:
+            _prebuild(
+                "pq_index", vector_pq._PQ_BUILT, (app, sf_dir),
+                vector_pq.write_pq_index, vector_pq.pq_index_path(sf_dir),
+            )
+        if "q114_bm25_indexed" in headline:
+            _prebuild(
+                "postings_index", retrieval._POSTINGS_BUILT, (app, sf_dir),
+                retrieval.write_postings_index,
+                retrieval.postings_index_path(sf_dir, app),
+            )
+    except ImportError:  # pragma: no cover - index modules are optional
+        pass
 
     def time_once(name: str) -> float:
         t0 = time.perf_counter()
@@ -175,6 +213,7 @@ def main() -> None:
                 "unit": "sec",
                 "legacy_headline_sec": round(sum(timings[h] for h in legacy), 3),
                 "queries": timings,
+                "index_builds": index_builds,
                 "shared_intermediates": shared,
                 "streaming": streaming,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

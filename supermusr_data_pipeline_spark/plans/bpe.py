@@ -78,14 +78,12 @@ def _initial_symbols(words: DataFrame) -> DataFrame:
     )
 
 
-# learned merge lists per (appId, sf_dir, n_merges, batch_k): the training
-# artifact is tiny (<= n_merges string pairs) and deterministic, so one
-# learn per session serves q91, q92, and any test that needs the ranks
+# learned (merge list, scan rounds) per (appId, sf_dir, n_merges, batch_k):
+# the training artifact is tiny (<= n_merges string pairs) and
+# deterministic, so one learn per session serves q91, q92, and any test
+# that needs the ranks.  Rounds ride in the cache entry — a module global
+# would go stale on cache hits and race concurrent learns.
 _LEARNED: dict = {}
-
-# scan rounds of the last learn_bpe_merges call — the batched-selection
-# speedup is "rounds drop ~k x", so expose the number a test can gate on
-LAST_BPE_ROUNDS = 0
 
 
 def _select_compatible(top_rows, k: int, remaining: int) -> list[tuple[str, str]]:
@@ -124,11 +122,10 @@ def learn_bpe_merges(
     (the 50k-merge production concern) drops ~k x.  ``batch_k=1`` is the
     classic Sennrich loop, pinned byte-exact against the pure-Python
     reference in tests/test_bpe.py."""
-    global LAST_BPE_ROUNDS
     key = (spark.sparkContext.applicationId, sf_dir, n_merges, batch_k)
     hit = _LEARNED.get(key)
     if hit is not None:
-        return list(hit)
+        return list(hit[0])
     from .text_dedup import _persistent_rdd_ids, _unpersist_rdd_ids
 
     sc = spark.sparkContext
@@ -197,11 +194,25 @@ def learn_bpe_merges(
             # .unpersist() does NOT free localCheckpoint RDDs — the CC
             # rounds in text_dedup learned the same lesson)
             _unpersist_rdd_ids(sc, held - before)
-        LAST_BPE_ROUNDS = rounds
-        _LEARNED[key] = list(merges)
+        _LEARNED[key] = (list(merges), rounds)
         return merges
     finally:
         _unpersist_rdd_ids(sc, _persistent_rdd_ids(sc) - before)
+
+
+def bpe_scan_rounds(
+    spark: SparkSession,
+    sf_dir: str,
+    n_merges: int = _BPE_MERGES,
+    batch_k: int = 1,
+) -> int:
+    """Corpus-scan rounds the learn took (learning first if not cached) —
+    the batched-selection claim is "rounds drop ~k x", and this is the
+    number a test gates on.  Read from the cache entry, so it is correct
+    for THIS parameter tuple regardless of other learns in the session."""
+    learn_bpe_merges(spark, sf_dir, n_merges=n_merges, batch_k=batch_k)
+    key = (spark.sparkContext.applicationId, sf_dir, n_merges, batch_k)
+    return _LEARNED[key][1]
 
 
 def apply_bpe(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
@@ -228,6 +239,25 @@ def q91_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [(i, a, b, a + b) for i, (a, b) in enumerate(merges)]
     return spark.createDataFrame(
         rows, "rank int, left string, right string, merged string"
+    )
+
+
+@_register("q115_bpe_learn_batched")  # rows-only: iterative fixpoint, no SQL oracle
+def q115_bpe_learn_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q91's merge table through the BATCHED learner (batch_k=8): each
+    corpus scan selects up to 8 symbol-disjoint merges and applies them in
+    one rewrite pass, so the driver round-trip count (the 50k-merge
+    production concern) drops ~8x.  The output carries the scan-round
+    count so the batching is observable in the artifact itself; the
+    compression trade vs the k=1 table is gated <= 10% in
+    tests/test_bpe.py.  Rows-only per the driver contract (iterative
+    fixpoint, no SQL oracle), like q91."""
+    merges = learn_bpe_merges(spark, sf_dir, batch_k=8)
+    rounds = bpe_scan_rounds(spark, sf_dir, batch_k=8)
+    rows = [(i, a, b, a + b, rounds) for i, (a, b) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows,
+        "rank int, left string, right string, merged string, scan_rounds int",
     )
 
 

@@ -96,7 +96,13 @@ def fit_ivf_centroids_spark(
     normalized = _normalized_rows(e).persist()
     normalized.count()
     try:
-        # seed rows: positions in vec_id order, chosen exactly as the tool
+        # seed rows: positions in vec_id order, chosen exactly as the tool.
+        # The global (unpartitioned) row_number below runs over `normalized`,
+        # which the stride filter above has already capped to ~max_sample
+        # rows — a BOUNDED input, the same contract the plan audit's
+        # bound-named window whitelist encodes for registry queries (fit
+        # jobs sit outside the audit, so the bound is stated here; callers
+        # fitting an unbounded corpus MUST pass max_sample).
         rng = np.random.default_rng(seed)
         idx = rng.choice(n, k, replace=False)
         pos = (

@@ -75,7 +75,12 @@ def fit_pq_codebooks_spark(
     rows = e.mapInPandas(to_f64, "vec_id bigint, x array<double>").persist()
     rows.count()
     try:
-        # per-subspace seed positions (vec_id order), one collect for all
+        # per-subspace seed positions (vec_id order), one collect for all.
+        # The global row_number below runs over `rows`, already capped to
+        # ~max_sample rows by the stride filter above — a bounded input
+        # (fit jobs sit outside the registry plan audit, so the bound is
+        # stated here; callers fitting an unbounded corpus MUST pass
+        # max_sample).
         seed_idx = [
             np.random.default_rng(seed + s).choice(n, _PQ_K, replace=False)
             for s in range(_PQ_M)

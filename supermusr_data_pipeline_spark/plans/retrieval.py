@@ -83,18 +83,18 @@ _BM25_TOPK = 10
     """,
 )
 def q112_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 top-{_BM25_TOPK} per query term (k1={_BM25_K1}, b={_BM25_B}).
-    Query terms are the {_BM25_N_QUERIES} RAREST terms (lowest document
+    """BM25 top-10 per query term (k1=1.2, b=0.75 — the _BM25_* module
+    constants).  Query terms are the 5 RAREST terms (lowest document
     frequency, lexicographic tie-break) — deterministic, corpus-derived,
     and maximally selective at every scale; real retrieval cost is always
     dominated by the rare-term postings a query actually probes.
 
     Scale shape: postings (doc_id, term, tf) and doc lengths are one
     explode + two keyed aggregations; N/avgdl is a broadcast scalar;
-    query terms are a broadcast {_BM25_N_QUERIES}-row dimension (built as
-    TakeOrdered + post-limit rank, never a global sort); scoring touches
-    only the query terms' postings and the per-query top-k is a window
-    partitioned by query_term."""
+    query terms are a broadcast 5-row dimension (built as TakeOrdered +
+    post-limit rank, never a global sort); scoring touches only the query
+    terms' postings and the per-query top-k is a window partitioned by
+    query_term."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(F.expr(_TOKENS_EXPR_SPARK)).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
@@ -244,10 +244,15 @@ _N_TERM_BUCKETS = 64
 _POSTINGS_BUILT: dict = {}
 
 
-def postings_index_path(sf_dir: str) -> str:
+def postings_index_path(sf_dir: str, app_id: str = "") -> str:
+    """Where the postings artifact lives.  The path is keyed by BOTH the
+    scale factor and the Spark applicationId: two concurrent sessions on
+    the same sf (e.g. a bench alongside a test run) must not race each
+    other's mode('overwrite') writes into one shared directory."""
     base = _os.path.basename(_os.path.normpath(sf_dir))
+    suffix = f"_{app_id}" if app_id else ""
     return _os.path.join(
-        _tempfile.gettempdir(), f"supermusr_postings_{base}.parquet"
+        _tempfile.gettempdir(), f"supermusr_postings_{base}{suffix}.parquet"
     )
 
 
@@ -291,7 +296,7 @@ def q114_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     a literal partition filter on the postings directories, and scoring
     touches only the probed buckets + the doc-length and stats artifacts.
     Registered with q112's oracle — layout must not move a value."""
-    path = postings_index_path(sf_dir)
+    path = postings_index_path(sf_dir, spark.sparkContext.applicationId)
     key = (spark.sparkContext.applicationId, sf_dir)
     if not _POSTINGS_BUILT.get(key):
         write_postings_index(spark, sf_dir, path)

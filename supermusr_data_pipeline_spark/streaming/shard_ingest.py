@@ -19,9 +19,14 @@ document enter the corpus" against the full standing index.
 Failure semantics: foreachBatch may re-run a batch after a crash, so the
 append must be idempotent.  A per-batch marker file under the index root
 guards the append (the same write-once discipline as the nexus sink's
-completed-file lifecycle, operators/nexus_sink.py); decisions land in a
+completed-file lifecycle, operators/nexus_sink.py) and records the ids
+that attempt admitted, so the re-run excludes exactly its own appended
+rows and recomputes byte-identical decisions; decisions land in a
 `batch_id`-partitioned parquet so re-runs overwrite their own partition
-instead of duplicating rows.
+instead of duplicating rows.  An at-least-once SOURCE is also handled: a
+doc_id redelivered in a LATER batch is found in the standing index and
+short-circuits to `already_ingested` / admit=false instead of appending
+a duplicate index row.
 
 Scale shape per batch: one narrow signature pass over the batch, one
 equi-join against bucket-truncated index bands (cap mirrors
@@ -64,29 +69,44 @@ def admit_batch(
     batch_docs: DataFrame,
     index_path: str,
     bucket_cap: int = _LSH_BUCKET_CAP,
+    self_appended: list | None = None,
 ) -> DataFrame:
     """Admission decisions for one micro-batch against the standing index:
-    (doc_id, dups_base, dups_earlier_peer, admit, reason) — q94's output
-    contract, computed from the persisted artifacts."""
+    (doc_id, already_ingested, dups_base, dups_earlier_peer, admit,
+    reason) — q94's output contract, computed from the persisted
+    artifacts.
+
+    ``self_appended`` is the crash-retry knob: on a foreachBatch re-run
+    whose first attempt already appended to the index, pass the ids THAT
+    ATTEMPT admitted (the batch marker records them).  Exactly those rows
+    are excluded from the index side — BEFORE the bucket cap, so
+    truncation picks the same survivors — which makes the recompute
+    byte-identical to the original decisions.  Everything else found in
+    the index under a batch doc_id must have been ingested by an EARLIER
+    batch (an at-least-once source redelivering), and short-circuits to
+    ``already_ingested`` / admit=false instead of re-admitting a
+    duplicate index row."""
     spark = batch_docs.sparkSession
     tokens, bands = _batch_artifacts(batch_docs)
-    # Crash-retry idempotency: after a crash between the index append and
-    # the decisions write, foreachBatch re-runs this batch while its
-    # admitted docs ALREADY sit in the index.  Matching the batch against
-    # those rows would flip every previously-admitted doc to
-    # near_dup_of_base (it matches itself at Jaccard 1.0) and flip
-    # same-batch peer dups to base dups.  Excluding the batch's own
-    # doc_ids from the index side — BEFORE the bucket cap, so truncation
-    # picks the same survivors as the first run — makes the recompute
-    # byte-identical to the original decisions.
     batch_ids = batch_docs.select("doc_id").distinct()
-    idx_bands = (
-        spark.read.parquet(os.path.join(index_path, "bands"))
-        .select("doc_id", F.col("band_no").cast("int").alias("band_no"), "key")
-        .join(F.broadcast(batch_ids), "doc_id", "left_anti")
+    idx_bands = spark.read.parquet(os.path.join(index_path, "bands")).select(
+        "doc_id", F.col("band_no").cast("int").alias("band_no"), "key"
     )
-    idx_tokens = spark.read.parquet(os.path.join(index_path, "tokens")).join(
-        F.broadcast(batch_ids), "doc_id", "left_anti"
+    idx_tokens = spark.read.parquet(os.path.join(index_path, "tokens"))
+    if self_appended:
+        self_df = spark.createDataFrame(
+            [(int(i),) for i in self_appended], "doc_id bigint"
+        )
+        idx_bands = idx_bands.join(F.broadcast(self_df), "doc_id", "left_anti")
+        idx_tokens = idx_tokens.join(F.broadcast(self_df), "doc_id", "left_anti")
+    # redelivery short-circuit: batch ids already in the (self-excluded)
+    # index were admitted by an earlier batch — the index side stays left
+    # so the scan is index-vs-broadcast-batch, never a shuffled semi-join
+    already = (
+        idx_tokens.select("doc_id")
+        .join(F.broadcast(batch_ids), "doc_id", "leftsemi")
+        .distinct()
+        .withColumn("already_ingested", F.lit(True))
     )
     # bucket truncation: the stop-bucket guard; min-doc_id members survive,
     # so a template bucket's representative always remains checkable
@@ -157,7 +177,8 @@ def admit_batch(
 
     shard = batch_docs.select("doc_id")
     out = (
-        shard.join(
+        shard.join(F.broadcast(already), "doc_id", "left")
+        .join(
             F.broadcast(verified_base.withColumnRenamed("new_id", "doc_id")),
             "doc_id", "left",
         )
@@ -167,20 +188,43 @@ def admit_batch(
         )
         .select(
             "doc_id",
+            F.coalesce("already_ingested", F.lit(False)).alias("already_ingested"),
             F.coalesce("dups_base", F.lit(False)).alias("dups_base"),
             F.coalesce("dups_earlier_peer", F.lit(False)).alias("dups_earlier_peer"),
         )
     )
     return out.select(
         "doc_id",
+        "already_ingested",
         "dups_base",
         "dups_earlier_peer",
-        (~F.col("dups_base") & ~F.col("dups_earlier_peer")).alias("admit"),
-        F.when(F.col("dups_base"), "near_dup_of_base")
+        (
+            ~F.col("already_ingested")
+            & ~F.col("dups_base")
+            & ~F.col("dups_earlier_peer")
+        ).alias("admit"),
+        F.when(F.col("already_ingested"), "already_ingested")
+        .when(F.col("dups_base"), "near_dup_of_base")
         .when(F.col("dups_earlier_peer"), "near_dup_of_earlier_peer")
         .otherwise("admitted")
         .alias("reason"),
     )
+
+
+def _read_marker_ids(marker: str, batch_df: DataFrame, id_col: str = "doc_id"):
+    """None if this batch never appended (fresh run); else the ids the
+    first attempt admitted — the crash-retry exclusion set.  A legacy
+    marker (pre-ids format, content 'done') cannot name them; fall back to
+    the full batch id set, which is exactly the pre-v2 exclusion, so old
+    checkpoints stay replayable (they just lose the redelivery
+    short-circuit for that one batch)."""
+    if not os.path.exists(marker):
+        return None
+    with open(marker) as f:
+        toks = f.read().split()
+    if all(t.lstrip("-").isdigit() for t in toks):
+        return [int(t) for t in toks]
+    return [r[id_col] for r in batch_df.select(id_col).distinct().collect()]
 
 
 def _append_admitted(batch_docs: DataFrame, admitted: DataFrame, index_path: str) -> None:
@@ -218,15 +262,26 @@ def ingest_shard_stream(
         before = _persistent_rdd_ids(sc)
         try:
             marker = os.path.join(index_path, f"_ingested_batch_{batch_id}")
-            decisions = admit_batch(batch_df, index_path, bucket_cap).localCheckpoint()
+            # the marker records the ids THIS batch appended (newline-
+            # separated), so a crash-retry excludes exactly its own rows
+            # from the index side and still sees earlier batches'
+            # redeliveries as already_ingested
+            self_appended = _read_marker_ids(marker, batch_df)
+            decisions = admit_batch(
+                batch_df, index_path, bucket_cap, self_appended=self_appended
+            ).localCheckpoint()
             # append BEFORE publishing decisions: a batch's decisions must not
             # become visible until the index reflects its admissions (and a
             # stop/crash between the two steps then re-runs the decisions
             # write, not the append — which the marker guards anyway)
-            if not os.path.exists(marker):
-                _append_admitted(batch_df, decisions.filter("admit"), index_path)
-                with open(marker, "w") as f:
-                    f.write("done")
+            if self_appended is None:
+                admitted = decisions.filter("admit")
+                _append_admitted(batch_df, admitted, index_path)
+                ids = sorted(int(r.doc_id) for r in admitted.select("doc_id").collect())
+                tmp = marker + ".tmp"
+                with open(tmp, "w") as f:
+                    f.write("\n".join(str(i) for i in ids))
+                os.replace(tmp, marker)  # a half-written marker never counts
             (
                 decisions.withColumn("batch_id", F.lit(batch_id))
                 .write.mode("overwrite")

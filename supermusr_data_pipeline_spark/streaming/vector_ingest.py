@@ -20,13 +20,15 @@ controls that with the codebook fit (q48 monitors it), and the full-tape
 q58 pass is the lambda backfill, exactly as near_dup_reconcile backfills
 the LSH stream.
 
-Failure semantics (the shard_ingest lessons, both of them): the index
-append is guarded by a per-batch marker file, and decisions land in a
-``batch_id``-partitioned parquet so re-runs overwrite their own
-partition; AND the index side is anti-joined against the batch's own
-vec_ids BEFORE matching, so a crash-retry that already appended
-recomputes decisions byte-identical to the first run (a vector must not
-flip to dup-of-base by matching itself at cosine 1.0).
+Failure semantics (the shard_ingest lessons, all of them): the index
+append is guarded by a per-batch marker file that RECORDS the appended
+ids, and decisions land in a ``batch_id``-partitioned parquet so re-runs
+overwrite their own partition; a crash-retry anti-joins exactly its own
+appended rows out of the index side, so the recompute is byte-identical
+to the first run (a vector must not flip to dup-of-base by matching
+itself at cosine 1.0); and a vec_id redelivered by an at-least-once
+source in a LATER batch short-circuits to ``already_ingested`` instead
+of appending a duplicate index row.
 
 Scale shape per batch: one narrow cell-assignment pass over the batch,
 one partition-pruned index scan of the occupied cells, one broadcast
@@ -70,16 +72,35 @@ def admit_vector_batch(
     index_path: str,
     cents,
     tau: float = _SEM_TAU,
+    self_appended: list | None = None,
 ) -> DataFrame:
     """Admission decisions for one micro-batch against the standing index:
-    (vec_id, cell, dups_base, dups_earlier_peer, admit, reason)."""
-    return _admit_assigned(assign_cells(batch_vecs, cents), index_path, tau)
+    (vec_id, cell, already_ingested, dups_base, dups_earlier_peer, admit,
+    reason).  ``self_appended`` is the crash-retry exclusion set — see
+    shard_ingest.admit_batch for the contract."""
+    return _admit_assigned(
+        assign_cells(batch_vecs, cents), index_path, tau, self_appended
+    )
 
 
-def _admit_assigned(batch: DataFrame, index_path: str, tau: float) -> DataFrame:
+def _admit_assigned(
+    batch: DataFrame,
+    index_path: str,
+    tau: float,
+    self_appended: list | None = None,
+) -> DataFrame:
     """Decisions from an already-assigned (vec_id, emb, cell) batch — the
     streaming path hands a per-batch checkpoint here so the assignment
-    isn't recomputed per consumer (and releases it after the writes)."""
+    isn't recomputed per consumer (and releases it after the writes).
+
+    Crash-retry vs redelivery (the shard_ingest contract): on a re-run of
+    a batch that already appended, ``self_appended`` names exactly the
+    rows to exclude from the index side, making the recompute
+    byte-identical to run one.  Any OTHER batch vec_id found in the index
+    was ingested by an earlier batch (at-least-once source redelivery) and
+    short-circuits to ``already_ingested`` — identity is by vec_id, and
+    the occupied-cells partition filter still finds it because the same
+    embedding assigns to the same cell under the fixed codebook."""
     spark = batch.sparkSession
     batch_ids = batch.select("vec_id").distinct()
     # literal partition filter: only the batch's occupied cells are read
@@ -92,13 +113,17 @@ def _admit_assigned(batch: DataFrame, index_path: str, tau: float) -> DataFrame:
             F.col("emb").alias("old_emb"),
             F.col("cell").cast("int").alias("cell"),
         )
-        # crash-retry idempotency: this batch's admitted rows may already
-        # sit in the index — exclude them so the recompute equals run one
-        .join(
-            F.broadcast(batch_ids.withColumnRenamed("vec_id", "old_id")),
-            "old_id",
-            "left_anti",
+    )
+    if self_appended:
+        self_df = spark.createDataFrame(
+            [(int(i),) for i in self_appended], "old_id bigint"
         )
+        idx = idx.join(F.broadcast(self_df), "old_id", "left_anti")
+    already = (
+        idx.select(F.col("old_id").alias("vec_id"))
+        .join(F.broadcast(batch_ids), "vec_id", "leftsemi")
+        .distinct()
+        .withColumn("already_ingested", F.lit(True))
     )
     cos_base = _COS.format(a="emb", b="old_emb")
     dups_base = (
@@ -126,21 +151,29 @@ def _admit_assigned(batch: DataFrame, index_path: str, tau: float) -> DataFrame:
     )
     return (
         batch.select("vec_id", "cell")
+        .join(F.broadcast(already), "vec_id", "left")
         .join(F.broadcast(dups_base), "vec_id", "left")
         .join(F.broadcast(dups_peer), "vec_id", "left")
         .select(
             "vec_id",
             "cell",
+            F.coalesce("already_ingested", F.lit(False)).alias("already_ingested"),
             F.coalesce("dups_base", F.lit(False)).alias("dups_base"),
             F.coalesce("dups_earlier_peer", F.lit(False)).alias("dups_earlier_peer"),
         )
         .select(
             "vec_id",
             "cell",
+            "already_ingested",
             "dups_base",
             "dups_earlier_peer",
-            (~F.col("dups_base") & ~F.col("dups_earlier_peer")).alias("admit"),
-            F.when(F.col("dups_base"), "sem_dup_of_base")
+            (
+                ~F.col("already_ingested")
+                & ~F.col("dups_base")
+                & ~F.col("dups_earlier_peer")
+            ).alias("admit"),
+            F.when(F.col("already_ingested"), "already_ingested")
+            .when(F.col("dups_base"), "sem_dup_of_base")
             .when(F.col("dups_earlier_peer"), "sem_dup_of_earlier_peer")
             .otherwise("admitted")
             .alias("reason"),
@@ -187,13 +220,24 @@ def ingest_vector_stream(
         sc = batch_df.sparkSession.sparkContext
         before = _persistent_rdd_ids(sc)
         try:
+            from .shard_ingest import _read_marker_ids
+
             assigned = assign_cells(batch_df, cents).localCheckpoint()
             marker = os.path.join(index_path, f"_ingested_batch_{batch_id}")
-            decisions = _admit_assigned(assigned, index_path, tau).localCheckpoint()
-            if not os.path.exists(marker):
-                _append_assigned(assigned, decisions.filter("admit"), index_path)
-                with open(marker, "w") as f:
-                    f.write("done")
+            # marker records the ids this batch appended (crash-retry
+            # exclusion set); see shard_ingest for the redelivery contract
+            self_appended = _read_marker_ids(marker, batch_df, id_col="vec_id")
+            decisions = _admit_assigned(
+                assigned, index_path, tau, self_appended
+            ).localCheckpoint()
+            if self_appended is None:
+                admitted = decisions.filter("admit")
+                _append_assigned(assigned, admitted, index_path)
+                ids = sorted(int(r.vec_id) for r in admitted.select("vec_id").collect())
+                tmp = marker + ".tmp"
+                with open(tmp, "w") as f:
+                    f.write("\n".join(str(i) for i in ids))
+                os.replace(tmp, marker)  # a half-written marker never counts
             (
                 decisions.withColumn("batch_id", F.lit(batch_id))
                 .write.mode("overwrite")

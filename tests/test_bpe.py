@@ -151,13 +151,10 @@ def test_batched_learner_trade_is_bounded_and_cheaper(spark):
 
     n = 20
     app = spark.sparkContext.applicationId
-    # clear any cached learns: LAST_BPE_ROUNDS reflects the last ACTUAL scan
-    bpe._LEARNED.pop((app, SF_DIR, n, 1), None)
-    bpe._LEARNED.pop((app, SF_DIR, n, 8), None)
     k1 = learn_bpe_merges(spark, SF_DIR, n_merges=n, batch_k=1)
-    rounds_k1 = bpe.LAST_BPE_ROUNDS
+    rounds_k1 = bpe.bpe_scan_rounds(spark, SF_DIR, n_merges=n, batch_k=1)
     k8 = learn_bpe_merges(spark, SF_DIR, n_merges=n, batch_k=8)
-    rounds_k8 = bpe.LAST_BPE_ROUNDS
+    rounds_k8 = bpe.bpe_scan_rounds(spark, SF_DIR, n_merges=n, batch_k=8)
     assert len(k8) == len(k1) == n
     assert rounds_k1 == n
     assert rounds_k8 <= (n + 1) // 2, f"batched rounds {rounds_k8} not ~k x fewer"

@@ -132,10 +132,11 @@ def test_decisions_are_rerun_idempotent(spark, tmp_path):
 
     first = sorted(admit_batch(batch, idx).collect())
     # crash point: append done, decisions write lost → foreachBatch re-runs
+    # with the marker naming the appended ids (here: 41)
     shard_ingest._append_admitted(
         batch, admit_batch(batch, idx).filter("admit"), idx
     )
-    rerun = sorted(admit_batch(batch, idx).collect())
+    rerun = sorted(admit_batch(batch, idx, self_appended=[41]).collect())
     assert rerun == first, (
         "re-run decisions diverged from the original:\n"
         f"first={first}\nrerun={rerun}"
@@ -144,3 +145,35 @@ def test_decisions_are_rerun_idempotent(spark, tmp_path):
     assert d[41].admit and d[41].reason == "admitted"
     assert d[42].reason == "near_dup_of_earlier_peer"
     assert d[43].reason == "near_dup_of_base"
+
+
+def test_later_batch_redelivery_short_circuits(spark, tmp_path):
+    """An at-least-once source redelivering an ALREADY-ADMITTED doc_id in
+    a later batch (different batch_id, so no marker guards it) must be
+    rejected as already_ingested, not re-admitted as a fresh doc — and
+    must not append a duplicate index row (ADVICE r6)."""
+    idx = _mk_index(spark, tmp_path)
+    from supermusr_data_pipeline_spark.streaming import shard_ingest
+
+    b1 = spark.createDataFrame(
+        [(51, NEW_TEXT, "en", "s1", len(NEW_TEXT))], SCHEMA
+    )
+    d1 = admit_batch(b1, idx)
+    assert d1.collect()[0].admit
+    shard_ingest._append_admitted(b1, d1.filter("admit"), idx)
+
+    # later batch redelivers 51 alongside a genuinely fresh doc
+    b2 = spark.createDataFrame(
+        [(51, NEW_TEXT, "en", "s1", len(NEW_TEXT)),
+         (52, NEW_TEXT2, "en", "s1", len(NEW_TEXT2))], SCHEMA
+    )
+    d2 = {r.doc_id: r for r in admit_batch(b2, idx).collect()}
+    assert not d2[51].admit and d2[51].reason == "already_ingested"
+    assert d2[52].admit and d2[52].reason == "admitted"
+    # appending only the admitted slice leaves exactly one row for 51
+    shard_ingest._append_admitted(
+        b2, admit_batch(b2, idx).filter("admit"), idx
+    )
+    tok = spark.read.parquet(f"{idx}/tokens")
+    assert tok.filter("doc_id = 51").count() == 1
+    assert tok.filter("doc_id = 52").count() == 1

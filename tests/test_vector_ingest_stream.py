@@ -132,7 +132,10 @@ def test_decisions_are_rerun_idempotent(spark, tmp_path):
     _append_admitted(
         batch, admit_vector_batch(batch, idx, CENTS).filter("admit"), idx, CENTS
     )
-    rerun = sorted(admit_vector_batch(batch, idx, CENTS).collect())
+    # the re-run's marker names the appended ids (here: 41)
+    rerun = sorted(
+        admit_vector_batch(batch, idx, CENTS, self_appended=[41]).collect()
+    )
     assert rerun == first, (
         f"re-run decisions diverged:\nfirst={first}\nrerun={rerun}"
     )
@@ -140,3 +143,27 @@ def test_decisions_are_rerun_idempotent(spark, tmp_path):
     assert d[41].admit and d[41].reason == "admitted"
     assert d[42].reason == "sem_dup_of_earlier_peer"
     assert d[43].reason == "sem_dup_of_base"
+
+
+def test_later_batch_redelivery_short_circuits(spark, tmp_path):
+    """A vec_id redelivered by an at-least-once source in a LATER batch
+    (no marker guards it) must be rejected as already_ingested, not
+    re-admitted (ADVICE r6, the shard_ingest fix applied here too)."""
+    idx = _mk_index(spark, tmp_path)
+    b1 = spark.createDataFrame(_rows((51, FRESH_1)), SCHEMA)
+    d1 = admit_vector_batch(b1, idx, CENTS)
+    assert d1.collect()[0].admit
+    _append_admitted(b1, d1.filter("admit"), idx, CENTS)
+
+    b2 = spark.createDataFrame(
+        _rows((51, FRESH_1), (52, FRESH_2)), SCHEMA
+    )
+    d2 = {r.vec_id: r for r in admit_vector_batch(b2, idx, CENTS).collect()}
+    assert not d2[51].admit and d2[51].reason == "already_ingested"
+    assert d2[52].admit and d2[52].reason == "admitted"
+    _append_admitted(
+        b2, admit_vector_batch(b2, idx, CENTS).filter("admit"), idx, CENTS
+    )
+    all_rows = spark.read.parquet(idx)
+    assert all_rows.filter("vec_id = 51").count() == 1
+    assert all_rows.filter("vec_id = 52").count() == 1
