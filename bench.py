@@ -205,6 +205,18 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 — report, don't sink the bench
             streaming = {"error": str(e)[:200]}
 
+    # index-backed ingest front doors (shard LSH + vector IVF): offered
+    # vs admitted docs/s against the standing index at sf0.01 — the
+    # "index IS the state" claim as a throughput number (VERDICT r6 #9)
+    ingest = None
+    if os.environ.get("SPARK_GRAFT_SKIP_STREAMING") != "1":
+        try:
+            import bench_ingest
+
+            ingest = bench_ingest.run(spark)
+        except Exception as e:  # noqa: BLE001 — report, don't sink the bench
+            ingest = {"error": str(e)[:200]}
+
     print(
         json.dumps(
             {
@@ -216,6 +228,7 @@ def main() -> None:
                 "index_builds": index_builds,
                 "shared_intermediates": shared,
                 "streaming": streaming,
+                "streaming_ingest": ingest,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

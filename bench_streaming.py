@@ -3,24 +3,29 @@
 SUSTAINED 50 frames/s (simulator `--frame-time 20`,
 simulator/src/main.rs:132-135) with trace->frame latency bounded by the
 aggregator's 500 ms completeness TTL / <=1 s dispatch budget
-(digitiser-aggregator/src/main.rs:110-118).  This harness replays a
-synthetic dev2 tape through the FULL streaming topology —
+(digitiser-aggregator/src/main.rs:110-118).  This harness replays
+synthetic dev2 tapes through the FULL streaming topology —
 assemble_frames_stream (applyInPandasWithState frame FSM) feeding the
-NexusStreamWriter sink inside one query — and measures both numbers:
+NexusStreamWriter sink inside one query — and measures:
 
-- **paced run**: a feeder thread lands one message file per frame every
-  20 ms (the real arrival cadence); per-frame latency = wall-clock from
-  the frame's LAST message landing to the frame being fully committed by
-  the sink batch that carried it.  Sustained fps = frames / (last commit
-  - first arrival).
-- **unpaced run**: the whole tape at once under availableNow — the
-  topology's maximum micro-batch throughput, the headroom number.
+- **paced soak** (per shape): a feeder thread lands one message file per
+  frame every 20 ms (the real arrival cadence); per-frame latency =
+  wall-clock from the frame's LAST message landing to the frame being
+  fully committed by the sink batch that carried it.  The keep-up gate
+  is a LATENCY-VS-TAPE-POSITION SLOPE: an under-provisioned pipeline
+  shows latency growing linearly with position (backlog drift), so the
+  gate is `slope <= 0.01 s/s` over the whole soak, with the
+  first-half/second-half median comparison kept as a secondary signal.
+- **unpaced run** (per shape): the whole tape at once under availableNow
+  — the topology's maximum micro-batch throughput, the headroom number.
+- **cycle decomposition**: per-micro-batch buckets (engine durationMs
+  medians + the sink's own fsm/write phase log), published so the
+  latency floor is measured, not asserted.
 
-Shape: scaled from the reference's full instrument (32 digitisers x 500
-events/frame-message).  The default here is 8 digitisers x 500 events at
-50 fps for 300 frames (6 s of beam) — the per-frame event volume per
-digitiser is reference-exact; the digitiser fan-in is scaled 4x down and
-stated in the output JSON so the envelope claim is honest.
+Shapes: 8 digitisers x 500 events/frame (the long 60 s soak) and the
+reference's full instrument, 32 digitisers x 500 events
+(simulator/src/integrated/simulation.rs:148-151), on a shorter soak.
+Per-frame events per digitiser are reference-exact in both.
 
 Standalone: `python bench_streaming.py` prints one JSON line.
 bench.py embeds the same dict under its "streaming" key.
@@ -45,57 +50,67 @@ from pyspark.sql import SparkSession  # noqa: E402
 
 FRAME_RATE_HZ = 50
 FRAME_PERIOD_S = 1.0 / FRAME_RATE_HZ
-N_DIGITISERS = 8
 EVENTS_PER_MESSAGE = 500  # reference simulator default --events 500
-N_FRAMES = 600            # 12 s of beam at 50 Hz — long enough that the
-#                           ~3 s micro-batch cycle reaches steady state
 LATENCY_BUDGET_S = 1.0    # aggregator dispatch budget (BASELINE.md)
+RELAXED_BUDGET_S = 2.0    # the micro-batch-granular bar (VERDICT r6 #1)
+SLOPE_GATE_S_PER_S = 0.01  # backlog drift gate: <=10 ms latency growth/s
+
+# shapes: (n_digitisers, paced frames).  Both soaks run 60 s of beam —
+# long enough that the latency-vs-position slope is measured on dozens
+# of steady-state batches, not dominated by the JIT/GC warm-in (the
+# round-6 600-frame tape passed its drift bound by 10 ms; these don't
+# have that problem).
+SHAPES = [
+    (8, int(os.environ.get("SPARK_GRAFT_STREAM_FRAMES", "3000"))),
+    (32, int(os.environ.get("SPARK_GRAFT_STREAM_FRAMES_32", "3000"))),
+]
+
+N_WARMUP = 32  # pre-roll frames excluded from the measured window
 
 _BASE_TS_US = int(
     datetime(2024, 1, 1, tzinfo=timezone.utc).timestamp() * 1_000_000
 )
 
-_ARROW_SCHEMA = pa.schema(
-    [
-        ("digitizer_id", pa.int32()),
-        ("ts", pa.timestamp("us")),
-        ("period_number", pa.int64()),
-        ("protons_per_pulse", pa.int32()),
-        ("running", pa.bool_()),
-        ("frame_number", pa.int64()),
-        ("veto_flags", pa.int32()),
-        ("channel", pa.list_(pa.int32())),
-        ("event_time", pa.list_(pa.int64())),
-        ("event_voltage", pa.list_(pa.float64())),
-    ]
-)
+
+def _arrow_schema() -> pa.Schema:
+    return pa.schema(
+        [
+            ("digitizer_id", pa.int32()),
+            ("ts", pa.timestamp("us")),
+            ("period_number", pa.int64()),
+            ("protons_per_pulse", pa.int32()),
+            ("running", pa.bool_()),
+            ("frame_number", pa.int64()),
+            ("veto_flags", pa.int32()),
+            ("channel", pa.list_(pa.int32())),
+            ("event_time", pa.list_(pa.int64())),
+            ("event_voltage", pa.list_(pa.float64())),
+        ]
+    )
 
 
-def _frame_table(i: int) -> pa.Table:
+def _frame_table(i: int, n_digitisers: int) -> pa.Table:
     """One frame's worth of dev2 messages (one row per digitiser), built
     with deterministic event payloads — no RNG, so re-runs are identical."""
+    schema = _arrow_schema()
     ts = _BASE_TS_US + i * int(FRAME_PERIOD_S * 1_000_000)
     ch = [int(e % 8) for e in range(EVENTS_PER_MESSAGE)]
     et = [int(e * 37 % 20_000_000) for e in range(EVENTS_PER_MESSAGE)]
     ev = [float((e * 7 + i) % 4096) for e in range(EVENTS_PER_MESSAGE)]
     cols = {
-        "digitizer_id": list(range(N_DIGITISERS)),
-        "ts": [ts] * N_DIGITISERS,
-        "period_number": [i // 1000] * N_DIGITISERS,
-        "protons_per_pulse": [4] * N_DIGITISERS,
-        "running": [True] * N_DIGITISERS,
-        "frame_number": [i] * N_DIGITISERS,
-        "veto_flags": [1 << (i % 4)] * N_DIGITISERS,
-        "channel": [ch] * N_DIGITISERS,
-        "event_time": [et] * N_DIGITISERS,
-        "event_voltage": [ev] * N_DIGITISERS,
+        "digitizer_id": list(range(n_digitisers)),
+        "ts": [ts] * n_digitisers,
+        "period_number": [i // 1000] * n_digitisers,
+        "protons_per_pulse": [4] * n_digitisers,
+        "running": [True] * n_digitisers,
+        "frame_number": [i] * n_digitisers,
+        "veto_flags": [1 << (i % 4)] * n_digitisers,
+        "channel": [ch] * n_digitisers,
+        "event_time": [et] * n_digitisers,
+        "event_voltage": [ev] * n_digitisers,
     }
-    arrays = [
-        pa.array(cols[f.name], type=f.type) if f.name != "ts"
-        else pa.array(cols["ts"], type=pa.timestamp("us"))
-        for f in _ARROW_SCHEMA
-    ]
-    return pa.Table.from_arrays(arrays, schema=_ARROW_SCHEMA)
+    arrays = [pa.array(cols[f.name], type=f.type) for f in schema]
+    return pa.Table.from_arrays(arrays, schema=schema)
 
 
 def _write_atomic(tbl: pa.Table, path: str) -> None:
@@ -104,10 +119,10 @@ def _write_atomic(tbl: pa.Table, path: str) -> None:
     os.replace(tmp, path)  # the stream never sees a partial file
 
 
-def _runs_df(spark: SparkSession):
+def _runs_df(spark: SparkSession, n_frames: int):
     from pyspark.sql import functions as F
 
-    end_us = _BASE_TS_US + (N_FRAMES + 100) * int(FRAME_PERIOD_S * 1_000_000)
+    end_us = _BASE_TS_US + (n_frames + 100) * int(FRAME_PERIOD_S * 1_000_000)
     return spark.createDataFrame(
         [("bench_run", _BASE_TS_US - 1_000_000, end_us)],
         "run_name string, from_us long, until_us long",
@@ -118,11 +133,14 @@ def _runs_df(spark: SparkSession):
     )
 
 
-def _start_query(spark, spool: str, sink: str, ckpt: str, on_frames, trigger: dict):
+def _start_query(
+    spark, spool: str, sink: str, ckpt: str, on_frames, trigger: dict,
+    n_digitisers: int, n_frames: int, phase_log: list | None = None,
+):
     """One streaming query: files -> frame FSM -> nexus sink; on_frames is
     called with (list[frame_number], commit_wallclock) per micro-batch via
     the writer's on_commit hook — frame observation rides the sink's own
-    totals collect, so the batch runs exactly the production job count."""
+    dimension collect, so the batch runs exactly the production job count."""
     from supermusr_data_pipeline_spark.streaming.frame_assembly_stream import (
         DIGITISER_MESSAGE_SCHEMA,
         assemble_frames_stream,
@@ -130,13 +148,23 @@ def _start_query(spark, spool: str, sink: str, ckpt: str, on_frames, trigger: di
     from supermusr_data_pipeline_spark.streaming.nexus_stream import NexusStreamWriter
 
     writer = NexusStreamWriter(
-        _runs_df(spark), sink,
+        _runs_df(spark, n_frames), sink,
         on_commit=lambda frames: on_frames(frames, time.perf_counter()),
     )
+    writer.phase_log = phase_log
 
-    messages = spark.readStream.schema(DIGITISER_MESSAGE_SCHEMA).parquet(spool)
+    # cleanSource=delete: the spool is a consume-once landing zone, and
+    # the file source re-LISTS the whole directory every micro-batch — on
+    # a long soak the listing cost would otherwise grow linearly with
+    # tape position (a real latency-drift term).  Deleting committed
+    # files bounds the directory at (arrival-rate x cycle) entries.
+    messages = (
+        spark.readStream.schema(DIGITISER_MESSAGE_SCHEMA)
+        .option("cleanSource", "delete")
+        .parquet(spool)
+    )
     frames = assemble_frames_stream(
-        messages, list(range(N_DIGITISERS)), frame_ttl_ms=500
+        messages, list(range(n_digitisers)), frame_ttl_ms=500
     )
     return (
         frames.writeStream.foreachBatch(writer)
@@ -150,43 +178,81 @@ def _start_query(spark, spool: str, sink: str, ckpt: str, on_frames, trigger: di
 # fire processing-time timers, but with availableNow they keep the query
 # alive indefinitely (and cost ~0.7 s each on this topology) — the bench
 # tape completes every frame, so timers never matter; AQE re-plans every
-# 500 ms micro-batch for no benefit at this size; 8 state partitions
-# bound the per-batch Python-worker fan-out (32 keys in flight max).
+# micro-batch for no benefit at this size; 8 state partitions measured
+# best among {2,4,8,16,32} for the FSM fan-out on local[32].
 _STREAM_CONF = {
     "spark.sql.streaming.noDataMicroBatches.enabled": "false",
     "spark.sql.adaptive.enabled": "false",
-    "spark.sql.shuffle.partitions": "8",
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8"),
+    # a 60 s soak can exceed the default 100 retained progress entries
+    "spark.sql.streaming.numRecentProgressUpdates": "1000",
 }
 
-N_WARMUP = 32  # pre-roll frames excluded from the measured window
+
+def _slope(xs: list[float], ys: list[float]) -> float:
+    """Least-squares slope of ys on xs (s of latency per s of tape)."""
+    n = len(xs)
+    if n < 2:
+        return 0.0
+    mx = sum(xs) / n
+    my = sum(ys) / n
+    sxx = sum((x - mx) ** 2 for x in xs)
+    if sxx == 0:
+        return 0.0
+    return sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sxx
 
 
-def run(spark: SparkSession, workdir: str | None = None) -> dict:
-    base = workdir or tempfile.mkdtemp(prefix="supermusr_stream_bench_")
-    n_total = N_WARMUP + N_FRAMES
-    tables = [_frame_table(i) for i in range(n_total)]
-    prior = {k: spark.conf.get(k, None) for k in _STREAM_CONF}
-    for k, v in _STREAM_CONF.items():
-        spark.conf.set(k, v)
-    try:
-        out = _run_measured(spark, base, tables)
-    finally:
-        for k, v in prior.items():
-            if v is not None:
-                spark.conf.set(k, v)
-        if workdir is None:
-            shutil.rmtree(base, ignore_errors=True)
-    return out
+def _cycle_decomposition(query, phase_log: list) -> dict:
+    """Median per-micro-batch buckets: engine durations from the query's
+    recent progress + the sink's own fsm/write phase timers.  This is the
+    measured floor table (VERDICT r6 #1): what a cycle costs and where."""
+    prog = []
+    for p in query.recentProgress:
+        d = p.get("durationMs", {}) if isinstance(p, dict) else json.loads(p.json)["durationMs"]
+        if isinstance(p, dict):
+            rows = p.get("numInputRows", 0)
+        else:
+            rows = json.loads(p.json).get("numInputRows", 0)
+        if rows and rows > 0:
+            prog.append(d)
+
+    def med(vals):
+        vals = sorted(vals)
+        return vals[len(vals) // 2] if vals else None
+
+    def med_ms(key):
+        v = med([d.get(key, 0) for d in prog])
+        return round(v / 1000.0, 3) if v is not None else None
+
+    # skip the first measured batch (stream start-up pays codegen, python
+    # worker pool, state-store init — the soak's warm-up batch)
+    steady = phase_log[1:] if len(phase_log) > 1 else phase_log
+    return {
+        "n_batches": len(prog),
+        "trigger_s": med_ms("triggerExecution"),
+        "add_batch_s": med_ms("addBatch"),
+        "source_listing_s": round(
+            ((med([d.get("getBatch", 0) for d in prog]) or 0)
+             + (med([d.get("latestOffset", 0) for d in prog]) or 0)) / 1000.0, 3),
+        "offset_mgmt_s": round(
+            ((med([d.get("walCommit", 0) for d in prog]) or 0)
+             + (med([d.get("commitOffsets", 0) for d in prog]) or 0)) / 1000.0, 3),
+        "query_planning_s": med_ms("queryPlanning"),
+        "sink_fsm_s": round(med([b["fsm_s"] for b in steady]) or 0, 3) if steady else None,
+        "sink_write_s": round(med([b["write_s"] for b in steady]) or 0, 3) if steady else None,
+        "frames_per_batch_med": med([b["n_frames"] for b in steady]) if steady else None,
+    }
 
 
-def _run_measured(spark: SparkSession, base: str, tables) -> dict:
-    n_total = len(tables)
+def _run_shape(spark: SparkSession, base: str, n_digitisers: int, n_frames: int) -> dict:
+    n_total = N_WARMUP + n_frames
+    label = f"{n_digitisers}x{EVENTS_PER_MESSAGE}"
 
-    # ---- paced run: real 50 fps arrival cadence, latency + sustained fps.
+    # ---- paced soak: real 50 fps arrival cadence, latency + slope.
     # The first N_WARMUP frames land in one gulp and are excluded from the
     # metrics: they pay the one-time stream start-up (Python workers, state
     # store, codegen) that a SUSTAINED envelope claim rightly amortizes.
-    spool_p = os.path.join(base, "spool_paced")
+    spool_p = os.path.join(base, f"spool_paced_{label}")
     os.makedirs(spool_p, exist_ok=True)
     emit: dict[int, float] = {}
     emit_lock = threading.Lock()
@@ -196,17 +262,21 @@ def _run_measured(spark: SparkSession, base: str, tables) -> dict:
             for f in frames:
                 emit.setdefault(f, t)
 
+    phase_log: list = []
     # ASAP trigger: batches run back-to-back, so the full batch budget goes
     # to processing instead of waiting out a timer — lowest queueing delay
     # the micro-batch model offers at this load
     q = _start_query(
-        spark, spool_p, os.path.join(base, "sink_paced"),
-        os.path.join(base, "ckpt_paced"), on_frames,
-        {"processingTime": "0 seconds"},
+        spark, spool_p, os.path.join(base, f"sink_paced_{label}"),
+        os.path.join(base, f"ckpt_paced_{label}"), on_frames,
+        {"processingTime": "0 seconds"}, n_digitisers, n_frames, phase_log,
     )
 
     for i in range(N_WARMUP):
-        _write_atomic(tables[i], os.path.join(spool_p, f"frame_{i:05d}.parquet"))
+        _write_atomic(
+            _frame_table(i, n_digitisers),
+            os.path.join(spool_p, f"frame_{i:06d}.parquet"),
+        )
     deadline = time.time() + 120
     while time.time() < deadline:
         with emit_lock:
@@ -219,7 +289,10 @@ def _run_measured(spark: SparkSession, base: str, tables) -> dict:
     def feeder():
         t0 = time.perf_counter()
         for i in range(N_WARMUP, n_total):
-            _write_atomic(tables[i], os.path.join(spool_p, f"frame_{i:05d}.parquet"))
+            _write_atomic(
+                _frame_table(i, n_digitisers),
+                os.path.join(spool_p, f"frame_{i:06d}.parquet"),
+            )
             arrival[i] = time.perf_counter()
             lag = t0 + (i - N_WARMUP + 1) * FRAME_PERIOD_S - time.perf_counter()
             if lag > 0:
@@ -227,89 +300,144 @@ def _run_measured(spark: SparkSession, base: str, tables) -> dict:
 
     th = threading.Thread(target=feeder, daemon=True)
     th.start()
-    deadline = time.time() + 180
+    deadline = time.time() + n_frames * FRAME_PERIOD_S + 120
     while time.time() < deadline:
         with emit_lock:
             if len(emit) >= n_total:
                 break
         time.sleep(0.05)
     th.join(timeout=10)
+    decomposition = _cycle_decomposition(q, phase_log)
     q.stop()
 
-    measured = [i for i in range(N_WARMUP, n_total) if i in emit]
-    lat = sorted(emit[i] - arrival[i] for i in measured)
+    measured = sorted(i for i in range(N_WARMUP, n_total) if i in emit)
+    lats = {i: emit[i] - arrival[i] for i in measured}
+    lat = sorted(lats.values())
     n_done = len(lat)
     sustained = (
         n_done / (max(emit[i] for i in measured) - arrival[N_WARMUP])
         if n_done else 0.0
     )
-    # keeps-up test: if the pipeline sustains the offered 50 fps, the
-    # commit-latency backlog is BOUNDED — the second half of the tape must
-    # not be slower than the first (a pipeline below 50 fps shows latency
-    # growing linearly with tape position instead)
+    # keep-up gate: latency-vs-tape-position slope.  A pipeline below the
+    # offered rate accumulates backlog, so commit latency grows linearly
+    # with position; a keeping-up pipeline's latency is flat (slope ~0 up
+    # to micro-batch quantization noise, which the regression averages out
+    # over thousands of frames).
+    t0 = arrival[measured[0]] if measured else 0.0
+    slope = _slope([arrival[i] - t0 for i in measured], [lats[i] for i in measured])
     half = N_WARMUP + (n_total - N_WARMUP) // 2
-    first = sorted(emit[i] - arrival[i] for i in measured if i < half)
-    second = sorted(emit[i] - arrival[i] for i in measured if i >= half)
+    first = sorted(lats[i] for i in measured if i < half)
+    second = sorted(lats[i] for i in measured if i >= half)
     keeps_up = bool(
-        n_done == n_total - N_WARMUP
-        and first
-        and second
-        and second[len(second) // 2] <= first[len(first) // 2] + 0.25
+        n_done == n_total - N_WARMUP and slope <= SLOPE_GATE_S_PER_S
     )
 
-    # ---- unpaced run: whole tape under availableNow = max throughput
-    # (one spare file-listing gives the FSM everything at once; start-up is
-    # excluded by timing from query start, warm-up already paid above)
-    spool_u = os.path.join(base, "spool_unpaced")
+    # ---- unpaced run: whole tape at once under availableNow = max
+    # throughput (one spare file-listing gives the FSM everything at once)
+    spool_u = os.path.join(base, f"spool_unpaced_{label}")
     os.makedirs(spool_u, exist_ok=True)
-    for i, tbl in enumerate(tables):
-        _write_atomic(tbl, os.path.join(spool_u, f"frame_{i:05d}.parquet"))
+    for i in range(n_total):
+        _write_atomic(
+            _frame_table(i, n_digitisers),
+            os.path.join(spool_u, f"frame_{i:06d}.parquet"),
+        )
     done: list[int] = []
     t0 = time.perf_counter()
     q2 = _start_query(
-        spark, spool_u, os.path.join(base, "sink_unpaced"),
-        os.path.join(base, "ckpt_unpaced"),
+        spark, spool_u, os.path.join(base, f"sink_unpaced_{label}"),
+        os.path.join(base, f"ckpt_unpaced_{label}"),
         lambda frames, t: done.extend(frames),
-        {"availableNow": True},
+        {"availableNow": True}, n_digitisers, n_frames,
     )
-    q2.awaitTermination(300)
+    q2.awaitTermination(600)
     elapsed = time.perf_counter() - t0
 
     return {
         "shape": {
-            "n_digitisers": N_DIGITISERS,
+            "n_digitisers": n_digitisers,
             "events_per_message": EVENTS_PER_MESSAGE,
-            "reference_digitisers": 32,
-            "n_frames": N_FRAMES,
+            "n_frames": n_frames,
             "n_warmup": N_WARMUP,
             "offered_rate_hz": FRAME_RATE_HZ,
+            "soak_seconds": round(n_frames * FRAME_PERIOD_S, 1),
         },
         "paced": {
             "frames_done": n_done,
             "keeps_up_at_50fps": keeps_up,
+            "latency_slope_s_per_s": round(slope, 5),
+            "slope_gate_s_per_s": SLOPE_GATE_S_PER_S,
             "whole_window_fps": round(sustained, 2),
             "latency_p50_s": round(lat[n_done // 2], 4) if n_done else None,
             "latency_p95_s": round(lat[int(n_done * 0.95)], 4) if n_done else None,
             "latency_first_half_p50_s": round(first[len(first) // 2], 4) if first else None,
             "latency_second_half_p50_s": round(second[len(second) // 2], 4) if second else None,
+            # steady-state percentiles (second half of the soak): the whole-
+            # soak numbers include the JIT/GC warm-in the negative slope
+            # shows; these are the sustained-operation figures
+            "steady_p50_s": round(second[len(second) // 2], 4) if second else None,
+            "steady_p95_s": round(second[int(len(second) * 0.95)], 4) if second else None,
         },
+        "cycle_decomposition": decomposition,
         "unpaced": {
             "frames_done": len(done),
             "max_fps": round(len(done) / elapsed, 2) if elapsed > 0 else None,
         },
+    }
+
+
+def run(spark: SparkSession, workdir: str | None = None) -> dict:
+    base = workdir or tempfile.mkdtemp(prefix="supermusr_stream_bench_")
+    prior = {k: spark.conf.get(k, None) for k in _STREAM_CONF}
+    for k, v in _STREAM_CONF.items():
+        spark.conf.set(k, v)
+    try:
+        shapes = {}
+        for si, (n_digitisers, n_frames) in enumerate(SHAPES):
+            if si > 0:
+                # isolate shapes: drop cache bookkeeping and force a GC so
+                # the second shape doesn't pay the first soak's heap debt
+                spark.catalog.clearCache()
+                spark.sparkContext._jvm.System.gc()
+            label = f"{n_digitisers}x{EVENTS_PER_MESSAGE}"
+            shapes[label] = _run_shape(spark, base, n_digitisers, n_frames)
+    finally:
+        for k, v in prior.items():
+            if v is not None:
+                spark.conf.set(k, v)
+        if workdir is None:
+            shutil.rmtree(base, ignore_errors=True)
+
+    main = shapes[f"{SHAPES[0][0]}x{EVENTS_PER_MESSAGE}"]
+    p95 = main["paced"]["latency_p95_s"]
+    return {
+        "shapes": shapes,
         "envelope": {
             "target_fps": FRAME_RATE_HZ,
+            "meets_fps": all(s["paced"]["keeps_up_at_50fps"] for s in shapes.values()),
             "latency_budget_s": LATENCY_BUDGET_S,
-            # sustained >= 50 fps: every offered frame lands AND the
-            # commit-latency backlog is bounded at the offered rate
-            "meets_fps": keeps_up,
-            "meets_latency": bool(lat) and lat[int(n_done * 0.95)] <= LATENCY_BUDGET_S,
+            "meets_latency": bool(p95 is not None and p95 <= LATENCY_BUDGET_S),
+            "relaxed_budget_s": RELAXED_BUDGET_S,
+            "meets_relaxed_latency": bool(p95 is not None and p95 <= RELAXED_BUDGET_S),
             "note": (
-                "commit latency is micro-batch-granular (~3 s cycles: "
-                "stateful FSM + nexus append per batch); the reference "
-                "dispatches per message, so its 1 s budget is met only at "
-                "frame-TTL semantics (event-time), not at sink-commit "
-                "granularity"
+                "commit latency is micro-batch-granular; the reference "
+                "dispatches per message, so its 1 s budget applies at "
+                "frame-TTL semantics, not sink-commit granularity.  The "
+                "cycle_decomposition tables are the measured floor.  "
+                "Measured fixed costs per micro-batch on this topology: "
+                "~0.58 s for ANY applyInPandasWithState pass with "
+                "ProcessingTimeTimeout (0.35 s base + ~0.23 s timeout "
+                "machinery — a trivial passthrough state fn measures the "
+                "same), ~0.17 s bare parquet-append job, ~0.45 s engine "
+                "bookkeeping (source listing + offset/WAL log + planning "
+                "+ progress); marginal cost ~6 ms/frame (Arrow per-group "
+                "serialization + event write).  Fixed point at 50 fps: "
+                "cycle = fixed/(1 - 50*0.006) ~= 1.7-2.3 s, latency p50 "
+                "~= 1.5 cycles — no configuration of this topology "
+                "reaches a 1 s (or 2 s p95) sink-commit budget; the "
+                "removable terms were removed this round (single FSM "
+                "execution per batch, no per-batch plan variation, "
+                "direct partition-dir writes, driver-side dimension, "
+                "cleanSource-bounded listing)."
             ),
         },
     }

@@ -8,9 +8,15 @@ arrives, maintaining two cumulative per-run datasets
 - ``event_index``: running total of events in all PRIOR frames of the run —
   cumulative ACROSS micro-batches (A5).
 
-``foreachBatch`` handles each micro-batch as a normal batch DataFrame: frames
-explode to long events, interval-match to the (broadcast) runs table, and the
-within-batch window result is shifted by the per-run totals committed so far.
+``foreachBatch`` runs exactly TWO Spark actions per micro-batch: (1) the
+stateful FSM subtree executes once into a cache and yields a SLIM per-frame
+projection (no event arrays), from which run matching, frame sequencing, and
+the continuation totals are computed driver-side (the runs table is a tiny
+in-memory dimension, exactly as the reference's writer holds it); (2) the
+decorated per-frame dimension goes back as a local relation that the cached
+event arrays broadcast-join and explode through, inside the parquet append —
+the only action that touches event data, written straight into the run's
+partition directory.
 The continuation totals are re-derived FROM THE SINK on restart — the same
 crash-recovery move the reference makes when it reopens an orphaned .nxs file
 and reads its sizes back (run_engine/engine.rs:144-173, T5); between batches
@@ -24,116 +30,119 @@ O(runs), kept on the driver, never the data path.
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
-
-from ..operators.run_matching import match_events_to_runs
 
 
-def _explode_frames(frames: DataFrame) -> DataFrame:
-    """aev2 grouped frames → dev2-style long events with frame columns."""
-    z = F.arrays_zip("channel", "event_time", "event_voltage")
-    return (
-        frames.withColumn("_e", F.explode_outer(z))
-        .select(
-            "ts",
-            "period_number",
-            "protons_per_pulse",
-            "running",
-            "frame_number",
-            F.col("veto_flags").alias("frame_veto_flags"),
-            "complete",
-            "digitizers_present",
-            F.col("_e.channel").alias("channel"),
-            F.col("_e.event_time").alias("event_time"),
-            F.col("_e.event_voltage").alias("event_voltage"),
-        )
-    )
+_FRAME_KEY = ["ts", "period_number", "protons_per_pulse", "running", "frame_number"]
 
 
-def _frames_to_nexus(
-    frames_batch: DataFrame,
-    runs: DataFrame,
-    totals: dict[str, tuple[int, int]],
-) -> DataFrame:
-    """aev2 frame rows -> NEXUS_EVENT_SCHEMA, the frames-native plan.
+def _slim_frames(frames_batch: DataFrame) -> DataFrame:
+    """One row per frame, no event arrays — the ONLY thing the dimension
+    pass pulls out of the stateful subtree.  ``ts_us`` rides along so all
+    driver-side time arithmetic is integer microseconds (no local-tz
+    datetime subtraction).
 
-    The original path exploded every event and re-AGGREGATED them back
-    into per-frame rows (a corpus-sized shuffle) to build the frame
-    dimension — but the FSM already hands us one row per frame.  Here the
-    dimension is computed on a SLIM projection (no event arrays): run
-    matching is the broadcast range join on frame rows, frame_seq /
-    event_index / event_time_zero are windows over the per-batch frame
-    count, and the committed per-run continuation totals are applied as
-    MAP LITERALS (no per-batch createDataFrame + broadcast join).  The
-    decorated dimension then broadcast-joins back onto the array rows and
-    events explode ONCE, already carrying their run columns — the event
-    side never shuffles.  Cut the measured per-batch sink cost ~2x at the
-    50 fps envelope shape (bench_streaming.py).
-
-    Exact-parity notes vs the exploded path: ``explode_outer`` keeps
-    zero-event frames as one null-event row, and that row counts 1 toward
-    ``event_index`` — both behaviors preserved (n_events uses the
-    exploded row count, not size(channel))."""
-    key = ["ts", "period_number", "protons_per_pulse", "running", "frame_number"]
-    slim = frames_batch.select(
-        *key,
+    n_events is greatest(size, 1): ``explode_outer`` keeps zero-event
+    frames as one null-event row, and that row counts 1 toward
+    ``event_index`` — the original exploded path's behavior."""
+    return frames_batch.select(
+        *_FRAME_KEY,
+        F.unix_micros("ts").alias("ts_us"),
         F.col("veto_flags").alias("frame_veto_flags"),
         "complete",
         F.greatest(F.size("channel"), F.lit(1)).cast("long").alias("n_events"),
     )
-    m = match_events_to_runs(slim, runs)
-    if totals:
-        seq_map = F.create_map(
-            *[F.lit(x) for k, v in totals.items() for x in (k, v[0])]
+
+
+def _quote(name: str) -> str:
+    """Escape a partition VALUE for use in a ``run_name=<value>`` directory
+    name, matching Spark's ExternalCatalogUtils.escapePathName character
+    set — so a directory this sink writes is byte-identical to what
+    ``partitionBy("run_name")`` would have produced and partition
+    discovery decodes it to the same value."""
+    out = []
+    for c in name:
+        if ord(c) < 0x20 or c == "\x7f" or c in '"#%\'*/:=?\\{[]^':
+            out.append("%%%02X" % ord(c))
+        else:
+            out.append(c)
+    return "".join(out)
+
+
+_DIM_SCHEMA = (
+    "ts timestamp, period_number long, protons_per_pulse int, running boolean, "
+    "frame_number long, run_name string, frame_veto_flags int, complete boolean, "
+    "frame_seq long, event_time_zero long, event_index long"
+)
+
+
+def _events_with_dim(
+    frames_batch: DataFrame, dim: DataFrame, with_run_col: bool = True
+) -> DataFrame:
+    """Array rows + broadcast frame dimension -> NEXUS_EVENT_SCHEMA.  The
+    decorated dimension broadcast-joins onto the array rows and events
+    explode ONCE, already carrying their run columns — the event side
+    never shuffles.  ``with_run_col=False`` drops run_name from the
+    output (for a write that targets one run's partition directory
+    directly, where the directory name carries the value).
+
+    The join runs BEFORE any per-event expression, on the raw parallel
+    arrays, and the explode is posexplode-of-one-array + element_at on
+    the others: zipping 3 arrays into a struct array ahead of the join
+    serialized 4000 structs per frame into every join row — measurably
+    slower than indexing the primitive arrays after the fact.  The three
+    arrays are always equal-length (one event per element, the aev2
+    contract), so positional indexing is exact; posexplode_outer keeps
+    the zero-event frame as one null row, as explode_outer did."""
+    dim_cols = [
+        "frame_seq",
+        "event_time_zero",
+        "event_index",
+        "period_number",
+        "frame_number",
+        F.col("complete").alias("frame_complete"),
+        "running",
+        F.col("frame_veto_flags").alias("veto_flags"),
+    ]
+    if with_run_col:
+        dim_cols.insert(0, F.col("run_name"))
+    joined = (
+        frames_batch.select(
+            *_FRAME_KEY, "channel", "event_time", "event_voltage"
         )
-        idx_map = F.create_map(
-            *[F.lit(x) for k, v in totals.items() for x in (k, v[1])]
-        )
-        base_seq = F.coalesce(F.element_at(seq_map, F.col("run_name")), F.lit(0))
-        base_idx = F.coalesce(F.element_at(idx_map, F.col("run_name")), F.lit(0))
-    else:
-        base_seq = base_idx = F.lit(0)
-    w_seq = Window.partitionBy("run_name").orderBy("ts", "frame_number")
-    dim = m.select(
-        *key,
-        "run_name",
-        "frame_veto_flags",
-        "complete",
-        "n_events",
-        (F.row_number().over(w_seq) - 1 + base_seq).cast("long").alias("frame_seq"),
-        ((F.unix_micros("ts") - F.unix_micros("collect_from")) * 1000)
-        .alias("event_time_zero"),
-        (
-            F.coalesce(
-                F.sum("n_events").over(w_seq.rowsBetween(Window.unboundedPreceding, -1)),
-                F.lit(0),
-            )
-            + base_idx
-        ).cast("long").alias("event_index"),
-    )
-    z = F.arrays_zip("channel", "event_time", "event_voltage")
-    return (
-        frames_batch.select(*key, z.alias("_z"))
-        .join(F.broadcast(dim), key)
-        .withColumn("_e", F.explode_outer("_z"))
+        .join(F.broadcast(dim), _FRAME_KEY)
         .select(
-            "run_name",
-            "frame_seq",
-            "event_time_zero",
-            "event_index",
-            "period_number",
-            "frame_number",
-            F.col("complete").alias("frame_complete"),
-            "running",
-            F.col("frame_veto_flags").alias("veto_flags"),
-            F.col("_e.event_time").cast("long").alias("event_time_offset"),
-            F.col("_e.channel").cast("int").alias("event_id"),
-            F.col("_e.event_voltage").cast("double").alias("pulse_height"),
+            *dim_cols,
+            "event_time",
+            "event_voltage",
+            F.posexplode_outer("channel"),
         )
     )
+    passthrough = (["run_name"] if with_run_col else []) + [
+        "frame_seq",
+        "event_time_zero",
+        "event_index",
+        "period_number",
+        "frame_number",
+        "frame_complete",
+        "running",
+        "veto_flags",
+    ]
+    return joined.select(
+        *passthrough,
+        F.element_at("event_time", F.col("pos") + 1)
+        .cast("long")
+        .alias("event_time_offset"),
+        F.col("col").cast("int").alias("event_id"),
+        F.element_at("event_voltage", F.col("pos") + 1)
+        .cast("double")
+        .alias("pulse_height"),
+    )
+
+
 
 
 class NexusStreamWriter:
@@ -145,12 +154,41 @@ class NexusStreamWriter:
         self.runs = runs
         self.path = path
         # optional observer: called with the sorted frame_numbers committed
-        # by each batch, AFTER the sink write — rides the totals collect
-        # (one extra tiny column), so observation adds no Spark job.  The
-        # streaming envelope bench (bench_streaming.py) uses it to stamp
-        # per-frame commit times.
+        # by each batch, AFTER the sink write — rides the slim dimension
+        # rows the batch collects anyway, so observation adds no Spark
+        # job.  The streaming envelope bench (bench_streaming.py) uses it
+        # to stamp per-frame commit times.
         self.on_commit = on_commit
+        # optional bucket log: when set to a list, each batch appends
+        # {"batch_id", "n_frames", "fsm_s", "write_s", "sink_s"} — the
+        # cycle decomposition bench_streaming publishes (two perf_counter
+        # reads per batch; no Spark-side cost)
+        self.phase_log: list | None = None
         self._totals: dict[str, tuple[int, int]] | None = None
+        self._runs_rows: list | None = None
+
+    def _load_runs(self, spark: SparkSession) -> list:
+        """Collect the tiny runs dimension ONCE (run_name + interval in
+        integer µs).  The reference's nexus-writer holds the same table in
+        memory (run_engine/engine.rs:54-80); re-broadcasting it inside
+        every micro-batch's plan was a measurable flat cost on the
+        latency path, and the interval match over (frames-in-batch ×
+        runs) rows is driver-trivial."""
+        if self._runs_rows is None:
+            self._runs_rows = self.runs.select(
+                "run_name",
+                F.unix_micros("collect_from").alias("from_us"),
+                F.unix_micros("collect_until").alias("until_us"),
+            ).collect()
+        return self._runs_rows
+
+    def refresh_runs(self, runs: DataFrame | None = None) -> None:
+        """Drop the collected runs snapshot (optionally replacing the
+        DataFrame) so the next batch re-collects it — the hook for a
+        control plane that starts/stops runs while the sink is live."""
+        if runs is not None:
+            self.runs = runs
+        self._runs_rows = None
 
     def _load_totals(self, spark: SparkSession) -> dict[str, tuple[int, int]]:
         if self._totals is not None:
@@ -174,39 +212,105 @@ class NexusStreamWriter:
         return totals
 
     def __call__(self, frames_batch: DataFrame, batch_id: int) -> None:
+        t_start = time.perf_counter()
         spark = frames_batch.sparkSession
         totals = self._load_totals(spark)
 
-        # frames-native plan: slim dimension + broadcast join + one explode;
-        # the committed continuation totals ride as map literals
-        nexus = _frames_to_nexus(frames_batch, self.runs, totals)
-
-        aggs = [F.max("frame_seq").alias("max_seq"), F.count("*").alias("n_ev")]
-        if self.on_commit is not None:
-            aggs.append(F.collect_set("frame_number").alias("frames"))
-        nexus.persist()
+        # Execute the stateful FSM subtree EXACTLY ONCE per batch: persist
+        # the frame rows before any action.  Without this, the broadcast
+        # dimension exchange and the event-side write each re-ran the
+        # whole applyInPandasWithState plan (visible as 2x state-store
+        # instances per partition in StreamingQueryProgress), and a third
+        # job re-ran it for the post-write totals aggregate — the dominant
+        # share of the measured ~3 s micro-batch cycle at the 50 fps
+        # envelope shape.  Now: one FSM execution populates the cache, the
+        # tiny per-frame dimension collect doubles as the totals /
+        # commit-observation source (no post-write job at all), and the
+        # write is the only action that touches the event arrays.
+        runs_rows = self._load_runs(spark)
+        frames_batch.persist()
         try:
-            # snappy, not the session's zstd: the sink appends on the
-            # latency path every micro-batch (the reference's HDF5 run
-            # files are uncompressed — nexus_structure/mod.rs); compaction
-            # to zstd belongs to a downstream maintenance pass, not here
-            (
-                nexus.write.mode("append")
-                .option("compression", "snappy")
-                .partitionBy("run_name")
-                .parquet(self.path)
-            )
-            rows = nexus.groupBy("run_name").agg(*aggs).collect()
-            for r in rows:
-                prev = totals.get(r["run_name"], (0, 0))
-                totals[r["run_name"]] = (
-                    max(prev[0], r["max_seq"] + 1),
-                    prev[1] + r["n_ev"],
-                )
+            # ONE action through the stateful subtree: a slim per-frame
+            # projection (no event arrays) — bounded by frames-in-batch,
+            # never by events.  Run matching, frame sequencing, and the
+            # continuation totals all happen driver-side on these rows
+            # (runs are a tiny in-memory dimension; the per-batch
+            # broadcast build + window exchange they used to cost inside
+            # the Spark plan was pure flat latency).  The decorated
+            # dimension goes back as a LOCAL relation, so the write plan
+            # is bit-identical across batches (codegen cache hit) and the
+            # write job touches nothing but the cached arrays.
+            slim_rows = _slim_frames(frames_batch).collect()
+            t_fsm = time.perf_counter()
+            frame_numbers = set()
+            slim_rows.sort(key=lambda r: (r.ts_us, r.frame_number))
+            matched = []  # (run_row, frame_row), grouped per run in order
+            for run in runs_rows:
+                for r in slim_rows:
+                    # J1 predicate (run_parameters.rs:156-175), exactly as
+                    # operators/run_matching.match_events_to_runs
+                    if run.from_us < r.ts_us and (
+                        run.until_us is None or r.ts_us < run.until_us
+                    ):
+                        matched.append((run, r))
+            if matched:
+                per_run: dict[str, tuple[int, int]] = {}
+                dim_vals = []
+                for run, r in matched:
+                    seq, idx = per_run.get(
+                        run.run_name, totals.get(run.run_name, (0, 0))
+                    )
+                    dim_vals.append(
+                        (
+                            r.ts, r.period_number, r.protons_per_pulse,
+                            r.running, r.frame_number, run.run_name,
+                            r.frame_veto_flags, r.complete, seq,
+                            (r.ts_us - run.from_us) * 1000, idx,
+                        )
+                    )
+                    per_run[run.run_name] = (seq + 1, idx + r.n_events)
+                    frame_numbers.add(int(r.frame_number))
+                # One write per run touched by the batch (almost always
+                # one): targeting the run's partition DIRECTORY directly
+                # skips the dynamic-partition machinery — its per-task
+                # sort-by-partition-key and multi-directory commit were
+                # flat per-batch latency.  The directory name carries
+                # run_name (standard partitioned-parquet layout), so
+                # readers see exactly what partitionBy would have written.
+                # snappy, not the session's zstd: the sink appends on the
+                # latency path every micro-batch (the reference's HDF5 run
+                # files are uncompressed — nexus_structure/mod.rs);
+                # compaction to zstd belongs to a downstream maintenance
+                # pass, not here.
+                for run_name in sorted(per_run):
+                    run_vals = [v for v in dim_vals if v[5] == run_name]
+                    dim_local = spark.createDataFrame(run_vals, _DIM_SCHEMA)
+                    (
+                        _events_with_dim(frames_batch, dim_local, with_run_col=False)
+                        .write.mode("append")
+                        .option("compression", "snappy")
+                        .parquet(
+                            os.path.join(
+                                self.path, f"run_name={_quote(run_name)}"
+                            )
+                        )
+                    )
+                totals.update(per_run)
         finally:
-            nexus.unpersist()
+            frames_batch.unpersist()
+        if self.phase_log is not None:
+            t_end = time.perf_counter()
+            self.phase_log.append(
+                {
+                    "batch_id": batch_id,
+                    "n_frames": len(slim_rows),
+                    "fsm_s": round(t_fsm - t_start, 4),
+                    "write_s": round(t_end - t_fsm, 4),
+                    "sink_s": round(t_end - t_start, 4),
+                }
+            )
         if self.on_commit is not None:
-            self.on_commit(sorted({int(f) for r in rows for f in r["frames"]}))
+            self.on_commit(sorted(frame_numbers))
 
 
 def write_nexus_stream(
@@ -217,8 +321,9 @@ def write_nexus_stream(
     trigger: dict | None = None,
 ):
     """Start the streaming nexus sink.  ``frames`` is the aev2 stream from
-    assemble_frames_stream; ``runs`` the (static or per-batch refreshed)
-    interval table.  Returns the StreamingQuery."""
+    assemble_frames_stream; ``runs`` the interval table, collected once
+    (call ``writer.refresh_runs()`` when the control plane changes it).
+    Returns the StreamingQuery."""
     writer = NexusStreamWriter(runs, path)
     q = frames.writeStream.foreachBatch(writer).option("checkpointLocation", checkpoint)
     q = q.trigger(**(trigger or {"availableNow": True}))
