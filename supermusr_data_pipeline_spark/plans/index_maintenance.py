@@ -1,0 +1,113 @@
+"""Compaction for the streaming-appended physical indexes.
+
+The ingest front doors (streaming/shard_ingest.py, vector_ingest.py)
+append one parquet file per micro-batch per partition directory — the
+right write shape for a latency path, the wrong read shape after a few
+thousand batches (every probe opens hundreds of small files and reads
+hundreds of footers).  This module is the downstream maintenance pass
+both docstrings promise: rewrite an index's data into one well-sized
+file per partition directory, atomically swap it in, and leave the
+ingest markers (``_ingested_batch_*``) untouched so crash-retry
+semantics survive compaction.
+
+Swap protocol (per artifact directory): write the compacted copy to
+``<dir>.compacting``, rename ``<dir>`` -> ``<dir>.old``, rename the
+compacted copy into place, delete ``<dir>.old``.  Two renames — a
+reader can race only into a clean miss-and-retry, and a crash at any
+point leaves either the old or the new directory recoverable by name.
+Run it from ONE maintenance process while the ingest stream is paused
+(the front doors' appends target the directory by name; compacting
+under a live appender would drop its in-flight batch on the swap —
+same single-maintainer rule the reference's file lifecycle follows,
+operators/nexus_sink.py).
+
+Scale notes: compaction is one shuffle per artifact keyed by the
+partition column (band_no / cell), writing ~one file per key — the
+exact layout the builders (plans/incremental.write_lsh_index,
+plans/ivf_index) produce, so a compacted index is indistinguishable
+from a freshly built one.  Content equality is CI-pinned: admission
+decisions against a compacted index must be byte-identical
+(tests/test_index_maintenance.py).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import SparkSession
+
+
+def _swap_in(new_dir: str, live_dir: str) -> None:
+    old = live_dir + ".old-" + uuid.uuid4().hex[:8]
+    os.rename(live_dir, old)
+    os.rename(new_dir, live_dir)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def _compact_partitioned(
+    spark: SparkSession, live_dir: str, key: str | None, files_per_key: int = 1
+) -> dict:
+    """Rewrite one artifact directory: repartition by ``key`` (None = a
+    single unpartitioned directory) into ``files_per_key`` files per
+    partition value, then atomically swap.  Returns before/after file
+    counts."""
+
+    def _count_files(d: str) -> int:
+        n = 0
+        for root, _dirs, files in os.walk(d):
+            n += sum(1 for f in files if f.endswith(".parquet"))
+        return n
+
+    before = _count_files(live_dir)
+    df = spark.read.parquet(live_dir)
+    tmp = live_dir + ".compacting"
+    shutil.rmtree(tmp, ignore_errors=True)
+    if key is None:
+        df.coalesce(files_per_key).write.mode("overwrite").parquet(tmp)
+    else:
+        (
+            df.repartition(files_per_key * max(1, df.select(key).distinct().count()), key)
+            .write.partitionBy(key)
+            .mode("overwrite")
+            .parquet(tmp)
+        )
+    _swap_in(tmp, live_dir)
+    return {"files_before": before, "files_after": _count_files(live_dir)}
+
+
+def compact_lsh_index(spark: SparkSession, index_path: str) -> dict:
+    """Compact the q82/shard-ingest LSH index: ``bands/`` back to one
+    file per band_no directory, ``tokens/`` to a single file set.
+    Markers under ``index_path`` itself are not touched."""
+    return {
+        "bands": _compact_partitioned(
+            spark, os.path.join(index_path, "bands"), "band_no"
+        ),
+        "tokens": _compact_partitioned(
+            spark, os.path.join(index_path, "tokens"), None
+        ),
+    }
+
+
+def compact_vector_index(spark: SparkSession, index_path: str) -> dict:
+    """Compact the cell-partitioned IVF vector index (vector_ingest's
+    standing state): one file per cell directory.  Markers inside the
+    index root (``_ingested_batch_*``) are preserved across the swap."""
+    # markers live INSIDE the vector index root; carry them over
+    markers = [
+        n for n in os.listdir(index_path) if n.startswith("_ingested_batch_")
+    ]
+    marker_bytes = {
+        n: open(os.path.join(index_path, n)).read() for n in markers
+    }
+    out = _compact_partitioned(spark, index_path, "cell")
+    for n, content in marker_bytes.items():
+        p = os.path.join(index_path, n)
+        if not os.path.exists(p):
+            tmp = p + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(content)
+            os.replace(tmp, p)
+    return {"index": out, "markers_preserved": len(markers)}

@@ -41,6 +41,12 @@ _BM25_B = 0.75
 _BM25_N_QUERIES = 5   # query terms: the corpus's rarest terms (most selective)
 _BM25_TOPK = 10
 
+_RRF_K = 60           # reciprocal-rank-fusion constant (Cormack et al. 2009)
+_HY_N_QUERIES = 3     # hybrid search: query DOCUMENTS (lowest ids w/ both legs)
+_HY_TERMS = 10        # rarest terms taken from each query doc (selectivity)
+_HY_LEG_K = 20        # per-leg candidate depth fed into the fusion
+_HY_TOPK = 10         # fused results per query
+
 
 @_register(
     "q112_bm25_topk",
@@ -339,4 +345,214 @@ def q114_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= _BM25_TOPK)
         .select("query_term", "doc_id", "score", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q116 — hybrid retrieval: BM25 lexical leg + cosine vector leg, fused by
+# reciprocal-rank fusion (RRF, Cormack/Clarke/Buettcher SIGIR 2009 — public
+# method, original implementation).
+# ---------------------------------------------------------------------------
+#
+# The production retrieval stack is never one index: decontamination and
+# curation lookups run lexical AND semantic retrieval and fuse.  Query
+# units here are DOCUMENTS (the related-document search primitive): each
+# query doc contributes its rarest terms to a BM25 leg over the postings
+# and its embedding to a cosine leg over the vector table; each leg keeps
+# its top-K ranks; RRF scores 1/(k+rank) summed across legs.  Ranks are
+# computed on ROUNDED leg scores in both engines so float noise cannot
+# flip a rank between Spark and the oracle.
+#
+# Scale shape: the query side is a Q-row broadcast everywhere; the BM25
+# leg probes only the query docs' rarest terms' postings (the q112/q114
+# selectivity argument); the vector leg here is the brute-force q27 form
+# (it IS the recall oracle) — at 100 TB the leg swaps to the IVF probe
+# (q29/q64) with identical output contract; fusion joins two <= Q x K row
+# sides.  Nothing scans the corpus beyond the shared tokenize pass.
+
+
+@_register(
+    "q116_hybrid_rrf",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_TOKENS_SQL_DUCK}) AS term FROM documents
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+    ), dl AS (
+        SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id
+    ), stats AS (
+        SELECT (SELECT count(*) FROM documents) AS n,
+               (SELECT avg(dl) FROM dl) AS avgdl
+    ), dfr AS (
+        SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ), qids AS (
+        SELECT dl.doc_id AS query_doc FROM dl
+        JOIN e ON e.vec_id = dl.doc_id
+        ORDER BY dl.doc_id LIMIT {_HY_N_QUERIES}
+    ), qterms AS (
+        SELECT query_doc, term, df FROM (
+            SELECT q.query_doc, t.term, d.df,
+                   row_number() OVER (PARTITION BY q.query_doc
+                                      ORDER BY d.df ASC, t.term) AS r
+            FROM qids q
+            JOIN tf t ON t.doc_id = q.query_doc
+            JOIN dfr d ON d.term = t.term
+        ) WHERE r <= {_HY_TERMS}
+    ), lex AS (
+        SELECT q.query_doc, t.doc_id,
+               round(sum(round(
+                 ln(1 + (s.n - q.df + 0.5) / (q.df + 0.5))
+                 * (t.tf * ({_BM25_K1} + 1))
+                 / (t.tf + {_BM25_K1} * (1 - {_BM25_B}
+                                         + {_BM25_B} * d.dl / s.avgdl)), 6)), 6)
+               AS lex_score
+        FROM qterms q
+        JOIN tf t ON t.term = q.term AND t.doc_id <> q.query_doc
+        JOIN dl d ON d.doc_id = t.doc_id
+        CROSS JOIN stats s
+        GROUP BY q.query_doc, t.doc_id
+    ), lex_ranked AS (
+        SELECT query_doc, doc_id, rank_lex FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_doc
+                                         ORDER BY lex_score DESC, doc_id)
+                      AS rank_lex
+            FROM lex
+        ) WHERE rank_lex <= {_HY_LEG_K}
+    ), vec AS (
+        SELECT q.query_doc, e.vec_id AS doc_id,
+               round(list_sum([qe.emb[i] * e.emb[i]
+                               for i in range(1, len(qe.emb) + 1)])
+                     / (sqrt(list_sum([x * x for x in qe.emb]))
+                        * sqrt(list_sum([x * x for x in e.emb]))), 6) AS sim
+        FROM qids q
+        JOIN e qe ON qe.vec_id = q.query_doc
+        JOIN e ON e.vec_id <> q.query_doc
+    ), vec_ranked AS (
+        SELECT query_doc, doc_id, rank_vec FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_doc
+                                         ORDER BY sim DESC, doc_id) AS rank_vec
+            FROM vec
+        ) WHERE rank_vec <= {_HY_LEG_K}
+    ), fused AS (
+        SELECT coalesce(l.query_doc, v.query_doc) AS query_doc,
+               coalesce(l.doc_id, v.doc_id) AS doc_id,
+               CAST(coalesce(l.rank_lex, 0) AS INT) AS rank_lex,
+               CAST(coalesce(v.rank_vec, 0) AS INT) AS rank_vec,
+               round(coalesce(1.0 / ({_RRF_K} + l.rank_lex), 0)
+                     + coalesce(1.0 / ({_RRF_K} + v.rank_vec), 0), 6)
+               AS rrf_score
+        FROM lex_ranked l
+        FULL OUTER JOIN vec_ranked v
+          ON v.query_doc = l.query_doc AND v.doc_id = l.doc_id
+    )
+    SELECT query_doc, doc_id, rank_lex, rank_vec, rrf_score,
+           CAST(rank AS INT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_doc
+                                     ORDER BY rrf_score DESC, doc_id) AS rank
+        FROM fused
+    ) WHERE rank <= {_HY_TOPK}
+    """,
+)
+def q116_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid related-document retrieval: for each of the 3 lowest-id docs
+    that have both tokens and an embedding, a BM25 leg (the doc's 10
+    rarest terms against the postings) and a cosine leg (its embedding
+    against the vector table) each rank top-20 candidates; reciprocal-
+    rank fusion (1/(60+rank) per leg) merges them into the final top-10.
+    See the section comment for the scale shape and determinism rules."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.expr(_TOKENS_EXPR_SPARK)).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = docs.select(F.count(F.lit(1)).alias("n")).crossJoin(
+        dl.agg(F.avg("dl").alias("avgdl"))
+    )
+    dfr = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    norm = "sqrt(aggregate(transform({c}, x -> x * x), 0D, (a, x) -> a + x))"
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("emb")
+    ).withColumn("ne", F.expr(norm.format(c="emb")))
+
+    qids = (
+        dl.join(e.select(F.col("vec_id").alias("doc_id")), "doc_id")
+        .select(F.col("doc_id").alias("query_doc"))
+        .orderBy("query_doc")
+        .limit(_HY_N_QUERIES)
+    )
+    rq = Window.partitionBy("query_doc").orderBy(F.asc("df"), "term")
+    qterms = (
+        F.broadcast(qids)
+        .join(tf.withColumnRenamed("doc_id", "query_doc"), "query_doc")
+        .join(dfr, "term")
+        .withColumn("r", F.row_number().over(rq))
+        .filter(F.col("r") <= _HY_TERMS)
+        .select("query_doc", "term", "df")
+    )
+    idf = F.log(
+        F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    bm_norm = F.col("tf") + _BM25_K1 * (
+        1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    term_score = F.round(idf * (F.col("tf") * (_BM25_K1 + 1)) / bm_norm, 6)
+    lex = (
+        F.broadcast(qterms)
+        .join(tf, "term")
+        .filter(F.col("doc_id") != F.col("query_doc"))
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_doc", "doc_id")
+        .agg(F.round(F.sum(term_score), 6).alias("lex_score"))
+    )
+    wl = Window.partitionBy("query_doc").orderBy(F.desc("lex_score"), "doc_id")
+    lex_ranked = (
+        lex.withColumn("rank_lex", F.row_number().over(wl).cast("int"))
+        .filter(F.col("rank_lex") <= _HY_LEG_K)
+        .select("query_doc", "doc_id", "rank_lex")
+    )
+
+    qe = (
+        F.broadcast(qids)
+        .join(e, e.vec_id == F.col("query_doc"))
+        .select("query_doc", F.col("emb").alias("qe"), F.col("ne").alias("nq"))
+    )
+    dot = F.expr("aggregate(zip_with(qe, emb, (x, y) -> x * y), 0D, (a, x) -> a + x)")
+    sim = F.round(dot / (F.col("nq") * F.col("ne")), 6)
+    vec = (
+        F.broadcast(qe)
+        .join(e, e.vec_id != F.col("query_doc"))
+        .select("query_doc", F.col("vec_id").alias("doc_id"), sim.alias("sim"))
+    )
+    wv = Window.partitionBy("query_doc").orderBy(F.desc("sim"), "doc_id")
+    vec_ranked = (
+        vec.withColumn("rank_vec", F.row_number().over(wv).cast("int"))
+        .filter(F.col("rank_vec") <= _HY_LEG_K)
+        .select("query_doc", "doc_id", "rank_vec")
+    )
+
+    fused = (
+        lex_ranked.join(vec_ranked, ["query_doc", "doc_id"], "full_outer")
+        .select(
+            "query_doc",
+            "doc_id",
+            # 0 = absent from that leg's top-K (avoids a nullable-int
+            # column, which pandas/duckdb would coerce to float)
+            F.coalesce("rank_lex", F.lit(0)).cast("int").alias("rank_lex"),
+            F.coalesce("rank_vec", F.lit(0)).cast("int").alias("rank_vec"),
+            F.round(
+                F.coalesce(F.lit(1.0) / (_RRF_K + F.col("rank_lex")), F.lit(0.0))
+                + F.coalesce(F.lit(1.0) / (_RRF_K + F.col("rank_vec")), F.lit(0.0)),
+                6,
+            ).alias("rrf_score"),
+        )
+    )
+    wf = Window.partitionBy("query_doc").orderBy(F.desc("rrf_score"), "doc_id")
+    return (
+        fused.withColumn("rank", F.row_number().over(wf).cast("int"))
+        .filter(F.col("rank") <= _HY_TOPK)
+        .select("query_doc", "doc_id", "rank_lex", "rank_vec", "rrf_score", "rank")
     )
