@@ -46,33 +46,44 @@ def _swap_in(new_dir: str, live_dir: str) -> None:
     shutil.rmtree(old, ignore_errors=True)
 
 
+def _count_files(d: str) -> int:
+    n = 0
+    for _root, _dirs, files in os.walk(d):
+        n += sum(1 for f in files if f.endswith(".parquet"))
+    return n
+
+
 def _compact_partitioned(
-    spark: SparkSession, live_dir: str, key: str | None, files_per_key: int = 1
+    spark: SparkSession,
+    live_dir: str,
+    key: str | None,
+    files_per_key: int = 1,
+    sort_cols: list | None = None,
+    compression: str | None = None,
 ) -> dict:
     """Rewrite one artifact directory: repartition by ``key`` (None = a
     single unpartitioned directory) into ``files_per_key`` files per
-    partition value, then atomically swap.  Returns before/after file
+    partition value — optionally sorted within files (row-group pruning)
+    and re-compressed — then atomically swap.  Returns before/after file
     counts."""
-
-    def _count_files(d: str) -> int:
-        n = 0
-        for root, _dirs, files in os.walk(d):
-            n += sum(1 for f in files if f.endswith(".parquet"))
-        return n
-
     before = _count_files(live_dir)
     df = spark.read.parquet(live_dir)
     tmp = live_dir + ".compacting"
     shutil.rmtree(tmp, ignore_errors=True)
     if key is None:
-        df.coalesce(files_per_key).write.mode("overwrite").parquet(tmp)
+        out = df.coalesce(files_per_key)
     else:
-        (
-            df.repartition(files_per_key * max(1, df.select(key).distinct().count()), key)
-            .write.partitionBy(key)
-            .mode("overwrite")
-            .parquet(tmp)
+        out = df.repartition(
+            files_per_key * max(1, df.select(key).distinct().count()), key
         )
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+    w = out.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    if key is not None:
+        w = w.partitionBy(key)
+    w.parquet(tmp)
     _swap_in(tmp, live_dir)
     return {"files_before": before, "files_after": _count_files(live_dir)}
 
@@ -89,6 +100,26 @@ def compact_lsh_index(spark: SparkSession, index_path: str) -> dict:
             spark, os.path.join(index_path, "tokens"), None
         ),
     }
+
+
+def compact_nexus_run(
+    spark: SparkSession, sink_path: str, run_dir_name: str
+) -> dict:
+    """Compact ONE run's partition directory of the streaming NeXus sink
+    (streaming/nexus_stream.py writes one snappy file per micro-batch on
+    the latency path — this is the promised downstream pass): a single
+    zstd file per run, rows sorted by (frame_seq, event_index) so any
+    frame- or time-range read prunes row groups on the parquet footers.
+    Run it on COMPLETED runs (the retire/flush lifecycle's precondition,
+    operators/nexus_sink.py) — never under the live appender."""
+    run_dir = os.path.join(sink_path, run_dir_name)
+    return _compact_partitioned(
+        spark,
+        run_dir,
+        None,
+        sort_cols=["frame_seq", "event_index", "event_id", "event_time_offset"],
+        compression="zstd",
+    )
 
 
 def compact_vector_index(spark: SparkSession, index_path: str) -> dict:
