@@ -66,6 +66,7 @@ def main() -> None:
         "q82_indexed_incremental",
         "q112_bm25_topk",
         "q114_bm25_indexed",
+        "q116_hybrid_rrf",
     ]
     headline = [h for h in headline if h in qs]
 
@@ -96,6 +97,7 @@ def main() -> None:
         "q82_indexed_incremental",
         "q112_bm25_topk",
         "q114_bm25_indexed",
+        "q116_hybrid_rrf",
     }
     try:
         from supermusr_data_pipeline_spark.plans.text_dedup import clear_shared_cache

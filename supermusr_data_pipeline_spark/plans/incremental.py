@@ -236,21 +236,39 @@ def _banded(sigs: DataFrame) -> DataFrame:
     )
 
 
+# doc-id hash buckets for the tokens artifact: a probe knows its candidate
+# doc_ids, so their buckets become a literal partition filter and the
+# verification-token scan reads only touched directories instead of the
+# whole corpus — the q64/q114 physical-index pattern applied to the dedup
+# index's verification side.  Fixed fan-out (the bounded-directory rule).
+_TOK_BUCKETS = 256
+
+
+def _tok_bucket(col):
+    return F.pmod(F.xxhash64(col.cast("long")), F.lit(_TOK_BUCKETS)).cast("int")
+
+
 def write_lsh_index(spark: SparkSession, sf_dir: str, out_path: str) -> None:
     """Index-build job for the BASE corpus: two artifacts under one root —
     ``bands/`` (doc_id, band_no, key) partitioned by band_no, and
-    ``tokens/`` (doc_id, th) for exact-Jaccard verification.  Token-id
-    arrays are bigints, so the parquet round-trip is exact.  At 100 TB
-    this is the standing dedup index a shard lands against; a shard that
-    passes is then APPENDED to it (band rows + token sets), which is the
-    whole point of the layout — growing the index is an append, not a
-    rebuild."""
+    ``tokens/`` (doc_id, th) for exact-Jaccard verification, partitioned
+    by ``tb`` = hash(doc_id) % 256 so candidate verification prunes to
+    the touched buckets.  Token-id arrays are bigints, so the parquet
+    round-trip is exact.  At 100 TB this is the standing dedup index a
+    shard lands against; a shard that passes is then APPENDED to it
+    (band rows + token sets), which is the whole point of the layout —
+    growing the index is an append, not a rebuild."""
     df = _with_token_hashes(spark, sf_dir)
     base = df.filter(
         (F.col("doc_id") % _DELTA_MOD != _DELTA_REM) & (F.size("th") > 0)
     )
-    base.select("doc_id", "th").write.mode("overwrite").parquet(
-        os.path.join(out_path, "tokens")
+    (
+        base.select("doc_id", "th")
+        .withColumn("tb", _tok_bucket(F.col("doc_id")))
+        .repartition("tb")
+        .write.partitionBy("tb")
+        .mode("overwrite")
+        .parquet(os.path.join(out_path, "tokens"))
     )
     sigs = base.select("doc_id", *_minhash_cols_spark())
     (
@@ -284,7 +302,11 @@ def q82_indexed_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     base_banded = spark.read.parquet(os.path.join(path, "bands")).select(
         "doc_id", F.col("band_no").cast("int").alias("band_no"), "key"
     )
-    base_th = spark.read.parquet(os.path.join(path, "tokens"))
+    # no tb pruning here: a 10%-of-corpus delta's candidates touch nearly
+    # every bucket, so the filter would list all directories for nothing;
+    # the SMALL-batch probe (streaming/shard_ingest.admit_batch) is where
+    # the bucketed layout pays
+    base_th = spark.read.parquet(os.path.join(path, "tokens")).select("doc_id", "th")
 
     banded = base_banded.unionByName(delta_banded)
     # combined occupancy — identical to the maintained index's view (q79)
@@ -353,8 +375,13 @@ def append_shard_to_index(spark: SparkSession, sf_dir: str, out_path: str) -> No
     stored)."""
     is_delta = F.col("doc_id") % _DELTA_MOD == _DELTA_REM
     delta = _with_token_hashes(spark, sf_dir).filter(is_delta).filter(F.size("th") > 0)
-    delta.select("doc_id", "th").write.mode("append").parquet(
-        os.path.join(out_path, "tokens")
+    (
+        delta.select("doc_id", "th")
+        .withColumn("tb", _tok_bucket(F.col("doc_id")))
+        .repartition("tb")
+        .write.partitionBy("tb")
+        .mode("append")
+        .parquet(os.path.join(out_path, "tokens"))
     )
     (
         _banded(delta.select("doc_id", *_minhash_cols_spark()))

@@ -90,14 +90,14 @@ def _compact_partitioned(
 
 def compact_lsh_index(spark: SparkSession, index_path: str) -> dict:
     """Compact the q82/shard-ingest LSH index: ``bands/`` back to one
-    file per band_no directory, ``tokens/`` to a single file set.
-    Markers under ``index_path`` itself are not touched."""
+    file per band_no directory, ``tokens/`` to one file per tb bucket
+    directory.  Markers under ``index_path`` itself are not touched."""
     return {
         "bands": _compact_partitioned(
             spark, os.path.join(index_path, "bands"), "band_no"
         ),
         "tokens": _compact_partitioned(
-            spark, os.path.join(index_path, "tokens"), None
+            spark, os.path.join(index_path, "tokens"), "tb"
         ),
     }
 

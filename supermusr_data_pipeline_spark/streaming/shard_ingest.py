@@ -33,7 +33,10 @@ equi-join against bucket-truncated index bands (cap mirrors
 _LSH_BUCKET_CAP — a boilerplate bucket's representative is always inside
 the truncation, so template families still block admission), one
 batch-internal self-join bounded the same way, and an append of the
-admitted slice.  Nothing scans the base corpus.
+admitted slice.  The verification-token artifact is tb=hash(doc_id)
+bucketed, so both token probes (candidate verification + redelivery
+presence) carry literal partition filters and read only the touched
+directories.  Nothing scans the base corpus.
 """
 
 from __future__ import annotations
@@ -45,7 +48,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..plans.text_dedup import _LSH_BUCKET_CAP, _TOKENS_EXPR_SPARK, _TOKHASH_SPARK
-from ..plans.incremental import _banded
+from ..plans.incremental import _banded, _tok_bucket
 from ..plans.text_dedup import _minhash_cols_spark
 
 _JACCARD = 0.5
@@ -92,18 +95,43 @@ def admit_batch(
     idx_bands = spark.read.parquet(os.path.join(index_path, "bands")).select(
         "doc_id", F.col("band_no").cast("int").alias("band_no"), "key"
     )
-    idx_tokens = spark.read.parquet(os.path.join(index_path, "tokens"))
+    # the tokens artifact is tb=hash(doc_id)-bucketed (write_lsh_index):
+    # every read below carries a LITERAL bucket filter derived from the
+    # doc_ids it actually needs, so verification never scans the whole
+    # corpus's token sets — only the touched directories
+    idx_tokens_all = spark.read.parquet(os.path.join(index_path, "tokens")).select(
+        "doc_id", "th", F.col("tb").cast("int").alias("tb")
+    )
+
+    def _pruned_tokens(ids_df, id_col: str):
+        buckets = [
+            r.b
+            for r in ids_df.select(
+                _tok_bucket(F.col(id_col)).alias("b")
+            ).distinct().collect()
+        ]
+        if not buckets:
+            return idx_tokens_all.filter(F.lit(False))
+        return idx_tokens_all.filter(F.col("tb").isin(buckets))
+
+    self_df = None
     if self_appended:
         self_df = spark.createDataFrame(
             [(int(i),) for i in self_appended], "doc_id bigint"
         )
         idx_bands = idx_bands.join(F.broadcast(self_df), "doc_id", "left_anti")
-        idx_tokens = idx_tokens.join(F.broadcast(self_df), "doc_id", "left_anti")
+
+    def _self_excluded(tok):
+        if self_df is None:
+            return tok
+        return tok.join(F.broadcast(self_df), "doc_id", "left_anti")
+
     # redelivery short-circuit: batch ids already in the (self-excluded)
-    # index were admitted by an earlier batch — the index side stays left
-    # so the scan is index-vs-broadcast-batch, never a shuffled semi-join
+    # index were admitted by an earlier batch — presence probes only the
+    # BATCH ids' buckets, index side stays left vs the broadcast batch
     already = (
-        idx_tokens.select("doc_id")
+        _self_excluded(_pruned_tokens(batch_ids, "doc_id"))
+        .select("doc_id")
         .join(F.broadcast(batch_ids), "doc_id", "leftsemi")
         .distinct()
         .withColumn("already_ingested", F.lit(True))
@@ -115,6 +143,9 @@ def admit_batch(
     )
     idx_capped = idx_bands.withColumn("rk", rk).filter(F.col("rk") <= bucket_cap)
 
+    # materialize the (bounded: <= batch x bands x cap rows) candidate
+    # pairs once — their old_ids' buckets become the literal partition
+    # filter for the verification-token probe below
     cand_base = (
         bands.alias("n")
         .join(
@@ -126,11 +157,13 @@ def admit_batch(
             F.col("n.doc_id").alias("new_id"), F.col("i.doc_id").alias("old_id")
         )
         .distinct()
+        .localCheckpoint()
     )
+    old_tokens = _self_excluded(_pruned_tokens(cand_base, "old_id"))
     verified_base = (
         cand_base.join(tokens.select(F.col("doc_id").alias("new_id"),
                                      F.col("th").alias("tha")), "new_id")
-        .join(idx_tokens.select(F.col("doc_id").alias("old_id"),
+        .join(old_tokens.select(F.col("doc_id").alias("old_id"),
                                 F.col("th").alias("thb")), "old_id")
         .withColumn("inter", F.size(F.array_intersect("tha", "thb")))
         .withColumn(
@@ -231,7 +264,13 @@ def _append_admitted(batch_docs: DataFrame, admitted: DataFrame, index_path: str
     tokens, bands = _batch_artifacts(
         batch_docs.join(admitted.select("doc_id"), "doc_id")
     )
-    tokens.write.mode("append").parquet(os.path.join(index_path, "tokens"))
+    (
+        tokens.withColumn("tb", _tok_bucket(F.col("doc_id")))
+        .repartition("tb")
+        .write.partitionBy("tb")
+        .mode("append")
+        .parquet(os.path.join(index_path, "tokens"))
+    )
     (
         bands.repartition("band_no")
         .write.partitionBy("band_no")

@@ -35,10 +35,12 @@ def test_lsh_compaction_preserves_decisions(spark, tmp_path):
     idx = str(tmp_path / "idx")
     write_lsh_index(spark, str(src), idx)
 
-    # simulate a few streamed batches: each append adds small files
+    # simulate a few streamed batches: each append adds small files — 20
+    # docs/batch so that some tb bucket is hit by MORE than one batch
+    # (fixed ids + fixed hash, so the collision set is deterministic)
     for b in range(3):
         batch = spark.createDataFrame(
-            [_fresh(100 + b * 10 + k) for k in range(3)], SCHEMA
+            [_fresh(100 + b * 100 + k) for k in range(20)], SCHEMA
         )
         d = shard_ingest.admit_batch(batch, idx)
         shard_ingest._append_admitted(batch, d.filter("admit"), idx)
