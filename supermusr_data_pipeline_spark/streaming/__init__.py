@@ -26,4 +26,8 @@ from .frame_assembly_stream import (  # noqa: F401
     events_long_to_messages,
 )
 from .nexus_stream import write_nexus_stream  # noqa: F401
+from .postings_ingest import (  # noqa: F401
+    bm25_topk_over_index,
+    ingest_postings_stream,
+)
 from .run_lifecycle import run_lifecycle_stream, runs_from_control  # noqa: F401
