@@ -195,6 +195,81 @@ def bench_vector_ingest(spark, base: str) -> dict:
     }
 
 
+def bench_postings_ingest(spark, base: str) -> dict:
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from supermusr_data_pipeline_spark.sources.testdata import load_table
+    from supermusr_data_pipeline_spark.streaming.postings_ingest import (
+        bm25_topk_over_index,
+        ingest_doc_batch,
+        ingest_postings_stream,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    base_docs = docs.filter(F.col("doc_id") % 10 != 7)
+    delta = docs.filter(F.col("doc_id") % 10 == 7)
+    idx = os.path.join(base, "lex_idx")
+    t0 = time.perf_counter()
+    # bulk segments use NEGATIVE ids — streaming batch ids start at 0 and
+    # would dynamic-overwrite a colliding segment's partitions
+    n_base = ingest_doc_batch(base_docs, idx, -2)
+    build_s = time.perf_counter() - t0
+
+    spool = os.path.join(base, "lex_spool")
+    n_docs = _spool_batches(delta, "doc_id", spool, BATCH_DOCS)
+    # a zero-token document produces no doclen row — the completion
+    # target counts only indexable delta docs
+    from supermusr_data_pipeline_spark.plans.text_dedup import _TOKENS_EXPR_SPARK
+
+    n_indexable = delta.filter(
+        F.size(F.expr(_TOKENS_EXPR_SPARK)) > 0
+    ).count()
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(spool, "*"))
+    )
+    t1 = time.perf_counter()
+    q = ingest_postings_stream(stream, idx, os.path.join(base, "lex_ckpt"))
+    traj = _watch_rows(
+        spark, os.path.join(idx, "doclen"), n_base + n_indexable
+    )
+    elapsed = time.perf_counter() - t1
+    q.stop()
+    # steady rate over the doclen growth beyond the base segment
+    nonzero = [(t, n - n_base) for t, n in traj if n > n_base]
+    steady = None
+    if len(nonzero) >= 2 and nonzero[-1][0] > nonzero[0][0]:
+        steady = (nonzero[-1][1] - nonzero[0][1]) / (nonzero[-1][0] - nonzero[0][0])
+
+    # probe latency against the grown segmented index: the first doc's
+    # first three distinct tokens (deterministic at every sf)
+    words = (
+        docs.orderBy("doc_id")
+        .limit(1)
+        .select(F.explode(F.split("text", r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+        .limit(3)
+        .collect()
+    )
+    terms = [r.w for r in words]
+    t2 = time.perf_counter()
+    bm25_topk_over_index(spark, idx, terms).count()
+    probe_s = time.perf_counter() - t2
+    return {
+        "offered_docs": n_docs,
+        "batch_docs": BATCH_DOCS,
+        "n_batches": -(-n_docs // BATCH_DOCS),
+        "base_segment_docs": n_base,
+        "index_build_s": round(build_s, 3),
+        "docs_per_sec_incl_startup": round(n_docs / elapsed, 1),
+        "docs_per_sec_steady": round(steady, 1) if steady else None,
+        "probe_s": round(probe_s, 3),
+    }
+
+
 def run(spark) -> dict:
     global BATCH_DOCS
     out = {"sf_dir": SF_DIR}
@@ -202,13 +277,20 @@ def run(spark) -> dict:
     # fixed-cost-dominated (each batch pays the index-probe joins), so
     # the pair shows how throughput amortizes with batch size — the knob
     # an operator actually turns against an ingest SLA
-    for batch_docs in (BATCH_DOCS, BATCH_DOCS * 5):
+    base_batch = BATCH_DOCS
+    for batch_docs in (base_batch, base_batch * 5):
         base = tempfile.mkdtemp(prefix="supermusr_ingest_bench_")
         prev = BATCH_DOCS
         BATCH_DOCS = batch_docs
         try:
             out[f"shard_ingest_b{batch_docs}"] = bench_shard_ingest(spark, base)
             out[f"vector_ingest_b{batch_docs}"] = bench_vector_ingest(spark, base)
+            if batch_docs == base_batch:
+                # the lexical door once (its per-batch cost profile matches
+                # the other two; the batch-size scaling story is told above)
+                out[f"postings_ingest_b{batch_docs}"] = bench_postings_ingest(
+                    spark, base
+                )
         finally:
             BATCH_DOCS = prev
             shutil.rmtree(base, ignore_errors=True)

@@ -37,6 +37,7 @@ import shutil
 import uuid
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 
 def _swap_in(new_dir: str, live_dir: str) -> None:
@@ -120,6 +121,48 @@ def compact_nexus_run(
         sort_cols=["frame_seq", "event_index", "event_id", "event_time_offset"],
         compression="zstd",
     )
+
+
+def compact_postings_index(spark: SparkSession, index_path: str) -> dict:
+    """Merge the streaming lexical index's per-batch SEGMENTS
+    (streaming/postings_ingest.py) into one base segment per artifact:
+    postings rows re-land under ``batch=-1/tb=*`` (one file per term
+    bucket), doclen under ``batch=-1/db=*``, and the stats ledger folds
+    to a single delta row.  Pure concatenation — a document lives in
+    exactly one segment, so no aggregation is involved and probes are
+    value-identical.  Run on a PAUSED stream (single-maintainer rule):
+    after compaction the ingest resumes with fresh batch ids; a
+    crash-retry of a pre-compaction batch must not be in flight."""
+    out = {}
+    for sub, key in (("postings", "tb"), ("doclen", "db")):
+        live = os.path.join(index_path, sub)
+        before = _count_files(live)
+        df = spark.read.parquet(live).drop("batch")
+        tmp = live + ".compacting"
+        shutil.rmtree(tmp, ignore_errors=True)
+        (
+            df.withColumn("batch", F.lit(-1))
+            .repartition(max(1, df.select(key).distinct().count()), key)
+            .write.partitionBy("batch", key)
+            .mode("overwrite")
+            .parquet(tmp)
+        )
+        _swap_in(tmp, live)
+        out[sub] = {"files_before": before, "files_after": _count_files(live)}
+    stats_live = os.path.join(index_path, "stats")
+    before = _count_files(stats_live)
+    folded = (
+        spark.read.parquet(stats_live)
+        .agg(F.sum("n_docs").alias("n_docs"), F.sum("sum_dl").alias("sum_dl"))
+        .withColumn("batch", F.lit(-1))
+        .coalesce(1)
+    )
+    tmp = stats_live + ".compacting"
+    shutil.rmtree(tmp, ignore_errors=True)
+    folded.write.partitionBy("batch").mode("overwrite").parquet(tmp)
+    _swap_in(tmp, stats_live)
+    out["stats"] = {"files_before": before, "files_after": _count_files(stats_live)}
+    return out
 
 
 def compact_vector_index(spark: SparkSession, index_path: str) -> dict:

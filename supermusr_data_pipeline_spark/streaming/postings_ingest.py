@@ -81,7 +81,15 @@ def _overwrite_batch_partition(df: DataFrame, batch_id: int, path: str, sub_key:
 
 def ingest_doc_batch(batch_df: DataFrame, index_path: str, batch_id: int) -> int:
     """Index one micro-batch; returns the number of NEW docs indexed
-    (redelivered doc_ids are dropped).  Idempotent per batch_id."""
+    (redelivered doc_ids are dropped).  Idempotent per batch_id.
+
+    batch_id is the segment's identity AND its overwrite unit, so ids
+    must never collide across writers: a streaming query assigns its own
+    ids from 0 upward (Structured Streaming batch ids), therefore BULK
+    loads (an initial corpus segment) and maintenance jobs must use
+    NEGATIVE ids (compaction writes batch=-1; use -2, -3, ... for bulk
+    segments).  A clash would dynamic-overwrite the other segment's
+    partitions for the buckets this batch touches."""
     spark = batch_df.sparkSession
     doclen_path = os.path.join(index_path, "doclen")
     batch_ids = batch_df.select("doc_id").distinct()

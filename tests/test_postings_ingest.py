@@ -105,8 +105,43 @@ def test_segment_ingest_matches_oracle_and_is_idempotent(spark, tmp_path):
     assert _probe(spark, idx, terms) == sorted(_oracle_bm25(union3, terms))
 
 
-def test_streaming_front_door(spark, tmp_path):
+def test_segment_compaction_preserves_probe(spark, tmp_path):
+    from supermusr_data_pipeline_spark.plans.index_maintenance import (
+        compact_postings_index,
+    )
+
     idx = str(tmp_path / "lexidx")
+    ingest_doc_batch(spark.createDataFrame(DOCS_B1, SCHEMA), idx, 0)
+    ingest_doc_batch(spark.createDataFrame(DOCS_B2, SCHEMA), idx, 1)
+    terms = ["parquet", "executors", "pruning"]
+    before = _probe(spark, idx, terms)
+
+    stats = compact_postings_index(spark, idx)
+    assert stats["postings"]["files_after"] < stats["postings"]["files_before"]
+    assert stats["stats"]["files_after"] == 1
+    assert _probe(spark, idx, terms) == before, "compaction moved a value"
+
+    # ingest continues after compaction with fresh batch ids
+    ingest_doc_batch(
+        spark.createDataFrame(
+            [(7, "another parquet pruning article", "en", "s", 30)], SCHEMA
+        ),
+        idx,
+        2,
+    )
+    union = DOCS_B1 + DOCS_B2 + [(7, "another parquet pruning article", "en", "s", 30)]
+    assert _probe(spark, idx, terms) == sorted(_oracle_bm25(union, terms))
+
+
+def test_streaming_front_door(spark, tmp_path):
+    """Streaming segments land on top of a BULK base segment: the base
+    uses a negative batch id, so the stream's own batch 0 cannot
+    dynamic-overwrite its partitions (the id-space contract in
+    ingest_doc_batch's docstring — this is its regression test)."""
+    idx = str(tmp_path / "lexidx")
+    base_doc = [(99, "a parquet primer document for the base segment", "en", "s", 46)]
+    assert ingest_doc_batch(spark.createDataFrame(base_doc, SCHEMA), idx, -2) == 1
+
     src = tmp_path / "incoming"
     src.mkdir()
     spark.createDataFrame(DOCS_B1, SCHEMA).coalesce(1).write.parquet(str(src / "b1"))
@@ -116,7 +151,7 @@ def test_streaming_front_door(spark, tmp_path):
     ).parquet(str(src / "*"))
     q = ingest_postings_stream(stream, idx, str(tmp_path / "ckpt"))
     deadline = time.time() + 120
-    want = sorted(_oracle_bm25(DOCS_B1 + DOCS_B2, ["parquet"]))
+    want = sorted(_oracle_bm25(base_doc + DOCS_B1 + DOCS_B2, ["parquet"]))
     got = None
     while time.time() < deadline:
         try:
