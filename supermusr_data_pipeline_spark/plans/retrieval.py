@@ -556,3 +556,161 @@ def q116_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _HY_TOPK)
         .select("query_doc", "doc_id", "rank_lex", "rank_vec", "rrf_score", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# q117 — hard-negative mining for contrastive retrieval training: documents
+# that score HIGH on the lexical leg (BM25 over the query doc's rarest
+# terms) but LOW on the semantic leg (cosine < tau) — the classic "BM25
+# negatives" recipe for training dense retrievers (public method; original
+# implementation).  Lexically-confusable-but-semantically-far pairs are
+# exactly the negatives a contrastive loss needs.
+# ---------------------------------------------------------------------------
+
+_HN_TAU = 0.25  # cosine below this = semantically far enough to be a negative
+
+
+@_register(
+    "q117_hard_negatives",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_TOKENS_SQL_DUCK}) AS term FROM documents
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+    ), dl AS (
+        SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id
+    ), stats AS (
+        SELECT (SELECT count(*) FROM documents) AS n,
+               (SELECT avg(dl) FROM dl) AS avgdl
+    ), dfr AS (
+        SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ), qids AS (
+        SELECT dl.doc_id AS query_doc FROM dl
+        JOIN e ON e.vec_id = dl.doc_id
+        ORDER BY dl.doc_id LIMIT {_HY_N_QUERIES}
+    ), qterms AS (
+        SELECT query_doc, term, df FROM (
+            SELECT q.query_doc, t.term, d.df,
+                   row_number() OVER (PARTITION BY q.query_doc
+                                      ORDER BY d.df ASC, t.term) AS r
+            FROM qids q
+            JOIN tf t ON t.doc_id = q.query_doc
+            JOIN dfr d ON d.term = t.term
+        ) WHERE r <= {_HY_TERMS}
+    ), lex AS (
+        SELECT q.query_doc, t.doc_id,
+               round(sum(round(
+                 ln(1 + (s.n - q.df + 0.5) / (q.df + 0.5))
+                 * (t.tf * ({_BM25_K1} + 1))
+                 / (t.tf + {_BM25_K1} * (1 - {_BM25_B}
+                                         + {_BM25_B} * d.dl / s.avgdl)), 6)), 6)
+               AS lex_score
+        FROM qterms q
+        JOIN tf t ON t.term = q.term AND t.doc_id <> q.query_doc
+        JOIN dl d ON d.doc_id = t.doc_id
+        CROSS JOIN stats s
+        GROUP BY q.query_doc, t.doc_id
+    ), lex_ranked AS (
+        SELECT query_doc, doc_id, lex_score, rank_lex FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_doc
+                                         ORDER BY lex_score DESC, doc_id)
+                      AS rank_lex
+            FROM lex
+        ) WHERE rank_lex <= {_HY_LEG_K}
+    )
+    SELECT l.query_doc, l.doc_id,
+           CAST(l.rank_lex AS INT) AS rank_lex,
+           l.lex_score,
+           round(list_sum([qe.emb[i] * ce.emb[i]
+                           for i in range(1, len(qe.emb) + 1)])
+                 / (sqrt(list_sum([x * x for x in qe.emb]))
+                    * sqrt(list_sum([x * x for x in ce.emb]))), 6) AS cos_sim
+    FROM lex_ranked l
+    JOIN e qe ON qe.vec_id = l.query_doc
+    JOIN e ce ON ce.vec_id = l.doc_id
+    WHERE round(list_sum([qe.emb[i] * ce.emb[i]
+                          for i in range(1, len(qe.emb) + 1)])
+                / (sqrt(list_sum([x * x for x in qe.emb]))
+                   * sqrt(list_sum([x * x for x in ce.emb]))), 6) < {_HN_TAU}
+    """,
+)
+def q117_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-negatives mining: for each q116 query doc, the top-20 lexical
+    candidates (same rarest-term BM25 leg) that are semantically FAR from
+    the query (cosine < 0.25, computed only for candidates that have an
+    embedding) — the hard negatives a contrastive retriever trains on.
+
+    Scale shape: the lexical leg is the q116 selective-postings probe;
+    the cosine check touches ONLY the <= Q x 20 candidate rows (inner
+    join to the vector table on candidate id, query side broadcast) —
+    never a corpus-wide similarity pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.expr(_TOKENS_EXPR_SPARK)).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = docs.select(F.count(F.lit(1)).alias("n")).crossJoin(
+        dl.agg(F.avg("dl").alias("avgdl"))
+    )
+    dfr = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    norm = "sqrt(aggregate(transform({c}, x -> x * x), 0D, (a, x) -> a + x))"
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("emb")
+    ).withColumn("ne", F.expr(norm.format(c="emb")))
+
+    qids = (
+        dl.join(e.select(F.col("vec_id").alias("doc_id")), "doc_id")
+        .select(F.col("doc_id").alias("query_doc"))
+        .orderBy("query_doc")
+        .limit(_HY_N_QUERIES)
+    )
+    rq = Window.partitionBy("query_doc").orderBy(F.asc("df"), "term")
+    qterms = (
+        F.broadcast(qids)
+        .join(tf.withColumnRenamed("doc_id", "query_doc"), "query_doc")
+        .join(dfr, "term")
+        .withColumn("r", F.row_number().over(rq))
+        .filter(F.col("r") <= _HY_TERMS)
+        .select("query_doc", "term", "df")
+    )
+    idf = F.log(
+        F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    bm_norm = F.col("tf") + _BM25_K1 * (
+        1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    term_score = F.round(idf * (F.col("tf") * (_BM25_K1 + 1)) / bm_norm, 6)
+    lex = (
+        F.broadcast(qterms)
+        .join(tf, "term")
+        .filter(F.col("doc_id") != F.col("query_doc"))
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_doc", "doc_id")
+        .agg(F.round(F.sum(term_score), 6).alias("lex_score"))
+    )
+    wl = Window.partitionBy("query_doc").orderBy(F.desc("lex_score"), "doc_id")
+    lex_ranked = (
+        lex.withColumn("rank_lex", F.row_number().over(wl).cast("int"))
+        .filter(F.col("rank_lex") <= _HY_LEG_K)
+    )
+    qe = (
+        F.broadcast(qids)
+        .join(e, e.vec_id == F.col("query_doc"))
+        .select("query_doc", F.col("emb").alias("qemb"), F.col("ne").alias("nq"))
+    )
+    ce = e.select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("emb").alias("cemb"),
+        F.col("ne").alias("nc"),
+    )
+    dot = F.expr("aggregate(zip_with(qemb, cemb, (x, y) -> x * y), 0D, (a, x) -> a + x)")
+    cos = F.round(dot / (F.col("nq") * F.col("nc")), 6)
+    return (
+        lex_ranked.join(F.broadcast(qe), "query_doc")
+        .join(ce, "doc_id")
+        .withColumn("cos_sim", cos)
+        .filter(F.col("cos_sim") < _HN_TAU)
+        .select("query_doc", "doc_id", "rank_lex", "lex_score", "cos_sim")
+    )

@@ -49,6 +49,7 @@ _BNLJ_OK = {
     "q112_bm25_topk",        # N/avgdl scalar (1 row)
     "q114_bm25_indexed",     # stats artifact scalar (1 row)
     "q116_hybrid_rrf",       # N/avgdl scalar (1 row, BM25 leg)
+    "q117_hard_negatives",   # N/avgdl scalar (1 row, BM25 leg)
 }
 
 # queries whose plans carry an UNPARTITIONED window over a provably
