@@ -1,7 +1,8 @@
 #!/usr/bin/env python
-"""Streaming-ingest throughput soak: puts the two index-backed front
-doors (streaming/shard_ingest.py, streaming/vector_ingest.py — "the
-index IS the state") on the same measured footing as the frame pipeline
+"""Streaming-ingest throughput soak: puts the three index-backed front
+doors (streaming/shard_ingest.py LSH dedup, vector_ingest.py IVF
+SemDeDup, postings_ingest.py lexical indexing — "the index IS the
+state") on the same measured footing as the frame pipeline
 (VERDICT r6 #9).
 
 Shape: the standing indexes are built from the sf corpus's BASE slice
