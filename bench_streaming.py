@@ -340,7 +340,13 @@ def _run_shape(spark: SparkSession, base: str, n_digitisers: int, n_frames: int)
     )
 
     # ---- unpaced run: whole tape at once under availableNow = max
-    # throughput (one spare file-listing gives the FSM everything at once)
+    # throughput (one spare file-listing gives the FSM everything at once).
+    # Same hygiene as between shapes: the paced soak just churned ~10^5
+    # cached blocks and state versions, and headroom measured under that
+    # heap debt reads 2-3x low.
+    spark.catalog.clearCache()
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(3)
     spool_u = os.path.join(base, f"spool_unpaced_{label}")
     os.makedirs(spool_u, exist_ok=True)
     for i in range(n_total):
