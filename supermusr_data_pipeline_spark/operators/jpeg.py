@@ -10,8 +10,11 @@ sampling factors incl. 4:2:0, restart intervals, byte-stuffing.  One
 architecture for both modes: every scan accumulates into a coefficient
 store (spectral selection + successive approximation per T.81 Annex G,
 incl. general EOB runs and refinement correction bits); IDCT runs once at
-EOI.  Arithmetic coding, lossless, and hierarchical modes raise
-``NotImplementedError``.
+EOI.  LOSSLESS mode (SOF3, Annex H) decodes too — all seven predictors,
+2..16-bit precision, restart intervals, sample-interleaved components
+(``decode_lossless_jpeg`` for raw samples; ``decode_jpeg`` maps the 8-bit
+case onto the RGB contract).  Arithmetic coding and hierarchical modes
+raise ``NotImplementedError``.
 
 Encoder: baseline 4:4:4 or 4:2:0, standard Annex-K quantization tables
 scaled by the libjpeg quality formula, per-image canonical Huffman tables
@@ -924,8 +927,26 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 coef[c["id"]] = np.zeros(
                     (mcu_rows * c["v"], mcu_cols * c["h"], 64), dtype=np.int32
                 )
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError("only baseline/progressive DCT (SOF0/1/2)")
+        elif marker == 0xC3:  # lossless (Annex H): delegate to the
+            # predictive decoder; it re-parses the payload from scratch
+            prec = body[0]
+            if prec != 8:
+                raise NotImplementedError(
+                    "lossless JPEG precision > 8 does not fit the uint8 RGB "
+                    "contract — call decode_lossless_jpeg for raw samples"
+                )
+            s = decode_lossless_jpeg(payload)
+            if s.shape[2] == 1:
+                g = np.clip(s[:, :, 0], 0, 255).astype(np.uint8)
+                return np.repeat(g[:, :, None], 3, axis=2)
+            if s.shape[2] == 3:
+                # lossless stores RGB directly (no color transform)
+                return np.clip(s, 0, 255).astype(np.uint8)
+            raise NotImplementedError("lossless JPEG with >3 components")
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only baseline/progressive DCT (SOF0/1/2) and lossless (SOF3)"
+            )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS
@@ -970,3 +991,226 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         g = np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
         return np.repeat(g[:, :, None], 3, axis=2)
     return _ycbcr_to_rgb(np.stack(full[:3], axis=2))
+
+
+# --------------------------------------------------------------------------
+# lossless JPEG (SOF3, ITU-T T.81 Annex H): predictive coding, Huffman
+# entropy — the archival/medical mode.  Samples are 2..16-bit; prediction
+# uses the left (Ra), above (Rb), above-left (Rc) neighbors with the
+# standard seven predictors; differences are coded exactly like DC
+# coefficients (SSSS category + value bits, SSSS=16 meaning 32768 with no
+# extra bits) in modulo-2^16 arithmetic.  Multi-component images are
+# sample-interleaved (h=v=1) and stored WITHOUT a color transform — the
+# mode is lossless, so RGB stays RGB.
+# --------------------------------------------------------------------------
+
+
+def _lossless_predict(
+    plane: np.ndarray, row: int, col: int, predictor: int, default: int
+) -> int:
+    """Px for plane[row, col] given already-reconstructed neighbors.  The
+    first sample (or first after a restart — the caller passes row/col
+    relative to the restart-reset origin logic) uses `default`
+    (2^(P-Pt-1)); the rest of the first line predicts from Ra; the first
+    column predicts from Rb (H.1.2.2)."""
+    if row == 0:
+        return int(plane[0, col - 1]) if col > 0 else default
+    if col == 0:
+        return int(plane[row - 1, 0])
+    ra = int(plane[row, col - 1])
+    rb = int(plane[row - 1, col])
+    rc = int(plane[row - 1, col - 1])
+    if predictor == 1:
+        return ra
+    if predictor == 2:
+        return rb
+    if predictor == 3:
+        return rc
+    if predictor == 4:
+        return ra + rb - rc
+    if predictor == 5:
+        return ra + ((rb - rc) >> 1)
+    if predictor == 6:
+        return rb + ((ra - rc) >> 1)
+    if predictor == 7:
+        return (ra + rb) >> 1
+    raise ValueError(f"invalid lossless predictor {predictor}")
+
+
+def encode_lossless_jpeg(
+    samples: np.ndarray,
+    precision: int = 8,
+    predictor: int = 1,
+    point_transform: int = 0,
+    restart_interval: int = 0,
+) -> bytes:
+    """(H, W) or (H, W, C) integer samples → lossless JPEG (SOF3) bytes.
+    Exact roundtrip with :func:`decode_lossless_jpeg` when
+    ``point_transform`` is 0 (a nonzero point transform drops the low Pt
+    bits by definition — T.81 H.1).  ``restart_interval`` > 0 emits DRI +
+    RSTn markers every that many sample rows, resetting the predictor."""
+    arr = np.asarray(samples)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, nc = arr.shape
+    if not 2 <= precision <= 16:
+        raise ValueError("lossless JPEG precision must be 2..16")
+    if arr.min() < 0 or arr.max() >= (1 << precision):
+        raise ValueError("samples out of range for precision")
+    arr = (arr.astype(np.int64) >> point_transform).astype(np.int64)
+    default = 1 << (precision - point_transform - 1)
+
+    # pass 1: diffs per sample in interleave order, with restart resets
+    diffs: list[int] = []
+    n_restarts = 0
+
+    def _emit_diffs() -> None:
+        nonlocal n_restarts
+        recon = [np.zeros((h, w), dtype=np.int64) for _ in range(nc)]
+        since_restart = 0
+        origin_row = 0  # first row of the current restart segment
+        for row in range(h):
+            if restart_interval and row > 0 and since_restart >= restart_interval:
+                diffs.append(("rst",))
+                n_restarts += 1
+                since_restart = 0
+                origin_row = row
+            for col in range(w):
+                for c in range(nc):
+                    plane = recon[c]
+                    rrow = row - origin_row
+                    if rrow == 0 and col == 0:
+                        px = default
+                    elif rrow == 0:
+                        px = int(plane[row, col - 1])
+                    else:
+                        px = _lossless_predict(
+                            plane[origin_row:], rrow, col, predictor, default
+                        )
+                    x = int(arr[row, col, c])
+                    d = ((x - px + 32768) % 65536) - 32768
+                    diffs.append((d,))
+                    plane[row, col] = x
+            since_restart += 1
+
+    _emit_diffs()
+
+    cats = set()
+    for d in diffs:
+        if d[0] != "rst":
+            v = d[0]
+            cats.add(16 if v == -32768 else _category(v))
+    bits, vals, enc = _fixed_huff_table(cats or {0})
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    sofb = struct.pack(">BHHB", precision, h, w, nc)
+    for c in range(nc):
+        sofb += bytes([c + 1, 0x11, 0])
+    out += seg(0xFFC3, sofb)
+    out += seg(0xFFC4, bytes([0x00]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
+    sosb = bytes([nc]) + b"".join(bytes([c + 1, 0x00]) for c in range(nc))
+    sosb += bytes([predictor, 0, point_transform])
+    out += seg(0xFFDA, sosb)
+
+    bw = _BitWriter()
+    rst = 0
+    for d in diffs:
+        if d[0] == "rst":
+            bw.write_marker(0xD0 + (rst % 8))
+            rst += 1
+            continue
+        v = d[0]
+        s = 16 if v == -32768 else _category(v)
+        ln, code = enc[s]
+        bw.write(code, ln)
+        if 0 < s < 16:
+            bw.write(_value_bits(v, s), s)
+    out += bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def decode_lossless_jpeg(payload: bytes) -> np.ndarray:
+    """Lossless JPEG (SOF3) bytes → (H, W, C) int64 samples (exact)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    huff: dict[int, dict] = {}
+    sof = None
+    restart_interval = 0
+    result = None
+    while True:
+        while payload[pos + 1] == 0xFF:
+            pos += 1
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            break
+        (ln,) = struct.unpack_from(">H", payload, pos)
+        body = payload[pos + 2 : pos + ln]
+        pos += ln
+        if marker == 0xC4:
+            b = 0
+            while b < len(body):
+                cls, tid = body[b] >> 4, body[b] & 0xF
+                tbits = list(body[b + 1 : b + 17])
+                n = sum(tbits)
+                huff[tid] = _huff_decode_map(tbits, list(body[b + 17 : b + 17 + n]))
+                b += 17 + n
+        elif marker == 0xC3:
+            prec, ih, iw, nc = struct.unpack_from(">BHHB", body, 0)
+            comps = [body[6 + 3 * i] for i in range(nc)]
+            sof = (prec, ih, iw, nc)
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:
+            if sof is None:
+                raise ValueError("lossless SOS before SOF3")
+            prec, ih, iw, nc = sof
+            ns = body[0]
+            tables = [huff[body[2 + 2 * i] >> 4] for i in range(ns)]
+            predictor = body[1 + 2 * ns]
+            pt = body[3 + 2 * ns] & 0xF
+            default = 1 << (prec - pt - 1)
+            planes = [np.zeros((ih, iw), dtype=np.int64) for _ in range(nc)]
+            reader = _BitReader(payload, pos)
+            since_restart = 0
+            origin_row = 0
+            for row in range(ih):
+                if restart_interval and row > 0 and since_restart >= restart_interval:
+                    reader.restart()
+                    since_restart = 0
+                    origin_row = row
+                for col in range(iw):
+                    for c in range(nc):
+                        s = _huff_read(reader, tables[c])
+                        if s == 16:
+                            d = 32768
+                        elif s == 0:
+                            d = 0
+                        else:
+                            d = _extend(reader.read_bits(s), s)
+                        plane = planes[c]
+                        rrow = row - origin_row
+                        if rrow == 0 and col == 0:
+                            px = default
+                        elif rrow == 0:
+                            px = int(plane[row, col - 1])
+                        else:
+                            px = _lossless_predict(
+                                plane[origin_row:], rrow, col, predictor, default
+                            )
+                        plane[row, col] = (px + d) % 65536
+                since_restart += 1
+            result = np.stack(planes, axis=2) << pt
+            pos = reader.pos
+            while not (payload[pos] == 0xFF and payload[pos + 1] != 0x00):
+                pos += 1
+    if result is None:
+        raise ValueError("lossless JPEG has no scan data")
+    return result

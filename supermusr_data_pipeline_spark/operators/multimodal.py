@@ -20,13 +20,12 @@ Codecs are REAL for container formats decodable without external libraries:
 - **video**: a simple documented container (``VID0`` + length-prefixed BMP
   frames) with real frame-sampling plumbing.
 
-Progressive JPEG (T.81 Annex G spectral selection + successive
-approximation) is decoded from spec by :mod:`.jpeg` as well.  Codecs that
+Progressive JPEG (T.81 Annex G) and lossless JPEG (Annex H, all seven
+predictors) are decoded from spec by :mod:`.jpeg` as well.  Codecs that
 genuinely need external libraries absent from this environment (MP3/H.264,
-and JPEG's arithmetic/lossless/hierarchical modes) raise
-``NotImplementedError`` with a clear message — the Spark-side plumbing
-(schema, batching, UDF signature) is identical once a real codec is
-dropped in.
+and JPEG's arithmetic/hierarchical modes) raise ``NotImplementedError``
+with a clear message — the Spark-side plumbing (schema, batching, UDF
+signature) is identical once a real codec is dropped in.
 """
 
 from __future__ import annotations

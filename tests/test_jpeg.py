@@ -104,10 +104,11 @@ def test_fill_bytes_before_marker_are_skipped():
     np.testing.assert_array_equal(decode_jpeg(padded), decode_jpeg(buf))
 
 
-def test_lossless_and_garbage_raise():
+def test_unsupported_modes_and_garbage_raise():
     buf = bytearray(encode_jpeg(_smooth(8, 8)))
     i = buf.find(b"\xff\xc0")
-    buf[i + 1] = 0xC3  # pretend SOF3 lossless
+    buf[i + 1] = 0xC5  # pretend SOF5 differential sequential (unsupported;
+    # SOF3 lossless is implemented now — see the lossless tests below)
     with pytest.raises(NotImplementedError, match="SOF0/1/2"):
         decode_jpeg(bytes(buf))
     with pytest.raises(ValueError):
@@ -166,3 +167,81 @@ def test_progressive_uniform_image_exercises_eob_only_bands():
     b = decode_jpeg(encode_jpeg(img, quality=90))
     p = decode_jpeg(encode_progressive_jpeg(img, quality=90))
     assert np.array_equal(b, p)
+
+
+# --------------------------------------------------------------------------
+# lossless JPEG (SOF3, Annex H)
+# --------------------------------------------------------------------------
+
+
+def _rng(seed=5):
+    return np.random.default_rng(seed)
+
+
+def test_lossless_roundtrip_all_predictors_gray():
+    from supermusr_data_pipeline_spark.operators.jpeg import (
+        decode_lossless_jpeg,
+        encode_lossless_jpeg,
+    )
+
+    img = _rng().integers(0, 256, size=(23, 17), dtype=np.int64)
+    for pred in range(1, 8):
+        out = decode_lossless_jpeg(encode_lossless_jpeg(img, 8, predictor=pred))
+        assert out.shape == (23, 17, 1)
+        assert (out[:, :, 0] == img).all(), f"predictor {pred} not lossless"
+
+
+def test_lossless_roundtrip_rgb_and_12bit_and_restarts():
+    from supermusr_data_pipeline_spark.operators.jpeg import (
+        decode_lossless_jpeg,
+        encode_lossless_jpeg,
+    )
+
+    rgb = _rng(7).integers(0, 256, size=(9, 11, 3), dtype=np.int64)
+    assert (decode_lossless_jpeg(encode_lossless_jpeg(rgb, 8, 4)) == rgb).all()
+    x12 = _rng(9).integers(0, 4096, size=(15, 7), dtype=np.int64)
+    assert (
+        decode_lossless_jpeg(encode_lossless_jpeg(x12, 12, 7))[:, :, 0] == x12
+    ).all()
+    img = _rng(11).integers(0, 256, size=(10, 6), dtype=np.int64)
+    b = encode_lossless_jpeg(img, 8, 2, restart_interval=3)
+    assert b"\xff\xdd" in b and b"\xff\xd0" in b
+    assert (decode_lossless_jpeg(b)[:, :, 0] == img).all()
+
+
+def test_lossless_extreme_diffs_hit_category_16():
+    """Alternating 0/255 columns with predictor 1 produce +-255 diffs;
+    a 16-bit corpus with a full-range step exercises the SSSS=16 /
+    diff=32768 special case (no extra bits, modulo-2^16 reconstruction)."""
+    from supermusr_data_pipeline_spark.operators.jpeg import (
+        decode_lossless_jpeg,
+        encode_lossless_jpeg,
+    )
+
+    img = np.zeros((4, 8), dtype=np.int64)
+    img[:, 1::2] = 255
+    assert (decode_lossless_jpeg(encode_lossless_jpeg(img, 8, 1))[:, :, 0] == img).all()
+    wide = np.zeros((2, 4), dtype=np.int64)
+    wide[:, 1::2] = 65535  # diff -65535 ≡ +1... and +32768 steps via default
+    wide[1, 0] = 32768     # first-column Rb prediction sees a 32768 step
+    assert (
+        decode_lossless_jpeg(encode_lossless_jpeg(wide, 16, 1))[:, :, 0] == wide
+    ).all()
+
+
+def test_decode_jpeg_handles_sof3_8bit():
+    """decode_jpeg maps 8-bit lossless onto its uint8 RGB contract: gray
+    replicates, RGB passes through untransformed and EXACT (lossless)."""
+    from supermusr_data_pipeline_spark.operators.jpeg import encode_lossless_jpeg
+
+    gray = _rng(13).integers(0, 256, size=(8, 5), dtype=np.int64)
+    out = decode_jpeg(encode_lossless_jpeg(gray, 8, 1))
+    assert out.shape == (8, 5, 3)
+    assert (out[:, :, 0] == gray).all() and (out[:, :, 2] == gray).all()
+
+    rgb = _rng(17).integers(0, 256, size=(6, 7, 3), dtype=np.int64)
+    out = decode_jpeg(encode_lossless_jpeg(rgb, 8, 4))
+    assert (out == rgb).all()
+
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(encode_lossless_jpeg(gray, 12, 1))
