@@ -623,10 +623,23 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
                         payload = encode_png(px, filter_type=(doc_id // 9) % 5)
                         meta = (16, 16, None, 1, "png8")
                     elif variant == 2:
-                        payload = jpeg.encode_jpeg(
-                            px, quality=95, subsample=(doc_id // 9) % 2 == 1
-                        )
-                        meta = (16, 16, None, 1, "jpeg-baseline")
+                        # sub-cycle the three implemented JPEG modes so the
+                        # contract query decodes every one of them
+                        mode = (doc_id // 12) % 3
+                        if mode == 0:
+                            payload = jpeg.encode_jpeg(
+                                px, quality=95, subsample=(doc_id // 9) % 2 == 1
+                            )
+                            meta = (16, 16, None, 1, "jpeg-baseline")
+                        elif mode == 1:
+                            payload = jpeg.encode_progressive_jpeg(px, quality=95)
+                            meta = (16, 16, None, 1, "jpeg-progressive")
+                        else:
+                            payload = jpeg.encode_lossless_jpeg(
+                                px.astype(np.int64), 8,
+                                predictor=1 + (doc_id // 12) % 7,
+                            )
+                            meta = (16, 16, None, 1, "jpeg-lossless")
                     else:
                         # GIF needs a <=256-color palette: index a small
                         # deterministic palette instead of raw noise

@@ -49,11 +49,12 @@ def test_multimodal_features_golden(spark):
         F.sum("n_bytes").alias("nb"),
         F.round(F.sum("mean_intensity"), 3).alias("mi"),
     ).collect()[0]
-    # goldens moved when image payloads started cycling BMP/PNG/JPEG, and
-    # again when GIF89a joined the rotation (palette-indexed pixels change
-    # the intensity sum for the GIF slots; GIF's LZW sizes shrink the byte
-    # total): BMP/PNG/GIF decode pixel-exact, JPEG stays lossy by design
-    assert (agg.n, agg.nb, agg.mi) == (500, 380248, 41699.908)
+    # goldens moved when image payloads started cycling BMP/PNG/JPEG, when
+    # GIF89a joined the rotation, and again when the JPEG slot started
+    # sub-cycling baseline/progressive/LOSSLESS (round 7): lossless
+    # payloads are bigger (no quantization) and decode pixel-exact, which
+    # shifts both the byte total and the intensity sum deliberately
+    assert (agg.n, agg.nb, agg.mi) == (500, 391556, 41723.116)
     r0 = df.filter(F.col("media_id") == 0).collect()[0]
     assert r0.kind == "image" and r0.n_bytes == 822
     assert r0.digest == "491d8777f2b44c564aac32bc4dd82afdb95fc4a7e0012e48ae70d56d20de27e1"
