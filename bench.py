@@ -219,22 +219,33 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 — report, don't sink the bench
             ingest = {"error": str(e)[:200]}
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_time",
-                "value": total,
-                "unit": "sec",
-                "legacy_headline_sec": round(sum(timings[h] for h in legacy), 3),
-                "queries": timings,
-                "index_builds": index_builds,
-                "shared_intermediates": shared,
-                "streaming": streaming,
-                "streaming_ingest": ingest,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_query_wall_time",
+        "value": total,
+        "unit": "sec",
+        "legacy_headline_sec": round(sum(timings[h] for h in legacy), 3),
+        "queries": timings,
+        "index_builds": index_builds,
+        "shared_intermediates": shared,
+        "streaming": streaming,
+        "streaming_ingest": ingest,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    line = json.dumps(payload)
+    # The driver records only the tail of stdout, and this line has grown
+    # past that window (VERDICT r7 #4: BENCH_r07's JSON was truncated and
+    # the per-query numbers lost).  Persist the full payload to a committed
+    # file so every round's numbers survive regardless of stdout capture,
+    # and keep the stdout line as the driver's machine-readable channel.
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
+            "w",
+        ) as f:
+            f.write(line + "\n")
+    except OSError:  # pragma: no cover — read-only checkout must not sink the bench
+        pass
+    print(line)
     spark.stop()
 
 

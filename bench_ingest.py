@@ -142,8 +142,8 @@ def bench_vector_ingest(spark, base: str) -> dict:
     from supermusr_data_pipeline_spark.plans.text_dedup import _codebook
     from supermusr_data_pipeline_spark.sources.testdata import load_table
     from supermusr_data_pipeline_spark.streaming.vector_ingest import (
-        assign_cells,
         ingest_vector_stream,
+        write_vector_index,
     )
 
     cents = _codebook(SF_DIR)[0]
@@ -155,12 +155,7 @@ def bench_vector_ingest(spark, base: str) -> dict:
 
     idx = os.path.join(base, "ivf_idx")
     t0 = time.perf_counter()
-    (
-        assign_cells(base_vecs, cents)
-        .repartition("cell")
-        .write.partitionBy("cell")
-        .parquet(idx)
-    )
+    write_vector_index(base_vecs, idx, cents)
     build_s = time.perf_counter() - t0
 
     spool = os.path.join(base, "vec_spool")

@@ -248,12 +248,26 @@ def _tok_bucket(col):
     return F.pmod(F.xxhash64(col.cast("long")), F.lit(_TOK_BUCKETS)).cast("int")
 
 
+# segment ids for the LSH index's `bid` partition column: streaming
+# batches use their non-negative Structured Streaming batch ids; every
+# non-streaming writer must stay NEGATIVE so a streaming query's dynamic
+# partition overwrite can never clobber a bulk/maintenance segment (the
+# postings_ingest id-space rule applied index-wide)
+LSH_BASE_BID = -1          # the bulk index build
+LSH_BULK_APPEND_BID = -2   # append_shard_to_index batch growth
+
+
 def write_lsh_index(spark: SparkSession, sf_dir: str, out_path: str) -> None:
     """Index-build job for the BASE corpus: two artifacts under one root —
-    ``bands/`` (doc_id, band_no, key) partitioned by band_no, and
+    ``bands/`` (doc_id, band_no, key) partitioned by (band_no, bid), and
     ``tokens/`` (doc_id, th) for exact-Jaccard verification, partitioned
-    by ``tb`` = hash(doc_id) % 256 so candidate verification prunes to
-    the touched buckets.  Token-id arrays are bigints, so the parquet
+    by (``tb`` = hash(doc_id) % 256, bid) so candidate verification
+    prunes to the touched buckets.  ``bid`` is the SEGMENT id: the bulk
+    build writes bid=-1, and the streaming front door
+    (streaming/shard_ingest.py) appends each micro-batch as its own
+    bid=<batch_id> partitions via dynamic partition overwrite — a
+    crash-retry REPLACES its segment instead of duplicating rows, with
+    no marker files.  Token-id arrays are bigints, so the parquet
     round-trip is exact.  At 100 TB this is the standing dedup index a
     shard lands against; a shard that passes is then APPENDED to it
     (band rows + token sets), which is the whole point of the layout —
@@ -265,16 +279,18 @@ def write_lsh_index(spark: SparkSession, sf_dir: str, out_path: str) -> None:
     (
         base.select("doc_id", "th")
         .withColumn("tb", _tok_bucket(F.col("doc_id")))
+        .withColumn("bid", F.lit(LSH_BASE_BID))
         .repartition("tb")
-        .write.partitionBy("tb")
+        .write.partitionBy("tb", "bid")
         .mode("overwrite")
         .parquet(os.path.join(out_path, "tokens"))
     )
     sigs = base.select("doc_id", *_minhash_cols_spark())
     (
         _banded(sigs)
+        .withColumn("bid", F.lit(LSH_BASE_BID))
         .repartition("band_no")
-        .write.partitionBy("band_no")
+        .write.partitionBy("band_no", "bid")
         .mode("overwrite")
         .parquet(os.path.join(out_path, "bands"))
     )
@@ -372,21 +388,25 @@ def append_shard_to_index(spark: SparkSession, sf_dir: str, out_path: str) -> No
     the append is partitioned by band_no like the original layout, and
     the band-key bucket occupancy used by future passes automatically
     reflects the appended rows (occupancy is computed per pass, not
-    stored)."""
+    stored).  Rows land in the reserved bid=-2 bulk-append segment so a
+    concurrent streaming door's batch-id partitions can never collide
+    with them."""
     is_delta = F.col("doc_id") % _DELTA_MOD == _DELTA_REM
     delta = _with_token_hashes(spark, sf_dir).filter(is_delta).filter(F.size("th") > 0)
     (
         delta.select("doc_id", "th")
         .withColumn("tb", _tok_bucket(F.col("doc_id")))
+        .withColumn("bid", F.lit(LSH_BULK_APPEND_BID))
         .repartition("tb")
-        .write.partitionBy("tb")
+        .write.partitionBy("tb", "bid")
         .mode("append")
         .parquet(os.path.join(out_path, "tokens"))
     )
     (
         _banded(delta.select("doc_id", *_minhash_cols_spark()))
+        .withColumn("bid", F.lit(LSH_BULK_APPEND_BID))
         .repartition("band_no")
-        .write.partitionBy("band_no")
+        .write.partitionBy("band_no", "bid")
         .mode("append")
         .parquet(os.path.join(out_path, "bands"))
     )

@@ -6,9 +6,13 @@ right write shape for a latency path, the wrong read shape after a few
 thousand batches (every probe opens hundreds of small files and reads
 hundreds of footers).  This module is the downstream maintenance pass
 both docstrings promise: rewrite an index's data into one well-sized
-file per partition directory, atomically swap it in, and leave the
-ingest markers (``_ingested_batch_*``) untouched so crash-retry
-semantics survive compaction.
+file per partition directory (folding per-batch ``bid`` segments into
+the reserved base segment) and atomically swap it in.  The front doors'
+crash-retry idempotency lives in the segment layout itself (dynamic
+partition overwrite of ``bid=<batch_id>``), so compaction has no
+sidecar marker state to preserve — but it DOES retire old segment ids,
+which is why it must run against a paused stream with no pre-compaction
+batch retry in flight.
 
 Swap protocol (per artifact directory): write the compacted copy to
 ``<dir>.compacting``, rename ``<dir>`` -> ``<dir>.old``, rename the
@@ -89,15 +93,41 @@ def _compact_partitioned(
     return {"files_before": before, "files_after": _count_files(live_dir)}
 
 
+def _compact_segmented(
+    spark: SparkSession, live_dir: str, key: str, base_bid: int = -1
+) -> dict:
+    """Compact a segmented (``bid``-partitioned) artifact: fold every
+    segment into the reserved base segment ``bid=<base_bid>`` with one
+    file per bucket directory.  Pure concatenation — a row lives in
+    exactly one segment, so values are untouched.  Run on a PAUSED
+    stream: after compaction the ingest resumes with fresh batch ids and
+    no pre-compaction batch retry may be in flight (the single-maintainer
+    rule all the front doors document)."""
+    before = _count_files(live_dir)
+    df = spark.read.parquet(live_dir).drop("bid")
+    tmp = live_dir + ".compacting"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        df.withColumn("bid", F.lit(int(base_bid)))
+        .repartition(max(1, df.select(key).distinct().count()), key)
+        .write.partitionBy(key, "bid")
+        .mode("overwrite")
+        .parquet(tmp)
+    )
+    _swap_in(tmp, live_dir)
+    return {"files_before": before, "files_after": _count_files(live_dir)}
+
+
 def compact_lsh_index(spark: SparkSession, index_path: str) -> dict:
-    """Compact the q82/shard-ingest LSH index: ``bands/`` back to one
+    """Compact the q82/shard-ingest LSH index: every per-batch ``bid``
+    segment folds into the bid=-1 base segment — ``bands/`` back to one
     file per band_no directory, ``tokens/`` to one file per tb bucket
-    directory.  Markers under ``index_path`` itself are not touched."""
+    directory."""
     return {
-        "bands": _compact_partitioned(
+        "bands": _compact_segmented(
             spark, os.path.join(index_path, "bands"), "band_no"
         ),
-        "tokens": _compact_partitioned(
+        "tokens": _compact_segmented(
             spark, os.path.join(index_path, "tokens"), "tb"
         ),
     }
@@ -167,21 +197,8 @@ def compact_postings_index(spark: SparkSession, index_path: str) -> dict:
 
 def compact_vector_index(spark: SparkSession, index_path: str) -> dict:
     """Compact the cell-partitioned IVF vector index (vector_ingest's
-    standing state): one file per cell directory.  Markers inside the
-    index root (``_ingested_batch_*``) are preserved across the swap."""
-    # markers live INSIDE the vector index root; carry them over
-    markers = [
-        n for n in os.listdir(index_path) if n.startswith("_ingested_batch_")
-    ]
-    marker_bytes = {
-        n: open(os.path.join(index_path, n)).read() for n in markers
-    }
-    out = _compact_partitioned(spark, index_path, "cell")
-    for n, content in marker_bytes.items():
-        p = os.path.join(index_path, n)
-        if not os.path.exists(p):
-            tmp = p + ".tmp"
-            with open(tmp, "w") as f:
-                f.write(content)
-            os.replace(tmp, p)
-    return {"index": out, "markers_preserved": len(markers)}
+    standing state): every per-batch ``bid`` segment folds into the
+    bid=-1 base segment, one file per cell directory.  The front door
+    keeps no marker files — segment overwrite is its idempotency — so
+    there is no sidecar state to carry across the swap."""
+    return {"index": _compact_segmented(spark, index_path, "cell")}

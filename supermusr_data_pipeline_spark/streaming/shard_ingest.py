@@ -17,16 +17,25 @@ together" with watermarked in-memory state; THIS path answers "may this
 document enter the corpus" against the full standing index.
 
 Failure semantics: foreachBatch may re-run a batch after a crash, so the
-append must be idempotent.  A per-batch marker file under the index root
-guards the append (the same write-once discipline as the nexus sink's
-completed-file lifecycle, operators/nexus_sink.py) and records the ids
-that attempt admitted, so the re-run excludes exactly its own appended
-rows and recomputes byte-identical decisions; decisions land in a
-`batch_id`-partitioned parquet so re-runs overwrite their own partition
-instead of duplicating rows.  An at-least-once SOURCE is also handled: a
-doc_id redelivered in a LATER batch is found in the standing index and
+append must be idempotent — and it is the APPEND itself that is
+idempotent, not a marker protocol around it: each micro-batch's admitted
+rows land as their own ``bid=<batch_id>`` segment partitions (inside the
+existing tb / band_no buckets) via dynamic partition overwrite, so a
+re-run REPLACES its segment wholesale.  The decision recompute excludes
+exactly its own segment (``bid != batch_id`` — a partition filter), so
+it sees the index as the first attempt did and recomputes byte-identical
+decisions; a crash between the tokens and bands writes just leaves a
+half-segment the retry overwrites.  Decisions land in a
+`batch_id`-partitioned parquet with the same overwrite discipline.  An
+at-least-once SOURCE is also handled: a doc_id redelivered in a LATER
+batch is found in an EARLIER segment of the standing index and
 short-circuits to `already_ingested` / admit=false instead of appending
-a duplicate index row.
+a duplicate index row.  Non-streaming writers use reserved NEGATIVE
+segment ids (plans/incremental.py: bid=-1 bulk build, bid=-2 bulk
+append, compaction folds to bid=-1), so a streaming query's overwrite
+can never clobber them; one streaming writer per index at a time (the
+repo-wide single-maintainer rule — batch ids are scoped to the query's
+checkpoint).
 
 Scale shape per batch: one narrow signature pass over the batch, one
 equi-join against bucket-truncated index bands (cap mirrors
@@ -72,34 +81,41 @@ def admit_batch(
     batch_docs: DataFrame,
     index_path: str,
     bucket_cap: int = _LSH_BUCKET_CAP,
-    self_appended: list | None = None,
+    exclude_bid: int | None = None,
 ) -> DataFrame:
     """Admission decisions for one micro-batch against the standing index:
     (doc_id, already_ingested, dups_base, dups_earlier_peer, admit,
     reason) — q94's output contract, computed from the persisted
     artifacts.
 
-    ``self_appended`` is the crash-retry knob: on a foreachBatch re-run
-    whose first attempt already appended to the index, pass the ids THAT
-    ATTEMPT admitted (the batch marker records them).  Exactly those rows
-    are excluded from the index side — BEFORE the bucket cap, so
-    truncation picks the same survivors — which makes the recompute
-    byte-identical to the original decisions.  Everything else found in
-    the index under a batch doc_id must have been ingested by an EARLIER
-    batch (an at-least-once source redelivering), and short-circuits to
-    ``already_ingested`` / admit=false instead of re-admitting a
-    duplicate index row."""
+    ``exclude_bid`` is the crash-retry knob: the streaming door always
+    passes its own batch_id, so rows a crashed first attempt already
+    appended (they live in the ``bid=<batch_id>`` segment partitions) are
+    excluded from the index side — BEFORE the bucket cap, so truncation
+    picks the same survivors — which makes the recompute byte-identical
+    to the original decisions.  It is a partition filter: on a first run
+    the segment doesn't exist and the filter prunes nothing.  Everything
+    else found in the index under a batch doc_id was ingested by an
+    EARLIER batch (an at-least-once source redelivering), and
+    short-circuits to ``already_ingested`` / admit=false instead of
+    re-admitting a duplicate index row."""
     spark = batch_docs.sparkSession
     tokens, bands = _batch_artifacts(batch_docs)
     batch_ids = batch_docs.select("doc_id").distinct()
-    idx_bands = spark.read.parquet(os.path.join(index_path, "bands")).select(
+    idx_bands = spark.read.parquet(os.path.join(index_path, "bands"))
+    idx_tokens_all = spark.read.parquet(os.path.join(index_path, "tokens"))
+    if exclude_bid is not None:
+        # own-segment exclusion — a literal partition filter on bid
+        idx_bands = idx_bands.filter(F.col("bid") != int(exclude_bid))
+        idx_tokens_all = idx_tokens_all.filter(F.col("bid") != int(exclude_bid))
+    idx_bands = idx_bands.select(
         "doc_id", F.col("band_no").cast("int").alias("band_no"), "key"
     )
     # the tokens artifact is tb=hash(doc_id)-bucketed (write_lsh_index):
     # every read below carries a LITERAL bucket filter derived from the
     # doc_ids it actually needs, so verification never scans the whole
     # corpus's token sets — only the touched directories
-    idx_tokens_all = spark.read.parquet(os.path.join(index_path, "tokens")).select(
+    idx_tokens_all = idx_tokens_all.select(
         "doc_id", "th", F.col("tb").cast("int").alias("tb")
     )
 
@@ -114,23 +130,11 @@ def admit_batch(
             return idx_tokens_all.filter(F.lit(False))
         return idx_tokens_all.filter(F.col("tb").isin(buckets))
 
-    self_df = None
-    if self_appended:
-        self_df = spark.createDataFrame(
-            [(int(i),) for i in self_appended], "doc_id bigint"
-        )
-        idx_bands = idx_bands.join(F.broadcast(self_df), "doc_id", "left_anti")
-
-    def _self_excluded(tok):
-        if self_df is None:
-            return tok
-        return tok.join(F.broadcast(self_df), "doc_id", "left_anti")
-
-    # redelivery short-circuit: batch ids already in the (self-excluded)
-    # index were admitted by an earlier batch — presence probes only the
-    # BATCH ids' buckets, index side stays left vs the broadcast batch
+    # redelivery short-circuit: batch ids already in the (own-segment-
+    # excluded) index were admitted by an earlier batch — presence probes
+    # only the BATCH ids' buckets, index side stays left vs the broadcast
     already = (
-        _self_excluded(_pruned_tokens(batch_ids, "doc_id"))
+        _pruned_tokens(batch_ids, "doc_id")
         .select("doc_id")
         .join(F.broadcast(batch_ids), "doc_id", "leftsemi")
         .distinct()
@@ -159,7 +163,7 @@ def admit_batch(
         .distinct()
         .localCheckpoint()
     )
-    old_tokens = _self_excluded(_pruned_tokens(cand_base, "old_id"))
+    old_tokens = _pruned_tokens(cand_base, "old_id")
     verified_base = (
         cand_base.join(tokens.select(F.col("doc_id").alias("new_id"),
                                      F.col("th").alias("tha")), "new_id")
@@ -244,37 +248,31 @@ def admit_batch(
     )
 
 
-def _read_marker_ids(marker: str, batch_df: DataFrame, id_col: str = "doc_id"):
-    """None if this batch never appended (fresh run); else the ids the
-    first attempt admitted — the crash-retry exclusion set.  A legacy
-    marker (pre-ids format, content 'done') cannot name them; fall back to
-    the full batch id set, which is exactly the pre-v2 exclusion, so old
-    checkpoints stay replayable (they just lose the redelivery
-    short-circuit for that one batch)."""
-    if not os.path.exists(marker):
-        return None
-    with open(marker) as f:
-        toks = f.read().split()
-    if all(t.lstrip("-").isdigit() for t in toks):
-        return [int(t) for t in toks]
-    return [r[id_col] for r in batch_df.select(id_col).distinct().collect()]
-
-
-def _append_admitted(batch_docs: DataFrame, admitted: DataFrame, index_path: str) -> None:
+def _append_admitted(
+    batch_docs: DataFrame, admitted: DataFrame, index_path: str, bid: int
+) -> None:
+    """Append the admitted slice as the ``bid`` segment's partitions.
+    Dynamic partition overwrite makes a crash-retry replace its own
+    (tb, bid) / (band_no, bid) leaf directories instead of appending
+    duplicates — the append IS the idempotency mechanism."""
     tokens, bands = _batch_artifacts(
         batch_docs.join(admitted.select("doc_id"), "doc_id")
     )
     (
         tokens.withColumn("tb", _tok_bucket(F.col("doc_id")))
+        .withColumn("bid", F.lit(int(bid)))
         .repartition("tb")
-        .write.partitionBy("tb")
-        .mode("append")
+        .write.partitionBy("tb", "bid")
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
         .parquet(os.path.join(index_path, "tokens"))
     )
     (
-        bands.repartition("band_no")
-        .write.partitionBy("band_no")
-        .mode("append")
+        bands.withColumn("bid", F.lit(int(bid)))
+        .repartition("band_no")
+        .write.partitionBy("band_no", "bid")
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
         .parquet(os.path.join(index_path, "bands"))
     )
 
@@ -300,27 +298,18 @@ def ingest_shard_stream(
         sc = batch_df.sparkSession.sparkContext
         before = _persistent_rdd_ids(sc)
         try:
-            marker = os.path.join(index_path, f"_ingested_batch_{batch_id}")
-            # the marker records the ids THIS batch appended (newline-
-            # separated), so a crash-retry excludes exactly its own rows
-            # from the index side and still sees earlier batches'
-            # redeliveries as already_ingested
-            self_appended = _read_marker_ids(marker, batch_df)
+            # own-segment exclusion (bid != batch_id) makes the recompute
+            # on a crash-retry byte-identical to the first attempt, and the
+            # segment overwrite below makes the re-append replace rather
+            # than duplicate — no marker files, no ordering window
             decisions = admit_batch(
-                batch_df, index_path, bucket_cap, self_appended=self_appended
+                batch_df, index_path, bucket_cap, exclude_bid=batch_id
             ).localCheckpoint()
             # append BEFORE publishing decisions: a batch's decisions must not
-            # become visible until the index reflects its admissions (and a
-            # stop/crash between the two steps then re-runs the decisions
-            # write, not the append — which the marker guards anyway)
-            if self_appended is None:
-                admitted = decisions.filter("admit")
-                _append_admitted(batch_df, admitted, index_path)
-                ids = sorted(int(r.doc_id) for r in admitted.select("doc_id").collect())
-                tmp = marker + ".tmp"
-                with open(tmp, "w") as f:
-                    f.write("\n".join(str(i) for i in ids))
-                os.replace(tmp, marker)  # a half-written marker never counts
+            # become visible until the index reflects its admissions (a
+            # stop/crash between the two steps re-runs both; both writes are
+            # partition-overwrite idempotent)
+            _append_admitted(batch_df, decisions.filter("admit"), index_path, batch_id)
             (
                 decisions.withColumn("batch_id", F.lit(batch_id))
                 .write.mode("overwrite")

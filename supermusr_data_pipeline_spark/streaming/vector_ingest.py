@@ -20,15 +20,19 @@ controls that with the codebook fit (q48 monitors it), and the full-tape
 q58 pass is the lambda backfill, exactly as near_dup_reconcile backfills
 the LSH stream.
 
-Failure semantics (the shard_ingest lessons, all of them): the index
-append is guarded by a per-batch marker file that RECORDS the appended
-ids, and decisions land in a ``batch_id``-partitioned parquet so re-runs
-overwrite their own partition; a crash-retry anti-joins exactly its own
-appended rows out of the index side, so the recompute is byte-identical
-to the first run (a vector must not flip to dup-of-base by matching
-itself at cosine 1.0); and a vec_id redelivered by an at-least-once
-source in a LATER batch short-circuits to ``already_ingested`` instead
-of appending a duplicate index row.
+Failure semantics (the shard_ingest contract, shared): the append
+itself is idempotent — each micro-batch's admitted vectors land as
+their own ``bid=<batch_id>`` segment partitions inside the cell
+directories via dynamic partition overwrite, so a crash-retry REPLACES
+its segment instead of duplicating rows, and the decision recompute
+excludes its own segment (``bid != batch_id``, a partition filter) so
+it is byte-identical to the first run (a vector must not flip to
+dup-of-base by matching itself at cosine 1.0).  A vec_id redelivered by
+an at-least-once source in a LATER batch is found in an earlier segment
+and short-circuits to ``already_ingested`` instead of appending a
+duplicate index row.  Non-streaming writers (the bulk build,
+compaction) use reserved NEGATIVE segment ids — bid=-1 — so a streaming
+overwrite can never clobber them; one streaming writer per index.
 
 Scale shape per batch: one narrow cell-assignment pass over the batch,
 one partition-pruned index scan of the occupied cells, one broadcast
@@ -38,8 +42,6 @@ Nothing scans the base corpus.
 """
 
 from __future__ import annotations
-
-import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -67,19 +69,25 @@ def assign_cells(vecs: DataFrame, cents) -> DataFrame:
     )
 
 
+# reserved segment id for non-streaming writers of the vector index (the
+# bulk build and compaction); streaming batches use their non-negative
+# batch ids — the id-space rule shared with shard_ingest/postings_ingest
+VEC_BASE_BID = -1
+
+
 def admit_vector_batch(
     batch_vecs: DataFrame,
     index_path: str,
     cents,
     tau: float = _SEM_TAU,
-    self_appended: list | None = None,
+    exclude_bid: int | None = None,
 ) -> DataFrame:
     """Admission decisions for one micro-batch against the standing index:
     (vec_id, cell, already_ingested, dups_base, dups_earlier_peer, admit,
-    reason).  ``self_appended`` is the crash-retry exclusion set — see
-    shard_ingest.admit_batch for the contract."""
+    reason).  ``exclude_bid`` is the crash-retry own-segment exclusion —
+    see shard_ingest.admit_batch for the contract."""
     return _admit_assigned(
-        assign_cells(batch_vecs, cents), index_path, tau, self_appended
+        assign_cells(batch_vecs, cents), index_path, tau, exclude_bid
     )
 
 
@@ -87,38 +95,33 @@ def _admit_assigned(
     batch: DataFrame,
     index_path: str,
     tau: float,
-    self_appended: list | None = None,
+    exclude_bid: int | None = None,
 ) -> DataFrame:
     """Decisions from an already-assigned (vec_id, emb, cell) batch — the
     streaming path hands a per-batch checkpoint here so the assignment
     isn't recomputed per consumer (and releases it after the writes).
 
     Crash-retry vs redelivery (the shard_ingest contract): on a re-run of
-    a batch that already appended, ``self_appended`` names exactly the
-    rows to exclude from the index side, making the recompute
-    byte-identical to run one.  Any OTHER batch vec_id found in the index
-    was ingested by an earlier batch (at-least-once source redelivery) and
-    short-circuits to ``already_ingested`` — identity is by vec_id, and
-    the occupied-cells partition filter still finds it because the same
-    embedding assigns to the same cell under the fixed codebook."""
+    a batch that already appended, ``exclude_bid`` (= the batch's own id)
+    prunes its segment partitions out of the index side, making the
+    recompute byte-identical to run one.  Any OTHER batch vec_id found in
+    the index was ingested by an earlier batch (at-least-once source
+    redelivery) and short-circuits to ``already_ingested`` — identity is
+    by vec_id, and the occupied-cells partition filter still finds it
+    because the same embedding assigns to the same cell under the fixed
+    codebook."""
     spark = batch.sparkSession
     batch_ids = batch.select("vec_id").distinct()
     # literal partition filter: only the batch's occupied cells are read
     cells = sorted(r.cell for r in batch.select("cell").distinct().collect())
-    idx = (
-        spark.read.parquet(index_path)
-        .filter(F.col("cell").isin(cells))
-        .select(
-            F.col("vec_id").alias("old_id"),
-            F.col("emb").alias("old_emb"),
-            F.col("cell").cast("int").alias("cell"),
-        )
+    idx = spark.read.parquet(index_path).filter(F.col("cell").isin(cells))
+    if exclude_bid is not None:
+        idx = idx.filter(F.col("bid") != int(exclude_bid))
+    idx = idx.select(
+        F.col("vec_id").alias("old_id"),
+        F.col("emb").alias("old_emb"),
+        F.col("cell").cast("int").alias("cell"),
     )
-    if self_appended:
-        self_df = spark.createDataFrame(
-            [(int(i),) for i in self_appended], "old_id bigint"
-        )
-        idx = idx.join(F.broadcast(self_df), "old_id", "left_anti")
     already = (
         idx.select(F.col("old_id").alias("vec_id"))
         .join(F.broadcast(batch_ids), "vec_id", "leftsemi")
@@ -182,17 +185,39 @@ def _admit_assigned(
 
 
 def _append_admitted(
-    batch_vecs: DataFrame, admitted: DataFrame, index_path: str, cents
+    batch_vecs: DataFrame, admitted: DataFrame, index_path: str, cents,
+    bid: int,
 ) -> None:
-    _append_assigned(assign_cells(batch_vecs, cents), admitted, index_path)
+    _append_assigned(assign_cells(batch_vecs, cents), admitted, index_path, bid)
 
 
-def _append_assigned(assigned: DataFrame, admitted: DataFrame, index_path: str) -> None:
+def _append_assigned(
+    assigned: DataFrame, admitted: DataFrame, index_path: str, bid: int
+) -> None:
+    """Write the admitted slice as the ``bid`` segment's (cell, bid)
+    partitions — dynamic overwrite, so a crash-retry replaces its own
+    segment instead of appending duplicates."""
     rows = assigned.join(admitted.select("vec_id"), "vec_id")
     (
-        rows.repartition("cell")
-        .write.partitionBy("cell")
-        .mode("append")
+        rows.withColumn("bid", F.lit(int(bid)))
+        .repartition("cell")
+        .write.partitionBy("cell", "bid")
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(index_path)
+    )
+
+
+def write_vector_index(base_vecs: DataFrame, index_path: str, cents) -> None:
+    """Bulk build of the standing vector index: (vec_id, emb, cell, bid)
+    partitioned by (cell, bid) with the reserved bid=-1 base segment —
+    the layout every reader (admission probes, compaction) expects."""
+    (
+        assign_cells(base_vecs, cents)
+        .withColumn("bid", F.lit(VEC_BASE_BID))
+        .repartition("cell")
+        .write.partitionBy("cell", "bid")
+        .mode("overwrite")
         .parquet(index_path)
     )
 
@@ -220,24 +245,15 @@ def ingest_vector_stream(
         sc = batch_df.sparkSession.sparkContext
         before = _persistent_rdd_ids(sc)
         try:
-            from .shard_ingest import _read_marker_ids
-
             assigned = assign_cells(batch_df, cents).localCheckpoint()
-            marker = os.path.join(index_path, f"_ingested_batch_{batch_id}")
-            # marker records the ids this batch appended (crash-retry
-            # exclusion set); see shard_ingest for the redelivery contract
-            self_appended = _read_marker_ids(marker, batch_df, id_col="vec_id")
+            # own-segment exclusion + segment overwrite = idempotent retry
+            # with byte-identical decisions (see module docstring)
             decisions = _admit_assigned(
-                assigned, index_path, tau, self_appended
+                assigned, index_path, tau, exclude_bid=batch_id
             ).localCheckpoint()
-            if self_appended is None:
-                admitted = decisions.filter("admit")
-                _append_assigned(assigned, admitted, index_path)
-                ids = sorted(int(r.vec_id) for r in admitted.select("vec_id").collect())
-                tmp = marker + ".tmp"
-                with open(tmp, "w") as f:
-                    f.write("\n".join(str(i) for i in ids))
-                os.replace(tmp, marker)  # a half-written marker never counts
+            _append_assigned(
+                assigned, decisions.filter("admit"), index_path, batch_id
+            )
             (
                 decisions.withColumn("batch_id", F.lit(batch_id))
                 .write.mode("overwrite")

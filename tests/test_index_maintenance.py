@@ -1,8 +1,7 @@
 """Index compaction: the streaming-appended LSH and vector indexes must
 compact to ~one file per partition directory with byte-identical
-admission behavior, and the ingest markers must survive the swap."""
-
-import os
+admission behavior, folding every per-batch ``bid`` segment into the
+reserved bid=-1 base segment."""
 
 import numpy as np
 
@@ -42,11 +41,8 @@ def test_lsh_compaction_preserves_decisions(spark, tmp_path):
         batch = spark.createDataFrame(
             [_fresh(100 + b * 100 + k) for k in range(20)], SCHEMA
         )
-        d = shard_ingest.admit_batch(batch, idx)
-        shard_ingest._append_admitted(batch, d.filter("admit"), idx)
-    # a marker at the index root must not be touched by compaction
-    with open(os.path.join(idx, "_ingested_batch_2"), "w") as f:
-        f.write("100\n101\n102")
+        d = shard_ingest.admit_batch(batch, idx, exclude_bid=b)
+        shard_ingest._append_admitted(batch, d.filter("admit"), idx, bid=b)
 
     probe = spark.createDataFrame(
         [_doc(500, BASE_TEXT), _fresh(501), _fresh(109)], SCHEMA
@@ -59,7 +55,6 @@ def test_lsh_compaction_preserves_decisions(spark, tmp_path):
 
     after = sorted(shard_ingest.admit_batch(probe, idx).collect())
     assert after == before, "compaction changed admission decisions"
-    assert open(os.path.join(idx, "_ingested_batch_2")).read() == "100\n101\n102"
 
 
 def test_vector_compaction_preserves_decisions(spark, tmp_path):
@@ -68,21 +63,16 @@ def test_vector_compaction_preserves_decisions(spark, tmp_path):
     base = [(i, rng.normal(size=64).tolist()) for i in range(1, 4)]
     vschema = "vec_id bigint, embedding array<double>"
     idx = str(tmp_path / "vidx")
-    (
-        vector_ingest.assign_cells(spark.createDataFrame(base, vschema), cents)
-        .repartition("cell")
-        .write.partitionBy("cell")
-        .parquet(idx)
+    vector_ingest.write_vector_index(
+        spark.createDataFrame(base, vschema), idx, cents
     )
     for b in range(3):
         batch = spark.createDataFrame(
             [(100 + b * 10 + k, rng.normal(size=64).tolist()) for k in range(3)],
             vschema,
         )
-        d = vector_ingest.admit_vector_batch(batch, idx, cents)
-        vector_ingest._append_admitted(batch, d.filter("admit"), idx, cents)
-        with open(os.path.join(idx, f"_ingested_batch_{b}"), "w") as f:
-            f.write("\n".join(str(100 + b * 10 + k) for k in range(3)))
+        d = vector_ingest.admit_vector_batch(batch, idx, cents, exclude_bid=b)
+        vector_ingest._append_admitted(batch, d.filter("admit"), idx, cents, bid=b)
 
     probe = spark.createDataFrame(
         [(900, base[0][1]), (901, rng.normal(size=64).tolist())], vschema
@@ -91,9 +81,6 @@ def test_vector_compaction_preserves_decisions(spark, tmp_path):
 
     stats = compact_vector_index(spark, idx)
     assert stats["index"]["files_after"] < stats["index"]["files_before"]
-    assert stats["markers_preserved"] == 3
 
     after = sorted(vector_ingest.admit_vector_batch(probe, idx, cents).collect())
     assert after == before, "compaction changed admission decisions"
-    for b in range(3):
-        assert os.path.exists(os.path.join(idx, f"_ingested_batch_{b}"))

@@ -92,25 +92,62 @@ def test_stream_dedups_across_batches_via_index_growth(spark, tmp_path):
 
 def test_append_is_rerun_idempotent(spark, tmp_path):
     """Re-running a batch (crash/retry) must not duplicate index rows —
-    the marker-file guard."""
+    the segment (bid) dynamic-partition-overwrite guarantee: the retry
+    REPLACES its own bid partitions."""
     idx = _mk_index(spark, tmp_path)
     batch = spark.createDataFrame(
         [(41, NEW_TEXT, "en", "s1", len(NEW_TEXT))], SCHEMA
     )
     from supermusr_data_pipeline_spark.streaming import shard_ingest
 
-    decisions = admit_batch(batch, idx)
+    decisions = admit_batch(batch, idx, exclude_bid=7)
+    shard_ingest._append_admitted(batch, decisions.filter("admit"), idx, bid=7)
+    before = spark.read.parquet(f"{idx}/tokens").count()
+    # simulated re-run: same batch id, same decisions, full re-append
+    shard_ingest._append_admitted(batch, decisions.filter("admit"), idx, bid=7)
+    assert spark.read.parquet(f"{idx}/tokens").count() == before
+    assert spark.read.parquet(f"{idx}/tokens").filter("doc_id = 41").count() == 1
+
+
+def test_partial_append_heals_on_retry(spark, tmp_path):
+    """ADVICE r7: a crash BETWEEN the tokens append and the bands append
+    must not leave a doc permanently invisible to LSH candidate
+    generation.  Simulate the half-segment (tokens written, bands not)
+    and re-run the whole batch: the doc must end up in BOTH artifacts
+    exactly once, and its decision must still be 'admitted'."""
     import os
 
-    marker = os.path.join(idx, "_ingested_batch_7")
-    shard_ingest._append_admitted(batch, decisions.filter("admit"), idx)
-    with open(marker, "w") as f:
-        f.write("done")
-    before = spark.read.parquet(f"{idx}/tokens").count()
-    # simulated re-run: the guard in process() consults the marker
-    if not os.path.exists(marker):
-        shard_ingest._append_admitted(batch, decisions.filter("admit"), idx)
-    assert spark.read.parquet(f"{idx}/tokens").count() == before
+    from pyspark.sql import functions as F
+
+    from supermusr_data_pipeline_spark.streaming import shard_ingest
+    from supermusr_data_pipeline_spark.plans.incremental import _tok_bucket
+
+    idx = _mk_index(spark, tmp_path)
+    batch = spark.createDataFrame(
+        [(61, NEW_TEXT, "en", "s1", len(NEW_TEXT))], SCHEMA
+    )
+    # first attempt: tokens landed, crash before bands
+    tokens, _bands = shard_ingest._batch_artifacts(batch)
+    (
+        tokens.withColumn("tb", _tok_bucket(F.col("doc_id")))
+        .withColumn("bid", F.lit(3))
+        .write.partitionBy("tb", "bid")
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(os.path.join(idx, "tokens"))
+    )
+    # retry of batch 3: own-segment exclusion hides the half-append, so
+    # the decision recomputes as a fresh admit, and the segment overwrite
+    # completes both artifacts
+    d = {r.doc_id: r for r in admit_batch(batch, idx, exclude_bid=3).collect()}
+    assert d[61].admit and d[61].reason == "admitted"
+    shard_ingest._append_admitted(
+        batch, admit_batch(batch, idx, exclude_bid=3).filter("admit"), idx, bid=3
+    )
+    assert spark.read.parquet(f"{idx}/tokens").filter("doc_id = 61").count() == 1
+    assert (
+        spark.read.parquet(f"{idx}/bands").filter("doc_id = 61").count() > 0
+    ), "the doc must be visible to LSH candidate generation after the retry"
 
 
 def test_decisions_are_rerun_idempotent(spark, tmp_path):
@@ -130,13 +167,13 @@ def test_decisions_are_rerun_idempotent(spark, tmp_path):
     )
     from supermusr_data_pipeline_spark.streaming import shard_ingest
 
-    first = sorted(admit_batch(batch, idx).collect())
+    first = sorted(admit_batch(batch, idx, exclude_bid=5).collect())
     # crash point: append done, decisions write lost → foreachBatch re-runs
-    # with the marker naming the appended ids (here: 41)
+    # with its own bid=5 segment already in the index; exclusion is by bid
     shard_ingest._append_admitted(
-        batch, admit_batch(batch, idx).filter("admit"), idx
+        batch, admit_batch(batch, idx, exclude_bid=5).filter("admit"), idx, bid=5
     )
-    rerun = sorted(admit_batch(batch, idx, self_appended=[41]).collect())
+    rerun = sorted(admit_batch(batch, idx, exclude_bid=5).collect())
     assert rerun == first, (
         "re-run decisions diverged from the original:\n"
         f"first={first}\nrerun={rerun}"
@@ -158,21 +195,21 @@ def test_later_batch_redelivery_short_circuits(spark, tmp_path):
     b1 = spark.createDataFrame(
         [(51, NEW_TEXT, "en", "s1", len(NEW_TEXT))], SCHEMA
     )
-    d1 = admit_batch(b1, idx)
+    d1 = admit_batch(b1, idx, exclude_bid=0)
     assert d1.collect()[0].admit
-    shard_ingest._append_admitted(b1, d1.filter("admit"), idx)
+    shard_ingest._append_admitted(b1, d1.filter("admit"), idx, bid=0)
 
     # later batch redelivers 51 alongside a genuinely fresh doc
     b2 = spark.createDataFrame(
         [(51, NEW_TEXT, "en", "s1", len(NEW_TEXT)),
          (52, NEW_TEXT2, "en", "s1", len(NEW_TEXT2))], SCHEMA
     )
-    d2 = {r.doc_id: r for r in admit_batch(b2, idx).collect()}
+    d2 = {r.doc_id: r for r in admit_batch(b2, idx, exclude_bid=1).collect()}
     assert not d2[51].admit and d2[51].reason == "already_ingested"
     assert d2[52].admit and d2[52].reason == "admitted"
     # appending only the admitted slice leaves exactly one row for 51
     shard_ingest._append_admitted(
-        b2, admit_batch(b2, idx).filter("admit"), idx
+        b2, admit_batch(b2, idx, exclude_bid=1).filter("admit"), idx, bid=1
     )
     tok = spark.read.parquet(f"{idx}/tokens")
     assert tok.filter("doc_id = 51").count() == 1

@@ -13,6 +13,7 @@ from supermusr_data_pipeline_spark.streaming.vector_ingest import (
     admit_vector_batch,
     assign_cells,
     ingest_vector_stream,
+    write_vector_index,
     _append_admitted,
 )
 
@@ -39,12 +40,7 @@ def _mk_index(spark, tmp_path):
     base = spark.createDataFrame(
         _rows((1, BASE_1), (2, BASE_2)), SCHEMA
     )
-    (
-        assign_cells(base, CENTS)
-        .repartition("cell")
-        .write.partitionBy("cell")
-        .parquet(idx)
-    )
+    write_vector_index(base, idx, CENTS)
     return idx
 
 
@@ -128,13 +124,15 @@ def test_decisions_are_rerun_idempotent(spark, tmp_path):
         ),
         SCHEMA,
     )
-    first = sorted(admit_vector_batch(batch, idx, CENTS).collect())
+    first = sorted(admit_vector_batch(batch, idx, CENTS, exclude_bid=5).collect())
     _append_admitted(
-        batch, admit_vector_batch(batch, idx, CENTS).filter("admit"), idx, CENTS
+        batch,
+        admit_vector_batch(batch, idx, CENTS, exclude_bid=5).filter("admit"),
+        idx, CENTS, bid=5,
     )
-    # the re-run's marker names the appended ids (here: 41)
+    # the re-run excludes its own bid=5 segment — a partition filter
     rerun = sorted(
-        admit_vector_batch(batch, idx, CENTS, self_appended=[41]).collect()
+        admit_vector_batch(batch, idx, CENTS, exclude_bid=5).collect()
     )
     assert rerun == first, (
         f"re-run decisions diverged:\nfirst={first}\nrerun={rerun}"
@@ -147,22 +145,25 @@ def test_decisions_are_rerun_idempotent(spark, tmp_path):
 
 def test_later_batch_redelivery_short_circuits(spark, tmp_path):
     """A vec_id redelivered by an at-least-once source in a LATER batch
-    (no marker guards it) must be rejected as already_ingested, not
-    re-admitted (ADVICE r6, the shard_ingest fix applied here too)."""
+    (a different bid, so own-segment exclusion does not hide it) must be
+    rejected as already_ingested, not re-admitted (ADVICE r6, the
+    shard_ingest fix applied here too)."""
     idx = _mk_index(spark, tmp_path)
     b1 = spark.createDataFrame(_rows((51, FRESH_1)), SCHEMA)
-    d1 = admit_vector_batch(b1, idx, CENTS)
+    d1 = admit_vector_batch(b1, idx, CENTS, exclude_bid=0)
     assert d1.collect()[0].admit
-    _append_admitted(b1, d1.filter("admit"), idx, CENTS)
+    _append_admitted(b1, d1.filter("admit"), idx, CENTS, bid=0)
 
     b2 = spark.createDataFrame(
         _rows((51, FRESH_1), (52, FRESH_2)), SCHEMA
     )
-    d2 = {r.vec_id: r for r in admit_vector_batch(b2, idx, CENTS).collect()}
+    d2 = {r.vec_id: r for r in admit_vector_batch(b2, idx, CENTS, exclude_bid=1).collect()}
     assert not d2[51].admit and d2[51].reason == "already_ingested"
     assert d2[52].admit and d2[52].reason == "admitted"
     _append_admitted(
-        b2, admit_vector_batch(b2, idx, CENTS).filter("admit"), idx, CENTS
+        b2,
+        admit_vector_batch(b2, idx, CENTS, exclude_bid=1).filter("admit"),
+        idx, CENTS, bid=1,
     )
     all_rows = spark.read.parquet(idx)
     assert all_rows.filter("vec_id = 51").count() == 1
