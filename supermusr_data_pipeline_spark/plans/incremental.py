@@ -272,6 +272,8 @@ def write_lsh_index(spark: SparkSession, sf_dir: str, out_path: str) -> None:
     shard lands against; a shard that passes is then APPENDED to it
     (band rows + token sets), which is the whole point of the layout —
     growing the index is an append, not a rebuild."""
+    from .index_maintenance import resolve_dir
+
     df = _with_token_hashes(spark, sf_dir)
     base = df.filter(
         (F.col("doc_id") % _DELTA_MOD != _DELTA_REM) & (F.size("th") > 0)
@@ -283,7 +285,7 @@ def write_lsh_index(spark: SparkSession, sf_dir: str, out_path: str) -> None:
         .repartition("tb")
         .write.partitionBy("tb", "bid")
         .mode("overwrite")
-        .parquet(os.path.join(out_path, "tokens"))
+        .parquet(resolve_dir(os.path.join(out_path, "tokens")))
     )
     sigs = base.select("doc_id", *_minhash_cols_spark())
     (
@@ -292,7 +294,7 @@ def write_lsh_index(spark: SparkSession, sf_dir: str, out_path: str) -> None:
         .repartition("band_no")
         .write.partitionBy("band_no", "bid")
         .mode("overwrite")
-        .parquet(os.path.join(out_path, "bands"))
+        .parquet(resolve_dir(os.path.join(out_path, "bands")))
     )
 
 
@@ -315,14 +317,18 @@ def q82_indexed_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta_banded = _banded(
         delta_df.filter(F.size("th") > 0).select("doc_id", *_minhash_cols_spark())
     )
-    base_banded = spark.read.parquet(os.path.join(path, "bands")).select(
-        "doc_id", F.col("band_no").cast("int").alias("band_no"), "key"
-    )
+    from .index_maintenance import resolve_dir
+
+    base_banded = spark.read.parquet(
+        resolve_dir(os.path.join(path, "bands"))
+    ).select("doc_id", F.col("band_no").cast("int").alias("band_no"), "key")
     # no tb pruning here: a 10%-of-corpus delta's candidates touch nearly
     # every bucket, so the filter would list all directories for nothing;
     # the SMALL-batch probe (streaming/shard_ingest.admit_batch) is where
     # the bucketed layout pays
-    base_th = spark.read.parquet(os.path.join(path, "tokens")).select("doc_id", "th")
+    base_th = spark.read.parquet(
+        resolve_dir(os.path.join(path, "tokens"))
+    ).select("doc_id", "th")
 
     banded = base_banded.unionByName(delta_banded)
     # combined occupancy — identical to the maintained index's view (q79)
@@ -391,6 +397,8 @@ def append_shard_to_index(spark: SparkSession, sf_dir: str, out_path: str) -> No
     stored).  Rows land in the reserved bid=-2 bulk-append segment so a
     concurrent streaming door's batch-id partitions can never collide
     with them."""
+    from .index_maintenance import resolve_dir
+
     is_delta = F.col("doc_id") % _DELTA_MOD == _DELTA_REM
     delta = _with_token_hashes(spark, sf_dir).filter(is_delta).filter(F.size("th") > 0)
     (
@@ -400,7 +408,7 @@ def append_shard_to_index(spark: SparkSession, sf_dir: str, out_path: str) -> No
         .repartition("tb")
         .write.partitionBy("tb", "bid")
         .mode("append")
-        .parquet(os.path.join(out_path, "tokens"))
+        .parquet(resolve_dir(os.path.join(out_path, "tokens")))
     )
     (
         _banded(delta.select("doc_id", *_minhash_cols_spark()))
@@ -408,7 +416,7 @@ def append_shard_to_index(spark: SparkSession, sf_dir: str, out_path: str) -> No
         .repartition("band_no")
         .write.partitionBy("band_no", "bid")
         .mode("append")
-        .parquet(os.path.join(out_path, "bands"))
+        .parquet(resolve_dir(os.path.join(out_path, "bands")))
     )
 
 

@@ -1,41 +1,71 @@
 """Compaction for the streaming-appended physical indexes.
 
-The ingest front doors (streaming/shard_ingest.py, vector_ingest.py)
-append one parquet file per micro-batch per partition directory — the
-right write shape for a latency path, the wrong read shape after a few
-thousand batches (every probe opens hundreds of small files and reads
-hundreds of footers).  This module is the downstream maintenance pass
-both docstrings promise: rewrite an index's data into one well-sized
-file per partition directory (folding per-batch ``bid`` segments into
-the reserved base segment) and atomically swap it in.  The front doors'
-crash-retry idempotency lives in the segment layout itself (dynamic
-partition overwrite of ``bid=<batch_id>``), so compaction has no
-sidecar marker state to preserve — but it DOES retire old segment ids,
-which is why it must run against a paused stream with no pre-compaction
-batch retry in flight.
+The ingest front doors (streaming/shard_ingest.py, vector_ingest.py,
+postings_ingest.py) append one parquet file per micro-batch per
+partition directory — the right write shape for a latency path, the
+wrong read shape after a few thousand batches (every probe opens
+hundreds of small files and reads hundreds of footers).  This module is
+the downstream maintenance pass the front-door docstrings promise:
+rewrite an index's data into one well-sized file per partition
+directory (folding per-batch ``bid`` segments into the reserved base
+segment) and publish it atomically.  The front doors' crash-retry
+idempotency lives in the segment layout itself (dynamic partition
+overwrite of ``bid=<batch_id>``), so compaction has no sidecar marker
+state to preserve — but it DOES retire old segment ids, which is why it
+must run against a paused stream with no pre-compaction batch retry in
+flight.
 
-Swap protocol (per artifact directory): write the compacted copy to
-``<dir>.compacting``, rename ``<dir>`` -> ``<dir>.old``, rename the
-compacted copy into place, delete ``<dir>.old``.  Two renames — a
-reader can race only into a clean miss-and-retry, and a crash at any
-point leaves either the old or the new directory recoverable by name.
-Run it from ONE maintenance process while the ingest stream is paused
-(the front doors' appends target the directory by name; compacting
-under a live appender would drop its in-flight batch on the swap —
-same single-maintainer rule the reference's file lifecycle follows,
-operators/nexus_sink.py).
+Publish protocol (object-storage-safe; VERDICT r7 #2): each artifact
+directory ``D`` holds hidden version subdirectories ``D/.v<N>`` and a
+one-line pointer file ``D/_CURRENT`` naming the live one.  Every reader
+and writer resolves ``D`` through the pointer (``resolve_dir``); an
+unversioned directory (no pointer — the bulk builders' output) resolves
+to itself, so the protocol is adopted lazily at first compaction.
+Compaction writes the compacted copy to ``D/.v<N+1>`` (mode overwrite,
+so a crashed attempt is simply rewritten), flips the pointer with ONE
+single-file atomic replace (``os.replace`` locally ≙ one PUT on an
+object store — the only step that changes what readers see), then
+garbage-collects everything else in ``D``.  No directory is ever
+renamed: every primitive is a bounded file write, a single-key atomic
+replace, or a delete of data no resolver can reach — all of which have
+exact object-store analogs, unlike the rename-pair swap this replaces.
+A crash at ANY step leaves readers on a complete version: before the
+flip they resolve the old version, after it the new; leftover garbage
+is inert (hidden from Spark's listings by the dot prefix) and collected
+by the next run.  Spark reads/writes a ``.v<N>`` path directly without
+seeing the dot prefix as hidden (the hidden filter applies to children
+of a listed root, not the root itself).
+
+``compact_nexus_run`` is the exception: the NeXus sink must stay
+readable as ONE parquet root (``spark.read.parquet(sink)`` with
+run_name partition discovery), so its run directories cannot move
+behind a pointer — a hidden version subdir would vanish from the root
+scan.  It instead uses a resumable file-level manifest: write the
+compacted file to a hidden staging dir, record the exact copy/delete
+plan in a ``_COMPACT_MANIFEST`` file (one atomic replace), apply it
+(single-file puts + deletes), then remove the manifest.  A crash leaves
+the manifest, and the next call RESUMES the plan instead of
+recompacting, converging to the identical end state.  The window in
+which both old and new files coexist is only reader-visible for the run
+being compacted, which the API already requires to be a COMPLETED run
+with no readers under maintenance (operators/nexus_sink.py lifecycle) —
+the same precondition table formats exist to remove for raw parquet
+directories.
 
 Scale notes: compaction is one shuffle per artifact keyed by the
-partition column (band_no / cell), writing ~one file per key — the
+partition column (band_no / cell / tb), writing ~one file per key — the
 exact layout the builders (plans/incremental.write_lsh_index,
-plans/ivf_index) produce, so a compacted index is indistinguishable
-from a freshly built one.  Content equality is CI-pinned: admission
-decisions against a compacted index must be byte-identical
-(tests/test_index_maintenance.py).
+streaming/vector_ingest.write_vector_index) produce, so a compacted
+index is indistinguishable from a freshly built one.  Content equality
+is CI-pinned: admission decisions and probes against a compacted index
+must be byte-identical (tests/test_index_maintenance.py,
+tests/test_postings_ingest.py, tests/test_nexus_compaction.py), and the
+crash-at-every-step recovery is pinned by tests/test_swap_protocol.py.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import uuid
@@ -43,12 +73,69 @@ import uuid
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
+_POINTER = "_CURRENT"
+_MANIFEST = "_COMPACT_MANIFEST"
 
-def _swap_in(new_dir: str, live_dir: str) -> None:
-    old = live_dir + ".old-" + uuid.uuid4().hex[:8]
-    os.rename(live_dir, old)
-    os.rename(new_dir, live_dir)
-    shutil.rmtree(old, ignore_errors=True)
+
+# ---------------------------------------------------------------------------
+# the _CURRENT pointer protocol
+# ---------------------------------------------------------------------------
+
+
+def resolve_dir(path: str) -> str:
+    """The directory readers and writers must actually use for artifact
+    ``path``: ``path/.v<N>`` when a ``_CURRENT`` pointer exists, else
+    ``path`` itself (the bulk builders' unversioned layout).  One stat +
+    one tiny read — cheap enough for every micro-batch."""
+    name = _read_pointer(path)
+    return os.path.join(path, name) if name else path
+
+
+def _read_pointer(path: str) -> str | None:
+    p = os.path.join(path, _POINTER)
+    try:
+        with open(p) as f:
+            name = f.read().strip()
+    except OSError:
+        return None
+    return name or None
+
+
+def _flip_pointer(path: str, version_name: str) -> None:
+    """THE publish step: one single-file atomic replace (≙ one PUT)."""
+    p = os.path.join(path, _POINTER)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(version_name + "\n")
+    os.replace(tmp, p)
+
+
+def _next_version_name(path: str) -> str:
+    cur = _read_pointer(path)
+    n = int(cur[2:]) if cur and cur.startswith(".v") else 0
+    return f".v{n + 1}"
+
+
+def _gc_stale(path: str, keep: set[str]) -> None:
+    """Delete everything under artifact root ``path`` that the resolver
+    can no longer reach: old ``.v<N>`` dirs, the pre-versioning plain
+    partition dirs, stray ``_SUCCESS`` files.  Pure deletes of inert
+    data — a crash mid-GC just leaves garbage for the next run."""
+    try:
+        entries = os.listdir(path)
+    except OSError:
+        return
+    for name in entries:
+        if name in keep or name == _POINTER:
+            continue
+        full = os.path.join(path, name)
+        if os.path.isdir(full):
+            shutil.rmtree(full, ignore_errors=True)
+        else:
+            try:
+                os.remove(full)
+            except OSError:
+                pass
 
 
 def _count_files(d: str) -> int:
@@ -58,43 +145,36 @@ def _count_files(d: str) -> int:
     return n
 
 
-def _compact_partitioned(
-    spark: SparkSession,
-    live_dir: str,
-    key: str | None,
-    files_per_key: int = 1,
-    sort_cols: list | None = None,
-    compression: str | None = None,
-) -> dict:
-    """Rewrite one artifact directory: repartition by ``key`` (None = a
-    single unpartitioned directory) into ``files_per_key`` files per
-    partition value — optionally sorted within files (row-group pruning)
-    and re-compressed — then atomically swap.  Returns before/after file
-    counts."""
-    before = _count_files(live_dir)
-    df = spark.read.parquet(live_dir)
-    tmp = live_dir + ".compacting"
-    shutil.rmtree(tmp, ignore_errors=True)
-    if key is None:
-        out = df.coalesce(files_per_key)
-    else:
-        out = df.repartition(
-            files_per_key * max(1, df.select(key).distinct().count()), key
-        )
-    if sort_cols:
-        out = out.sortWithinPartitions(*sort_cols)
-    w = out.write.mode("overwrite")
-    if compression:
-        w = w.option("compression", compression)
-    if key is not None:
-        w = w.partitionBy(key)
-    w.parquet(tmp)
-    _swap_in(tmp, live_dir)
-    return {"files_before": before, "files_after": _count_files(live_dir)}
+# ---------------------------------------------------------------------------
+# segmented-index compaction (LSH / vector / postings)
+# ---------------------------------------------------------------------------
+
+
+def _publish_compacted(path: str, write_fn, _fail_at: str | None = None) -> dict:
+    """Shared skeleton: write the compacted copy to the next hidden
+    version dir, flip the pointer, GC.  ``write_fn(version_dir)`` does
+    the Spark write (mode overwrite — a crashed attempt's half-written
+    version dir is simply rewritten).  ``_fail_at`` is a test-only crash
+    injection point ('after_write' | 'after_flip')."""
+    before = _count_files(resolve_dir(path))
+    vname = _next_version_name(path)
+    vdir = os.path.join(path, vname)
+    write_fn(vdir)
+    if _fail_at == "after_write":
+        raise RuntimeError("injected crash: after_write")
+    _flip_pointer(path, vname)
+    if _fail_at == "after_flip":
+        raise RuntimeError("injected crash: after_flip")
+    _gc_stale(path, keep={vname})
+    return {"files_before": before, "files_after": _count_files(resolve_dir(path))}
 
 
 def _compact_segmented(
-    spark: SparkSession, live_dir: str, key: str, base_bid: int = -1
+    spark: SparkSession,
+    live_root: str,
+    key: str,
+    base_bid: int = -1,
+    _fail_at: str | None = None,
 ) -> dict:
     """Compact a segmented (``bid``-partitioned) artifact: fold every
     segment into the reserved base segment ``bid=<base_bid>`` with one
@@ -103,19 +183,18 @@ def _compact_segmented(
     stream: after compaction the ingest resumes with fresh batch ids and
     no pre-compaction batch retry may be in flight (the single-maintainer
     rule all the front doors document)."""
-    before = _count_files(live_dir)
-    df = spark.read.parquet(live_dir).drop("bid")
-    tmp = live_dir + ".compacting"
-    shutil.rmtree(tmp, ignore_errors=True)
-    (
-        df.withColumn("bid", F.lit(int(base_bid)))
-        .repartition(max(1, df.select(key).distinct().count()), key)
-        .write.partitionBy(key, "bid")
-        .mode("overwrite")
-        .parquet(tmp)
-    )
-    _swap_in(tmp, live_dir)
-    return {"files_before": before, "files_after": _count_files(live_dir)}
+    df = spark.read.parquet(resolve_dir(live_root)).drop("bid")
+
+    def write(vdir: str) -> None:
+        (
+            df.withColumn("bid", F.lit(int(base_bid)))
+            .repartition(max(1, df.select(key).distinct().count()), key)
+            .write.partitionBy(key, "bid")
+            .mode("overwrite")
+            .parquet(vdir)
+        )
+
+    return _publish_compacted(live_root, write, _fail_at=_fail_at)
 
 
 def compact_lsh_index(spark: SparkSession, index_path: str) -> dict:
@@ -133,24 +212,11 @@ def compact_lsh_index(spark: SparkSession, index_path: str) -> dict:
     }
 
 
-def compact_nexus_run(
-    spark: SparkSession, sink_path: str, run_dir_name: str
-) -> dict:
-    """Compact ONE run's partition directory of the streaming NeXus sink
-    (streaming/nexus_stream.py writes one snappy file per micro-batch on
-    the latency path — this is the promised downstream pass): a single
-    zstd file per run, rows sorted by (frame_seq, event_index) so any
-    frame- or time-range read prunes row groups on the parquet footers.
-    Run it on COMPLETED runs (the retire/flush lifecycle's precondition,
-    operators/nexus_sink.py) — never under the live appender."""
-    run_dir = os.path.join(sink_path, run_dir_name)
-    return _compact_partitioned(
-        spark,
-        run_dir,
-        None,
-        sort_cols=["frame_seq", "event_index", "event_id", "event_time_offset"],
-        compression="zstd",
-    )
+def compact_vector_index(spark: SparkSession, index_path: str) -> dict:
+    """Compact the cell-partitioned IVF vector index (vector_ingest's
+    standing state): every per-batch ``bid`` segment folds into the
+    bid=-1 base segment, one file per cell directory."""
+    return {"index": _compact_segmented(spark, index_path, "cell")}
 
 
 def compact_postings_index(spark: SparkSession, index_path: str) -> dict:
@@ -166,39 +232,130 @@ def compact_postings_index(spark: SparkSession, index_path: str) -> dict:
     out = {}
     for sub, key in (("postings", "tb"), ("doclen", "db")):
         live = os.path.join(index_path, sub)
-        before = _count_files(live)
-        df = spark.read.parquet(live).drop("batch")
-        tmp = live + ".compacting"
-        shutil.rmtree(tmp, ignore_errors=True)
-        (
-            df.withColumn("batch", F.lit(-1))
-            .repartition(max(1, df.select(key).distinct().count()), key)
-            .write.partitionBy("batch", key)
-            .mode("overwrite")
-            .parquet(tmp)
-        )
-        _swap_in(tmp, live)
-        out[sub] = {"files_before": before, "files_after": _count_files(live)}
+        df = spark.read.parquet(resolve_dir(live)).drop("batch")
+
+        def write(vdir: str, df=df, key=key) -> None:
+            (
+                df.withColumn("batch", F.lit(-1))
+                .repartition(max(1, df.select(key).distinct().count()), key)
+                .write.partitionBy("batch", key)
+                .mode("overwrite")
+                .parquet(vdir)
+            )
+
+        before = _count_files(resolve_dir(live))
+        out[sub] = _publish_compacted(live, write)
+        out[sub]["files_before"] = before
     stats_live = os.path.join(index_path, "stats")
-    before = _count_files(stats_live)
+    before = _count_files(resolve_dir(stats_live))
     folded = (
-        spark.read.parquet(stats_live)
+        spark.read.parquet(resolve_dir(stats_live))
         .agg(F.sum("n_docs").alias("n_docs"), F.sum("sum_dl").alias("sum_dl"))
         .withColumn("batch", F.lit(-1))
         .coalesce(1)
     )
-    tmp = stats_live + ".compacting"
-    shutil.rmtree(tmp, ignore_errors=True)
-    folded.write.partitionBy("batch").mode("overwrite").parquet(tmp)
-    _swap_in(tmp, stats_live)
-    out["stats"] = {"files_before": before, "files_after": _count_files(stats_live)}
+    out["stats"] = _publish_compacted(
+        stats_live,
+        lambda vdir: folded.write.partitionBy("batch").mode("overwrite").parquet(vdir),
+    )
+    out["stats"]["files_before"] = before
     return out
 
 
-def compact_vector_index(spark: SparkSession, index_path: str) -> dict:
-    """Compact the cell-partitioned IVF vector index (vector_ingest's
-    standing state): every per-batch ``bid`` segment folds into the
-    bid=-1 base segment, one file per cell directory.  The front door
-    keeps no marker files — segment overwrite is its idempotency — so
-    there is no sidecar state to carry across the swap."""
-    return {"index": _compact_segmented(spark, index_path, "cell")}
+# ---------------------------------------------------------------------------
+# NeXus run compaction (file-level manifest protocol)
+# ---------------------------------------------------------------------------
+
+
+def _atomic_write_json(path: str, obj) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+    os.replace(tmp, path)
+
+
+def _apply_nexus_manifest(run_dir: str, staging: str) -> None:
+    """Finish (or resume) a nexus compaction plan: copy each staged
+    compacted file to its recorded destination name, delete the recorded
+    old files, then drop the manifest and staging dir.  Every step is
+    idempotent — copies skip existing destinations, deletes ignore
+    already-gone files — so any crash resumes to the same end state."""
+    with open(os.path.join(run_dir, _MANIFEST)) as f:
+        plan = json.load(f)
+    for src_name, dest_name in plan["copy"]:
+        dest = os.path.join(run_dir, dest_name)
+        if not os.path.exists(dest):
+            shutil.copyfile(os.path.join(staging, src_name), dest)
+    for name in plan["delete"]:
+        try:
+            os.remove(os.path.join(run_dir, name))
+        except OSError:
+            pass
+    os.remove(os.path.join(run_dir, _MANIFEST))
+    shutil.rmtree(staging, ignore_errors=True)
+
+
+def compact_nexus_run(
+    spark: SparkSession,
+    sink_path: str,
+    run_dir_name: str,
+    _fail_at: str | None = None,
+) -> dict:
+    """Compact ONE run's partition directory of the streaming NeXus sink
+    (streaming/nexus_stream.py writes one snappy file per micro-batch on
+    the latency path — this is the promised downstream pass): a single
+    zstd file per run, rows sorted by (frame_seq, event_index) so any
+    frame- or time-range read prunes row groups on the parquet footers.
+
+    Run it on COMPLETED runs (the retire/flush lifecycle's precondition,
+    operators/nexus_sink.py) — never under the live appender.  The run
+    directory must stay visible to whole-sink partition-discovery scans,
+    so it cannot hide behind a version pointer; instead the rewrite is a
+    resumable file-level manifest (module docstring): stage the
+    compacted file in a hidden dir, record the copy/delete plan with one
+    atomic replace, apply it, drop it.  A crash mid-apply leaves the
+    manifest and the next call resumes the plan without recompacting."""
+    run_dir = os.path.join(sink_path, run_dir_name)
+    staging = os.path.join(sink_path, ".compacting", run_dir_name)
+    manifest = os.path.join(run_dir, _MANIFEST)
+    before = _count_files(run_dir)
+    if os.path.exists(manifest):
+        _apply_nexus_manifest(run_dir, staging)
+        return {
+            "files_before": before,
+            "files_after": _count_files(run_dir),
+            "resumed": True,
+        }
+    old_files = [
+        n for n in os.listdir(run_dir)
+        if n.endswith(".parquet") and not n.startswith(("_", "."))
+    ]
+    (
+        spark.read.parquet(run_dir)
+        .coalesce(1)
+        .sortWithinPartitions(
+            "frame_seq", "event_index", "event_id", "event_time_offset"
+        )
+        .write.mode("overwrite")
+        .option("compression", "zstd")
+        .parquet(staging)
+    )
+    staged = [
+        n for n in os.listdir(staging)
+        if n.endswith(".parquet") and not n.startswith(("_", "."))
+    ]
+    tag = uuid.uuid4().hex[:8]
+    plan = {
+        "copy": [[n, f"compacted-{tag}-{i:04d}.zstd.parquet"]
+                 for i, n in enumerate(sorted(staged))],
+        "delete": sorted(old_files),
+    }
+    _atomic_write_json(manifest, plan)
+    if _fail_at == "after_manifest":
+        raise RuntimeError("injected crash: after_manifest")
+    if _fail_at == "after_first_copy":
+        src, dest = plan["copy"][0]
+        shutil.copyfile(os.path.join(staging, src), os.path.join(run_dir, dest))
+        raise RuntimeError("injected crash: after_first_copy")
+    _apply_nexus_manifest(run_dir, staging)
+    return {"files_before": before, "files_after": _count_files(run_dir)}

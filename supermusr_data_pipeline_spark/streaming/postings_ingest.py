@@ -48,6 +48,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..plans.index_maintenance import resolve_dir
 from ..plans.retrieval import _BM25_B, _BM25_K1, _N_TERM_BUCKETS
 from ..plans.text_dedup import _TOKENS_EXPR_SPARK
 
@@ -76,7 +77,7 @@ def _overwrite_batch_partition(df: DataFrame, batch_id: int, path: str, sub_key:
         .option("partitionOverwriteMode", "dynamic")
     )
     cols = ["batch"] + ([sub_key] if sub_key else [])
-    w.partitionBy(*cols).parquet(path)
+    w.partitionBy(*cols).parquet(resolve_dir(path))
 
 
 def ingest_doc_batch(batch_df: DataFrame, index_path: str, batch_id: int) -> int:
@@ -100,7 +101,7 @@ def ingest_doc_batch(batch_df: DataFrame, index_path: str, batch_id: int) -> int
             .distinct().collect()
         ]
         seen = (
-            spark.read.parquet(doclen_path)
+            spark.read.parquet(resolve_dir(doclen_path))
             .filter(F.col("db").isin(buckets))
             # a crash-retry's own segment must not count as "seen" — it is
             # about to be overwritten wholesale
@@ -171,7 +172,7 @@ def bm25_topk_over_index(
         }
     )
     postings = (
-        spark.read.parquet(os.path.join(index_path, "postings"))
+        spark.read.parquet(resolve_dir(os.path.join(index_path, "postings")))
         .filter(F.col("tb").isin(buckets))
         .select("term", "doc_id", "tf")
     )
@@ -181,11 +182,13 @@ def bm25_topk_over_index(
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
     )
-    stats = spark.read.parquet(os.path.join(index_path, "stats")).agg(
+    stats = spark.read.parquet(resolve_dir(os.path.join(index_path, "stats"))).agg(
         F.sum("n_docs").alias("n"),
         (F.sum("sum_dl") / F.sum("n_docs")).alias("avgdl"),
     )
-    dl = spark.read.parquet(os.path.join(index_path, "doclen")).select("doc_id", "dl")
+    dl = spark.read.parquet(
+        resolve_dir(os.path.join(index_path, "doclen"))
+    ).select("doc_id", "dl")
     idf = F.log(F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
     norm = F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
     scored = (

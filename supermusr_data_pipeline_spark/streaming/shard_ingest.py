@@ -58,6 +58,7 @@ from pyspark.sql.window import Window
 
 from ..plans.text_dedup import _LSH_BUCKET_CAP, _TOKENS_EXPR_SPARK, _TOKHASH_SPARK
 from ..plans.incremental import _banded, _tok_bucket
+from ..plans.index_maintenance import resolve_dir
 from ..plans.text_dedup import _minhash_cols_spark
 
 _JACCARD = 0.5
@@ -102,8 +103,10 @@ def admit_batch(
     spark = batch_docs.sparkSession
     tokens, bands = _batch_artifacts(batch_docs)
     batch_ids = batch_docs.select("doc_id").distinct()
-    idx_bands = spark.read.parquet(os.path.join(index_path, "bands"))
-    idx_tokens_all = spark.read.parquet(os.path.join(index_path, "tokens"))
+    # resolve through the _CURRENT pointer: after a compaction the live
+    # data lives in a hidden version subdir (plans/index_maintenance.py)
+    idx_bands = spark.read.parquet(resolve_dir(os.path.join(index_path, "bands")))
+    idx_tokens_all = spark.read.parquet(resolve_dir(os.path.join(index_path, "tokens")))
     if exclude_bid is not None:
         # own-segment exclusion — a literal partition filter on bid
         idx_bands = idx_bands.filter(F.col("bid") != int(exclude_bid))
@@ -265,7 +268,7 @@ def _append_admitted(
         .write.partitionBy("tb", "bid")
         .mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
-        .parquet(os.path.join(index_path, "tokens"))
+        .parquet(resolve_dir(os.path.join(index_path, "tokens")))
     )
     (
         bands.withColumn("bid", F.lit(int(bid)))
@@ -273,7 +276,7 @@ def _append_admitted(
         .write.partitionBy("band_no", "bid")
         .mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
-        .parquet(os.path.join(index_path, "bands"))
+        .parquet(resolve_dir(os.path.join(index_path, "bands")))
     )
 
 

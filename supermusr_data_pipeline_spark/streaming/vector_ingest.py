@@ -46,6 +46,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.index_maintenance import resolve_dir
 from ..plans.text_dedup import _SEM_TAU, _codebook, _ivf_dots_spark, _probe_order_spark
 
 _COS = (
@@ -114,7 +115,7 @@ def _admit_assigned(
     batch_ids = batch.select("vec_id").distinct()
     # literal partition filter: only the batch's occupied cells are read
     cells = sorted(r.cell for r in batch.select("cell").distinct().collect())
-    idx = spark.read.parquet(index_path).filter(F.col("cell").isin(cells))
+    idx = spark.read.parquet(resolve_dir(index_path)).filter(F.col("cell").isin(cells))
     if exclude_bid is not None:
         idx = idx.filter(F.col("bid") != int(exclude_bid))
     idx = idx.select(
@@ -204,7 +205,7 @@ def _append_assigned(
         .write.partitionBy("cell", "bid")
         .mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
-        .parquet(index_path)
+        .parquet(resolve_dir(index_path))
     )
 
 
@@ -218,7 +219,7 @@ def write_vector_index(base_vecs: DataFrame, index_path: str, cents) -> None:
         .repartition("cell")
         .write.partitionBy("cell", "bid")
         .mode("overwrite")
-        .parquet(index_path)
+        .parquet(resolve_dir(index_path))
     )
 
 
