@@ -143,16 +143,27 @@ def _runs_df(spark: SparkSession, n_frames: int):
 def _start_query(
     spark, spool: str, sink: str, ckpt: str, on_frames, trigger: dict,
     n_digitisers: int, n_frames: int, phase_log: list | None = None,
+    fsm: str = "apply",
 ):
     """One streaming query: files -> frame FSM -> nexus sink; on_frames is
     called with (list[frame_number], commit_wallclock) per micro-batch via
     the writer's on_commit hook — frame observation rides the sink's own
-    dimension collect, so the batch runs exactly the production job count."""
+    dimension collect, so the batch runs exactly the production job count.
+    ``fsm`` selects the stateful operator: 'apply' =
+    applyInPandasWithState (production), 'tws' = transformWithStateInPandas
+    (the A/B candidate; needs RocksDB + the tools/pyshims PYTHONPATH)."""
     from supermusr_data_pipeline_spark.streaming.frame_assembly_stream import (
         DIGITISER_MESSAGE_SCHEMA,
         assemble_frames_stream,
     )
     from supermusr_data_pipeline_spark.streaming.nexus_stream import NexusStreamWriter
+
+    if fsm == "tws":
+        from supermusr_data_pipeline_spark.streaming.frame_assembly_tws import (
+            assemble_frames_stream_tws as assemble,
+        )
+    else:
+        assemble = assemble_frames_stream
 
     writer = NexusStreamWriter(
         _runs_df(spark, n_frames), sink,
@@ -170,9 +181,7 @@ def _start_query(
         .option("cleanSource", "delete")
         .parquet(spool)
     )
-    frames = assemble_frames_stream(
-        messages, list(range(n_digitisers)), frame_ttl_ms=500
-    )
+    frames = assemble(messages, list(range(n_digitisers)), frame_ttl_ms=500)
     return (
         frames.writeStream.foreachBatch(writer)
         .option("checkpointLocation", ckpt)
@@ -251,9 +260,12 @@ def _cycle_decomposition(query, phase_log: list) -> dict:
     }
 
 
-def _run_shape(spark: SparkSession, base: str, n_digitisers: int, n_frames: int) -> dict:
+def _run_shape(
+    spark: SparkSession, base: str, n_digitisers: int, n_frames: int,
+    fsm: str = "apply", paced_only: bool = False, label_suffix: str = "",
+) -> dict:
     n_total = N_WARMUP + n_frames
-    label = f"{n_digitisers}x{EVENTS_PER_MESSAGE}"
+    label = f"{n_digitisers}x{EVENTS_PER_MESSAGE}{label_suffix}"
 
     # ---- paced soak: real 50 fps arrival cadence, latency + slope.
     # The first N_WARMUP frames land in one gulp and are excluded from the
@@ -277,6 +289,7 @@ def _run_shape(spark: SparkSession, base: str, n_digitisers: int, n_frames: int)
         spark, spool_p, os.path.join(base, f"sink_paced_{label}"),
         os.path.join(base, f"ckpt_paced_{label}"), on_frames,
         {"processingTime": "0 seconds"}, n_digitisers, n_frames, phase_log,
+        fsm=fsm,
     )
 
     for i in range(N_WARMUP):
@@ -339,6 +352,38 @@ def _run_shape(spark: SparkSession, base: str, n_digitisers: int, n_frames: int)
         n_done == n_total - N_WARMUP and slope <= SLOPE_GATE_S_PER_S
     )
 
+    shape_info = {
+        "n_digitisers": n_digitisers,
+        "events_per_message": EVENTS_PER_MESSAGE,
+        "n_frames": n_frames,
+        "n_warmup": N_WARMUP,
+        "offered_rate_hz": FRAME_RATE_HZ,
+        "soak_seconds": round(n_frames * FRAME_PERIOD_S, 1),
+    }
+    paced_info = {
+        "frames_done": n_done,
+        "keeps_up_at_50fps": keeps_up,
+        "latency_slope_s_per_s": round(slope, 5),
+        "slope_gate_s_per_s": SLOPE_GATE_S_PER_S,
+        "whole_window_fps": round(sustained, 2),
+        "latency_p50_s": round(lat[n_done // 2], 4) if n_done else None,
+        "latency_p95_s": round(lat[int(n_done * 0.95)], 4) if n_done else None,
+        "latency_first_half_p50_s": round(first[len(first) // 2], 4) if first else None,
+        "latency_second_half_p50_s": round(second[len(second) // 2], 4) if second else None,
+        # steady-state percentiles (second half of the soak): the whole-
+        # soak numbers include the JIT/GC warm-in the negative slope
+        # shows; these are the sustained-operation figures
+        "steady_p50_s": round(second[len(second) // 2], 4) if second else None,
+        "steady_p95_s": round(second[int(len(second) * 0.95)], 4) if second else None,
+    }
+    if paced_only:
+        return {
+            "shape": shape_info,
+            "paced": paced_info,
+            "cycle_decomposition": decomposition,
+            "unpaced": None,
+        }
+
     # ---- unpaced run: whole tape at once under availableNow = max
     # throughput (one spare file-listing gives the FSM everything at once).
     # Same hygiene as between shapes: the paced soak just churned ~10^5
@@ -360,36 +405,14 @@ def _run_shape(spark: SparkSession, base: str, n_digitisers: int, n_frames: int)
         spark, spool_u, os.path.join(base, f"sink_unpaced_{label}"),
         os.path.join(base, f"ckpt_unpaced_{label}"),
         lambda frames, t: done.extend(frames),
-        {"availableNow": True}, n_digitisers, n_frames,
+        {"availableNow": True}, n_digitisers, n_frames, fsm=fsm,
     )
     q2.awaitTermination(600)
     elapsed = time.perf_counter() - t0
 
     return {
-        "shape": {
-            "n_digitisers": n_digitisers,
-            "events_per_message": EVENTS_PER_MESSAGE,
-            "n_frames": n_frames,
-            "n_warmup": N_WARMUP,
-            "offered_rate_hz": FRAME_RATE_HZ,
-            "soak_seconds": round(n_frames * FRAME_PERIOD_S, 1),
-        },
-        "paced": {
-            "frames_done": n_done,
-            "keeps_up_at_50fps": keeps_up,
-            "latency_slope_s_per_s": round(slope, 5),
-            "slope_gate_s_per_s": SLOPE_GATE_S_PER_S,
-            "whole_window_fps": round(sustained, 2),
-            "latency_p50_s": round(lat[n_done // 2], 4) if n_done else None,
-            "latency_p95_s": round(lat[int(n_done * 0.95)], 4) if n_done else None,
-            "latency_first_half_p50_s": round(first[len(first) // 2], 4) if first else None,
-            "latency_second_half_p50_s": round(second[len(second) // 2], 4) if second else None,
-            # steady-state percentiles (second half of the soak): the whole-
-            # soak numbers include the JIT/GC warm-in the negative slope
-            # shows; these are the sustained-operation figures
-            "steady_p50_s": round(second[len(second) // 2], 4) if second else None,
-            "steady_p95_s": round(second[int(len(second) * 0.95)], 4) if second else None,
-        },
+        "shape": shape_info,
+        "paced": paced_info,
         "cycle_decomposition": decomposition,
         "unpaced": {
             "frames_done": len(done),
@@ -449,10 +472,17 @@ def run(spark: SparkSession, workdir: str | None = None) -> dict:
                 "cycle = fixed/(1 - 50*0.006) ~= 1.7-2.3 s, latency p50 "
                 "~= 1.5 cycles — no configuration of this topology "
                 "reaches a 1 s (or 2 s p95) sink-commit budget; the "
-                "removable terms were removed this round (single FSM "
+                "removable terms were removed in round 7 (single FSM "
                 "execution per batch, no per-batch plan variation, "
                 "direct partition-dir writes, driver-side dimension, "
-                "cleanSource-bounded listing)."
+                "cleanSource-bounded listing).  Round 8 A/B'd the one "
+                "remaining engine lever, transformWithStateInPandas "
+                "(tools/ab_fsm_bench.py, same-session, 32x500): steady "
+                "p50 5.59 s vs 4.84 s for applyInPandasWithState under "
+                "RocksDB — the absolute-timer model saves the re-arm "
+                "pass but per-key state-server round-trips cost more "
+                "than it saves; rejected, numbers in "
+                "tools/AB_FSM_RESULT.json."
             ),
         },
     }

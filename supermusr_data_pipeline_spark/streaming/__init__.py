@@ -25,6 +25,7 @@ from .frame_assembly_stream import (  # noqa: F401
     assemble_frames_stream,
     events_long_to_messages,
 )
+from .frame_assembly_tws import assemble_frames_stream_tws  # noqa: F401
 from .nexus_stream import write_nexus_stream  # noqa: F401
 from .postings_ingest import (  # noqa: F401
     bm25_topk_over_index,
