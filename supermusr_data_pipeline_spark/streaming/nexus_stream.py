@@ -37,20 +37,28 @@ from pyspark.sql import functions as F
 
 
 _FRAME_KEY = ["ts", "period_number", "protons_per_pulse", "running", "frame_number"]
+# the dimension round-trips through driver rows and back into a local
+# relation; its join key uses INTEGER microseconds (unix_micros), never
+# the timestamp itself — PySpark's datetime collect/createDataFrame
+# conversion goes through the session-local timezone and drops the fold
+# attribute, so in a non-UTC session a DST-ambiguous wall-clock instant
+# would round-trip to a different microsecond and the broadcast join
+# would silently drop those frames' events (ADVICE r7)
+_JOIN_KEY = ["ts_us", "period_number", "protons_per_pulse", "running", "frame_number"]
 
 
 def _slim_frames(frames_batch: DataFrame) -> DataFrame:
     """One row per frame, no event arrays — the ONLY thing the dimension
-    pass pulls out of the stateful subtree.  ``ts_us`` rides along so all
-    driver-side time arithmetic is integer microseconds (no local-tz
-    datetime subtraction).
+    pass pulls out of the stateful subtree.  Time is carried ONLY as
+    ``ts_us`` integer microseconds: the raw timestamp never crosses the
+    collect/createDataFrame boundary (see _JOIN_KEY note).
 
     n_events is greatest(size, 1): ``explode_outer`` keeps zero-event
     frames as one null-event row, and that row counts 1 toward
     ``event_index`` — the original exploded path's behavior."""
     return frames_batch.select(
-        *_FRAME_KEY,
         F.unix_micros("ts").alias("ts_us"),
+        *_FRAME_KEY[1:],
         F.col("veto_flags").alias("frame_veto_flags"),
         "complete",
         F.greatest(F.size("channel"), F.lit(1)).cast("long").alias("n_events"),
@@ -73,7 +81,7 @@ def _quote(name: str) -> str:
 
 
 _DIM_SCHEMA = (
-    "ts timestamp, period_number long, protons_per_pulse int, running boolean, "
+    "ts_us long, period_number long, protons_per_pulse int, running boolean, "
     "frame_number long, run_name string, frame_veto_flags int, complete boolean, "
     "frame_seq long, event_time_zero long, event_index long"
 )
@@ -111,9 +119,11 @@ def _events_with_dim(
         dim_cols.insert(0, F.col("run_name"))
     joined = (
         frames_batch.select(
-            *_FRAME_KEY, "channel", "event_time", "event_voltage"
+            F.unix_micros("ts").alias("ts_us"),
+            *_FRAME_KEY[1:],
+            "channel", "event_time", "event_voltage",
         )
-        .join(F.broadcast(dim), _FRAME_KEY)
+        .join(F.broadcast(dim), _JOIN_KEY)
         .select(
             *dim_cols,
             "event_time",
@@ -262,7 +272,7 @@ class NexusStreamWriter:
                     )
                     dim_vals.append(
                         (
-                            r.ts, r.period_number, r.protons_per_pulse,
+                            r.ts_us, r.period_number, r.protons_per_pulse,
                             r.running, r.frame_number, run.run_name,
                             r.frame_veto_flags, r.complete, seq,
                             (r.ts_us - run.from_us) * 1000, idx,
@@ -270,21 +280,31 @@ class NexusStreamWriter:
                     )
                     per_run[run.run_name] = (seq + 1, idx + r.n_events)
                     frame_numbers.add(int(r.frame_number))
-                # One write per run touched by the batch (almost always
-                # one): targeting the run's partition DIRECTORY directly
-                # skips the dynamic-partition machinery — its per-task
-                # sort-by-partition-key and multi-directory commit were
-                # flat per-batch latency.  The directory name carries
-                # run_name (standard partitioned-parquet layout), so
-                # readers see exactly what partitionBy would have written.
-                # snappy, not the session's zstd: the sink appends on the
-                # latency path every micro-batch (the reference's HDF5 run
-                # files are uncompressed — nexus_structure/mod.rs);
-                # compaction to zstd belongs to a downstream maintenance
-                # pass, not here.
-                for run_name in sorted(per_run):
-                    run_vals = [v for v in dim_vals if v[5] == run_name]
-                    dim_local = spark.createDataFrame(run_vals, _DIM_SCHEMA)
+                # Single-run batch (the overwhelmingly common case on the
+                # latency path): write the run's partition DIRECTORY
+                # directly, skipping the dynamic-partition machinery —
+                # its per-task sort-by-partition-key and multi-directory
+                # commit were flat per-batch latency.  The directory name
+                # carries run_name (standard partitioned-parquet layout),
+                # so readers see exactly what partitionBy would have
+                # written.  snappy, not the session's zstd: the sink
+                # appends on the latency path every micro-batch (the
+                # reference's HDF5 run files are uncompressed —
+                # nexus_structure/mod.rs); compaction to zstd belongs to
+                # the downstream maintenance pass, not here.
+                #
+                # A batch spanning MULTIPLE runs (a run transition) writes
+                # all of them in ONE partitionBy job instead: independent
+                # per-run jobs opened a crash window in which the first
+                # run's append committed and the batch replay then
+                # re-appended it (duplicate events the totals re-derivation
+                # would count as real — ADVICE r7).  One job commits all
+                # runs or none, restoring the all-or-nothing property at
+                # the cost of the dynamic-partition machinery only on the
+                # rare transition batch.
+                if len(per_run) == 1:
+                    (run_name,) = per_run
+                    dim_local = spark.createDataFrame(dim_vals, _DIM_SCHEMA)
                     (
                         _events_with_dim(frames_batch, dim_local, with_run_col=False)
                         .write.mode("append")
@@ -294,6 +314,15 @@ class NexusStreamWriter:
                                 self.path, f"run_name={_quote(run_name)}"
                             )
                         )
+                    )
+                else:
+                    dim_local = spark.createDataFrame(dim_vals, _DIM_SCHEMA)
+                    (
+                        _events_with_dim(frames_batch, dim_local, with_run_col=True)
+                        .write.mode("append")
+                        .option("compression", "snappy")
+                        .partitionBy("run_name")
+                        .parquet(self.path)
                     )
                 totals.update(per_run)
         finally:

@@ -393,6 +393,63 @@ def test_nexus_stream_matches_batch(spark, tmp_path):
     assert by_frame[3][0].event_time_zero == (60_000_000 + 60_000) * 1000
 
 
+def test_nexus_stream_batch_spanning_two_runs_single_job(spark, tmp_path):
+    """A micro-batch whose frames straddle a run transition must write
+    BOTH runs correctly (the one-job partitionBy path that replaced the
+    per-run write loop — ADVICE r7: independent per-run jobs could
+    duplicate the first run's rows on a crash-replay).  Per-run frame_seq
+    and event_index each start at 0."""
+    from pyspark.sql import functions as F
+
+    from supermusr_data_pipeline_spark.schemas import FRAME_EVENT_LIST_SCHEMA
+
+    runs = spark.createDataFrame(
+        [
+            ("run_A", T0 - timedelta(minutes=1), T0 + timedelta(milliseconds=30)),
+            ("run_B", T0 + timedelta(milliseconds=30), None),
+        ],
+        "run_name string, collect_from timestamp, collect_until timestamp",
+    )
+
+    def frame_row(frame, n_events, t_base):
+        return (
+            T0 + timedelta(milliseconds=20 * frame), 1, 8, True, frame, 0, True,
+            [0, 1], list(range(n_events)),
+            [t_base + 10 * i for i in range(n_events)],
+            [float(i) for i in range(n_events)],
+        )
+
+    frames_dir = str(tmp_path / "frames2r")
+    # frames 1 (ts +20ms -> run_A) and 2, 3 (ts +40/+60ms -> run_B), ONE batch
+    spark.createDataFrame(
+        [frame_row(1, 3, 100), frame_row(2, 2, 200), frame_row(3, 4, 300)],
+        FRAME_EVENT_LIST_SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(frames_dir)
+    stream = spark.readStream.schema(FRAME_EVENT_LIST_SCHEMA).parquet(frames_dir)
+    q = write_nexus_stream(stream, runs, str(tmp_path / "sink2r"), str(tmp_path / "ckpt2r"))
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(str(tmp_path / "sink2r"))
+    per_run = {
+        r.run_name: r.n
+        for r in out.groupBy("run_name").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_run == {"run_A": 3, "run_B": 6}
+    a = out.filter("run_name = 'run_A'").collect()
+    assert {r.frame_seq for r in a} == {0} and {r.event_index for r in a} == {0}
+    b = sorted(
+        out.filter("run_name = 'run_B'").collect(),
+        key=lambda r: (r.frame_seq, r.event_time_offset),
+    )
+    assert b[0].frame_seq == 0 and b[0].event_index == 0
+    assert b[-1].frame_seq == 1 and b[-1].event_index == 2
+    # event_time_zero measured from EACH run's own collect_from:
+    # run_A frame at +20 ms of a run starting -60 s -> 60.02e9 ns;
+    # run_B frame at +40 ms of a run starting +30 ms -> 10 ms = 1e7 ns
+    assert {r.event_time_zero for r in a} == {60_020_000_000}
+    assert b[0].event_time_zero == 10_000_000
+
+
 def test_daq_stats_batch(spark):
     msgs = [
         _msg(0, 1, [0, 1], [10, 20], [5.0, 6.0]),
