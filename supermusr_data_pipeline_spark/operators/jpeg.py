@@ -1005,16 +1005,25 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
 # --------------------------------------------------------------------------
 
 
-def _lossless_predict(
-    plane: np.ndarray, row: int, col: int, predictor: int, default: int
+def _predict_at(
+    plane: np.ndarray,
+    row: int,
+    col: int,
+    seg_row: int,
+    seg_col: int,
+    predictor: int,
+    default: int,
 ) -> int:
-    """Px for plane[row, col] given already-reconstructed neighbors.  The
-    first sample (or first after a restart — the caller passes row/col
-    relative to the restart-reset origin logic) uses `default`
-    (2^(P-Pt-1)); the rest of the first line predicts from Ra; the first
-    column predicts from Rb (H.1.2.2)."""
-    if row == 0:
-        return int(plane[0, col - 1]) if col > 0 else default
+    """Px for plane[row, col] under the H.1.2.2 rules with restart
+    intervals counted in MCUs (= sample positions in a lossless scan).
+    (seg_row, seg_col) is the first MCU of the current restart interval:
+    that sample predicts ``default``; the rest of ITS line uses the 1-D
+    predictor Ra; every later line uses Rb at column 0 and the selected
+    predictor elsewhere, against the fully reconstructed neighbors (a
+    restart resets entropy coding and the prediction origin, not the
+    image geometry)."""
+    if row == seg_row:
+        return default if col == seg_col else int(plane[row, col - 1])
     if col == 0:
         return int(plane[row - 1, 0])
     ra = int(plane[row, col - 1])
@@ -1048,7 +1057,14 @@ def encode_lossless_jpeg(
     Exact roundtrip with :func:`decode_lossless_jpeg` when
     ``point_transform`` is 0 (a nonzero point transform drops the low Pt
     bits by definition — T.81 H.1).  ``restart_interval`` > 0 emits DRI +
-    RSTn markers every that many sample rows, resetting the predictor."""
+    RSTn markers every that many MCUs — for a lossless scan an MCU is ONE
+    interleaved sample position (all components at one (row, col)),
+    B.2.4.4/H.1 — so restarts may fall mid-row.  Prediction after a
+    restart follows H.1.2.2 exactly as at the start of the scan: the
+    first sample of the interval predicts 2^(P-Pt-1), the remainder of
+    that sample LINE uses the 1-D predictor Ra, and subsequent lines
+    resume the selected predictor (Rb at line starts) against the
+    reconstructed neighbors."""
     arr = np.asarray(samples)
     if arr.ndim == 2:
         arr = arr[:, :, None]
@@ -1062,36 +1078,27 @@ def encode_lossless_jpeg(
 
     # pass 1: diffs per sample in interleave order, with restart resets
     diffs: list[int] = []
-    n_restarts = 0
 
     def _emit_diffs() -> None:
-        nonlocal n_restarts
         recon = [np.zeros((h, w), dtype=np.int64) for _ in range(nc)]
-        since_restart = 0
-        origin_row = 0  # first row of the current restart segment
+        since_restart = 0          # MCUs coded since the last RST
+        seg_row, seg_col = 0, 0    # coords of the segment's first MCU
         for row in range(h):
-            if restart_interval and row > 0 and since_restart >= restart_interval:
-                diffs.append(("rst",))
-                n_restarts += 1
-                since_restart = 0
-                origin_row = row
             for col in range(w):
+                if restart_interval and since_restart >= restart_interval:
+                    diffs.append(("rst",))
+                    since_restart = 0
+                    seg_row, seg_col = row, col
                 for c in range(nc):
                     plane = recon[c]
-                    rrow = row - origin_row
-                    if rrow == 0 and col == 0:
-                        px = default
-                    elif rrow == 0:
-                        px = int(plane[row, col - 1])
-                    else:
-                        px = _lossless_predict(
-                            plane[origin_row:], rrow, col, predictor, default
-                        )
+                    px = _predict_at(
+                        plane, row, col, seg_row, seg_col, predictor, default
+                    )
                     x = int(arr[row, col, c])
                     d = ((x - px + 32768) % 65536) - 32768
                     diffs.append((d,))
                     plane[row, col] = x
-            since_restart += 1
+                since_restart += 1
 
     _emit_diffs()
 
@@ -1179,14 +1186,17 @@ def decode_lossless_jpeg(payload: bytes) -> np.ndarray:
             default = 1 << (prec - pt - 1)
             planes = [np.zeros((ih, iw), dtype=np.int64) for _ in range(nc)]
             reader = _BitReader(payload, pos)
+            # Ri counts MCUs = sample positions (B.2.4.4/H.1), so a
+            # conformant stream may restart MID-ROW; prediction resets per
+            # H.1.2.2 at the interval's first sample (see _predict_at)
             since_restart = 0
-            origin_row = 0
+            seg_row, seg_col = 0, 0
             for row in range(ih):
-                if restart_interval and row > 0 and since_restart >= restart_interval:
-                    reader.restart()
-                    since_restart = 0
-                    origin_row = row
                 for col in range(iw):
+                    if restart_interval and since_restart >= restart_interval:
+                        reader.restart()
+                        since_restart = 0
+                        seg_row, seg_col = row, col
                     for c in range(nc):
                         s = _huff_read(reader, tables[c])
                         if s == 16:
@@ -1196,17 +1206,11 @@ def decode_lossless_jpeg(payload: bytes) -> np.ndarray:
                         else:
                             d = _extend(reader.read_bits(s), s)
                         plane = planes[c]
-                        rrow = row - origin_row
-                        if rrow == 0 and col == 0:
-                            px = default
-                        elif rrow == 0:
-                            px = int(plane[row, col - 1])
-                        else:
-                            px = _lossless_predict(
-                                plane[origin_row:], rrow, col, predictor, default
-                            )
+                        px = _predict_at(
+                            plane, row, col, seg_row, seg_col, predictor, default
+                        )
                         plane[row, col] = (px + d) % 65536
-                since_restart += 1
+                    since_restart += 1
             result = np.stack(planes, axis=2) << pt
             pos = reader.pos
             while not (payload[pos] == 0xFF and payload[pos + 1] != 0x00):

@@ -209,6 +209,40 @@ def test_lossless_roundtrip_rgb_and_12bit_and_restarts():
     assert (decode_lossless_jpeg(b)[:, :, 0] == img).all()
 
 
+def test_lossless_restart_interval_counted_in_mcus():
+    """T.81 Annex H conformance (ADVICE r7): DRI's Ri counts MCUs, and a
+    lossless-scan MCU is ONE sample position — so Ri not divisible by the
+    row width places RSTn markers MID-ROW.  The marker count must be
+    floor((H*W*1 - 1)/Ri) ... exactly every Ri MCUs, and the roundtrip
+    exact, for every predictor."""
+    import re
+
+    from supermusr_data_pipeline_spark.operators.jpeg import (
+        decode_lossless_jpeg,
+        encode_lossless_jpeg,
+    )
+
+    h, w = 7, 5  # 35 MCUs; Ri=4 -> restarts at MCU 4,8,...,32 (8 markers)
+    img = _rng(21).integers(0, 256, size=(h, w), dtype=np.int64)
+    for pred in range(1, 8):
+        b = encode_lossless_jpeg(img, 8, pred, restart_interval=4)
+        # count RST0-7 markers in the entropy stream (0xFFD0-0xFFD7)
+        n_rst = len(re.findall(b"\xff[\xd0-\xd7]", b))
+        assert n_rst == (h * w - 1) // 4, (
+            f"predictor {pred}: {n_rst} RST markers for 35 MCUs at Ri=4"
+        )
+        out = decode_lossless_jpeg(b)
+        assert (out[:, :, 0] == img).all(), f"predictor {pred} not lossless"
+
+    # interleaved RGB: an MCU is one sample from EACH component, so the
+    # marker cadence is per sample position, not per component sample
+    rgb = _rng(23).integers(0, 256, size=(4, 6, 3), dtype=np.int64)
+    b = encode_lossless_jpeg(rgb, 8, 4, restart_interval=5)
+    n_rst = len(re.findall(b"\xff[\xd0-\xd7]", b))
+    assert n_rst == (4 * 6 - 1) // 5
+    assert (decode_lossless_jpeg(b) == rgb).all()
+
+
 def test_lossless_extreme_diffs_hit_category_16():
     """Alternating 0/255 columns with predictor 1 produce +-255 diffs;
     a 16-bit corpus with a full-range step exercises the SSSS=16 /
