@@ -174,21 +174,35 @@ def _compact_segmented(
     live_root: str,
     key: str,
     base_bid: int = -1,
+    protect_bid: int | None = None,
     _fail_at: str | None = None,
 ) -> dict:
     """Compact a segmented (``bid``-partitioned) artifact: fold every
     segment into the reserved base segment ``bid=<base_bid>`` with one
     file per bucket directory.  Pure concatenation — a row lives in
-    exactly one segment, so values are untouched.  Run on a PAUSED
-    stream: after compaction the ingest resumes with fresh batch ids and
-    no pre-compaction batch retry may be in flight (the single-maintainer
-    rule all the front doors document)."""
-    df = spark.read.parquet(resolve_dir(live_root)).drop("bid")
+    exactly one segment, so values are untouched.
+
+    ``protect_bid`` keeps ONE segment unfolded (its rows re-land under
+    their original bid): the in-stream compaction hook passes the batch
+    id it just wrote, so a crash-replay of that batch — possible until
+    the engine commits the checkpoint AFTER foreachBatch returns — still
+    finds its own segment and its ``bid != batch_id`` exclusion stays
+    exact.  Every OTHER segment's batch is already checkpoint-committed
+    (foreachBatch is serial), so folding them can never meet a retry.
+    Without ``protect_bid`` (the standalone maintenance job), run on a
+    PAUSED stream with no pre-compaction batch retry in flight."""
+    df = spark.read.parquet(resolve_dir(live_root))
+    if protect_bid is None:
+        out_bid = F.lit(int(base_bid))
+    else:
+        out_bid = F.when(
+            F.col("bid") == int(protect_bid), int(protect_bid)
+        ).otherwise(int(base_bid))
+    df = df.withColumn("bid", out_bid)
 
     def write(vdir: str) -> None:
         (
-            df.withColumn("bid", F.lit(int(base_bid)))
-            .repartition(max(1, df.select(key).distinct().count()), key)
+            df.repartition(max(1, df.select(key).distinct().count()), key)
             .write.partitionBy(key, "bid")
             .mode("overwrite")
             .parquet(vdir)
@@ -197,47 +211,134 @@ def _compact_segmented(
     return _publish_compacted(live_root, write, _fail_at=_fail_at)
 
 
-def compact_lsh_index(spark: SparkSession, index_path: str) -> dict:
+def compact_lsh_index(
+    spark: SparkSession, index_path: str, protect_bid: int | None = None
+) -> dict:
     """Compact the q82/shard-ingest LSH index: every per-batch ``bid``
     segment folds into the bid=-1 base segment — ``bands/`` back to one
     file per band_no directory, ``tokens/`` to one file per tb bucket
     directory."""
     return {
         "bands": _compact_segmented(
-            spark, os.path.join(index_path, "bands"), "band_no"
+            spark, os.path.join(index_path, "bands"), "band_no",
+            protect_bid=protect_bid,
         ),
         "tokens": _compact_segmented(
-            spark, os.path.join(index_path, "tokens"), "tb"
+            spark, os.path.join(index_path, "tokens"), "tb",
+            protect_bid=protect_bid,
         ),
     }
 
 
-def compact_vector_index(spark: SparkSession, index_path: str) -> dict:
+def compact_vector_index(
+    spark: SparkSession, index_path: str, protect_bid: int | None = None
+) -> dict:
     """Compact the cell-partitioned IVF vector index (vector_ingest's
     standing state): every per-batch ``bid`` segment folds into the
     bid=-1 base segment, one file per cell directory."""
-    return {"index": _compact_segmented(spark, index_path, "cell")}
+    return {
+        "index": _compact_segmented(
+            spark, index_path, "cell", protect_bid=protect_bid
+        )
+    }
 
 
-def compact_postings_index(spark: SparkSession, index_path: str) -> dict:
+# ---------------------------------------------------------------------------
+# automatic compaction policy (the ingest-contract hook)
+# ---------------------------------------------------------------------------
+
+
+def _max_files_per_dir(root: str) -> int:
+    """The read-amplification driver: the number of parquet files a
+    single-bucket probe opens, maximized over buckets.  A bucket's files
+    are spread across SEGMENT subdirectories (``bid=``/``batch=``), so
+    counts group on the non-segment partition component of each path
+    (``tb=3`` whether the layout nests it outside or inside the segment
+    dir); an unbucketed artifact (the stats ledger) groups to one total.
+    One local directory walk — metadata only."""
+    groups: dict = {}
+    for r, _d, files in os.walk(root):
+        n = sum(1 for f in files if f.endswith(".parquet"))
+        if not n:
+            continue
+        rel = os.path.relpath(r, root)
+        comps = [
+            c for c in rel.split(os.sep)
+            if "=" in c and not c.startswith(("bid=", "batch="))
+        ]
+        key = comps[-1] if comps else "_root"
+        groups[key] = groups.get(key, 0) + n
+    return max(groups.values(), default=0)
+
+
+def maybe_compact(
+    spark: SparkSession,
+    index_path: str,
+    kind: str,
+    max_files_per_dir: int = 64,
+    protect_bid: int | None = None,
+) -> dict | None:
+    """The policy hook the streaming front doors call between batches
+    (VERDICT r7 #6): when any leaf directory of the index has accumulated
+    more than ``max_files_per_dir`` parquet files, run the artifact's
+    compactor; otherwise do nothing (one directory walk).  ``kind`` is
+    'lsh' | 'vector' | 'postings'.  Callers inside a foreachBatch MUST
+    pass their current batch id as ``protect_bid`` (see
+    _compact_segmented) so a crash-replay of the not-yet-committed batch
+    keeps its own-segment exclusion exact.  Returns the compactor's
+    stats, or None when below threshold.
+
+    The NeXus sink is deliberately not served here: its compaction unit
+    is a COMPLETED run, so its natural trigger is the retire lifecycle
+    (operators/nexus_sink.retire_completed_runs), not the per-batch
+    append path."""
+    if kind == "lsh":
+        subs = [os.path.join(index_path, "bands"), os.path.join(index_path, "tokens")]
+    elif kind == "vector":
+        subs = [index_path]
+    elif kind == "postings":
+        subs = [os.path.join(index_path, s) for s in ("postings", "doclen", "stats")]
+    else:
+        raise ValueError(f"unknown index kind {kind!r}")
+    worst = max((_max_files_per_dir(resolve_dir(s)) for s in subs), default=0)
+    if worst <= max_files_per_dir:
+        return None
+    if kind == "lsh":
+        out = compact_lsh_index(spark, index_path, protect_bid=protect_bid)
+    elif kind == "vector":
+        out = compact_vector_index(spark, index_path, protect_bid=protect_bid)
+    else:
+        out = compact_postings_index(spark, index_path, protect_bid=protect_bid)
+    out["triggered_by_files_per_dir"] = worst
+    return out
+
+
+def compact_postings_index(
+    spark: SparkSession, index_path: str, protect_bid: int | None = None
+) -> dict:
     """Merge the streaming lexical index's per-batch SEGMENTS
     (streaming/postings_ingest.py) into one base segment per artifact:
     postings rows re-land under ``batch=-1/tb=*`` (one file per term
     bucket), doclen under ``batch=-1/db=*``, and the stats ledger folds
     to a single delta row.  Pure concatenation — a document lives in
     exactly one segment, so no aggregation is involved and probes are
-    value-identical.  Run on a PAUSED stream (single-maintainer rule):
-    after compaction the ingest resumes with fresh batch ids; a
-    crash-retry of a pre-compaction batch must not be in flight."""
+    value-identical.  ``protect_bid`` keeps that one segment unfolded
+    (the in-stream hook's crash-replay guarantee — ingest_doc_batch's
+    redelivery guard and overwrite unit both key on the batch column);
+    without it, run on a PAUSED stream with no pre-compaction batch
+    retry in flight."""
     out = {}
+    if protect_bid is None:
+        fold = F.lit(-1)
+    else:
+        fold = F.when(F.col("batch") == int(protect_bid), int(protect_bid)).otherwise(-1)
     for sub, key in (("postings", "tb"), ("doclen", "db")):
         live = os.path.join(index_path, sub)
-        df = spark.read.parquet(resolve_dir(live)).drop("batch")
+        df = spark.read.parquet(resolve_dir(live)).withColumn("batch", fold)
 
         def write(vdir: str, df=df, key=key) -> None:
             (
-                df.withColumn("batch", F.lit(-1))
-                .repartition(max(1, df.select(key).distinct().count()), key)
+                df.repartition(max(1, df.select(key).distinct().count()), key)
                 .write.partitionBy("batch", key)
                 .mode("overwrite")
                 .parquet(vdir)
@@ -250,8 +351,9 @@ def compact_postings_index(spark: SparkSession, index_path: str) -> dict:
     before = _count_files(resolve_dir(stats_live))
     folded = (
         spark.read.parquet(resolve_dir(stats_live))
+        .withColumn("batch", fold)
+        .groupBy("batch")
         .agg(F.sum("n_docs").alias("n_docs"), F.sum("sum_dl").alias("sum_dl"))
-        .withColumn("batch", F.lit(-1))
         .coalesce(1)
     )
     out["stats"] = _publish_compacted(

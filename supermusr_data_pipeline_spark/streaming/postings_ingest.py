@@ -6,13 +6,15 @@ without a rebuild.
 Layout under one root (Lucene's segment idea expressed as partitioned
 parquet):
 
-- ``postings/batch=<id>/tb=<hash(term) % 64>/``: (term, doc_id, tf) —
-  each micro-batch is its own SEGMENT partition, term-hash-bucketed
+- ``postings/batch=<id>/tb=<hash(term) % 64>/``: (term, doc_id, tf, dl)
+  — each micro-batch is its own SEGMENT partition, term-hash-bucketed
   exactly like the q114 physical index so a probe prunes to its terms'
-  buckets across every segment;
+  buckets across every segment; ``dl`` is the document length
+  denormalized onto every posting row (+8 bytes/posting) so BM25 probes
+  never join the corpus-sized doclen artifact;
 - ``doclen/batch=<id>/db=<hash(doc_id) % 64>/``: (doc_id, dl) —
-  doc-id-bucketed so the redelivery guard prunes to the batch's
-  buckets;
+  doc-id-bucketed; serves ONLY the redelivery presence guard, which
+  prunes to the batch's buckets;
 - ``stats/batch=<id>/``: one (n_docs, sum_dl) delta row per segment —
   an append-only ledger; a probe's corpus stats are the ledger sum
   (rows = segments, compactable by plans/index_maintenance).
@@ -64,9 +66,21 @@ def _doc_bucket(col):
 
 
 def _batch_postings(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(postings, doclen) for one batch.  Postings carry the document's
+    ``dl`` DENORMALIZED onto every row (+8 bytes/posting): a doc's
+    postings and its length come from the same batch, so consistency is
+    free at write time, and BM25 probes score from the pruned postings
+    alone instead of shuffle-joining the corpus-sized doclen artifact
+    (VERDICT r7 #5 — the read-optimized trade, norms-with-postings).
+    The separate doclen artifact remains as the redelivery presence
+    guard (doc-bucket-pruned probes)."""
     tok = docs.select("doc_id", F.explode(F.expr(_TOKENS_EXPR_SPARK)).alias("term"))
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    tf = (
+        tok.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .join(dl, "doc_id")
+    )
     return tf, dl
 
 
@@ -133,14 +147,26 @@ def ingest_postings_stream(
     index_path: str,
     checkpoint_dir: str,
     trigger_interval: str = "200 milliseconds",
+    compact_files_threshold: int | None = None,
 ):
     """Start the streaming lexical front door.  Returns the
-    StreamingQuery."""
+    StreamingQuery.  ``compact_files_threshold`` enables the in-stream
+    maybe_compact hook (segments fold to batch=-1 once a bucket
+    directory exceeds that many files; the just-written batch's segment
+    is protected — see plans/index_maintenance.maybe_compact)."""
+
+    from ..plans.index_maintenance import maybe_compact
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         ingest_doc_batch(batch_df, index_path, batch_id)
+        if compact_files_threshold is not None:
+            maybe_compact(
+                batch_df.sparkSession, index_path, "postings",
+                max_files_per_dir=compact_files_threshold,
+                protect_bid=batch_id,
+            )
 
     return (
         docs_stream.writeStream.foreachBatch(process)
@@ -174,7 +200,7 @@ def bm25_topk_over_index(
     postings = (
         spark.read.parquet(resolve_dir(os.path.join(index_path, "postings")))
         .filter(F.col("tb").isin(buckets))
-        .select("term", "doc_id", "tf")
+        .select("term", "doc_id", "tf", "dl")
     )
     qterms = spark.createDataFrame([(t,) for t in query_terms], "query_term string")
     dfr = (
@@ -186,16 +212,15 @@ def bm25_topk_over_index(
         F.sum("n_docs").alias("n"),
         (F.sum("sum_dl") / F.sum("n_docs")).alias("avgdl"),
     )
-    dl = spark.read.parquet(
-        resolve_dir(os.path.join(index_path, "doclen"))
-    ).select("doc_id", "dl")
+    # no doclen join: dl rides on every posting row (write-side denorm),
+    # so the probe touches ONLY the terms' pruned postings buckets plus
+    # the one-row stats aggregate — nothing corpus-sized
     idf = F.log(F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
     norm = F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
     scored = (
         F.broadcast(qterms)
         .join(postings, postings.term == F.col("query_term"))
         .join(F.broadcast(dfr), "term")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .select(
             "query_term",

@@ -287,12 +287,22 @@ def ingest_shard_stream(
     checkpoint_dir: str,
     bucket_cap: int = _LSH_BUCKET_CAP,
     trigger_interval: str = "200 milliseconds",
+    compact_files_threshold: int | None = None,
 ):
     """Start the streaming front door: per micro-batch, decide admissions
     against the standing index, write decisions (partitioned by batch_id,
     re-run-safe), and append the admitted slice so later batches dedup
-    against it.  Returns the StreamingQuery."""
+    against it.  Returns the StreamingQuery.
 
+    ``compact_files_threshold`` makes compaction part of the ingest
+    contract: after each batch commits its writes, the maybe_compact
+    policy hook folds the accumulated segments once any index bucket
+    directory exceeds that many files — protecting the just-written
+    batch's segment so a crash-replay keeps its own-segment exclusion
+    (plans/index_maintenance.maybe_compact).  None (default) leaves
+    compaction to a standalone maintenance job."""
+
+    from ..plans.index_maintenance import maybe_compact
     from ..plans.text_dedup import _persistent_rdd_ids, _unpersist_rdd_ids
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
@@ -320,6 +330,12 @@ def ingest_shard_stream(
                 .partitionBy("batch_id")
                 .parquet(decisions_path)
             )
+            if compact_files_threshold is not None:
+                maybe_compact(
+                    batch_df.sparkSession, index_path, "lsh",
+                    max_files_per_dir=compact_files_threshold,
+                    protect_bid=batch_id,
+                )
         finally:
             # per-batch checkpoint blocks must not accumulate over the
             # stream's lifetime (the q42 checkpoint-hygiene rule)

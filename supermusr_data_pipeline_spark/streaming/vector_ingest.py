@@ -231,13 +231,16 @@ def ingest_vector_stream(
     cents=None,
     tau: float = _SEM_TAU,
     trigger_interval: str = "200 milliseconds",
+    compact_files_threshold: int | None = None,
 ):
     """Start the streaming front door over the vector index.  ``cents``
     defaults to the sf0.01 codebook snapshot (`_codebook`); production
     passes the codebook fit for the corpus the index serves.  Returns the
-    StreamingQuery."""
+    StreamingQuery.  ``compact_files_threshold`` enables the in-stream
+    maybe_compact hook (see ingest_shard_stream)."""
     if cents is None:
         cents = _codebook("")[0]
+    from ..plans.index_maintenance import maybe_compact
     from ..plans.text_dedup import _persistent_rdd_ids, _unpersist_rdd_ids
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
@@ -262,6 +265,12 @@ def ingest_vector_stream(
                 .partitionBy("batch_id")
                 .parquet(decisions_path)
             )
+            if compact_files_threshold is not None:
+                maybe_compact(
+                    batch_df.sparkSession, index_path, "vector",
+                    max_files_per_dir=compact_files_threshold,
+                    protect_bid=batch_id,
+                )
         finally:
             # per-batch checkpoints must not accumulate over the stream's
             # lifetime (the q42 checkpoint-hygiene rule applied here)
