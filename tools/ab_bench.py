@@ -1,0 +1,187 @@
+#!/usr/bin/env python
+"""Same-session A/B bench: run watch-item queries from TWO checkouts of
+the package (a baseline git rev, materialized as a worktree, vs HEAD)
+inside ONE SparkSession, interleaved A/B/A/B, so this VM's documented
+±15-30% cross-invocation variance cancels (VERDICT r7 #3 — the q29/q42/
+q14 drift between the r06 bench file and the judge's r07 re-run could
+not be attributed across two different sessions).
+
+Mechanics: the two variants are the same package name from different
+source roots, so each rep purges `supermusr_data_pipeline_spark*` and
+`__spark_entry__` from sys.modules, points sys.path at the variant's
+root, and re-imports.  The JVM, executor threads, warmed scans, and the
+Arrow/pandas worker pool are shared by every rep — only the Python plan
+code differs.  Import time is outside the timed region.  The A/B set
+deliberately contains no $TMPDIR-index-backed queries (a fresh module
+per rep would re-trip their build guards and fold builds into probes);
+the shared dedup intermediates (q25's LSH pass) are rebuilt per rep by
+design — their exclusive build seconds are exactly the drifting metric
+— and cleared via the variant's own clear_shared_cache().
+
+Usage:
+    python tools/ab_bench.py [--baseline-rev 5ecfefd] [--reps 3]
+        [--sf-dir /root/testdata/sf0.1]
+
+Prints a per-query median table + one JSON line, and writes
+tools/AB_BENCH_RESULT.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+import pandas as pd  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+from pyspark.sql import types as T  # noqa: E402
+
+
+@F.pandas_udf(T.DoubleType())
+def _warm(s: pd.Series) -> pd.Series:
+    return s * 1.0
+
+# pipeline order matters: q25 builds the session-shared LSH pair graph
+# that q42 consumes; running them in bench.py's order makes each number
+# an incremental stage cost, comparable 1:1 with BENCH_r*.json
+AB_QUERIES = [
+    "q25_lsh_near_dup",
+    "q42_dedup_clusters",
+    "q29_ivf_ann",
+    "q47_ann_recall",
+    "q14_threshold_detect",
+]
+
+
+def _purge_modules() -> None:
+    for name in list(sys.modules):
+        if name == "__spark_entry__" or name.startswith("supermusr_data_pipeline_spark"):
+            del sys.modules[name]
+
+
+def _load_variant(root: str):
+    """Import the package + driver contract from `root`, exclusively."""
+    _purge_modules()
+    sys.path = [p for p in sys.path if p not in (REPO,) and "ab_baseline" not in p]
+    sys.path.insert(0, root)
+    import __spark_entry__ as entry_mod  # noqa: PLC0415
+
+    got = os.path.dirname(os.path.abspath(entry_mod.__file__))
+    assert os.path.samefile(got, root), f"loaded {got}, wanted {root}"
+    return entry_mod
+
+
+def _run_rep(entry_mod, spark, sf_dir: str) -> dict[str, float]:
+    from supermusr_data_pipeline_spark.plans.text_dedup import clear_shared_cache
+
+    clear_shared_cache()
+    qs = entry_mod.queries()
+    out: dict[str, float] = {}
+    for name in AB_QUERIES:
+        if name not in qs:
+            continue
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).count()
+        out[name] = round(time.perf_counter() - t0, 3)
+    try:
+        from supermusr_data_pipeline_spark.plans.text_dedup import shared_build_seconds
+
+        for k, v in (shared_build_seconds() or {}).items():
+            out[f"shared:{k}"] = round(v, 3)
+    except ImportError:
+        pass
+    clear_shared_cache()
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--baseline-rev", default="5ecfefd",
+                    help="git rev of the baseline variant (default: round-6 marker)")
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--warmup", type=int, default=1,
+                    help="discarded reps of each variant before measurement "
+                         "(first execution of either code path pays plan "
+                         "compilation + code-cache JIT the later reps don't)")
+    ap.add_argument("--sf-dir", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    args = ap.parse_args()
+
+    wt = os.path.join(tempfile.gettempdir(), f"ab_baseline_{args.baseline_rev}")
+    if not os.path.isdir(wt):
+        subprocess.run(
+            ["git", "-C", REPO, "worktree", "add", "--detach", wt, args.baseline_rev],
+            check=True, capture_output=True,
+        )
+
+    sys.path.insert(0, REPO)
+    from supermusr_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("supermusr-ab-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm scans + the pandas-UDF worker pool once, exactly like bench.py,
+    # so rep 1 of variant A doesn't pay one-time costs the others skip
+    from supermusr_data_pipeline_spark.schemas import TESTDATA_TABLES
+    from supermusr_data_pipeline_spark.sources.testdata import load_table
+
+    for t in TESTDATA_TABLES:
+        try:
+            load_table(spark, args.sf_dir, t).count()
+        except Exception:
+            pass
+    spark.range(0, 10_000, numPartitions=32).select(_warm(F.col("id").cast("double"))).count()
+
+    variants = {"baseline": wt, "head": REPO}
+    for w in range(args.warmup):
+        for tag in ("baseline", "head"):
+            entry_mod = _load_variant(variants[tag])
+            r = _run_rep(entry_mod, spark, args.sf_dir)
+            print(f"  warmup {w} {tag} (discarded): {r}", file=sys.stderr)
+
+    results: dict[str, list[dict[str, float]]] = {"baseline": [], "head": []}
+    # interleave, alternating which side leads each round, so slow drift
+    # within the session (heap growth, code cache) also cancels
+    for rep in range(args.reps):
+        order = ["baseline", "head"] if rep % 2 == 0 else ["head", "baseline"]
+        for tag in order:
+            entry_mod = _load_variant(variants[tag])
+            r = _run_rep(entry_mod, spark, args.sf_dir)
+            results[tag].append(r)
+            print(f"  rep {rep} {tag}: {r}", file=sys.stderr)
+
+    keys = sorted({k for reps in results.values() for r in reps for k in r})
+    summary = {}
+    print(f"\n{'query':<28}{'baseline':>10}{'head':>10}{'delta%':>9}")
+    for k in keys:
+        b = statistics.median([r[k] for r in results["baseline"] if k in r])
+        h = statistics.median([r[k] for r in results["head"] if k in r])
+        delta = 100.0 * (h - b) / b if b else float("nan")
+        summary[k] = {"baseline_median_s": round(b, 3), "head_median_s": round(h, 3),
+                      "delta_pct": round(delta, 1)}
+        print(f"{k:<28}{b:>10.3f}{h:>10.3f}{delta:>8.1f}%")
+
+    payload = {
+        "baseline_rev": args.baseline_rev,
+        "reps": args.reps,
+        "sf_dir": args.sf_dir,
+        "interleaved_same_session": True,
+        "summary": summary,
+        "raw": results,
+    }
+    with open(os.path.join(REPO, "tools", "AB_BENCH_RESULT.json"), "w") as f:
+        json.dump(payload, f)
+        f.write("\n")
+    print(json.dumps({"ab_bench": summary}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
