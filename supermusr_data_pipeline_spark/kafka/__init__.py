@@ -1,0 +1,38 @@
+"""S1/S2 closure: a minimal, from-spec Kafka wire-protocol broker and
+client, so the pipeline's front/back doors can be exercised end-to-end
+over REAL Kafka TCP traffic inside this container (no external broker,
+no third-party client library).
+
+The implementation follows the public Apache Kafka protocol guide
+(https://kafka.apache.org/protocol) exclusively: message-format v1
+(magic 1, CRC-32 integrity, millisecond timestamps), Produce v2,
+Fetch v2, ListOffsets v1, Metadata v0, ApiVersions v0, and the default
+partitioner's murmur2 hash.  The broker is a single-node in-process
+TCP server whose logs live in memory; the client is a blocking
+socket producer/consumer pair that parses the SAME option dict the
+production `kafka_source_options` builder emits, so the configuration
+surface tested here is the one `spark.readStream.format("kafka")`
+would receive against a real cluster.
+
+Reference parity: consumer factory common/src/lib.rs:72-94, bounded
+producer buffer trace-to-events/src/main.rs:81-84, drain-on-shutdown
+digitiser-aggregator/src/main.rs:463-495.
+"""
+
+from .broker import MiniBroker
+from .client import (
+    MiniConsumer,
+    MiniProducer,
+    consumer_from_options,
+    read_kafka_spool_stream,
+    spool_to_parquet,
+)
+
+__all__ = [
+    "MiniBroker",
+    "MiniConsumer",
+    "MiniProducer",
+    "consumer_from_options",
+    "read_kafka_spool_stream",
+    "spool_to_parquet",
+]

@@ -1,0 +1,547 @@
+"""Kafka wire-protocol primitives, from the public protocol guide
+(https://kafka.apache.org/protocol).  Everything is big-endian.
+
+Scope (deliberately the smallest set that lets a producer, a consumer,
+and a broker interoperate over real TCP):
+
+- primitives: INT8/16/32/64, STRING (int16-length), BYTES (int32-length),
+  ARRAY (int32-count);
+- message-format v1 (magic 1): each log entry is
+  ``offset int64 | size int32 | crc int32 | magic int8 | attributes int8 |
+  timestamp int64 | key BYTES | value BYTES`` with the CRC-32 computed
+  over everything after the crc field; gzip compression (attributes
+  codec 1) wraps an inner message set in a single outer message;
+- request header v1 (api_key, api_version, correlation_id, client_id)
+  and response header v0 (correlation_id);
+- APIs: Produce v2, Fetch v2, ListOffsets v1, Metadata v0,
+  ApiVersions v0 — the minimum for produce / consume / seek-by-time /
+  topology discovery;
+- the default partitioner's murmur2 (seed 0x9747b28c), so keyed
+  messages land on the same partition a stock Kafka client would pick.
+
+Error codes used: 0 NONE, 1 OFFSET_OUT_OF_RANGE, 2 CORRUPT_MESSAGE,
+3 UNKNOWN_TOPIC_OR_PARTITION, 35 UNSUPPORTED_VERSION.
+"""
+
+from __future__ import annotations
+
+import gzip
+import struct
+import zlib
+from dataclasses import dataclass
+
+API_PRODUCE = 0
+API_FETCH = 1
+API_LIST_OFFSETS = 2
+API_METADATA = 3
+API_VERSIONS = 18
+
+ERR_NONE = 0
+ERR_OFFSET_OUT_OF_RANGE = 1
+ERR_CORRUPT_MESSAGE = 2
+ERR_UNKNOWN_TOPIC_OR_PARTITION = 3
+ERR_UNSUPPORTED_VERSION = 35
+
+# (api_key, min_version, max_version) advertised by ApiVersions
+SUPPORTED_APIS = [
+    (API_PRODUCE, 2, 2),
+    (API_FETCH, 2, 2),
+    (API_LIST_OFFSETS, 1, 1),
+    (API_METADATA, 0, 0),
+    (API_VERSIONS, 0, 0),
+]
+
+EARLIEST_TIMESTAMP = -2
+LATEST_TIMESTAMP = -1
+
+
+# ---------------------------------------------------------------------------
+# primitive encode/decode
+# ---------------------------------------------------------------------------
+
+
+class Cursor:
+    """Sequential reader over a bytes buffer."""
+
+    __slots__ = ("buf", "pos")
+
+    def __init__(self, buf: bytes, pos: int = 0) -> None:
+        self.buf = buf
+        self.pos = pos
+
+    def _take(self, n: int) -> bytes:
+        if self.pos + n > len(self.buf):
+            raise ValueError("short buffer")
+        out = self.buf[self.pos : self.pos + n]
+        self.pos += n
+        return out
+
+    def i8(self) -> int:
+        return struct.unpack(">b", self._take(1))[0]
+
+    def i16(self) -> int:
+        return struct.unpack(">h", self._take(2))[0]
+
+    def i32(self) -> int:
+        return struct.unpack(">i", self._take(4))[0]
+
+    def i64(self) -> int:
+        return struct.unpack(">q", self._take(8))[0]
+
+    def string(self) -> str | None:
+        n = self.i16()
+        return None if n == -1 else self._take(n).decode("utf-8")
+
+    def bytes_(self) -> bytes | None:
+        n = self.i32()
+        return None if n == -1 else self._take(n)
+
+    def array(self, elem):
+        return [elem(self) for _ in range(self.i32())]
+
+    def remaining(self) -> int:
+        return len(self.buf) - self.pos
+
+
+def e_i8(v: int) -> bytes:
+    return struct.pack(">b", v)
+
+
+def e_i16(v: int) -> bytes:
+    return struct.pack(">h", v)
+
+
+def e_i32(v: int) -> bytes:
+    return struct.pack(">i", v)
+
+
+def e_i64(v: int) -> bytes:
+    return struct.pack(">q", v)
+
+
+def e_string(s: str | None) -> bytes:
+    if s is None:
+        return e_i16(-1)
+    b = s.encode("utf-8")
+    return e_i16(len(b)) + b
+
+
+def e_bytes(b: bytes | None) -> bytes:
+    if b is None:
+        return e_i32(-1)
+    return e_i32(len(b)) + b
+
+
+def e_array(items, elem) -> bytes:
+    return e_i32(len(items)) + b"".join(elem(x) for x in items)
+
+
+# ---------------------------------------------------------------------------
+# murmur2 — the default partitioner hash (public Kafka algorithm)
+# ---------------------------------------------------------------------------
+
+
+def murmur2(data: bytes) -> int:
+    """Kafka's murmur2 (seed 0x9747b28c), as specified for the default
+    partitioner: partition = (murmur2(key) & 0x7fffffff) % n."""
+    length = len(data)
+    seed = 0x9747B28C
+    m = 0x5BD1E995
+    r = 24
+    mask = 0xFFFFFFFF
+    h = (seed ^ length) & mask
+    n4 = length & ~3
+    for i in range(0, n4, 4):
+        k = int.from_bytes(data[i : i + 4], "little")
+        k = (k * m) & mask
+        k ^= k >> r
+        k = (k * m) & mask
+        h = (h * m) & mask
+        h ^= k
+    rest = length & 3
+    if rest == 3:
+        h ^= (data[n4 + 2] & 0xFF) << 16
+    if rest >= 2:
+        h ^= (data[n4 + 1] & 0xFF) << 8
+    if rest >= 1:
+        h ^= data[n4] & 0xFF
+        h = (h * m) & mask
+    h ^= h >> 13
+    h = (h * m) & mask
+    h ^= h >> 15
+    return h
+
+
+def default_partition(key: bytes | None, n_partitions: int, fallback: int = 0) -> int:
+    if key is None:
+        return fallback % n_partitions
+    return (murmur2(key) & 0x7FFFFFFF) % n_partitions
+
+
+# ---------------------------------------------------------------------------
+# message-format v1 (magic 1)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Record:
+    offset: int
+    timestamp: int  # ms since epoch, -1 if unset
+    key: bytes | None
+    value: bytes | None
+
+
+_COMPRESSION_MASK = 0x07
+_CODEC_NONE = 0
+_CODEC_GZIP = 1
+
+
+def _encode_message(
+    timestamp: int, key: bytes | None, value: bytes | None, attributes: int = 0
+) -> bytes:
+    body = (
+        e_i8(1)  # magic
+        + e_i8(attributes)
+        + e_i64(timestamp)
+        + e_bytes(key)
+        + e_bytes(value)
+    )
+    crc = zlib.crc32(body) & 0xFFFFFFFF
+    return struct.pack(">I", crc) + body
+
+
+def encode_message_set(
+    records: list[tuple[int, bytes | None, bytes | None]],
+    base_offset: int = 0,
+    compression: str = "none",
+) -> bytes:
+    """records = [(timestamp_ms, key, value)] → a v1 message set.  With
+    gzip, the whole set nests inside one wrapper message whose offset is
+    the LAST inner relative offset and whose timestamp is the max inner
+    timestamp, per the v1 compressed-set rules."""
+    if compression == "none":
+        out = []
+        for i, (ts, k, v) in enumerate(records):
+            msg = _encode_message(ts, k, v)
+            out.append(e_i64(base_offset + i) + e_i32(len(msg)) + msg)
+        return b"".join(out)
+    if compression != "gzip":
+        raise ValueError(f"unsupported compression {compression!r}")
+    inner = []
+    max_ts = -1
+    for i, (ts, k, v) in enumerate(records):
+        max_ts = max(max_ts, ts)
+        msg = _encode_message(ts, k, v)
+        inner.append(e_i64(i) + e_i32(len(msg)) + msg)  # relative offsets
+    payload = gzip.compress(b"".join(inner))
+    wrapper = _encode_message(max_ts, None, payload, attributes=_CODEC_GZIP)
+    # wrapper offset = absolute offset of the LAST inner record (v1 rule);
+    # inner offsets are 0-based relative
+    return e_i64(base_offset + len(records) - 1) + e_i32(len(wrapper)) + wrapper
+
+
+def decode_message_set(buf: bytes, *, verify_crc: bool = True) -> list[Record]:
+    """Parse a v1 message set, unwrapping gzip wrappers.  A trailing
+    partial entry (the fetch max_bytes truncation the protocol allows)
+    is silently dropped.  Raises ValueError on CRC mismatch."""
+    out: list[Record] = []
+    cur = Cursor(buf)
+    while cur.remaining() >= 12:
+        offset = cur.i64()
+        size = cur.i32()
+        if cur.remaining() < size:
+            break  # partial trailing message — protocol-legal truncation
+        msg = Cursor(cur._take(size))
+        crc = struct.unpack(">I", msg._take(4))[0]
+        body_start = msg.pos
+        magic = msg.i8()
+        attributes = msg.i8()
+        if magic != 1:
+            raise ValueError(f"unsupported magic {magic}")
+        if verify_crc and (zlib.crc32(msg.buf[body_start:]) & 0xFFFFFFFF) != crc:
+            raise ValueError("CRC mismatch")
+        timestamp = msg.i64()
+        key = msg.bytes_()
+        value = msg.bytes_()
+        codec = attributes & _COMPRESSION_MASK
+        if codec == _CODEC_NONE:
+            out.append(Record(offset, timestamp, key, value))
+        elif codec == _CODEC_GZIP:
+            inner = decode_message_set(gzip.decompress(value), verify_crc=verify_crc)
+            # wrapper offset = last inner RELATIVE offset's absolute value
+            base = offset - (inner[-1].offset if inner else 0)
+            for r in inner:
+                out.append(Record(base + r.offset, r.timestamp, r.key, r.value))
+        else:
+            raise ValueError(f"unsupported compression codec {codec}")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# request/response framing
+# ---------------------------------------------------------------------------
+
+
+def encode_request(
+    api_key: int, api_version: int, correlation_id: int, client_id: str, body: bytes
+) -> bytes:
+    payload = (
+        e_i16(api_key)
+        + e_i16(api_version)
+        + e_i32(correlation_id)
+        + e_string(client_id)
+        + body
+    )
+    return e_i32(len(payload)) + payload
+
+
+def decode_request_header(cur: Cursor) -> tuple[int, int, int, str | None]:
+    return cur.i16(), cur.i16(), cur.i32(), cur.string()
+
+
+def encode_response(correlation_id: int, body: bytes) -> bytes:
+    payload = e_i32(correlation_id) + body
+    return e_i32(len(payload)) + payload
+
+
+# --- Produce v2 ------------------------------------------------------------
+
+
+def encode_produce_request(
+    acks: int,
+    timeout_ms: int,
+    topic_data: list[tuple[str, list[tuple[int, bytes]]]],
+) -> bytes:
+    """topic_data = [(topic, [(partition, message_set_bytes)])]."""
+    return (
+        e_i16(acks)
+        + e_i32(timeout_ms)
+        + e_array(
+            topic_data,
+            lambda td: e_string(td[0])
+            + e_array(td[1], lambda pd: e_i32(pd[0]) + e_bytes(pd[1])),
+        )
+    )
+
+
+def decode_produce_request(cur: Cursor):
+    acks = cur.i16()
+    timeout = cur.i32()
+
+    def part(c: Cursor):
+        return c.i32(), c.bytes_()
+
+    def topic(c: Cursor):
+        return c.string(), c.array(part)
+
+    return acks, timeout, cur.array(topic)
+
+
+def encode_produce_response(
+    responses: list[tuple[str, list[tuple[int, int, int, int]]]],
+    throttle_ms: int = 0,
+) -> bytes:
+    """responses = [(topic, [(partition, error, base_offset, log_append_time)])]."""
+    return (
+        e_array(
+            responses,
+            lambda tr: e_string(tr[0])
+            + e_array(
+                tr[1],
+                lambda pr: e_i32(pr[0]) + e_i16(pr[1]) + e_i64(pr[2]) + e_i64(pr[3]),
+            ),
+        )
+        + e_i32(throttle_ms)
+    )
+
+
+def decode_produce_response(cur: Cursor):
+    def part(c: Cursor):
+        return c.i32(), c.i16(), c.i64(), c.i64()
+
+    def topic(c: Cursor):
+        return c.string(), c.array(part)
+
+    topics = cur.array(topic)
+    throttle = cur.i32()
+    return topics, throttle
+
+
+# --- Fetch v2 --------------------------------------------------------------
+
+
+def encode_fetch_request(
+    max_wait_ms: int,
+    min_bytes: int,
+    topics: list[tuple[str, list[tuple[int, int, int]]]],
+    replica_id: int = -1,
+) -> bytes:
+    """topics = [(topic, [(partition, fetch_offset, max_bytes)])]."""
+    return (
+        e_i32(replica_id)
+        + e_i32(max_wait_ms)
+        + e_i32(min_bytes)
+        + e_array(
+            topics,
+            lambda t: e_string(t[0])
+            + e_array(t[1], lambda p: e_i32(p[0]) + e_i64(p[1]) + e_i32(p[2])),
+        )
+    )
+
+
+def decode_fetch_request(cur: Cursor):
+    replica_id = cur.i32()
+    max_wait = cur.i32()
+    min_bytes = cur.i32()
+
+    def part(c: Cursor):
+        return c.i32(), c.i64(), c.i32()
+
+    def topic(c: Cursor):
+        return c.string(), c.array(part)
+
+    return replica_id, max_wait, min_bytes, cur.array(topic)
+
+
+def encode_fetch_response(
+    topics: list[tuple[str, list[tuple[int, int, int, bytes]]]],
+    throttle_ms: int = 0,
+) -> bytes:
+    """topics = [(topic, [(partition, error, high_watermark, message_set)])]."""
+    return e_i32(throttle_ms) + e_array(
+        topics,
+        lambda t: e_string(t[0])
+        + e_array(
+            t[1],
+            lambda p: e_i32(p[0]) + e_i16(p[1]) + e_i64(p[2]) + e_bytes(p[3]),
+        ),
+    )
+
+
+def decode_fetch_response(cur: Cursor):
+    throttle = cur.i32()
+
+    def part(c: Cursor):
+        return c.i32(), c.i16(), c.i64(), c.bytes_()
+
+    def topic(c: Cursor):
+        return c.string(), c.array(part)
+
+    return throttle, cur.array(topic)
+
+
+# --- ListOffsets v1 --------------------------------------------------------
+
+
+def encode_list_offsets_request(
+    topics: list[tuple[str, list[tuple[int, int]]]], replica_id: int = -1
+) -> bytes:
+    """topics = [(topic, [(partition, timestamp)])]; timestamp -1=latest,
+    -2=earliest, else ms — return the first offset with ts >= timestamp."""
+    return e_i32(replica_id) + e_array(
+        topics,
+        lambda t: e_string(t[0])
+        + e_array(t[1], lambda p: e_i32(p[0]) + e_i64(p[1])),
+    )
+
+
+def decode_list_offsets_request(cur: Cursor):
+    replica_id = cur.i32()
+
+    def part(c: Cursor):
+        return c.i32(), c.i64()
+
+    def topic(c: Cursor):
+        return c.string(), c.array(part)
+
+    return replica_id, cur.array(topic)
+
+
+def encode_list_offsets_response(
+    topics: list[tuple[str, list[tuple[int, int, int, int]]]],
+) -> bytes:
+    """topics = [(topic, [(partition, error, timestamp, offset)])]."""
+    return e_array(
+        topics,
+        lambda t: e_string(t[0])
+        + e_array(
+            t[1],
+            lambda p: e_i32(p[0]) + e_i16(p[1]) + e_i64(p[2]) + e_i64(p[3]),
+        ),
+    )
+
+
+def decode_list_offsets_response(cur: Cursor):
+    def part(c: Cursor):
+        return c.i32(), c.i16(), c.i64(), c.i64()
+
+    def topic(c: Cursor):
+        return c.string(), c.array(part)
+
+    return cur.array(topic)
+
+
+# --- Metadata v0 -----------------------------------------------------------
+
+
+def encode_metadata_request(topics: list[str]) -> bytes:
+    return e_array(topics, e_string)
+
+
+def decode_metadata_request(cur: Cursor) -> list[str]:
+    return cur.array(lambda c: c.string())
+
+
+def encode_metadata_response(
+    brokers: list[tuple[int, str, int]],
+    topics: list[tuple[int, str, list[tuple[int, int, int]]]],
+) -> bytes:
+    """brokers = [(node_id, host, port)];
+    topics = [(error, name, [(error, partition, leader)])] — single-node,
+    so replicas == isr == [leader]."""
+    return e_array(
+        brokers, lambda b: e_i32(b[0]) + e_string(b[1]) + e_i32(b[2])
+    ) + e_array(
+        topics,
+        lambda t: e_i16(t[0])
+        + e_string(t[1])
+        + e_array(
+            t[2],
+            lambda p: e_i16(p[0])
+            + e_i32(p[1])
+            + e_i32(p[2])
+            + e_array([p[2]], e_i32)  # replicas
+            + e_array([p[2]], e_i32),  # isr
+        ),
+    )
+
+
+def decode_metadata_response(cur: Cursor):
+    def broker(c: Cursor):
+        return c.i32(), c.string(), c.i32()
+
+    def part(c: Cursor):
+        err, pid, leader = c.i16(), c.i32(), c.i32()
+        c.array(lambda cc: cc.i32())  # replicas
+        c.array(lambda cc: cc.i32())  # isr
+        return err, pid, leader
+
+    def topic(c: Cursor):
+        return c.i16(), c.string(), c.array(part)
+
+    return cur.array(broker), cur.array(topic)
+
+
+# --- ApiVersions v0 --------------------------------------------------------
+
+
+def encode_api_versions_response(error: int = 0) -> bytes:
+    return e_i16(error) + e_array(
+        SUPPORTED_APIS, lambda a: e_i16(a[0]) + e_i16(a[1]) + e_i16(a[2])
+    )
+
+
+def decode_api_versions_response(cur: Cursor):
+    err = cur.i16()
+    apis = cur.array(lambda c: (c.i16(), c.i16(), c.i16()))
+    return err, apis

@@ -1,0 +1,230 @@
+"""S1/S2 over the real wire: the minimal in-process Kafka broker/client
+pair (kafka/protocol.py, broker.py, client.py — from the public protocol
+spec) exercised over actual TCP sockets: framing, CRC integrity, gzip
+message sets, murmur2 partitioning, time-based offset lookup (the O3
+bisect as a wire call), backpressure bounds, and the option-dict bridge
+from `kafka_source_options` to a live consumer."""
+
+import threading
+import time
+
+import pytest
+
+from supermusr_data_pipeline_spark.kafka import (
+    MiniBroker,
+    MiniConsumer,
+    MiniProducer,
+    consumer_from_options,
+)
+from supermusr_data_pipeline_spark.kafka import protocol as P
+from supermusr_data_pipeline_spark.streaming.envelope_stream import kafka_source_options
+
+
+def _drain(consumer, max_wait_ms=100):
+    out = []
+    while True:
+        batch = consumer.poll(max_wait_ms=max_wait_ms)
+        if not batch:
+            return out
+        out.extend(batch)
+
+
+# ---------------------------------------------------------------------------
+# pure protocol
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("compression", ["none", "gzip"])
+def test_message_set_roundtrip(compression):
+    recs = [(1000, b"k1", b"v1"), (2000, None, b"v2"), (3000, b"k3", None)]
+    buf = P.encode_message_set(recs, base_offset=7, compression=compression)
+    got = P.decode_message_set(buf)
+    assert [(r.timestamp, r.key, r.value) for r in got] == recs
+    assert [r.offset for r in got] == [7, 8, 9]
+
+
+def test_crc_detects_corruption():
+    buf = bytearray(P.encode_message_set([(1000, b"k", b"payload")]))
+    buf[-1] ^= 0xFF  # flip a value byte; CRC covers it
+    with pytest.raises(ValueError, match="CRC"):
+        P.decode_message_set(bytes(buf))
+
+
+def test_partial_trailing_message_dropped():
+    buf = P.encode_message_set([(1, b"a", b"x" * 10), (2, b"b", b"y" * 10)])
+    # protocol-legal truncation: fetch max_bytes may cut the last entry
+    got = P.decode_message_set(buf[: len(buf) - 5])
+    assert [r.key for r in got] == [b"a"]
+
+
+def test_murmur2_partitioning_properties():
+    h = P.murmur2(b"digitizer-3")
+    assert h == P.murmur2(b"digitizer-3")  # deterministic
+    assert 0 <= h <= 0xFFFFFFFF
+    parts = {P.default_partition(f"d{i}".encode(), 8) for i in range(64)}
+    assert len(parts) > 1  # spreads
+    assert all(0 <= p < 8 for p in parts)
+    assert P.default_partition(None, 8, fallback=13) == 13 % 8
+
+
+# ---------------------------------------------------------------------------
+# broker + client over TCP
+# ---------------------------------------------------------------------------
+
+
+def test_produce_fetch_roundtrip_per_partition_order():
+    with MiniBroker() as b, MiniProducer(b.bootstrap) as prod:
+        for i in range(5):
+            prod.send("t1", f"v{i}".encode(), key=b"same-key", timestamp_ms=1000 + i)
+        prod.flush()
+        with MiniConsumer(b.bootstrap, ["t1"], starting_offsets="earliest") as cons:
+            recs = _drain(cons)
+    assert [r.value for r in recs] == [f"v{i}".encode() for i in range(5)]
+    assert [r.offset for r in recs] == list(range(5))
+    assert [r.timestamp for r in recs] == [1000 + i for i in range(5)]
+
+
+def test_keyed_messages_stick_to_murmur2_partition():
+    with MiniBroker() as b:
+        b.create_topic("t4", partitions=4)
+        with MiniProducer(b.bootstrap) as prod:
+            for i in range(20):
+                for _rep in range(3):
+                    prod.send("t4", f"m{i}".encode(), key=f"dig-{i}".encode())
+            prod.flush()
+        sizes = b.topic_sizes()["t4"]
+    assert sum(sizes) == 60
+    assert sum(1 for s in sizes if s > 0) > 1  # spread across partitions
+    # every key's 3 copies landed together: per-partition totals are all
+    # multiples of 3 (a key never splits across partitions)
+    assert all(s % 3 == 0 for s in sizes)
+
+
+def test_gzip_produce_served_uncompressed():
+    payload = b"x" * 4096  # compressible
+    with MiniBroker() as b:
+        with MiniProducer(b.bootstrap, compression="gzip") as prod:
+            for i in range(10):
+                prod.send("tz", payload + bytes([i]), key=b"k", timestamp_ms=i)
+            prod.flush()
+        with MiniConsumer(b.bootstrap, ["tz"], starting_offsets="earliest") as cons:
+            recs = _drain(cons)
+    assert [r.value[-1] for r in recs] == list(range(10))
+    assert all(r.value[:-1] == payload for r in recs)
+    assert [r.timestamp for r in recs] == list(range(10))
+
+
+def test_starting_timestamp_seeks_by_time():
+    """The O3 time→offset search as a single ListOffsets wire call
+    (replaces trace-viewer binary_by_timestamp.rs:20-72)."""
+    with MiniBroker() as b:
+        with MiniProducer(b.bootstrap) as prod:
+            for i, ts in enumerate([1000, 2000, 3000]):
+                prod.send("tt", f"v{i}".encode(), timestamp_ms=ts)
+            prod.flush()
+        with MiniConsumer(b.bootstrap, ["tt"], starting_timestamp_ms=2000) as c:
+            assert [r.value for r in _drain(c)] == [b"v1", b"v2"]
+        with MiniConsumer(b.bootstrap, ["tt"], starting_timestamp_ms=2500) as c:
+            assert [r.value for r in _drain(c)] == [b"v2"]
+        # past the log end: start at the end (nothing at/after target yet)
+        with MiniConsumer(b.bootstrap, ["tt"], starting_timestamp_ms=9999) as c:
+            assert _drain(c) == []
+
+
+def test_source_options_dict_drives_live_consumer():
+    """S1 closure: the EXACT dict kafka_source_options builds for
+    spark.readStream.format('kafka') configures a live consumer, and
+    maxOffsetsPerTrigger bounds each poll (backpressure analog)."""
+    with MiniBroker() as b:
+        with MiniProducer(b.bootstrap) as prod:
+            for i in range(25):
+                prod.send("daq-traces", f"v{i}".encode(), timestamp_ms=i)
+            prod.flush()
+        opts = kafka_source_options(
+            b.bootstrap, ["daq-traces"], max_offsets_per_trigger=10,
+            starting_offsets="earliest",
+        )
+        with consumer_from_options(opts) as cons:
+            sizes = []
+            while True:
+                batch = cons.poll(max_wait_ms=100)
+                if not batch:
+                    break
+                sizes.append(len(batch))
+    assert sizes == [10, 10, 5]  # trigger bound honored, remainder drains
+
+
+def test_starting_timestamp_option_path():
+    with MiniBroker() as b:
+        with MiniProducer(b.bootstrap) as prod:
+            for i, ts in enumerate([100, 200, 300]):
+                prod.send("daq-traces", f"v{i}".encode(), timestamp_ms=ts)
+            prod.flush()
+        opts = kafka_source_options(
+            b.bootstrap, ["daq-traces"], starting_timestamp_ms=200
+        )
+        assert opts["startingTimestamp"] == "200"
+        with consumer_from_options(opts) as cons:
+            assert [r.value for r in _drain(cons)] == [b"v1", b"v2"]
+
+
+def test_fetch_out_of_range_and_no_starvation():
+    with MiniBroker() as b:
+        with MiniProducer(b.bootstrap) as prod:
+            prod.send("tb", b"z" * 1000, timestamp_ms=1)
+            prod.send("tb", b"z" * 1000, timestamp_ms=2)
+            prod.flush()
+        with MiniConsumer(b.bootstrap, ["tb"], starting_offsets="earliest") as cons:
+            # no starvation: a max_bytes smaller than one message still
+            # yields exactly one message per poll
+            one = cons.poll(max_wait_ms=100, max_partition_bytes=10)
+            two = cons.poll(max_wait_ms=100, max_partition_bytes=10)
+            assert len(one) == 1 and len(two) == 1
+            assert one[0].offset == 0 and two[0].offset == 1
+            # beyond the log end: broker answers OFFSET_OUT_OF_RANGE
+            cons._positions[("tb", 0)] = 99
+            with pytest.raises(OSError, match="error 1"):
+                cons.poll(max_wait_ms=100)
+
+
+def test_producer_bounded_buffer_autoflushes():
+    """The reference's bounded producer buffer
+    (trace-to-events/src/main.rs:81-84): overflow flushes, close drains."""
+    with MiniBroker() as b:
+        prod = MiniProducer(b.bootstrap, buffer_max=4)
+        for i in range(10):
+            prod.send("tq", bytes([i]))
+        assert prod.acked >= 8  # two autoflushes happened
+        prod.close()  # T8 drain
+        assert prod.acked == 10
+        assert b.topic_sizes()["tq"] == [10]
+
+
+def test_long_poll_blocks_until_data():
+    with MiniBroker() as b:
+        with MiniConsumer(b.bootstrap, ["tl"], starting_offsets="earliest") as cons:
+
+            def later():
+                time.sleep(0.15)
+                with MiniProducer(b.bootstrap) as prod:
+                    prod.send("tl", b"late", timestamp_ms=1)
+
+            t = threading.Thread(target=later)
+            t0 = time.monotonic()
+            t.start()
+            recs = cons.poll(max_wait_ms=3000, min_bytes=1)
+            waited = time.monotonic() - t0
+            t.join()
+    assert [r.value for r in recs] == [b"late"]
+    assert 0.1 < waited < 2.5  # returned on data, not at the deadline
+
+
+def test_unsupported_version_rejected_in_band():
+    with MiniBroker() as b:
+        from supermusr_data_pipeline_spark.kafka.client import _Conn
+
+        conn = _Conn(b.bootstrap, "probe")
+        cur = conn.request(P.API_PRODUCE, 9, b"")  # v9 unsupported
+        err, _apis = P.decode_api_versions_response(cur)
+        conn.close()
+    assert err == P.ERR_UNSUPPORTED_VERSION
