@@ -266,9 +266,99 @@ def bench_postings_ingest(spark, base: str) -> dict:
     }
 
 
+def bench_kafka_front_door(spark, workdir: str) -> dict:
+    """S1/S2 over real wire: the DAQ trace tape produced to an in-process
+    Kafka broker (gzip transport, murmur2-keyed by digitiser), drained by
+    the option-dict-configured consumer into the Spark spool, and decoded
+    — produce/drain MB/s plus the whole-wire frames/s against the
+    instrument's 50 fps bar.  Everything in-memory + local TCP: the
+    number is the protocol/client/bridge overhead, not disk."""
+    from supermusr_data_pipeline_spark.generator.schedule import run_schedule
+    from supermusr_data_pipeline_spark.kafka import (
+        MiniBroker,
+        MiniProducer,
+        consumer_from_options,
+        spool_to_parquet,
+    )
+    from supermusr_data_pipeline_spark.kafka.client import KAFKA_SPOOL_SCHEMA
+    from supermusr_data_pipeline_spark.sources.decode import decode_dat2
+    from supermusr_data_pipeline_spark.streaming.envelope_stream import (
+        kafka_source_options,
+    )
+
+    n_frames = int(os.environ.get("SPARK_GRAFT_KAFKA_FRAMES", "200"))
+    n_dig, n_ch, n_samples = 8, 8, 1000
+    script = [
+        {"action": "set_timestamp", "iso": "2024-01-01T12:00:00"},
+        {
+            "action": "frame_loop",
+            "frames": n_frames,
+            "advance_ms": 20,
+            "body": [
+                {
+                    "action": "digitiser_loop",
+                    "ids": list(range(n_dig)),
+                    "body": [
+                        {"action": "send_trace", "n_samples": n_samples,
+                         "channels": n_ch, "n_pulses": 4, "noise_sd": 2.0},
+                    ],
+                },
+            ],
+        },
+    ]
+    msgs = [(t, v) for t, v in run_schedule(script, seed=5) if t == "daq-traces"]
+    total_bytes = sum(len(v) for _t, v in msgs)
+    spool = os.path.join(workdir, "kafka_spool")
+    with MiniBroker() as broker:
+        broker.create_topic("daq-traces", partitions=4)
+        t0 = time.perf_counter()
+        with MiniProducer(broker.bootstrap, compression="gzip") as prod:
+            for i, (_t, v) in enumerate(msgs):
+                prod.send("daq-traces", v, key=str(i % n_dig).encode())
+        produce_s = time.perf_counter() - t0
+        cons = consumer_from_options(
+            kafka_source_options(broker.bootstrap, ["daq-traces"],
+                                 starting_offsets="earliest",
+                                 max_offsets_per_trigger=10_000)
+        )
+        t1 = time.perf_counter()
+        n_spooled = spool_to_parquet(cons, spool)
+        drain_s = time.perf_counter() - t1
+        cons.close()
+    env = (
+        spark.read.schema(KAFKA_SPOOL_SCHEMA)
+        .parquet(spool)
+        .select("key", "value", "topic")
+    )
+    # warm the Arrow/pandas worker pool on one message (the bench.py
+    # warm-up rule) so decode_s measures steady-state decode, not
+    # interpreter start-up — standalone runs would otherwise fold ~5 s
+    # of one-time cost into the first decode
+    decode_dat2(env.limit(1)).count()
+    t2 = time.perf_counter()
+    n_rows = decode_dat2(env).count()
+    decode_s = time.perf_counter() - t2
+    assert n_spooled == len(msgs) and n_rows == n_frames * n_dig * n_ch
+    total_s = produce_s + drain_s + decode_s
+    return {
+        "frames": n_frames,
+        "messages": len(msgs),
+        "payload_mb": round(total_bytes / 1e6, 1),
+        "produce_mb_s": round(total_bytes / 1e6 / produce_s, 1),
+        "drain_mb_s": round(total_bytes / 1e6 / drain_s, 1),
+        "decode_s": round(decode_s, 3),
+        "wire_frames_per_sec": round(n_frames / total_s, 1),
+    }
+
+
 def run(spark) -> dict:
     global BATCH_DOCS
     out = {"sf_dir": SF_DIR}
+    base = tempfile.mkdtemp(prefix="supermusr_kafka_bench_")
+    try:
+        out["kafka_front_door"] = bench_kafka_front_door(spark, base)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
     # two batch sizes: micro-batch rates on these front doors are
     # fixed-cost-dominated (each batch pays the index-probe joins), so
     # the pair shows how throughput amortizes with batch size — the knob

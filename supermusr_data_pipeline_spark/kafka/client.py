@@ -211,6 +211,15 @@ class MiniConsumer:
         cur = self._conn.request(P.API_LIST_OFFSETS, 1, body)
         return P.decode_list_offsets_response(cur)[0][1][0][3]
 
+    def seek_tail(self, n: int) -> None:
+        """Position each partition ``n`` records before its log end — the
+        kafka-tail diagnostic's read window (reference
+        diagnostics/src/kafka_tail.rs:10-52).  With multiple partitions
+        the aggregate window is up to n×partitions, like tailing each
+        partition independently."""
+        for (t, p) in list(self._positions):
+            self._positions[(t, p)] = max(0, self._log_end(t, p) - n)
+
     def seek_to_timestamp(self, timestamp_ms: int) -> None:
         """O3 analog over the wire: the broker's time→offset bisect
         replaces the reference's manual binary_by_timestamp.rs search."""

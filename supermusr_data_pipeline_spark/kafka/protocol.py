@@ -233,7 +233,9 @@ def encode_message_set(
         max_ts = max(max_ts, ts)
         msg = _encode_message(ts, k, v)
         inner.append(e_i64(i) + e_i32(len(msg)) + msg)  # relative offsets
-    payload = gzip.compress(b"".join(inner))
+    # level 1: transport compression favors speed (noisy DAQ payloads
+    # barely compress; level 9 is ~20x slower for ~2% smaller here)
+    payload = gzip.compress(b"".join(inner), compresslevel=1)
     wrapper = _encode_message(max_ts, None, payload, attributes=_CODEC_GZIP)
     # wrapper offset = absolute offset of the LAST inner record (v1 rule);
     # inner offsets are 0-based relative

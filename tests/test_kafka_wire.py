@@ -219,6 +219,24 @@ def test_long_poll_blocks_until_data():
     assert 0.1 < waited < 2.5  # returned on data, not at the deadline
 
 
+def test_dump_cli_tails_live_broker(spark, capsys):
+    """S8 against the wire: the dump CLI's kafka:// form tails the last n
+    messages of a live topic and pretty-prints them."""
+    from supermusr_data_pipeline_spark import dump
+    from supermusr_data_pipeline_spark.sources import messages as M
+
+    with MiniBroker() as b:
+        with MiniProducer(b.bootstrap) as prod:
+            for i in range(7):
+                buf = M.encode_f144(f"temp-{i}", 1_000_000 + i, float(i))
+                prod.send("selog", buf, key=b"s")
+        rc = dump.main([f"kafka://{b.bootstrap}/selog", "3"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "(3 messages)" in out
+    assert "temp-6" in out and "temp-4" in out and "temp-3" not in out
+
+
 def test_unsupported_version_rejected_in_band():
     with MiniBroker() as b:
         from supermusr_data_pipeline_spark.kafka.client import _Conn
