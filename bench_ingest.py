@@ -325,6 +325,23 @@ def bench_kafka_front_door(spark, workdir: str) -> dict:
         n_spooled = spool_to_parquet(cons, spool)
         drain_s = time.perf_counter() - t1
         cons.close()
+        # the Spark-native path: format("kafka-wire") batch read, one
+        # fetch task per topic-partition (4 here) — the engine-managed
+        # alternative to the spool bridge
+        from supermusr_data_pipeline_spark.kafka import KafkaWireDataSource
+
+        spark.dataSource.register(KafkaWireDataSource)
+        native = (
+            spark.read.format("kafka-wire")
+            .options(**kafka_source_options(broker.bootstrap, ["daq-traces"],
+                                            max_offsets_per_trigger=None))
+            .load()
+        )
+        native.count()  # warm the DataSource Python workers (one-time)
+        t_n = time.perf_counter()
+        n_native = native.count()
+        native_s = time.perf_counter() - t_n
+        assert n_native == len(msgs)
     env = (
         spark.read.schema(KAFKA_SPOOL_SCHEMA)
         .parquet(spool)
@@ -346,6 +363,7 @@ def bench_kafka_front_door(spark, workdir: str) -> dict:
         "payload_mb": round(total_bytes / 1e6, 1),
         "produce_mb_s": round(total_bytes / 1e6 / produce_s, 1),
         "drain_mb_s": round(total_bytes / 1e6 / drain_s, 1),
+        "native_source_mb_s": round(total_bytes / 1e6 / native_s, 1),
         "decode_s": round(decode_s, 3),
         "wire_frames_per_sec": round(n_frames / total_s, 1),
     }

@@ -27,8 +27,10 @@ from .client import (
     read_kafka_spool_stream,
     spool_to_parquet,
 )
+from .spark_source import KafkaWireDataSource
 
 __all__ = [
+    "KafkaWireDataSource",
     "MiniBroker",
     "MiniConsumer",
     "MiniProducer",
