@@ -1,0 +1,216 @@
+#!/usr/bin/env python
+"""Same-session A/B: the paced 50 fps frame soak through the FILE-SPOOL
+front door (bench_streaming's production path) vs the KAFKA-WIRE native
+source (kafka/spark_source.py), at the 8x500 shape.
+
+Motivation (VERDICT r7 latency floor): the measured cycle decomposition
+attributes ~0.21-0.23 s of every micro-batch to file-source directory
+listing.  The kafka-wire source's admission control is one ListOffsets
+wire call (~ms) instead of a directory list, so the trigger overhead
+term could shrink — but the wire path ADDS dev2 decode (mapInPandas)
+that the file tapes pre-pay, and Python-source planning has its own
+per-batch cost.  This tool measures the swap honestly: same
+SparkSession, same FSM + sink, same pacing, interleave-free but
+back-to-back (the repo's same-session variance rule).
+
+Usage: python tools/ab_kafka_stream.py [--frames 1000]
+Writes tools/AB_KAFKA_STREAM_RESULT.json and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import threading
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import bench_streaming as BS  # noqa: E402
+
+N_DIG = 8
+
+
+def _encode_tape(n_total: int) -> list[list[bytes]]:
+    """Pre-encode every frame's dev2 messages (mirrors _frame_table's
+    deterministic payloads) so the producer thread only moves bytes —
+    FlatBuffers encoding must not eat the 20 ms frame budget."""
+    from supermusr_data_pipeline_spark.sources import messages as M
+
+    tape = []
+    ch = [int(e % 8) for e in range(BS.EVENTS_PER_MESSAGE)]
+    et = [int(e * 37 % 20_000_000) for e in range(BS.EVENTS_PER_MESSAGE)]
+    for i in range(n_total):
+        ts_ns = (BS._BASE_TS_US + i * int(BS.FRAME_PERIOD_S * 1_000_000)) * 1000
+        md = {
+            "ts_ns": ts_ns,
+            "period_number": i // 1000,
+            "protons_per_pulse": 4,
+            "running": True,
+            "frame_number": i,
+            "veto_flags": 1 << (i % 4),
+        }
+        ev = [int((e * 7 + i) % 4096) for e in range(BS.EVENTS_PER_MESSAGE)]
+        tape.append(
+            [M.encode_dev2(d, md, et, ev, ch) for d in range(N_DIG)]
+        )
+    return tape
+
+
+def _run_kafka(spark, base: str, n_frames: int) -> dict:
+    from supermusr_data_pipeline_spark.kafka import MiniBroker, MiniProducer
+    from supermusr_data_pipeline_spark.kafka.spark_source import KafkaWireDataSource
+    from supermusr_data_pipeline_spark.sources.decode import decode_dev2_messages
+    from supermusr_data_pipeline_spark.streaming.envelope_stream import (
+        kafka_source_options,
+    )
+    from supermusr_data_pipeline_spark.streaming.frame_assembly_stream import (
+        assemble_frames_stream,
+    )
+    from supermusr_data_pipeline_spark.streaming.nexus_stream import NexusStreamWriter
+
+    spark.dataSource.register(KafkaWireDataSource)
+    n_total = BS.N_WARMUP + n_frames
+    tape = _encode_tape(n_total)
+    emit: dict[int, float] = {}
+    lock = threading.Lock()
+
+    def on_commit(frames):
+        t = time.perf_counter()
+        with lock:
+            for f in frames:
+                emit.setdefault(f, t)
+
+    with MiniBroker() as broker:
+        broker.create_topic("daq-events", partitions=4)
+        opts = kafka_source_options(
+            broker.bootstrap, ["daq-events"], starting_offsets="earliest",
+        )
+        wire = (
+            spark.readStream.format("kafka-wire").options(**opts).load()
+            .select("key", "value", "topic")
+        )
+        frames_stream = assemble_frames_stream(
+            decode_dev2_messages(wire), list(range(N_DIG)), frame_ttl_ms=500
+        )
+        writer = NexusStreamWriter(
+            BS._runs_df(spark, n_total), os.path.join(base, "sink_kafka"),
+            on_commit=on_commit,
+        )
+        q = (
+            frames_stream.writeStream.foreachBatch(writer)
+            .option("checkpointLocation", os.path.join(base, "ckpt_kafka"))
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+
+        prod = MiniProducer(broker.bootstrap, buffer_max=N_DIG)
+        # warm-up gulp (excluded from metrics, like the file soak)
+        for i in range(BS.N_WARMUP):
+            for d, payload in enumerate(tape[i]):
+                prod.send("daq-events", payload, key=str(d).encode())
+            prod.flush()
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            with lock:
+                if len(emit) >= BS.N_WARMUP:
+                    break
+            time.sleep(0.05)
+
+        arrival: dict[int, float] = {}
+
+        def feeder():
+            t0 = time.perf_counter()
+            for i in range(BS.N_WARMUP, n_total):
+                for d, payload in enumerate(tape[i]):
+                    prod.send("daq-events", payload, key=str(d).encode())
+                prod.flush()
+                arrival[i] = time.perf_counter()
+                lag = (
+                    t0 + (i - BS.N_WARMUP + 1) * BS.FRAME_PERIOD_S
+                    - time.perf_counter()
+                )
+                if lag > 0:
+                    time.sleep(lag)
+
+        th = threading.Thread(target=feeder, daemon=True)
+        th.start()
+        deadline = time.time() + n_frames * BS.FRAME_PERIOD_S + 120
+        while time.time() < deadline:
+            with lock:
+                if len(emit) >= n_total:
+                    break
+            time.sleep(0.05)
+        th.join(timeout=10)
+        q.stop()
+        prod.close()
+
+    measured = sorted(i for i in range(BS.N_WARMUP, n_total) if i in emit)
+    lats = {i: emit[i] - arrival[i] for i in measured}
+    lat = sorted(lats.values())
+    n_done = len(lat)
+    t0 = arrival[measured[0]] if measured else 0.0
+    slope = BS._slope(
+        [arrival[i] - t0 for i in measured], [lats[i] for i in measured]
+    )
+    second = sorted(
+        lats[i] for i in measured if i >= BS.N_WARMUP + (n_total - BS.N_WARMUP) // 2
+    )
+    return {
+        "frames_done": n_done,
+        "keeps_up_at_50fps": bool(n_done == n_frames and slope <= BS.SLOPE_GATE_S_PER_S),
+        "latency_slope_s_per_s": round(slope, 5),
+        "latency_p50_s": round(lat[n_done // 2], 4) if n_done else None,
+        "latency_p95_s": round(lat[int(n_done * 0.95)], 4) if n_done else None,
+        "steady_p50_s": round(second[len(second) // 2], 4) if second else None,
+        "steady_p95_s": round(second[int(len(second) * 0.95)], 4) if second else None,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=1000)
+    args = ap.parse_args()
+
+    from supermusr_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("supermusr-ab-kafka-stream")
+    spark.sparkContext.setLogLevel("ERROR")
+    for k, v in BS._STREAM_CONF.items():
+        spark.conf.set(k, v)
+
+    base = tempfile.mkdtemp(prefix="ab_kafka_stream_")
+    # file front door first (the incumbent), kafka second — both on the
+    # warmed session; the file soak itself warms the FSM/sink JIT the
+    # kafka run then also benefits from, biasing AGAINST the incumbent
+    # by at most the warm-in the file run pays alone, which its own
+    # slope/steady split already excludes
+    file_res = BS._run_shape(spark, base, N_DIG, args.frames, paced_only=True)
+    kafka_res = _run_kafka(spark, base, args.frames)
+
+    payload = {
+        "shape": f"{N_DIG}x{BS.EVENTS_PER_MESSAGE}",
+        "frames": args.frames,
+        "file_source": {
+            k: file_res["paced"][k]
+            for k in (
+                "frames_done", "keeps_up_at_50fps", "latency_slope_s_per_s",
+                "latency_p50_s", "latency_p95_s", "steady_p50_s", "steady_p95_s",
+            )
+        },
+        "kafka_wire_source": kafka_res,
+        "file_cycle_decomposition": file_res.get("cycle_decomposition"),
+    }
+    with open(os.path.join(REPO, "tools", "AB_KAFKA_STREAM_RESULT.json"), "w") as f:
+        json.dump(payload, f)
+        f.write("\n")
+    print(json.dumps(payload))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
