@@ -280,6 +280,29 @@ def _append_admitted(
     )
 
 
+DOC_JSON_SCHEMA = (
+    "doc_id bigint, text string, lang string, source string, n_chars bigint"
+)
+
+
+def docs_from_envelope(df: DataFrame) -> DataFrame:
+    """Kafka-source-shaped rows (``value`` = one JSON document) → the
+    documents stream every ingest front door consumes.  This is the
+    text-pipeline's Kafka front: `spark.readStream.format("kafka-wire")`
+    (or the JVM kafka source — same columns) piped here feeds
+    `ingest_shard_stream` / vector / postings ingestion directly.
+    Malformed payloads surface as NULL doc_id rows (from_json's
+    PERMISSIVE mode) and are dropped — the dead-letter filter a
+    production door needs anyway."""
+    return (
+        df.select(
+            F.from_json(F.col("value").cast("string"), DOC_JSON_SCHEMA).alias("d")
+        )
+        .select("d.*")
+        .filter(F.col("doc_id").isNotNull())
+    )
+
+
 def ingest_shard_stream(
     docs_stream: DataFrame,
     index_path: str,
