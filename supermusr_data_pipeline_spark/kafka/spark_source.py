@@ -230,8 +230,15 @@ class KafkaWireStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict):
         # the engine hands back checkpointed offsets after a restart —
         # adopt them as the pacing base so admission control resumes
-        # from the committed position, not from scratch
-        self._last_end = dict(end)
+        # from the committed position, not from scratch.  max() guards
+        # the one-batch window where a restarted reader's first
+        # latestOffset() ran before seeing the committed position and
+        # capped below it (start > end plans an empty batch; the base
+        # must not rewind)
+        self._last_end = {
+            k: max(start.get(k, 0), end.get(k, 0))
+            for k in set(start) | set(end)
+        }
         parts = _ranges(self._oracle.bootstrap, start, end)
         # a trigger with nothing to do still needs >= 1 partition (the
         # API requires a non-empty sequence); an empty range yields no rows
