@@ -223,6 +223,24 @@ def write_vector_index(base_vecs: DataFrame, index_path: str, cents) -> None:
     )
 
 
+VEC_JSON_SCHEMA = "vec_id bigint, embedding array<double>"
+
+
+def vectors_from_envelope(df: DataFrame) -> DataFrame:
+    """Kafka-source-shaped rows (``value`` = one JSON embedding record) →
+    the (vec_id, embedding) stream this front door consumes — the
+    embedding-side twin of shard_ingest.docs_from_envelope, so all three
+    ingest doors (lexical docs, LSH docs, vectors) have a Kafka face.
+    Malformed payloads drop as dead letters (NULL vec_id)."""
+    return (
+        df.select(
+            F.from_json(F.col("value").cast("string"), VEC_JSON_SCHEMA).alias("v")
+        )
+        .select("v.*")
+        .filter(F.col("vec_id").isNotNull() & F.col("embedding").isNotNull())
+    )
+
+
 def ingest_vector_stream(
     vecs_stream: DataFrame,
     index_path: str,
