@@ -484,16 +484,19 @@ def run(spark: SparkSession, workdir: str | None = None) -> dict:
                 "than it saves; rejected, numbers in "
                 "tools/AB_FSM_RESULT.json.  Round 8 also A/B'd the "
                 "FRONT DOOR (tools/ab_kafka_stream.py, same-session, "
-                "8x500, 1000-frame paced soaks): the native kafka-wire "
-                "source (kafka/spark_source.py) measured p50 "
-                "2.71/2.91 s vs 3.05/3.00 s for this file-spool tape "
-                "across two runs, p95 3.59/3.83 vs 4.10/4.00 — at "
-                "parity-to-faster while ALSO paying dev2 decode, "
-                "because one ListOffsets call replaces the per-batch "
-                "directory listing and the spool write disappears; "
-                "numbers in tools/AB_KAFKA_STREAM_RESULT.json.  This "
-                "bench keeps the file tape so round-over-round numbers "
-                "stay comparable."
+                "1000-frame paced soaks): the native kafka-wire source "
+                "(kafka/spark_source.py) measured p50 2.71/2.91 s vs "
+                "3.05/3.00 s for this file-spool tape at 8x500 (two "
+                "runs; p95 3.59/3.83 vs 4.10/4.00) — at parity-to-"
+                "faster while ALSO paying dev2 decode, because one "
+                "ListOffsets call replaces the per-batch directory "
+                "listing and the spool write disappears — but 3.37 s "
+                "vs 3.10 s at the full 32x500 shape, where decoding "
+                "4x the message volume outweighs the listing savings; "
+                "the door choice is shape-dependent, numbers in "
+                "tools/AB_KAFKA_STREAM_RESULT*.json.  This bench keeps "
+                "the file tape so round-over-round numbers stay "
+                "comparable."
             ),
         },
     }

@@ -32,10 +32,9 @@ sys.path.insert(0, REPO)
 
 import bench_streaming as BS  # noqa: E402
 
-N_DIG = 8
 
 
-def _encode_tape(n_total: int) -> list[list[bytes]]:
+def _encode_tape(n_total: int, n_dig: int) -> list[list[bytes]]:
     """Pre-encode every frame's dev2 messages (mirrors _frame_table's
     deterministic payloads) so the producer thread only moves bytes —
     FlatBuffers encoding must not eat the 20 ms frame budget."""
@@ -56,12 +55,12 @@ def _encode_tape(n_total: int) -> list[list[bytes]]:
         }
         ev = [int((e * 7 + i) % 4096) for e in range(BS.EVENTS_PER_MESSAGE)]
         tape.append(
-            [M.encode_dev2(d, md, et, ev, ch) for d in range(N_DIG)]
+            [M.encode_dev2(d, md, et, ev, ch) for d in range(n_dig)]
         )
     return tape
 
 
-def _run_kafka(spark, base: str, n_frames: int) -> dict:
+def _run_kafka(spark, base: str, n_frames: int, n_dig: int) -> dict:
     from supermusr_data_pipeline_spark.kafka import MiniBroker, MiniProducer
     from supermusr_data_pipeline_spark.kafka.spark_source import KafkaWireDataSource
     from supermusr_data_pipeline_spark.sources.decode import decode_dev2_messages
@@ -75,7 +74,7 @@ def _run_kafka(spark, base: str, n_frames: int) -> dict:
 
     spark.dataSource.register(KafkaWireDataSource)
     n_total = BS.N_WARMUP + n_frames
-    tape = _encode_tape(n_total)
+    tape = _encode_tape(n_total, n_dig)
     emit: dict[int, float] = {}
     lock = threading.Lock()
 
@@ -95,7 +94,7 @@ def _run_kafka(spark, base: str, n_frames: int) -> dict:
             .select("key", "value", "topic")
         )
         frames_stream = assemble_frames_stream(
-            decode_dev2_messages(wire), list(range(N_DIG)), frame_ttl_ms=500
+            decode_dev2_messages(wire), list(range(n_dig)), frame_ttl_ms=500
         )
         writer = NexusStreamWriter(
             BS._runs_df(spark, n_total), os.path.join(base, "sink_kafka"),
@@ -108,7 +107,7 @@ def _run_kafka(spark, base: str, n_frames: int) -> dict:
             .start()
         )
 
-        prod = MiniProducer(broker.bootstrap, buffer_max=N_DIG)
+        prod = MiniProducer(broker.bootstrap, buffer_max=n_dig)
         # warm-up gulp (excluded from metrics, like the file soak)
         for i in range(BS.N_WARMUP):
             for d, payload in enumerate(tape[i]):
@@ -174,6 +173,7 @@ def _run_kafka(spark, base: str, n_frames: int) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=1000)
+    ap.add_argument("--digitisers", type=int, default=8)
     args = ap.parse_args()
 
     from supermusr_data_pipeline_spark.session import get_spark
@@ -189,11 +189,12 @@ def main() -> None:
     # kafka run then also benefits from, biasing AGAINST the incumbent
     # by at most the warm-in the file run pays alone, which its own
     # slope/steady split already excludes
-    file_res = BS._run_shape(spark, base, N_DIG, args.frames, paced_only=True)
-    kafka_res = _run_kafka(spark, base, args.frames)
+    n_dig = args.digitisers
+    file_res = BS._run_shape(spark, base, n_dig, args.frames, paced_only=True)
+    kafka_res = _run_kafka(spark, base, args.frames, n_dig)
 
     payload = {
-        "shape": f"{N_DIG}x{BS.EVENTS_PER_MESSAGE}",
+        "shape": f"{n_dig}x{BS.EVENTS_PER_MESSAGE}",
         "frames": args.frames,
         "file_source": {
             k: file_res["paced"][k]
@@ -205,7 +206,9 @@ def main() -> None:
         "kafka_wire_source": kafka_res,
         "file_cycle_decomposition": file_res.get("cycle_decomposition"),
     }
-    with open(os.path.join(REPO, "tools", "AB_KAFKA_STREAM_RESULT.json"), "w") as f:
+    out_name = ("AB_KAFKA_STREAM_RESULT.json" if n_dig == 8
+                else f"AB_KAFKA_STREAM_RESULT_{n_dig}dig.json")
+    with open(os.path.join(REPO, "tools", out_name), "w") as f:
         json.dump(payload, f)
         f.write("\n")
     print(json.dumps(payload))
