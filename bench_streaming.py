@@ -149,13 +149,16 @@ def _start_query(
     called with (list[frame_number], commit_wallclock) per micro-batch via
     the writer's on_commit hook — frame observation rides the sink's own
     dimension collect, so the batch runs exactly the production job count.
-    ``fsm`` selects the stateful operator: 'apply' =
-    applyInPandasWithState (production), 'tws' = transformWithStateInPandas
-    (the A/B candidate; needs RocksDB + the tools/pyshims PYTHONPATH)."""
+    ``fsm`` selects the assembly engine: 'apply' = applyInPandasWithState
+    (the FSM door), 'tws' = transformWithStateInPandas (A/B'd and
+    rejected round 8; needs RocksDB + the tools/pyshims PYTHONPATH),
+    'direct' = the fused foreachBatch door (streaming/nexus_direct.py —
+    no stateful operator, driver-held bounded cache)."""
     from supermusr_data_pipeline_spark.streaming.frame_assembly_stream import (
         DIGITISER_MESSAGE_SCHEMA,
         assemble_frames_stream,
     )
+    from supermusr_data_pipeline_spark.streaming.nexus_direct import DirectNexusWriter
     from supermusr_data_pipeline_spark.streaming.nexus_stream import NexusStreamWriter
 
     if fsm == "tws":
@@ -164,12 +167,6 @@ def _start_query(
         )
     else:
         assemble = assemble_frames_stream
-
-    writer = NexusStreamWriter(
-        _runs_df(spark, n_frames), sink,
-        on_commit=lambda frames: on_frames(frames, time.perf_counter()),
-    )
-    writer.phase_log = phase_log
 
     # cleanSource=delete: the spool is a consume-once landing zone, and
     # the file source re-LISTS the whole directory every micro-batch — on
@@ -181,9 +178,23 @@ def _start_query(
         .option("cleanSource", "delete")
         .parquet(spool)
     )
-    frames = assemble(messages, list(range(n_digitisers)), frame_ttl_ms=500)
+    if fsm == "direct":
+        writer = DirectNexusWriter(
+            _runs_df(spark, n_frames), sink, list(range(n_digitisers)),
+            frame_ttl_ms=500,
+            on_commit=lambda frames: on_frames(frames, time.perf_counter()),
+        )
+        writer.phase_log = phase_log
+        to_sink = messages
+    else:
+        writer = NexusStreamWriter(
+            _runs_df(spark, n_frames), sink,
+            on_commit=lambda frames: on_frames(frames, time.perf_counter()),
+        )
+        writer.phase_log = phase_log
+        to_sink = assemble(messages, list(range(n_digitisers)), frame_ttl_ms=500)
     return (
-        frames.writeStream.foreachBatch(writer)
+        to_sink.writeStream.foreachBatch(writer)
         .option("checkpointLocation", ckpt)
         .trigger(**trigger)
         .start()

@@ -1,0 +1,524 @@
+"""Direct micro-batch NeXus door: dev2 messages -> per-run Parquet with
+frame assembly FUSED into the sink's ``foreachBatch``.
+
+The production topology (frame_assembly_stream + nexus_stream) runs the
+frame FSM as ``applyInPandasWithState``; round 7's floor decomposition
+measured ~0.58 s of every micro-batch as fixed stateful-operator
+machinery (Python state-server round-trips + ProcessingTimeTimeout
+re-arm) plus the FSM's shuffle on the frame key, and round 8's
+``transformWithStateInPandas`` A/B showed the newer operator pays more,
+not less (tools/AB_FSM_RESULT.json).  This door removes the stateful
+operator entirely: the reference's digitiser-aggregator holds its
+partial-frame cache in plain process memory
+(digitiser-aggregator/src/frame/cache.rs) — bounded by
+(frames-in-flight x frame size), a function of TTL x frame rate, NOT of
+stream length — so the Spark-idiomatic equivalent is driver-held state
+inside ``foreachBatch``, exactly the pattern the repo's ingest front
+doors already use for their admission indexes.
+
+Per micro-batch this door runs TWO narrow Spark jobs, no shuffle:
+
+1. a SLIM per-message collect (frame key + digitiser id + veto +
+   event count — never the arrays): the driver merges it into the
+   partial-frame cache and decides, per frame, dispatch-complete /
+   dispatch-expired / keep / reject-duplicate / reject-tombstoned —
+   the same FSM as frame_assembly_stream.make_update_fn
+   (frame/partial.rs:30-94, cache.rs:55-74);
+2. the event write: the decorated frame dimension (run matching, veto
+   OR, frame_seq, event_time_zero, event_index — all driver-side, as
+   in nexus_stream.NexusStreamWriter) goes back as a local relation
+   that the batch's cached message rows broadcast-join and posexplode
+   through, appended straight into the run's partition directory.
+
+A frame whose messages split across a batch boundary has its
+already-arrived rows pulled driver-side (bounded: <= digitisers x
+events/frame per in-flight frame) and re-joined as a local relation
+when the frame dispatches.  Crash recovery: the cache (slim state +
+carried rows + continuation totals + last batch id) persists to a
+``_assembler_state`` sidecar under the sink after every batch
+(tmp+rename), so a replayed batch id short-circuits instead of
+re-appending (T5; run_engine/engine.rs:144-173 re-derivation remains
+the fallback when the sidecar is absent).  The crash window between the
+sink append and the sidecar write is at-least-once — identical to the
+FSM door, whose parquet append is likewise not transactional with the
+state store; compact_nexus_run is the dedupe backstop for both.
+
+Known semantic difference vs the FSM door: TTL expiry is evaluated when
+a micro-batch RUNS.  Under the ASAP trigger with a live source, batches
+run back-to-back and expiry lags the deadline by at most one cycle; if
+the source goes silent, pending frames wait for the next data batch
+(the FSM door's ProcessingTimeTimeout would fire on a no-data batch).
+The reference's aggregator polls for expiry on its consume loop
+(digitiser-aggregator/src/main.rs:149-163), which also stops firing
+without traffic — so this matches the reference more closely than the
+timer does, but callers that need silent-stream expiry should keep
+``noDataMicroBatches`` enabled or use the FSM door.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .nexus_stream import _DIM_SCHEMA, _events_us_with_dim, _quote
+
+_KEY_US = ["ts_us", "period_number", "protons_per_pulse", "running", "frame_number"]
+
+_MSG_US_SCHEMA = (
+    "ts_us long, period_number long, protons_per_pulse int, running boolean, "
+    "frame_number long, digitizer_id int, veto_flags int, "
+    "channel array<int>, event_time array<bigint>, event_voltage array<double>"
+)
+
+_NULL_ROW_SCHEMA = (
+    "frame_seq long, event_time_zero long, event_index long, "
+    "period_number long, frame_number long, frame_complete boolean, "
+    "running boolean, veto_flags int, "
+    "event_time_offset long, event_id int, pulse_height double"
+)
+
+
+class _FrameState:
+    """Slim per-frame cache entry: contributor set, OR'd veto, event
+    count, and the processing-time anchor of the FIRST message
+    (frame/partial.rs:30-40 — the TTL runs from first arrival)."""
+
+    __slots__ = ("dids", "veto", "first_ms", "n_events")
+
+    def __init__(self, first_ms: int):
+        self.dids: set[int] = set()
+        self.veto = 0
+        self.first_ms = first_ms
+        self.n_events = 0
+
+
+class DirectNexusWriter:
+    """The fused foreachBatch callable over a dev2 MESSAGE stream
+    (DIGITISER_MESSAGE_SCHEMA rows)."""
+
+    def __init__(
+        self,
+        runs: DataFrame,
+        path: str,
+        expected_digitizers: list[int],
+        frame_ttl_ms: int = 500,
+        tombstone_ttl_ms: int = 2000,
+        state_dir: str | None = None,
+        on_commit=None,
+        clock=time.time,
+    ):
+        self.runs = runs
+        self.path = path
+        self.expected = sorted(int(d) for d in expected_digitizers)
+        self.frame_ttl_ms = frame_ttl_ms
+        self.tombstone_ttl_ms = tombstone_ttl_ms
+        self.state_dir = state_dir or os.path.join(path, "_assembler_state")
+        self.on_commit = on_commit
+        self.clock = clock
+        # same observability contract as NexusStreamWriter: fsm_s here is
+        # the slim collect + driver FSM, write_s the event append
+        self.phase_log: list | None = None
+        self._loaded = False
+        self._last_bid: int | None = None
+        self._totals: dict[str, tuple[int, int]] = {}
+        self._pending: dict[tuple, _FrameState] = {}
+        self._pending_rows: dict[tuple, list[tuple]] = {}
+        self._tombstones: dict[tuple, int] = {}
+        self._runs_rows: list | None = None
+
+    # ---- runs dimension (identical contract to NexusStreamWriter) ----
+    def _load_runs(self) -> list:
+        if self._runs_rows is None:
+            self._runs_rows = self.runs.select(
+                "run_name",
+                F.unix_micros("collect_from").alias("from_us"),
+                F.unix_micros("collect_until").alias("until_us"),
+            ).collect()
+        return self._runs_rows
+
+    def refresh_runs(self, runs: DataFrame | None = None) -> None:
+        if runs is not None:
+            self.runs = runs
+        self._runs_rows = None
+
+    # ---- state sidecar ----
+    def _state_file(self) -> str:
+        return os.path.join(self.state_dir, "state.json")
+
+    def _rows_file(self) -> str:
+        return os.path.join(self.state_dir, "pending_rows.parquet")
+
+    def _load_state(self, spark: SparkSession) -> None:
+        if self._loaded:
+            return
+        self._loaded = True
+        sf = self._state_file()
+        if os.path.isfile(sf):
+            with open(sf) as fh:
+                st = json.load(fh)
+            self._last_bid = st["last_bid"]
+            self._totals = {k: tuple(v) for k, v in st["totals"].items()}
+            for p in st["pending"]:
+                key = tuple(p["key"])
+                fs = _FrameState(p["first_ms"])
+                fs.dids = set(p["dids"])
+                fs.veto = p["veto"]
+                fs.n_events = p["n"]
+                self._pending[key] = fs
+            self._tombstones = {tuple(t[0]): t[1] for t in st["tombstones"]}
+            rf = self._rows_file()
+            if os.path.isfile(rf):
+                import pyarrow.parquet as pq
+
+                for row in pq.read_table(rf).to_pylist():
+                    key = (
+                        row["ts_us"], row["period_number"],
+                        row["protons_per_pulse"], row["running"],
+                        row["frame_number"],
+                    )
+                    self._pending_rows.setdefault(key, []).append(
+                        (
+                            *key, row["digitizer_id"], row["veto_flags"],
+                            row["channel"], row["event_time"],
+                            row["event_voltage"],
+                        )
+                    )
+            return
+        # no sidecar: re-derive continuation totals from the sink itself
+        # (the reference reopens an orphaned .nxs and reads sizes back)
+        if os.path.isdir(self.path) and any(
+            n.startswith("run_name=") for n in os.listdir(self.path)
+        ):
+            prev = spark.read.parquet(self.path)
+            for r in (
+                prev.groupBy("run_name")
+                .agg(
+                    (F.max("frame_seq") + 1).alias("next_seq"),
+                    F.count("*").alias("n_events"),
+                )
+                .collect()
+            ):
+                self._totals[r["run_name"]] = (int(r["next_seq"]), int(r["n_events"]))
+
+    def _save_state(self) -> None:
+        os.makedirs(self.state_dir, exist_ok=True)
+        st = {
+            "last_bid": self._last_bid,
+            "totals": {k: list(v) for k, v in self._totals.items()},
+            "pending": [
+                {
+                    "key": list(k),
+                    "dids": sorted(fs.dids),
+                    "veto": fs.veto,
+                    "first_ms": fs.first_ms,
+                    "n": fs.n_events,
+                }
+                for k, fs in self._pending.items()
+            ],
+            "tombstones": [[list(k), e] for k, e in self._tombstones.items()],
+        }
+        tmp = self._state_file() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(st, fh)
+        os.replace(tmp, self._state_file())
+        rf = self._rows_file()
+        if self._pending_rows:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            names = [
+                "ts_us", "period_number", "protons_per_pulse", "running",
+                "frame_number", "digitizer_id", "veto_flags",
+                "channel", "event_time", "event_voltage",
+            ]
+            types = [
+                pa.int64(), pa.int64(), pa.int32(), pa.bool_(), pa.int64(),
+                pa.int32(), pa.int32(), pa.list_(pa.int32()),
+                pa.list_(pa.int64()), pa.list_(pa.float64()),
+            ]
+            rows = [r for rs in self._pending_rows.values() for r in rs]
+            cols = list(zip(*rows))
+            tbl = pa.table(
+                {n: pa.array(list(c), type=t) for n, c, t in zip(names, cols, types)}
+            )
+            pq.write_table(tbl, rf + ".tmp")
+            os.replace(rf + ".tmp", rf)
+        elif os.path.isfile(rf):
+            os.remove(rf)
+
+    # ---- the batch ----
+    def __call__(self, batch: DataFrame, batch_id: int) -> None:
+        t_start = time.perf_counter()
+        spark = batch.sparkSession
+        self._load_state(spark)
+        if self._last_bid is not None and batch_id <= self._last_bid:
+            # replayed batch: its append already committed before the crash
+            if self.on_commit is not None:
+                self.on_commit([])
+            return
+        now_ms = int(self.clock() * 1000)
+        runs_rows = self._load_runs()
+
+        msgs = batch.select(
+            F.unix_micros("ts").alias("ts_us"),
+            *_KEY_US[1:],
+            "digitizer_id", "veto_flags",
+            "channel", "event_time", "event_voltage",
+        )
+        msgs.persist()
+        n_frames_committed: list[int] = []
+        try:
+            # job 1: slim collect — key + did + veto + count, never arrays
+            slim = msgs.select(
+                *_KEY_US, "digitizer_id", "veto_flags",
+                F.size("channel").alias("n"),
+            ).collect()
+            # deterministic FSM order; the duplicate winner is the row
+            # minimizing (n, veto_flags) — see _winner note below
+            slim.sort(key=lambda r: (
+                r.ts_us, r.frame_number, r.digitizer_id, r.n, r.veto_flags,
+            ))
+            cross_rejects: set[tuple] = set()   # (key, did): did arrived in a PRIOR batch
+            dup_in_batch = False
+            seen_batch: set[tuple] = set()
+            for r in slim:
+                key = (
+                    r.ts_us, r.period_number, r.protons_per_pulse,
+                    r.running, r.frame_number,
+                )
+                if key in self._tombstones:
+                    # late message after dispatch: reject, re-arm tombstone
+                    # (frame/cache.rs:55-63)
+                    self._tombstones[key] = now_ms + self.tombstone_ttl_ms
+                    continue
+                fs = self._pending.get(key)
+                if fs is None:
+                    fs = self._pending[key] = _FrameState(now_ms)
+                kd = (key, int(r.digitizer_id))
+                if int(r.digitizer_id) in fs.dids:
+                    # duplicate (frame, digitiser) message: reject wholesale
+                    # (frame/cache.rs:71-74)
+                    if kd in seen_batch:
+                        dup_in_batch = True
+                    else:
+                        cross_rejects.add(kd)
+                    continue
+                seen_batch.add(kd)
+                fs.dids.add(int(r.digitizer_id))
+                fs.veto |= int(r.veto_flags)
+                fs.n_events += int(r.n)
+
+            # dispatch decisions: complete now, or first-arrival TTL expired
+            dispatch: list[tuple[tuple, _FrameState]] = []
+            for key, fs in list(self._pending.items()):
+                if sorted(fs.dids) == self.expected or (
+                    now_ms - fs.first_ms >= self.frame_ttl_ms
+                ):
+                    dispatch.append((key, fs))
+                    del self._pending[key]
+                    self._tombstones[key] = now_ms + self.tombstone_ttl_ms
+            for key in [k for k, e in self._tombstones.items() if e <= now_ms]:
+                del self._tombstones[key]
+
+            t_fsm = time.perf_counter()
+
+            # run matching + frame sequencing, driver-side (J1 predicate,
+            # run_parameters.rs:156-175), exactly as NexusStreamWriter
+            dispatch.sort(key=lambda kf: (kf[0][0], kf[0][4]))
+            per_run: dict[str, tuple[int, int]] = {}
+            dim_vals = []
+            null_rows = []  # zero-event frames: ONE null-event row each
+            dispatched_keys = set()
+            for run in runs_rows:
+                for key, fs in dispatch:
+                    ts_us = key[0]
+                    if run.from_us < ts_us and (
+                        run.until_us is None or ts_us < run.until_us
+                    ):
+                        seq, idx = per_run.get(
+                            run.run_name, self._totals.get(run.run_name, (0, 0))
+                        )
+                        complete = sorted(fs.dids) == self.expected
+                        dim_vals.append(
+                            (
+                                *key, run.run_name, fs.veto, complete, seq,
+                                (ts_us - run.from_us) * 1000, idx,
+                            )
+                        )
+                        if fs.n_events == 0:
+                            null_rows.append(
+                                (
+                                    run.run_name, seq, (ts_us - run.from_us) * 1000,
+                                    idx, key[1], key[4], complete, key[3],
+                                    fs.veto, None, None, None,
+                                )
+                            )
+                        per_run[run.run_name] = (
+                            seq + 1, idx + max(fs.n_events, 1)
+                        )
+                        dispatched_keys.add(key)
+                        n_frames_committed.append(int(key[4]))
+
+            if dim_vals:
+                self._write(
+                    spark, msgs, dim_vals, null_rows, per_run,
+                    dispatched_keys, cross_rejects, dup_in_batch,
+                )
+                self._totals.update(per_run)
+            for key in dispatched_keys:
+                self._pending_rows.pop(key, None)
+
+            # carry rows of still-pending frames driver-side (bounded by
+            # frames-in-flight x frame size — the reference's cache bound)
+            if self._pending:
+                self._pull_kept_rows(msgs, cross_rejects, dup_in_batch)
+            t_write = time.perf_counter()
+        finally:
+            msgs.unpersist()
+
+        self._last_bid = batch_id
+        self._save_state()
+        if self.phase_log is not None:
+            self.phase_log.append(
+                {
+                    "batch_id": batch_id,
+                    "n_frames": len(set(n_frames_committed)),
+                    "fsm_s": round(t_fsm - t_start, 4),
+                    "write_s": round(t_write - t_fsm, 4),
+                    "sink_s": round(time.perf_counter() - t_start, 4),
+                }
+            )
+        if self.on_commit is not None:
+            self.on_commit(sorted(set(n_frames_committed)))
+
+    # ---- helpers ----
+    def _clean(self, msgs: DataFrame, cross_rejects, dup_in_batch) -> DataFrame:
+        """Apply the (rare) duplicate-rejection transforms to the batch's
+        message rows.  Cross-batch rejects anti-join a tiny local
+        relation; within-batch duplicates keep the row minimizing
+        (size(channel), veto_flags) — deterministic and, for the
+        redelivery case (identical payloads), value-identical to the
+        FSM's arbitrary first-wins."""
+        out = msgs
+        if cross_rejects:
+            rej = msgs.sparkSession.createDataFrame(
+                [(*k, d) for k, d in cross_rejects],
+                "ts_us long, period_number long, protons_per_pulse int, "
+                "running boolean, frame_number long, digitizer_id int",
+            )
+            out = out.join(
+                F.broadcast(rej), [*_KEY_US, "digitizer_id"], "left_anti"
+            )
+        if dup_in_batch:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(*_KEY_US, "digitizer_id").orderBy(
+                F.size("channel"), "veto_flags"
+            )
+            out = (
+                out.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        return out
+
+    def _pending_local(self, spark: SparkSession, keys) -> DataFrame | None:
+        rows = [r for k in keys for r in self._pending_rows.get(k, [])]
+        if not rows:
+            return None
+        return spark.createDataFrame(rows, _MSG_US_SCHEMA)
+
+    def _write(
+        self, spark, msgs, dim_vals, null_rows, per_run,
+        dispatched_keys, cross_rejects, dup_in_batch,
+    ) -> None:
+        """Job 2: one broadcast-join + posexplode append.  Single-run
+        batches write the run's partition directory directly; a batch
+        spanning a run transition writes all runs in ONE partitionBy
+        job (all-or-nothing, as nexus_stream)."""
+        single = len(per_run) == 1
+        dim_local = spark.createDataFrame(dim_vals, _DIM_SCHEMA)
+        ev_src = self._clean(msgs, cross_rejects, dup_in_batch).filter(
+            F.size("channel") > 0
+        )
+        carried = self._pending_local(spark, dispatched_keys)
+        if carried is not None:
+            ev_src = ev_src.unionByName(
+                carried.filter(F.size("channel") > 0)
+            )
+        out = _events_us_with_dim(
+            ev_src, dim_local, with_run_col=not single, outer=False
+        )
+        if null_rows:
+            schema = _NULL_ROW_SCHEMA if single else (
+                "run_name string, " + _NULL_ROW_SCHEMA
+            )
+            vals = [r[1:] for r in null_rows] if single else null_rows
+            out = out.unionByName(spark.createDataFrame(vals, schema))
+        if single:
+            (run_name,) = per_run
+            out.write.mode("append").option("compression", "snappy").parquet(
+                os.path.join(self.path, f"run_name={_quote(run_name)}")
+            )
+        else:
+            (
+                out.write.mode("append")
+                .option("compression", "snappy")
+                .partitionBy("run_name")
+                .parquet(self.path)
+            )
+
+    def _pull_kept_rows(self, msgs, cross_rejects, dup_in_batch) -> None:
+        """Collect the batch's rows belonging to still-pending frames
+        (a frame split across a batch boundary — typically <= 1 frame).
+        Stored driver-side and re-joined as a local relation when the
+        frame dispatches."""
+        keys = list(self._pending)
+        cond = None
+        for k in keys:
+            this = (
+                (F.col("ts_us") == F.lit(k[0]))
+                & (F.col("period_number") == F.lit(k[1]))
+                & (F.col("protons_per_pulse") == F.lit(k[2]))
+                & (F.col("running") == F.lit(k[3]))
+                & (F.col("frame_number") == F.lit(k[4]))
+            )
+            cond = this if cond is None else (cond | this)
+        pulled = self._clean(msgs, cross_rejects, dup_in_batch).filter(cond).collect()
+        for r in pulled:
+            key = (
+                r.ts_us, r.period_number, r.protons_per_pulse,
+                r.running, r.frame_number,
+            )
+            self._pending_rows.setdefault(key, []).append(
+                (
+                    *key, int(r.digitizer_id), int(r.veto_flags),
+                    list(r.channel), list(r.event_time), list(r.event_voltage),
+                )
+            )
+
+
+def write_nexus_direct(
+    messages: DataFrame,
+    runs: DataFrame,
+    path: str,
+    checkpoint: str,
+    expected_digitizers: list[int],
+    frame_ttl_ms: int = 500,
+    tombstone_ttl_ms: int = 2000,
+    trigger: dict | None = None,
+):
+    """Start the fused direct door over a dev2 message stream
+    (DIGITISER_MESSAGE_SCHEMA).  Returns the StreamingQuery."""
+    writer = DirectNexusWriter(
+        runs, path, expected_digitizers, frame_ttl_ms, tombstone_ttl_ms
+    )
+    q = messages.writeStream.foreachBatch(writer).option(
+        "checkpointLocation", checkpoint
+    )
+    q = q.trigger(**(trigger or {"availableNow": True}))
+    return q.start()

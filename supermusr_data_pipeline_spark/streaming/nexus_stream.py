@@ -105,6 +105,28 @@ def _events_with_dim(
     arrays are always equal-length (one event per element, the aev2
     contract), so positional indexing is exact; posexplode_outer keeps
     the zero-event frame as one null row, as explode_outer did."""
+    return _events_us_with_dim(
+        frames_batch.select(
+            F.unix_micros("ts").alias("ts_us"),
+            *_FRAME_KEY[1:],
+            "channel", "event_time", "event_voltage",
+        ),
+        dim,
+        with_run_col=with_run_col,
+    )
+
+
+def _events_us_with_dim(
+    rows_us: DataFrame, dim: DataFrame, with_run_col: bool = True,
+    outer: bool = True,
+) -> DataFrame:
+    """The ts_us-shaped core of ``_events_with_dim``: ``rows_us`` carries
+    integer-microsecond ``ts_us`` plus the rest of the frame key and the
+    three parallel event arrays (frame-level OR message-level rows — the
+    join decorates either the same way).  ``outer=False`` uses plain
+    posexplode, for message-level callers that handle zero-event frames
+    via a dimension-side branch instead (streaming/nexus_direct.py)."""
+    explode = F.posexplode_outer if outer else F.posexplode
     dim_cols = [
         "frame_seq",
         "event_time_zero",
@@ -118,17 +140,15 @@ def _events_with_dim(
     if with_run_col:
         dim_cols.insert(0, F.col("run_name"))
     joined = (
-        frames_batch.select(
-            F.unix_micros("ts").alias("ts_us"),
-            *_FRAME_KEY[1:],
-            "channel", "event_time", "event_voltage",
+        rows_us.select(
+            *_JOIN_KEY, "channel", "event_time", "event_voltage",
         )
         .join(F.broadcast(dim), _JOIN_KEY)
         .select(
             *dim_cols,
             "event_time",
             "event_voltage",
-            F.posexplode_outer("channel"),
+            explode("channel"),
         )
     )
     passthrough = (["run_name"] if with_run_col else []) + [

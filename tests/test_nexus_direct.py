@@ -1,0 +1,245 @@
+"""The fused direct door (streaming/nexus_direct.py) must be
+semantics-identical to the production FSM topology
+(assemble_frames_stream -> NexusStreamWriter): same sink rows for the
+same dev2 tape, same duplicate rejection, TTL dispatch, tombstones,
+zero-event-frame rule, continuation totals, and crash-replay behavior.
+The FSM door is itself row-pinned to the batch builder
+(test_nexus_stream_batch_parity), so equality here chains to it."""
+
+import time
+from datetime import datetime, timezone
+
+import pytest
+
+from supermusr_data_pipeline_spark.streaming.frame_assembly_stream import (
+    DIGITISER_MESSAGE_SCHEMA,
+    assemble_frames_stream,
+)
+from supermusr_data_pipeline_spark.streaming.nexus_direct import (
+    DirectNexusWriter,
+    write_nexus_direct,
+)
+from supermusr_data_pipeline_spark.streaming.nexus_stream import NexusStreamWriter
+
+T0_US = int(datetime(2024, 3, 1, 12, 0, 0, tzinfo=timezone.utc).timestamp() * 1_000_000)
+N_DIG = 4
+
+
+def _msg(did, frame, n_events, veto=0, ev_offset=0):
+    ts = datetime.fromtimestamp((T0_US + frame * 20_000) / 1e6, tz=timezone.utc)
+    return (
+        did, ts, frame // 1000, 4, True, frame, veto,
+        [int((ev_offset + e) % 8) for e in range(n_events)],
+        [int(100 * frame + 10 * (ev_offset + e)) for e in range(n_events)],
+        [float(ev_offset + e) for e in range(n_events)],
+    )
+
+
+def _runs(spark, name="run_a", from_us=None, until_us=None):
+    from pyspark.sql import functions as F
+
+    rows = [(name, from_us or (T0_US - 1_000_000), until_us)]
+    return spark.createDataFrame(
+        rows, "run_name string, from_us long, until_us long"
+    ).select(
+        "run_name",
+        F.timestamp_micros("from_us").alias("collect_from"),
+        F.timestamp_micros(F.col("until_us")).alias("collect_until"),
+    )
+
+
+def _batch(spark, msgs):
+    return spark.createDataFrame(msgs, DIGITISER_MESSAGE_SCHEMA)
+
+
+def _rows(spark, path):
+    df = spark.read.parquet(path)
+    cols = sorted(df.columns)
+    return sorted(tuple(repr(r[c]) for c in cols) for r in df.collect()), cols
+
+
+def test_direct_rows_equal_fsm_door(spark, tmp_path):
+    """Same complete-frame tape through both doors -> identical sink rows."""
+    msgs = [_msg(d, f, 5 + f, veto=1 << (f % 3)) for f in range(6) for d in range(N_DIG)]
+    spool = str(tmp_path / "spool")
+    _batch(spark, msgs).coalesce(1).write.parquet(spool)
+    runs = _runs(spark)
+
+    stream = spark.readStream.schema(DIGITISER_MESSAGE_SCHEMA).parquet(spool)
+    frames = assemble_frames_stream(stream, list(range(N_DIG)), frame_ttl_ms=500)
+    fsm_sink = str(tmp_path / "fsm_sink")
+    q = (
+        frames.writeStream.foreachBatch(NexusStreamWriter(runs, fsm_sink))
+        .option("checkpointLocation", str(tmp_path / "fsm_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    stream2 = spark.readStream.schema(DIGITISER_MESSAGE_SCHEMA).parquet(spool)
+    direct_sink = str(tmp_path / "direct_sink")
+    q2 = write_nexus_direct(
+        stream2, runs, direct_sink, str(tmp_path / "direct_ckpt"),
+        list(range(N_DIG)),
+    )
+    q2.awaitTermination(120)
+
+    fsm_rows, fsm_cols = _rows(spark, fsm_sink)
+    d_rows, d_cols = _rows(spark, direct_sink)
+    assert d_cols == fsm_cols
+    assert d_rows == fsm_rows
+    assert len(d_rows) == sum(5 + f for f in range(6)) * N_DIG
+
+
+def test_zero_event_frame_single_null_row(spark, tmp_path):
+    """All-empty frame -> exactly ONE null-event row counting 1 toward
+    event_index (the batch builder's explode_outer rule)."""
+    msgs = [_msg(d, 0, 0) for d in range(N_DIG)] + [
+        _msg(d, 1, 3) for d in range(N_DIG)
+    ]
+    sink = str(tmp_path / "sink")
+    w = DirectNexusWriter(_runs(spark), sink, list(range(N_DIG)))
+    w(_batch(spark, msgs), 0)
+    out = spark.read.parquet(sink)
+    nulls = out.filter("event_id IS NULL").collect()
+    assert len(nulls) == 1 and nulls[0].frame_number == 0
+    assert nulls[0].frame_complete
+    # frame 1's event_index continues from the null row's count of 1
+    f1 = out.filter("frame_number = 1").collect()
+    assert {r.event_index for r in f1} == {1}
+    assert out.count() == 1 + 3 * N_DIG
+
+
+def test_ttl_dispatch_incomplete(spark, tmp_path):
+    """A frame missing a digitiser dispatches incomplete once the batch
+    clock passes first-arrival + TTL; a straggler after dispatch is
+    tombstone-rejected."""
+    clock = [1000.0]
+    sink = str(tmp_path / "sink")
+    w = DirectNexusWriter(
+        _runs(spark), sink, list(range(N_DIG)), frame_ttl_ms=500,
+        clock=lambda: clock[0],
+    )
+    w(_batch(spark, [_msg(d, 0, 2) for d in range(N_DIG - 1)]), 0)
+    import os
+    assert not os.path.isdir(os.path.join(sink, "run_name=run_a"))
+    clock[0] += 0.6  # past the 500 ms TTL
+    w(_batch(spark, [_msg(d, 1, 2) for d in range(N_DIG)]), 1)
+    out = spark.read.parquet(sink)
+    f0 = out.filter("frame_number = 0").collect()
+    assert len(f0) == 2 * (N_DIG - 1) and not f0[0].frame_complete
+    assert out.filter("frame_number = 1").count() == 2 * N_DIG
+    # straggler for frame 0: rejected by the tombstone
+    w(_batch(spark, [_msg(N_DIG - 1, 0, 2)]), 2)
+    assert spark.read.parquet(sink).filter("frame_number = 0").count() == 2 * (
+        N_DIG - 1
+    )
+
+
+def test_duplicate_rejection(spark, tmp_path):
+    """A duplicate (frame, digitiser) message is rejected wholesale —
+    within one batch and across batches (redelivery)."""
+    clock = [1000.0]
+    sink = str(tmp_path / "sink")
+    w = DirectNexusWriter(
+        _runs(spark), sink, list(range(N_DIG)), clock=lambda: clock[0]
+    )
+    # within-batch dup: digitiser 0 sends frame 0 twice (identical payload)
+    w(
+        _batch(
+            spark,
+            [_msg(0, 0, 3)] + [_msg(d, 0, 3) for d in range(N_DIG)],
+        ),
+        0,
+    )
+    out = spark.read.parquet(sink)
+    assert out.filter("frame_number = 0").count() == 3 * N_DIG
+    # cross-batch dup: frame 1 arrives without digitiser 3; the retry
+    # redelivers digitiser 0 (different payload) alongside digitiser 3
+    w(_batch(spark, [_msg(d, 1, 3) for d in range(N_DIG - 1)]), 1)
+    w(_batch(spark, [_msg(0, 1, 9, ev_offset=50), _msg(N_DIG - 1, 1, 3)]), 2)
+    f1 = spark.read.parquet(sink).filter("frame_number = 1")
+    assert f1.count() == 3 * N_DIG  # the 9-event redelivery was rejected
+    assert f1.filter("pulse_height >= 50").count() == 0
+    assert f1.collect()[0].frame_complete
+
+
+def test_replay_skip_and_restart_continuation(spark, tmp_path):
+    """A replayed batch id short-circuits (no duplicate append); a
+    restarted writer resumes totals from the sidecar."""
+    sink = str(tmp_path / "sink")
+    runs = _runs(spark)
+    w = DirectNexusWriter(runs, sink, list(range(N_DIG)))
+    b0 = _batch(spark, [_msg(d, 0, 2) for d in range(N_DIG)])
+    w(b0, 0)
+    n = spark.read.parquet(sink).count()
+    w(b0, 0)  # crash-replay of the same batch
+    assert spark.read.parquet(sink).count() == n
+    # restart: a fresh writer on the same sink continues seq/index
+    w2 = DirectNexusWriter(runs, sink, list(range(N_DIG)))
+    w2(_batch(spark, [_msg(d, 1, 2) for d in range(N_DIG)]), 1)
+    out = spark.read.parquet(sink)
+    f1 = out.filter("frame_number = 1").collect()
+    assert {r.frame_seq for r in f1} == {1}
+    assert {r.event_index for r in f1} == {2 * N_DIG}
+
+
+def test_boundary_frame_carried_across_batches(spark, tmp_path):
+    """A frame whose messages split across batches assembles exactly as
+    if they arrived together: events from BOTH batches, one frame."""
+    sink = str(tmp_path / "sink")
+    clock = [1000.0]
+    w = DirectNexusWriter(
+        _runs(spark), sink, list(range(N_DIG)), clock=lambda: clock[0]
+    )
+    w(_batch(spark, [_msg(d, 0, 4) for d in range(2)]), 0)
+    clock[0] += 0.1  # inside the TTL
+    w(_batch(spark, [_msg(d, 0, 4) for d in range(2, N_DIG)]), 1)
+    out = spark.read.parquet(sink)
+    f0 = out.filter("frame_number = 0")
+    assert f0.count() == 4 * N_DIG
+    assert f0.collect()[0].frame_complete
+    assert {r.frame_seq for r in f0.collect()} == {0}
+    # writer restart mid-flight preserves the carried rows via the sidecar
+    w3 = DirectNexusWriter(
+        _runs(spark), sink, list(range(N_DIG)), clock=lambda: clock[0]
+    )
+    w3(_batch(spark, [_msg(d, 5, 3) for d in range(1)]), 2)
+    clock[0] += 0.1
+    w3b = DirectNexusWriter(
+        _runs(spark), sink, list(range(N_DIG)), clock=lambda: clock[0]
+    )
+    w3b(_batch(spark, [_msg(d, 5, 3) for d in range(1, N_DIG)]), 3)
+    f5 = spark.read.parquet(sink).filter("frame_number = 5")
+    assert f5.count() == 3 * N_DIG and f5.collect()[0].frame_complete
+
+
+def test_multi_run_transition_single_job(spark, tmp_path):
+    """A batch spanning two runs writes both partitions (partitionBy
+    path) with per-run seq/index starting at 0."""
+    from pyspark.sql import functions as F
+
+    runs = spark.createDataFrame(
+        [
+            ("run_1", T0_US - 1_000_000, T0_US + 50_000),
+            ("run_2", T0_US + 50_000, None),
+        ],
+        "run_name string, from_us long, until_us long",
+    ).select(
+        "run_name",
+        F.timestamp_micros("from_us").alias("collect_from"),
+        F.timestamp_micros(F.col("until_us")).alias("collect_until"),
+    )
+    sink = str(tmp_path / "sink")
+    w = DirectNexusWriter(runs, sink, list(range(N_DIG)))
+    # frame 0 at T0 (run_1), frame 10 at T0+200ms (run_2)
+    w(_batch(spark, [_msg(d, f, 2) for f in (0, 10) for d in range(N_DIG)]), 0)
+    out = spark.read.parquet(sink)
+    assert set(r.run_name for r in out.select("run_name").distinct().collect()) == {
+        "run_1", "run_2"
+    }
+    for rn, fn in (("run_1", 0), ("run_2", 10)):
+        part = out.filter(out.run_name == rn).collect()
+        assert {r.frame_number for r in part} == {fn}
+        assert {r.frame_seq for r in part} == {0}
+        assert {r.event_index for r in part} == {0}
