@@ -1322,3 +1322,103 @@ def q102_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q119 — bigram-LM perplexity scoring (the KenLM-style quality filter)
+# ---------------------------------------------------------------------------
+#
+# q55 scores documents against a corpus-fit UNIGRAM model; production
+# quality filtering (CCNet and descendants) uses an n-gram LM because word
+# ORDER is what separates fluent text from keyword soup.  This is the
+# bigram step: fit add-half-smoothed bigram probabilities on the corpus
+# itself, then score every document by its mean negative log-likelihood
+# per bigram (low = in-distribution, high = disfluent/outlier — either
+# tail gets routed out of the training mix).
+
+_BIGRAM_ALPHA = 0.5  # add-alpha smoothing mass
+
+
+@_register(
+    "q119_bigram_quality",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKENS_SQL_DUCK} AS toks FROM documents
+    ), big AS (
+        SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+        WHERE len(toks) >= 2
+    ), bc AS (
+        SELECT w1, w2, count(*) AS c2 FROM big GROUP BY w1, w2
+    ), uc AS (
+        SELECT w1, count(*) AS c1 FROM big GROUP BY w1
+    ), stats AS (
+        SELECT count(*) AS v FROM uc
+    )
+    SELECT b.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(CAST(round(-ln((bc.c2 + {_BIGRAM_ALPHA})
+                                   / (uc.c1 + {_BIGRAM_ALPHA} * s.v)) * 1e6, 0)
+                         AS BIGINT)) AS BIGINT) AS sum_nll_e6,
+           round(sum(CAST(round(-ln((bc.c2 + {_BIGRAM_ALPHA})
+                                    / (uc.c1 + {_BIGRAM_ALPHA} * s.v)) * 1e6, 0)
+                          AS BIGINT)) / count(*) / 1e6, 6) AS avg_nll
+    FROM big b
+    JOIN bc ON bc.w1 = b.w1 AND bc.w2 = b.w2
+    JOIN uc ON uc.w1 = b.w1
+    CROSS JOIN stats s
+    GROUP BY b.doc_id
+    """,
+)
+def q119_bigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM document quality: P(w2|w1) = (c(w1,w2)+a)/(c(w1)+aV)
+    with a=0.5 over context vocabulary V; per doc, the count of bigrams
+    and the mean per-bigram negative log-likelihood.  Per-term NLLs are
+    quantized to integer micro-nats BEFORE summing (float summation
+    order differs between engines; integer sums don't), and the mean is
+    derived from the exact sum.
+
+    Scale shape: bigrams come from ONE zip_with over the token array (no
+    self-join, no positional explode-join); the model tables are the two
+    grouped aggregations every corpus-statistics pass already pays, and
+    scoring re-joins them on their own keys — co-partitionable with the
+    counts by bucketing on w1 at 100 TB.  V is a 1-row literal broadcast.
+    No Python anywhere."""
+    toks = f"({_TOKENS_EXPR_SPARK})"
+    big = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"zip_with(slice({toks}, 1, size({toks}) - 1),"
+                    f" slice({toks}, 2, size({toks}) - 1),"
+                    " (x, y) -> named_struct('w1', x, 'w2', y))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    bc = big.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    uc = big.groupBy("w1").agg(F.count("*").alias("c1"))
+    stats = uc.agg(F.count("*").alias("v"))
+    nll_e6 = F.round(
+        -F.log(
+            (F.col("c2") + F.lit(_BIGRAM_ALPHA))
+            / (F.col("c1") + F.lit(_BIGRAM_ALPHA) * F.col("v"))
+        )
+        * F.lit(1e6),
+        0,
+    ).cast("bigint")
+    return (
+        big.join(bc, ["w1", "w2"])
+        .join(uc, "w1")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", nll_e6.alias("nll_e6"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum("nll_e6").cast("bigint").alias("sum_nll_e6"),
+            F.round(F.sum("nll_e6") / F.count("*") / F.lit(1e6), 6).alias("avg_nll"),
+        )
+    )

@@ -889,3 +889,85 @@ def q106_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "half", "n_vectors", "mean_norm", "p50_norm", "p95_norm",
         F.round(dir_norm, 6).alias("mean_dir_norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q118 — label-centroid audit: per-class embedding outliers
+# ---------------------------------------------------------------------------
+#
+# The labeled-data quality pass a classifier/contrastive training pipeline
+# runs before fitting: for every label, the centroid of its member
+# embeddings, then every member's cosine to its OWN label's centroid; the
+# lowest-cosine members per label are the mislabel / off-distribution
+# candidates routed to review (the embedding-space analog of confident-
+# learning label audits).  Complements q106 (corpus-level drift) and q83
+# (index health) with INSTANCE-level diagnostics.
+
+
+def _q118_oracle() -> str:
+    return """
+    WITH e AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+    ), lanes AS (
+        SELECT label, u.i AS dim, emb[u.i] AS v
+        FROM e, unnest(generate_series(1, 64)) AS u(i)
+    ), cent AS (
+        SELECT label, list(s ORDER BY dim) AS c FROM (
+            SELECT label, dim, sum(v) / count(*) AS s
+            FROM lanes GROUP BY label, dim
+        ) GROUP BY label
+    ), sims AS (
+        SELECT e.label, e.vec_id,
+               round(list_sum([emb[i] * c[i] for i in range(1, 65)])
+                     / (sqrt(list_sum([x * x for x in emb]))
+                        * sqrt(list_sum([x * x for x in c]))), 6)
+               AS cos_centroid
+        FROM e JOIN cent USING (label)
+    )
+    SELECT label, vec_id, cos_centroid, CAST(rank AS INT) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY label
+                                     ORDER BY cos_centroid ASC, vec_id) AS rank
+        FROM sims
+    ) WHERE rank <= 5
+    """
+
+
+@_register("q118_label_centroid_audit", oracle=_q118_oracle())
+def q118_label_centroid_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding outliers: each label's centroid (64 per-lane
+    mean aggregates, the q106 idiom — no posexplode), then every member's
+    cosine to its own centroid, keeping the 5 LOWEST per label — the
+    mislabel-candidate review queue.
+
+    Scale shape: the centroid build is one shuffle on the label key into
+    a |labels|-row dimension that BROADCASTS back onto the corpus, so the
+    scoring pass is narrow; the per-label bottom-5 is a window
+    partitioned by label.  At 100 TB the corpus never shuffles — the
+    only wide exchange carries one 64-float row per label."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("emb"),
+    )
+    mu = [
+        (F.sum(F.expr(f"element_at(emb, {i})")) / F.count("*")).alias(f"mu{i}")
+        for i in range(1, 65)
+    ]
+    cent = (
+        e.groupBy("label")
+        .agg(*mu)
+        .select("label", F.array(*[f"mu{i}" for i in range(1, 65)]).alias("c"))
+    )
+    norm = "sqrt(aggregate(transform({v}, x -> x * x), 0D, (a, x) -> a + x))"
+    dot = F.expr("aggregate(zip_with(emb, c, (x, y) -> x * y), 0D, (a, x) -> a + x)")
+    sims = e.join(F.broadcast(cent), "label").select(
+        "label", "vec_id",
+        F.round(
+            dot / (F.expr(norm.format(v="emb")) * F.expr(norm.format(v="c"))), 6
+        ).alias("cos_centroid"),
+    )
+    w = Window.partitionBy("label").orderBy(F.asc("cos_centroid"), "vec_id")
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select("label", "vec_id", "cos_centroid", "rank")
+    )

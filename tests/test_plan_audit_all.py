@@ -38,6 +38,7 @@ _BNLJ_OK = {
     "q51_ivf_sq8_ann",       # quantizer bounds (1 row)
     "q54_tfidf_keywords",    # corpus N (1 row)
     "q55_unigram_quality",   # vocab total (1 row)
+    "q119_bigram_quality",   # context-vocab total (1 row)
     "q57_mixture_epochs",    # mixture totals (1 row)
     "q63_importance_weights",  # target/proposal totals (1 row)
     "q69_lsh_recall",        # recall denominators (1 row)
