@@ -4,9 +4,11 @@ SUSTAINED 50 frames/s (simulator `--frame-time 20`,
 simulator/src/main.rs:132-135) with trace->frame latency bounded by the
 aggregator's 500 ms completeness TTL / <=1 s dispatch budget
 (digitiser-aggregator/src/main.rs:110-118).  This harness replays
-synthetic dev2 tapes through the FULL streaming topology —
-assemble_frames_stream (applyInPandasWithState frame FSM) feeding the
-NexusStreamWriter sink inside one query — and measures:
+synthetic dev2 tapes through the FULL streaming topology — since round
+9 the PRODUCTION door is the fused direct sink (streaming/
+nexus_direct.py: frame assembly driver-side inside foreachBatch); the
+round-7/8 FSM topology (assemble_frames_stream -> NexusStreamWriter)
+keeps a shorter paced continuity soak (`32x500_fsm`) — and measures:
 
 - **paced soak** (per shape): a feeder thread lands one message file per
   frame every 20 ms (the real arrival cadence); per-frame latency =
@@ -183,6 +185,9 @@ def _start_query(
             _runs_df(spark, n_frames), sink, list(range(n_digitisers)),
             frame_ttl_ms=500,
             on_commit=lambda frames: on_frames(frames, time.perf_counter()),
+            persist_batch=os.environ.get("SPARK_GRAFT_DIRECT_PERSIST", "1") == "1",
+            write_coalesce=int(os.environ.get("SPARK_GRAFT_DIRECT_COALESCE", "0"))
+            or None,
         )
         writer.phase_log = phase_log
         to_sink = messages
@@ -448,7 +453,28 @@ def run(spark: SparkSession, workdir: str | None = None) -> dict:
                 spark.sparkContext._jvm.System.gc()
                 time.sleep(5)
             label = f"{n_digitisers}x{EVENTS_PER_MESSAGE}"
-            shapes[label] = _run_shape(spark, base, n_digitisers, n_frames)
+            # production door since round 9: the fused direct sink
+            # (streaming/nexus_direct.py) — adopted on a same-session A/B
+            # vs the FSM door (tools/AB_DIRECT_SINK_RESULT.json: steady
+            # p50 2.0 s vs 4.6-8.1 s, p95 2.7 s vs 5.9-11.7 s, both shapes)
+            shapes[label] = _run_shape(
+                spark, base, n_digitisers, n_frames, fsm="direct"
+            )
+            shapes[label]["door"] = "direct"
+        # continuity soak: the round-7/8 FSM door at the full shape, kept
+        # short — so round-over-round envelope numbers stay comparable
+        # across the door switch and the stateful operator keeps getting
+        # exercised under pacing
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(5)
+        n_fsm = int(os.environ.get("SPARK_GRAFT_STREAM_FRAMES_FSM", "1000"))
+        fsm_label = f"{SHAPES[1][0]}x{EVENTS_PER_MESSAGE}_fsm"
+        shapes[fsm_label] = _run_shape(
+            spark, base, SHAPES[1][0], n_fsm, fsm="apply",
+            paced_only=True, label_suffix="_fsm",
+        )
+        shapes[fsm_label]["door"] = "applyInPandasWithState"
     finally:
         for k, v in prior.items():
             if v is not None:
@@ -458,11 +484,14 @@ def run(spark: SparkSession, workdir: str | None = None) -> dict:
 
     main = shapes[f"{SHAPES[0][0]}x{EVENTS_PER_MESSAGE}"]
     p95 = main["paced"]["latency_p95_s"]
+    # the envelope claim is about the PRODUCTION door; the _fsm
+    # continuity soak is reference data, not part of the gate
+    gated = [s for s in shapes.values() if s.get("door") == "direct"]
     return {
         "shapes": shapes,
         "envelope": {
             "target_fps": FRAME_RATE_HZ,
-            "meets_fps": all(s["paced"]["keeps_up_at_50fps"] for s in shapes.values()),
+            "meets_fps": all(s["paced"]["keeps_up_at_50fps"] for s in gated),
             "latency_budget_s": LATENCY_BUDGET_S,
             "meets_latency": bool(p95 is not None and p95 <= LATENCY_BUDGET_S),
             "relaxed_budget_s": RELAXED_BUDGET_S,
@@ -472,42 +501,38 @@ def run(spark: SparkSession, workdir: str | None = None) -> dict:
                 "dispatches per message, so its 1 s budget applies at "
                 "frame-TTL semantics, not sink-commit granularity.  The "
                 "cycle_decomposition tables are the measured floor.  "
-                "Measured fixed costs per micro-batch on this topology: "
-                "~0.58 s for ANY applyInPandasWithState pass with "
-                "ProcessingTimeTimeout (0.35 s base + ~0.23 s timeout "
-                "machinery — a trivial passthrough state fn measures the "
-                "same), ~0.17 s bare parquet-append job, ~0.45 s engine "
-                "bookkeeping (source listing + offset/WAL log + planning "
-                "+ progress); marginal cost ~6 ms/frame (Arrow per-group "
-                "serialization + event write).  Fixed point at 50 fps: "
-                "cycle = fixed/(1 - 50*0.006) ~= 1.7-2.3 s, latency p50 "
-                "~= 1.5 cycles — no configuration of this topology "
-                "reaches a 1 s (or 2 s p95) sink-commit budget; the "
-                "removable terms were removed in round 7 (single FSM "
-                "execution per batch, no per-batch plan variation, "
-                "direct partition-dir writes, driver-side dimension, "
-                "cleanSource-bounded listing).  Round 8 A/B'd the one "
-                "remaining engine lever, transformWithStateInPandas "
-                "(tools/ab_fsm_bench.py, same-session, 32x500): steady "
-                "p50 5.59 s vs 4.84 s for applyInPandasWithState under "
-                "RocksDB — the absolute-timer model saves the re-arm "
-                "pass but per-key state-server round-trips cost more "
-                "than it saves; rejected, numbers in "
-                "tools/AB_FSM_RESULT.json.  Round 8 also A/B'd the "
-                "FRONT DOOR (tools/ab_kafka_stream.py, same-session, "
-                "1000-frame paced soaks): the native kafka-wire source "
-                "(kafka/spark_source.py) measured p50 2.71/2.91 s vs "
-                "3.05/3.00 s for this file-spool tape at 8x500 (two "
-                "runs; p95 3.59/3.83 vs 4.10/4.00) — at parity-to-"
-                "faster while ALSO paying dev2 decode, because one "
-                "ListOffsets call replaces the per-batch directory "
-                "listing and the spool write disappears — but 3.37 s "
-                "vs 3.10 s at the full 32x500 shape, where decoding "
-                "4x the message volume outweighs the listing savings; "
-                "the door choice is shape-dependent, numbers in "
-                "tools/AB_KAFKA_STREAM_RESULT*.json.  This bench keeps "
-                "the file tape so round-over-round numbers stay "
-                "comparable."
+                "PRODUCTION DOOR since round 9: the fused direct sink "
+                "(streaming/nexus_direct.py) — frame assembly driver-"
+                "side inside foreachBatch, two narrow jobs per batch, "
+                "no stateful operator.  Adopted on a same-session A/B "
+                "vs the FSM topology (tools/ab_direct_sink.py, 1000-"
+                "frame paced soaks, tools/AB_DIRECT_SINK_RESULT.json): "
+                "steady p50 2.05/2.04 s and p95 2.75/2.75 s at "
+                "8x500/32x500 vs the FSM door's 8.09/4.60 and "
+                "11.67/5.92 in the same session.  The direct door's "
+                "measured cycle: ~0.25 s source listing + ~0.09 s "
+                "offset/WAL + ~0.15-0.2 s slim collect + ~0.8 s event "
+                "write (FIXED w.r.t. event volume: 0.88 s at 284k and "
+                "0.80 s at 1.07M events/batch — join+explode+append "
+                "job overhead, profiled at ~0.53 s compute + ~0.27 s "
+                "parquet), so cycle ~1.35 s and latency p50 ~1.5 "
+                "cycles ~2.0 s.  A 1 s sink-commit budget remains out "
+                "of reach for ANY micro-batch topology here; the 2 s "
+                "relaxed p50 bar is now met (p95 ~2.7 s).  Perf knobs "
+                "persist_batch=False and write_coalesce were measured "
+                "WORSE or neutral (same-session, 32x500: nopersist "
+                "steady p50 2.26 s, nopersist+coalesce(8) 4.58 s) and "
+                "stay off.  History: the FSM door's floor was ~0.58 s "
+                "applyInPandasWithState machinery + ~0.45 s engine "
+                "bookkeeping + ~0.17 s append (round 7); round 8 "
+                "A/B'd transformWithStateInPandas (rejected: steady "
+                "p50 5.59 s vs 4.84 s under RocksDB, tools/"
+                "AB_FSM_RESULT.json) and the kafka-wire front door "
+                "(shape-dependent: saves listing at 8x500, loses to "
+                "decode at 32x500, tools/AB_KAFKA_STREAM_RESULT*."
+                "json).  The 32x500_fsm continuity soak keeps the "
+                "stateful door measured; the file tape stays so "
+                "round-over-round numbers remain comparable."
             ),
         },
     }

@@ -110,6 +110,8 @@ class DirectNexusWriter:
         state_dir: str | None = None,
         on_commit=None,
         clock=time.time,
+        persist_batch: bool = True,
+        write_coalesce: int | None = None,
     ):
         self.runs = runs
         self.path = path
@@ -119,6 +121,14 @@ class DirectNexusWriter:
         self.state_dir = state_dir or os.path.join(path, "_assembler_state")
         self.on_commit = on_commit
         self.clock = clock
+        # perf knobs (tools/ab_direct_sink.py measures both):
+        # persist_batch=False lets the slim pass run on a column-PRUNED
+        # scan (no event_time/event_voltage IO) and the write re-scan the
+        # source instead of paying cache materialization; write_coalesce
+        # bounds the append's task/file count (a micro-batch otherwise
+        # emits one file per source partition)
+        self.persist_batch = persist_batch
+        self.write_coalesce = write_coalesce
         # same observability contract as NexusStreamWriter: fsm_s here is
         # the slim collect + driver FSM, write_s the event append
         self.phase_log: list | None = None
@@ -269,7 +279,8 @@ class DirectNexusWriter:
             "digitizer_id", "veto_flags",
             "channel", "event_time", "event_voltage",
         )
-        msgs.persist()
+        if self.persist_batch:
+            msgs.persist()
         n_frames_committed: list[int] = []
         try:
             # job 1: slim collect — key + did + veto + count, never arrays
@@ -378,7 +389,8 @@ class DirectNexusWriter:
                 self._pull_kept_rows(msgs, cross_rejects, dup_in_batch)
             t_write = time.perf_counter()
         finally:
-            msgs.unpersist()
+            if self.persist_batch:
+                msgs.unpersist()
 
         self._last_bid = batch_id
         self._save_state()
@@ -453,6 +465,8 @@ class DirectNexusWriter:
         out = _events_us_with_dim(
             ev_src, dim_local, with_run_col=not single, outer=False
         )
+        if self.write_coalesce:
+            out = out.coalesce(self.write_coalesce)
         if null_rows:
             schema = _NULL_ROW_SCHEMA if single else (
                 "run_name string, " + _NULL_ROW_SCHEMA
