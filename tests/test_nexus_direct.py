@@ -243,3 +243,62 @@ def test_multi_run_transition_single_job(spark, tmp_path):
         assert {r.frame_number for r in part} == {fn}
         assert {r.frame_seq for r in part} == {0}
         assert {r.event_index for r in part} == {0}
+
+
+def test_direct_door_over_kafka_wire(spark, tmp_path):
+    """The production door consumes the same Kafka face the FSM door
+    does: dev2 wire messages -> kafka-wire source -> decode -> fused
+    direct sink, with the event table matching the batch builder's on
+    the same payloads."""
+    from supermusr_data_pipeline_spark.kafka import MiniBroker, MiniProducer
+    from supermusr_data_pipeline_spark.kafka.spark_source import KafkaWireDataSource
+    from supermusr_data_pipeline_spark.sources import messages as M
+    from supermusr_data_pipeline_spark.sources.decode import decode_dev2_messages
+    from supermusr_data_pipeline_spark.streaming.envelope_stream import (
+        kafka_source_options,
+    )
+
+    spark.dataSource.register(KafkaWireDataSource)
+    n_frames, n_dig, n_ev = 3, 2, 4
+    base_ns = T0_US * 1000
+
+    def dev2(frame, dig):
+        md = {
+            "ts_ns": base_ns + frame * 20_000_000,
+            "period_number": 0, "protons_per_pulse": 4, "running": True,
+            "frame_number": frame, "veto_flags": 0,
+        }
+        et = [100 * frame + 10 * e for e in range(n_ev)]
+        ev = [float(e) for e in range(n_ev)]
+        ch = [e % 8 for e in range(n_ev)]
+        return M.encode_dev2(dig, md, et, ev, ch)
+
+    sink = str(tmp_path / "wire_sink")
+    with MiniBroker() as broker:
+        broker.create_topic("daq-events", partitions=2)
+        with MiniProducer(broker.bootstrap) as prod:
+            for f in range(n_frames):
+                for d in range(n_dig):
+                    prod.send("daq-events", dev2(f, d), key=str(d).encode())
+            prod.flush()
+        opts = kafka_source_options(
+            broker.bootstrap, ["daq-events"], starting_offsets="earliest"
+        )
+        wire = (
+            spark.readStream.format("kafka-wire").options(**opts).load()
+            .select("key", "value", "topic")
+        )
+        q = write_nexus_direct(
+            decode_dev2_messages(wire), _runs(spark), sink,
+            str(tmp_path / "wire_ckpt"), list(range(n_dig)),
+        )
+        q.awaitTermination(120)
+
+    out = spark.read.parquet(sink)
+    assert out.count() == n_frames * n_dig * n_ev
+    rows = out.collect()
+    assert all(r.frame_complete for r in rows)
+    assert sorted({r.frame_number for r in rows}) == list(range(n_frames))
+    # event_index continuation across frames: frame f starts at f*n_dig*n_ev
+    for r in rows:
+        assert r.event_index == r.frame_number * n_dig * n_ev
