@@ -38,10 +38,16 @@ carried rows + continuation totals + last batch id) persists to a
 ``_assembler_state`` sidecar under the sink after every batch
 (tmp+rename), so a replayed batch id short-circuits instead of
 re-appending (T5; run_engine/engine.rs:144-173 re-derivation remains
-the fallback when the sidecar is absent).  The crash window between the
-sink append and the sidecar write is at-least-once — identical to the
-FSM door, whose parquet append is likewise not transactional with the
-state store; compact_nexus_run is the dedupe backstop for both.
+the fallback when the sidecar is absent).  The crash window between
+the sink append and the sidecar write is closed by a WRITE-AHEAD
+INTENT: each batch records (bid, pre-batch totals) before mutating
+anything, and recovery compares sink-derived totals against the
+intent's to decide whether the append landed (adopt actuals and
+short-circuit the engine's replay) or not (drop the intent and let the
+replay redo the batch) — exactly-once sink effects under replay, which
+the FSM door (whose parquet append is not transactional with the state
+store) documents only as at-least-once with compact_nexus_run as the
+dedupe backstop.
 
 Known semantic difference vs the FSM door: TTL expiry is evaluated when
 a micro-batch RUNS.  Under the ASAP trigger with a live source, batches
@@ -162,10 +168,59 @@ class DirectNexusWriter:
     def _rows_file(self) -> str:
         return os.path.join(self.state_dir, "pending_rows.parquet")
 
+    def _intent_file(self) -> str:
+        return os.path.join(self.state_dir, "intent.json")
+
+    def _totals_from_sink(self, spark: SparkSession) -> dict[str, tuple[int, int]]:
+        totals: dict[str, tuple[int, int]] = {}
+        if os.path.isdir(self.path) and any(
+            n.startswith("run_name=") for n in os.listdir(self.path)
+        ):
+            prev = spark.read.parquet(self.path)
+            for r in (
+                prev.groupBy("run_name")
+                .agg(
+                    (F.max("frame_seq") + 1).alias("next_seq"),
+                    F.count("*").alias("n_events"),
+                )
+                .collect()
+            ):
+                totals[r["run_name"]] = (int(r["next_seq"]), int(r["n_events"]))
+        return totals
+
     def _load_state(self, spark: SparkSession) -> None:
         if self._loaded:
             return
         self._loaded = True
+        self._read_state_file(spark)
+        # write-ahead intent recovery: an intent file survives a crash in
+        # the window between the sink append and the post-batch state
+        # save.  The intent carries the PRE-batch totals, so comparing
+        # them against sink-derived actual totals discriminates whether
+        # the append landed: different -> it did (adopt actuals, mark the
+        # batch done so the engine's replay short-circuits); equal -> it
+        # didn't (drop the intent, the replay redoes the batch).  This
+        # closes the duplicate-append replay window the FSM door
+        # documents as at-least-once.  Corner left open (documented): a
+        # committed-then-crashed batch's effects on the PENDING cache
+        # (carried rows, fresh tombstones) are lost with the process —
+        # the same information the reference's aggregator loses when its
+        # in-memory cache dies.
+        itf = self._intent_file()
+        if os.path.isfile(itf):
+            with open(itf) as fh:
+                intent = json.load(fh)
+            if self._last_bid is None or intent["bid"] > self._last_bid:
+                pre = {k: tuple(v) for k, v in intent["totals"].items()}
+                actual = self._totals_from_sink(spark)
+                if actual != pre:
+                    self._totals = actual
+                    self._last_bid = intent["bid"]
+                else:
+                    self._totals = pre
+            os.remove(itf)
+
+    def _read_state_file(self, spark: SparkSession) -> None:
         sf = self._state_file()
         if os.path.isfile(sf):
             with open(sf) as fh:
@@ -200,19 +255,7 @@ class DirectNexusWriter:
             return
         # no sidecar: re-derive continuation totals from the sink itself
         # (the reference reopens an orphaned .nxs and reads sizes back)
-        if os.path.isdir(self.path) and any(
-            n.startswith("run_name=") for n in os.listdir(self.path)
-        ):
-            prev = spark.read.parquet(self.path)
-            for r in (
-                prev.groupBy("run_name")
-                .agg(
-                    (F.max("frame_seq") + 1).alias("next_seq"),
-                    F.count("*").alias("n_events"),
-                )
-                .collect()
-            ):
-                self._totals[r["run_name"]] = (int(r["next_seq"]), int(r["n_events"]))
+        self._totals = self._totals_from_sink(spark)
 
     def _save_state(self) -> None:
         os.makedirs(self.state_dir, exist_ok=True)
@@ -272,6 +315,22 @@ class DirectNexusWriter:
             return
         now_ms = int(self.clock() * 1000)
         runs_rows = self._load_runs()
+
+        # write-ahead intent: BEFORE any driver-state mutation or sink
+        # write, record (batch id, pre-batch totals) so a crash anywhere
+        # in this call is recoverable without a duplicate append (see
+        # _load_state).  One ~KB tmp+rename per batch.
+        os.makedirs(self.state_dir, exist_ok=True)
+        itmp = self._intent_file() + ".tmp"
+        with open(itmp, "w") as fh:
+            json.dump(
+                {
+                    "bid": batch_id,
+                    "totals": {k: list(v) for k, v in self._totals.items()},
+                },
+                fh,
+            )
+        os.replace(itmp, self._intent_file())
 
         msgs = batch.select(
             F.unix_micros("ts").alias("ts_us"),
@@ -394,6 +453,8 @@ class DirectNexusWriter:
 
         self._last_bid = batch_id
         self._save_state()
+        if os.path.isfile(self._intent_file()):
+            os.remove(self._intent_file())
         if self.phase_log is not None:
             self.phase_log.append(
                 {

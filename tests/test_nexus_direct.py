@@ -302,3 +302,69 @@ def test_direct_door_over_kafka_wire(spark, tmp_path):
     # event_index continuation across frames: frame f starts at f*n_dig*n_ev
     for r in rows:
         assert r.event_index == r.frame_number * n_dig * n_ev
+
+
+def test_intent_recovers_committed_append(spark, tmp_path):
+    """Crash AFTER the sink append but BEFORE the post-batch sidecar
+    save: the surviving intent file + sink totals prove the append
+    landed, so the engine's replay of that batch short-circuits instead
+    of duplicating rows."""
+    import json as _json
+    import os
+    import shutil
+
+    sink = str(tmp_path / "sink")
+    runs = _runs(spark)
+    w = DirectNexusWriter(runs, sink, list(range(N_DIG)))
+    w(_batch(spark, [_msg(d, 0, 2) for d in range(N_DIG)]), 0)
+    state_dir = w.state_dir
+    post_b0 = str(tmp_path / "state_post_b0.json")
+    shutil.copy(os.path.join(state_dir, "state.json"), post_b0)
+    totals_b0 = dict(w._totals)
+
+    b1 = _batch(spark, [_msg(d, 1, 3) for d in range(N_DIG)])
+    w(b1, 1)
+    n_after_b1 = spark.read.parquet(sink).count()
+
+    # reconstruct the crash: sidecar rolled back to post-batch-0, intent
+    # for batch 1 present, sink already holds batch 1's rows
+    shutil.copy(post_b0, os.path.join(state_dir, "state.json"))
+    with open(os.path.join(state_dir, "intent.json"), "w") as fh:
+        _json.dump(
+            {"bid": 1, "totals": {k: list(v) for k, v in totals_b0.items()}}, fh
+        )
+
+    w2 = DirectNexusWriter(runs, sink, list(range(N_DIG)))
+    w2(b1, 1)  # the engine replays batch 1
+    assert spark.read.parquet(sink).count() == n_after_b1  # no duplicates
+    w2(_batch(spark, [_msg(d, 2, 2) for d in range(N_DIG)]), 2)
+    f2 = spark.read.parquet(sink).filter("frame_number = 2").collect()
+    assert {r.frame_seq for r in f2} == {2}
+    assert {r.event_index for r in f2} == {2 * N_DIG + 3 * N_DIG}
+
+
+def test_intent_replays_uncommitted_append(spark, tmp_path):
+    """Crash AFTER the intent write but BEFORE the sink append: totals
+    match the intent's, so the batch is NOT marked done and the replay
+    appends it exactly once."""
+    import json as _json
+    import os
+
+    sink = str(tmp_path / "sink")
+    runs = _runs(spark)
+    w = DirectNexusWriter(runs, sink, list(range(N_DIG)))
+    w(_batch(spark, [_msg(d, 0, 2) for d in range(N_DIG)]), 0)
+    totals_b0 = dict(w._totals)
+    # intent for batch 1 exists, but nothing of batch 1 reached the sink
+    with open(os.path.join(w.state_dir, "intent.json"), "w") as fh:
+        _json.dump(
+            {"bid": 1, "totals": {k: list(v) for k, v in totals_b0.items()}}, fh
+        )
+
+    w2 = DirectNexusWriter(runs, sink, list(range(N_DIG)))
+    w2(_batch(spark, [_msg(d, 1, 3) for d in range(N_DIG)]), 1)
+    out = spark.read.parquet(sink)
+    assert out.filter("frame_number = 1").count() == 3 * N_DIG
+    f1 = out.filter("frame_number = 1").collect()
+    assert {r.frame_seq for r in f1} == {1}
+    assert {r.event_index for r in f1} == {2 * N_DIG}
