@@ -186,8 +186,13 @@ def _start_query(
             frame_ttl_ms=500,
             on_commit=lambda frames: on_frames(frames, time.perf_counter()),
             persist_batch=os.environ.get("SPARK_GRAFT_DIRECT_PERSIST", "1") == "1",
-            write_coalesce=int(os.environ.get("SPARK_GRAFT_DIRECT_COALESCE", "0"))
-            or None,
+            # unset -> None -> writer coalesces to the session's shuffle
+            # partitions; "0" disables coalescing; any other int is exact
+            write_coalesce=(
+                int(os.environ["SPARK_GRAFT_DIRECT_COALESCE"])
+                if "SPARK_GRAFT_DIRECT_COALESCE" in os.environ
+                else None
+            ),
         )
         writer.phase_log = phase_log
         to_sink = messages

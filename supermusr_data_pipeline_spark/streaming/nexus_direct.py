@@ -130,9 +130,15 @@ class DirectNexusWriter:
         # perf knobs (tools/ab_direct_sink.py measures both):
         # persist_batch=False lets the slim pass run on a column-PRUNED
         # scan (no event_time/event_voltage IO) and the write re-scan the
-        # source instead of paying cache materialization; write_coalesce
-        # bounds the append's task/file count (a micro-batch otherwise
-        # emits one file per source partition)
+        # source instead of paying cache materialization (measured worse);
+        # write_coalesce bounds the append's task/file count — a
+        # micro-batch otherwise emits ONE FILE PER SOURCE PARTITION
+        # (~one per arrival file), which at 50 fps accumulates thousands
+        # of files per run-minute.  None (default) coalesces to the
+        # session's spark.sql.shuffle.partitions — the same per-batch
+        # file rate the FSM door's state partitioning produced, at
+        # noise-level latency cost (same-session A/B: steady p50 2.21 s
+        # vs 2.13 s at 32x500).  Pass 0 to disable coalescing.
         self.persist_batch = persist_batch
         self.write_coalesce = write_coalesce
         # same observability contract as NexusStreamWriter: fsm_s here is
@@ -526,8 +532,11 @@ class DirectNexusWriter:
         out = _events_us_with_dim(
             ev_src, dim_local, with_run_col=not single, outer=False
         )
-        if self.write_coalesce:
-            out = out.coalesce(self.write_coalesce)
+        n_out = self.write_coalesce
+        if n_out is None:
+            n_out = int(spark.conf.get("spark.sql.shuffle.partitions", "8"))
+        if n_out:
+            out = out.coalesce(n_out)
         if null_rows:
             schema = _NULL_ROW_SCHEMA if single else (
                 "run_name string, " + _NULL_ROW_SCHEMA
