@@ -178,7 +178,16 @@ def _events_us_with_dim(
 class NexusStreamWriter:
     """The foreachBatch callable.  Holds per-run continuation totals
     {run_name: (next_frame_seq, next_event_index)}; rebuilds them from the
-    sink directory on first use (T5 resume)."""
+    sink directory on first use (T5 resume).
+
+    Replay safety: a write-ahead INTENT file (bid + pre-batch totals,
+    written just before each append, overwritten by the next — never
+    removed, since removal would reopen a window before the engine's
+    commit-log write) makes the sink append exactly-once under the
+    engine's batch replay — on restart, sink-derived totals differing
+    from the intent's prove the crashed batch's append landed, so its
+    replay short-circuits (the nexus_direct.py protocol, sidecar
+    ``_writer_state``)."""
 
     def __init__(self, runs: DataFrame, path: str, on_commit=None):
         self.runs = runs
@@ -196,6 +205,7 @@ class NexusStreamWriter:
         self.phase_log: list | None = None
         self._totals: dict[str, tuple[int, int]] | None = None
         self._runs_rows: list | None = None
+        self._skip_bid: int | None = None
 
     def _load_runs(self, spark: SparkSession) -> list:
         """Collect the tiny runs dimension ONCE (run_name + interval in
@@ -220,9 +230,10 @@ class NexusStreamWriter:
             self.runs = runs
         self._runs_rows = None
 
-    def _load_totals(self, spark: SparkSession) -> dict[str, tuple[int, int]]:
-        if self._totals is not None:
-            return self._totals
+    def _intent_file(self) -> str:
+        return os.path.join(self.path, "_writer_state", "intent.json")
+
+    def _totals_from_sink(self, spark: SparkSession) -> dict[str, tuple[int, int]]:
         totals: dict[str, tuple[int, int]] = {}
         if os.path.isdir(self.path) and any(
             n.startswith("run_name=") for n in os.listdir(self.path)
@@ -238,6 +249,28 @@ class NexusStreamWriter:
                 .collect()
             ):
                 totals[r["run_name"]] = (int(r["next_seq"]), int(r["n_events"]))
+        return totals
+
+    def _load_totals(self, spark: SparkSession) -> dict[str, tuple[int, int]]:
+        if self._totals is not None:
+            return self._totals
+        totals = self._totals_from_sink(spark)
+        itf = self._intent_file()
+        if os.path.isfile(itf):
+            # the intent persists across batches (overwritten, never
+            # removed — removal would reopen a window between removal and
+            # the engine's own commit-log write).  On restart: totals
+            # differing from the intent's pre-batch snapshot prove that
+            # batch's append committed — short-circuit its replay; a
+            # long-committed stale intent is harmless because the engine
+            # never re-delivers batches at-or-before its commit log.
+            import json
+
+            with open(itf) as fh:
+                intent = json.load(fh)
+            pre = {k: tuple(v) for k, v in intent["totals"].items()}
+            if totals != pre:
+                self._skip_bid = intent["bid"]
         self._totals = totals
         return totals
 
@@ -245,6 +278,12 @@ class NexusStreamWriter:
         t_start = time.perf_counter()
         spark = frames_batch.sparkSession
         totals = self._load_totals(spark)
+        if self._skip_bid is not None and batch_id <= self._skip_bid:
+            # replay of a batch whose append already committed (intent
+            # recovery in _load_totals)
+            if self.on_commit is not None:
+                self.on_commit([])
+            return
 
         # Execute the stateful FSM subtree EXACTLY ONCE per batch: persist
         # the frame rows before any action.  Without this, the broadcast
@@ -322,6 +361,21 @@ class NexusStreamWriter:
                 # runs or none, restoring the all-or-nothing property at
                 # the cost of the dynamic-partition machinery only on the
                 # rare transition batch.
+                # write-ahead intent: (bid, pre-batch totals) before the
+                # append, removed after totals update — see class docstring
+                import json
+
+                os.makedirs(os.path.dirname(self._intent_file()), exist_ok=True)
+                itmp = self._intent_file() + ".tmp"
+                with open(itmp, "w") as fh:
+                    json.dump(
+                        {
+                            "bid": batch_id,
+                            "totals": {k: list(v) for k, v in totals.items()},
+                        },
+                        fh,
+                    )
+                os.replace(itmp, self._intent_file())
                 if len(per_run) == 1:
                     (run_name,) = per_run
                     dim_local = spark.createDataFrame(dim_vals, _DIM_SCHEMA)
