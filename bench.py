@@ -67,6 +67,8 @@ def main() -> None:
         "q112_bm25_topk",
         "q114_bm25_indexed",
         "q116_hybrid_rrf",
+        "q118_label_centroid_audit",
+        "q119_bigram_quality",
     ]
     headline = [h for h in headline if h in qs]
 

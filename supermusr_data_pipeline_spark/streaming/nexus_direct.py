@@ -354,7 +354,7 @@ class DirectNexusWriter:
                 F.size("channel").alias("n"),
             ).collect()
             # deterministic FSM order; the duplicate winner is the row
-            # minimizing (n, veto_flags) — see _winner note below
+            # minimizing (n, veto_flags) — see _clean's window rule
             slim.sort(key=lambda r: (
                 r.ts_us, r.frame_number, r.digitizer_id, r.n, r.veto_flags,
             ))
