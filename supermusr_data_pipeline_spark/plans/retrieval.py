@@ -269,30 +269,39 @@ def write_postings_index(spark: SparkSession, sf_dir: str, out: str) -> None:
     corpus), and doc lengths + corpus stats for the BM25 norm."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(F.expr(_TOKENS_EXPR_SPARK)).alias("term"))
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # every artifact derives from tf (doc length = sum of a doc's term
+    # frequencies, identically count of its token rows); cache it so the
+    # corpus tokenize+explode pass runs ONCE instead of once per artifact
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
     tb = F.pmod(F.hash("term"), F.lit(_N_TERM_BUCKETS)).alias("tb")
-    (
-        tf.withColumn("tb", tb)
-        .repartition("tb")
-        .write.partitionBy("tb")
-        .mode("overwrite")
-        .parquet(_os.path.join(out, "postings"))
-    )
-    (
-        tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-        .withColumn("tb", tb)
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(_os.path.join(out, "terms"))
-    )
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    dl.write.mode("overwrite").parquet(_os.path.join(out, "doclen"))
-    (
-        docs.select(F.count(F.lit(1)).alias("n"))
-        .crossJoin(dl.agg(F.avg("dl").alias("avgdl")))
-        .write.mode("overwrite")
-        .parquet(_os.path.join(out, "stats"))
-    )
+    try:
+        (
+            tf.withColumn("tb", tb)
+            .repartition("tb")
+            .write.partitionBy("tb")
+            .mode("overwrite")
+            .parquet(_os.path.join(out, "postings"))
+        )
+        (
+            tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+            .withColumn("tb", tb)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(_os.path.join(out, "terms"))
+        )
+        dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+        dl.write.mode("overwrite").parquet(_os.path.join(out, "doclen"))
+        (
+            docs.select(F.count(F.lit(1)).alias("n"))
+            .crossJoin(
+                spark.read.parquet(_os.path.join(out, "doclen"))
+                .agg(F.avg("dl").alias("avgdl"))
+            )
+            .write.mode("overwrite")
+            .parquet(_os.path.join(out, "stats"))
+        )
+    finally:
+        tf.unpersist()
 
 
 @_register("q114_bm25_indexed", oracle=ORACLES["q112_bm25_topk"])
