@@ -166,6 +166,7 @@ def retire_completed_runs(
     now,
     run_ttl_ms: int = 2000,
     completed_subdir: str = "completed",
+    compact: bool = False,
 ) -> list[str]:
     """S7 (part 1): move finished run partitions from the live sink into
     ``completed/`` — the analog of ``move_to_completed``
@@ -177,6 +178,13 @@ def retire_completed_runs(
     HDFS (and works against any configured object store), never a data copy.
     The ``runs`` side is the tiny dimension table, so the driver-side collect
     of retirable run names is O(#runs), not O(data).
+
+    ``compact=True`` additionally rewrites each just-retired run to one
+    sorted zstd file (plans/index_maintenance.compact_nexus_run) — the
+    lifecycle analog of the reference finalizing the .nxs on
+    move_to_completed, and the answer to the live appender's
+    one-file-per-micro-batch accumulation.  Safe here by construction:
+    the run left the live sink, so no appender can race the rewrite.
     """
     retirable = [
         r["run_name"]
@@ -202,6 +210,16 @@ def retire_completed_runs(
         if fs.exists(src):
             fs.rename(src, hpath(dest_base, f"run_name={name}"))
             moved.append(name)
+    if compact and moved:
+        import os as _os
+
+        from ..plans.index_maintenance import compact_nexus_run
+
+        for name in moved:
+            compact_nexus_run(
+                spark, _os.path.join(sink_path, completed_subdir),
+                f"run_name={name}",
+            )
     return moved
 
 

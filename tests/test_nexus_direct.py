@@ -434,3 +434,22 @@ def test_fsm_writer_intent_replays_uncommitted_append(spark, tmp_path):
     assert len(f1) == 3
     assert {r.frame_seq for r in f1} == {1}
     assert {r.event_index for r in f1} == {2}
+
+
+def test_empty_batch_fires_ttl(spark, tmp_path):
+    """A no-data micro-batch (noDataMicroBatches is on by default in
+    production) still fires the TTL pass: a pending frame whose deadline
+    passed dispatches from carried rows alone."""
+    clock = [1000.0]
+    sink = str(tmp_path / "sink")
+    w = DirectNexusWriter(
+        _runs(spark), sink, list(range(N_DIG)), frame_ttl_ms=500,
+        clock=lambda: clock[0],
+    )
+    w(_batch(spark, [_msg(d, 0, 3) for d in range(N_DIG - 1)]), 0)
+    clock[0] += 0.7
+    w(_batch(spark, []), 1)  # empty batch -> TTL dispatch
+    out = spark.read.parquet(sink)
+    f0 = out.filter("frame_number = 0").collect()
+    assert len(f0) == 3 * (N_DIG - 1)
+    assert not f0[0].frame_complete

@@ -51,3 +51,40 @@ def test_retire_and_archive(spark, tmp_path):
     # retired data stays readable: the archive is still a valid parquet table
     back = spark.read.parquet(archive)
     assert back.count() > 0
+
+
+def test_retire_with_compaction(spark, tmp_path):
+    """retire_completed_runs(compact=True): each retired run's partition
+    is rewritten to ONE sorted zstd file with identical rows — the
+    lifecycle closing the appender's file accumulation."""
+    traces = generate_traces(spark, n_frames=8, n_digitizers=2, n_samples=300)
+    runs = generate_runs(spark, n_frames=8, frames_per_run=4, gap_frames=0)
+    nexus = daq_chain(
+        traces, runs, expected_digitizers=[0, 1], mode="fixed", threshold=300.0,
+        duration=2, cool_off=0,
+    )
+    sink = str(tmp_path / "sink")
+    # write twice so each run dir holds multiple files (micro-batch shape)
+    write_nexus(nexus.filter("event_index % 2 = 0"), sink)
+    write_nexus(nexus.filter("event_index % 2 = 1"), sink, mode="append")
+    before = {}
+    for d in os.listdir(sink):
+        if d.startswith("run_name="):
+            p = os.path.join(sink, d)
+            before[d] = sorted(
+                tuple(map(repr, r)) for r in spark.read.parquet(p).collect()
+            )
+            assert len([f for f in os.listdir(p) if f.endswith(".parquet")]) > 1
+
+    moved = retire_completed_runs(
+        spark, sink, runs, now="2030-01-01 00:00:00", compact=True
+    )
+    assert moved
+    for name in moved:
+        p = os.path.join(sink, "completed", f"run_name={name}")
+        files = [f for f in os.listdir(p) if f.endswith(".parquet")]
+        assert len(files) == 1 and files[0].endswith(".zstd.parquet")
+        after = sorted(
+            tuple(map(repr, r)) for r in spark.read.parquet(p).collect()
+        )
+        assert after == before[f"run_name={name}"]
