@@ -453,3 +453,44 @@ def test_empty_batch_fires_ttl(spark, tmp_path):
     f0 = out.filter("frame_number = 0").collect()
     assert len(f0) == 3 * (N_DIG - 1)
     assert not f0[0].frame_complete
+
+
+def test_write_plan_shape_no_shuffle(spark):
+    """The direct door's event write must stay narrow: ONE broadcast
+    exchange (the frame dimension), no shuffle exchange, no Python — the
+    'two narrow jobs per batch' claim, CI-pinned like the query-plan
+    audit."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from supermusr_data_pipeline_spark.streaming.nexus_direct import (
+        _MSG_US_SCHEMA,
+    )
+    from supermusr_data_pipeline_spark.streaming.nexus_stream import (
+        _DIM_SCHEMA,
+        _events_us_with_dim,
+    )
+
+    msgs = spark.createDataFrame(
+        [
+            (T0_US, 0, 4, True, 0, d, 0, [0, 1], [10, 20], [1.0, 2.0])
+            for d in range(N_DIG)
+        ],
+        _MSG_US_SCHEMA,
+    )
+    dim = spark.createDataFrame(
+        [(T0_US, 0, 4, True, 0, "run_a", 0, True, 0, 1000, 0)], _DIM_SCHEMA
+    )
+    out = _events_us_with_dim(
+        msgs.filter(F.size("channel") > 0), dim, with_run_col=False, outer=False
+    ).coalesce(8)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    p = buf.getvalue()
+    assert "BroadcastExchange" in p
+    assert "ShuffleExchange" not in p and "Exchange hashpartitioning" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "SortMergeJoin" not in p
