@@ -167,6 +167,7 @@ def retire_completed_runs(
     run_ttl_ms: int = 2000,
     completed_subdir: str = "completed",
     compact: bool = False,
+    writer=None,
 ) -> list[str]:
     """S7 (part 1): move finished run partitions from the live sink into
     ``completed/`` — the analog of ``move_to_completed``
@@ -185,6 +186,15 @@ def retire_completed_runs(
     move_to_completed, and the answer to the live appender's
     one-file-per-micro-batch accumulation.  Safe here by construction:
     the run left the live sink, so no appender can race the rewrite.
+
+    ``writer``: the LIVE sink writer (NexusStreamWriter or
+    DirectNexusWriter), if one is still appending.  Retired runs are
+    dropped from its runs dimension via ``refresh_runs`` so a straggler
+    frame matching a retired run's interval can no longer RESURRECT the
+    run's live directory after its data moved to ``completed/`` — the
+    reference drops the run from its cache on move_to_completed and
+    rejects messages for it thereafter (run_engine/run/mod.rs:116-139,
+    frame/cache.rs:55-63).
     """
     retirable = [
         r["run_name"]
@@ -220,6 +230,8 @@ def retire_completed_runs(
                 spark, _os.path.join(sink_path, completed_subdir),
                 f"run_name={name}",
             )
+    if writer is not None and moved:
+        writer.refresh_runs(runs.filter(~F.col("run_name").isin(moved)))
     return moved
 
 

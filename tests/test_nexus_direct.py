@@ -494,3 +494,42 @@ def test_write_plan_shape_no_shuffle(spark):
     assert "ShuffleExchange" not in p and "Exchange hashpartitioning" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "SortMergeJoin" not in p
+
+
+def test_retirement_drops_run_from_live_writer(spark, tmp_path):
+    """After retire_completed_runs(writer=...), a straggler frame for the
+    retired run no longer matches its interval — the run's live
+    directory is not resurrected next to its completed/ copy."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from supermusr_data_pipeline_spark.operators.nexus_sink import (
+        retire_completed_runs,
+    )
+
+    until = T0_US + 100_000  # run stops 100 ms after T0
+    runs = spark.createDataFrame(
+        [("run_a", T0_US - 1_000_000, until)],
+        "run_name string, from_us long, until_us long",
+    ).select(
+        "run_name",
+        F.timestamp_micros("from_us").alias("collect_from"),
+        F.timestamp_micros("until_us").alias("collect_until"),
+    )
+    sink = str(tmp_path / "sink")
+    w = DirectNexusWriter(runs, sink, list(range(N_DIG)))
+    w(_batch(spark, [_msg(d, 0, 2) for d in range(N_DIG)]), 0)
+    assert os.path.isdir(os.path.join(sink, "run_name=run_a"))
+
+    moved = retire_completed_runs(
+        spark, sink, runs, now="2030-01-01 00:00:00", compact=True, writer=w
+    )
+    assert moved == ["run_a"]
+    assert not os.path.exists(os.path.join(sink, "run_name=run_a"))
+
+    # straggler inside the retired run's interval: frame 2 at T0+40ms
+    w(_batch(spark, [_msg(d, 2, 2) for d in range(N_DIG)]), 1)
+    assert not os.path.exists(os.path.join(sink, "run_name=run_a"))
+    completed = os.path.join(sink, "completed", "run_name=run_a")
+    assert spark.read.parquet(completed).count() == 2 * N_DIG
