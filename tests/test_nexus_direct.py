@@ -6,10 +6,8 @@ zero-event-frame rule, continuation totals, and crash-replay behavior.
 The FSM door is itself row-pinned to the batch builder
 (test_nexus_stream_batch_parity), so equality here chains to it."""
 
-import time
 from datetime import datetime, timezone
 
-import pytest
 
 from supermusr_data_pipeline_spark.streaming.frame_assembly_stream import (
     DIGITISER_MESSAGE_SCHEMA,
