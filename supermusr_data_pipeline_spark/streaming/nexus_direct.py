@@ -449,9 +449,15 @@ class DirectNexusWriter:
                 self._pending_rows.pop(key, None)
 
             # carry rows of still-pending frames driver-side (bounded by
-            # frames-in-flight x frame size — the reference's cache bound)
-            if self._pending:
-                self._pull_kept_rows(msgs, cross_rejects, dup_in_batch)
+            # frames-in-flight x frame size — the reference's cache bound).
+            # Only frames that received rows THIS batch need a pull; a
+            # frame merely waiting out its TTL must not cost a job per
+            # intervening batch.
+            touched = {
+                k for (k, _d) in seen_batch if k in self._pending
+            }
+            if touched:
+                self._pull_kept_rows(msgs, touched, cross_rejects, dup_in_batch)
             t_write = time.perf_counter()
         finally:
             if self.persist_batch:
@@ -556,12 +562,13 @@ class DirectNexusWriter:
                 .parquet(self.path)
             )
 
-    def _pull_kept_rows(self, msgs, cross_rejects, dup_in_batch) -> None:
+    def _pull_kept_rows(self, msgs, keys, cross_rejects, dup_in_batch) -> None:
         """Collect the batch's rows belonging to still-pending frames
         (a frame split across a batch boundary — typically <= 1 frame).
         Stored driver-side and re-joined as a local relation when the
-        frame dispatches."""
-        keys = list(self._pending)
+        frame dispatches.  ``keys``: the pending frames that received
+        rows in THIS batch."""
+        keys = list(keys)
         cond = None
         for k in keys:
             this = (
