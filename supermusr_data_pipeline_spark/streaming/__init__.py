@@ -7,6 +7,8 @@ package lifts the stateful pieces onto Structured Streaming:
   ``frame_assembly_stream.assemble_frames_stream`` (applyInPandasWithState)
 - run lifecycle FSM (T4) → ``run_lifecycle`` (batch fold + streaming state)
 - NeXus run sink (S6/S7) → ``nexus_stream.write_nexus_stream`` (foreachBatch)
+- fused assembly+sink, the PRODUCTION door since round 9 (A1-A3 + S6 in one
+  foreachBatch, no stateful operator) → ``nexus_direct.write_nexus_direct``
 - DAQ observability stats (A7/A8) → ``daq_stats``
 - crash recovery (T5) → Structured Streaming checkpointing (free) plus the
   sink-side resume scan in nexus_stream.
@@ -26,6 +28,7 @@ from .frame_assembly_stream import (  # noqa: F401
     events_long_to_messages,
 )
 from .frame_assembly_tws import assemble_frames_stream_tws  # noqa: F401
+from .nexus_direct import DirectNexusWriter, write_nexus_direct  # noqa: F401
 from .nexus_stream import write_nexus_stream  # noqa: F401
 from .postings_ingest import (  # noqa: F401
     bm25_topk_over_index,
