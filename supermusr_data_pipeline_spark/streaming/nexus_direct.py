@@ -49,6 +49,15 @@ the FSM door (whose parquet append is not transactional with the state
 store) documents only as at-least-once with compact_nexus_run as the
 dedupe backstop.
 
+Object-store posture of the sidecar: state.json / intent.json /
+pending_rows.parquet are each ONE small file written whole via
+tmp+os.replace — the rename exists only so a POSIX reader can never see
+a partial file.  On S3-style stores the equivalent is a single PUT
+(atomic per key), so the protocol ports without a rename primitive —
+unlike directory swaps, which is why index maintenance needed the
+pointer-file protocol (plans/index_maintenance.py) and this sidecar
+does not.
+
 Known semantic difference vs the FSM door: TTL expiry is evaluated when
 a micro-batch RUNS.  Under the ASAP trigger with a live source, batches
 run back-to-back and expiry lags the deadline by at most one cycle; if
