@@ -520,10 +520,14 @@ def run(spark: SparkSession, workdir: str | None = None) -> dict:
                 "write (FIXED w.r.t. event volume: 0.88 s at 284k and "
                 "0.80 s at 1.07M events/batch — join+explode+append "
                 "job overhead, profiled at ~0.53 s compute + ~0.27 s "
-                "parquet), so cycle ~1.35 s and latency p50 ~1.5 "
-                "cycles ~2.0 s.  A 1 s sink-commit budget remains out "
-                "of reach for ANY micro-batch topology here; the 2 s "
-                "relaxed p50 bar is now met (p95 ~2.7 s).  Perf knobs "
+                "parquet), so cycle ~1.0-1.3 s and latency p50 ~1.5 "
+                "cycles.  Round-9 60 s soaks: 8x500 p50 1.46-1.48 s / "
+                "p95 1.94-2.01 s (the 2 s relaxed p95 gate reads true "
+                "at this shape), 32x500 p50 1.6-2.1 s / p95 2.2-3.1 s "
+                "across three runs (±20% band at this shape, "
+                "tools/SOAK_32X500_VARIANCE_r9.json).  A 1 s "
+                "sink-commit budget remains out of reach for ANY "
+                "micro-batch topology here.  Perf knobs "
                 "persist_batch=False and write_coalesce were measured "
                 "WORSE or neutral (same-session, 32x500: nopersist "
                 "steady p50 2.26 s, nopersist+coalesce(8) 4.58 s) and "
