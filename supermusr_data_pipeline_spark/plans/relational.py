@@ -1587,18 +1587,30 @@ def q87_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@_register("q88_distinct_sketches")  # rows-only: DuckDB cannot replay
+@_register(
+    "q88_distinct_sketches",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS INT) AS n_exact,
+           TRUE AS hll_within_bound
+    FROM events GROUP BY event_type
+    """,
+)
 def q88_distinct_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct users per event type, exact AND via a DataSketches HLL
-    sketch (lgConfigK=12), with the relative error alongside — the
-    cardinality primitive that actually scales: `count(DISTINCT)` needs a
-    full shuffle of the key universe, while sketches are ~KB-sized
-    MERGEABLE partial aggregates (map-side combine; union across
-    partitions, days, or tenants is associative — pinned by
-    tests/test_curation_ops.py's union-vs-direct gate).  No SQL oracle:
-    the estimate depends on the sketch implementation, so the driver
-    records a rows-only check and the pytest gate bounds the error
-    against the exact count.
+    sketch (lgConfigK=12) — the cardinality primitive that actually
+    scales: `count(DISTINCT)` needs a full shuffle of the key universe,
+    while sketches are ~KB-sized MERGEABLE partial aggregates (map-side
+    combine; union across partitions, days, or tenants is associative —
+    pinned by tests/test_curation_ops.py's union-vs-direct gate).
+
+    Oracle contract: the raw HLL estimate has no engine-independent
+    value (DuckDB cannot replay DataSketches), so the HASHED columns are
+    the exact counts plus `hll_within_bound` — an assertion that the
+    sketch estimate landed within 5% relative error of the exact count
+    (lgConfigK=12 ⇒ RSE ≈ 1.04/√4096 ≈ 1.6%, so 5% ≈ 3σ).  The oracle
+    states TRUE; a broken sketch produces FALSE and hash-mismatches.
+    The estimate itself stays bounded by the same pytest gate.
 
     Reference analog: the DAQ run statistics (A7) report distinct
     channels/digitisers per frame window; at 100 TB distincts this is
@@ -1611,10 +1623,9 @@ def q88_distinct_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.select(
         "event_type",
         "n_exact",
-        "n_hll",
-        F.round(
-            F.abs(F.col("n_hll") - F.col("n_exact")) / F.col("n_exact"), 4
-        ).alias("rel_err"),
+        (
+            F.abs(F.col("n_hll") - F.col("n_exact")) / F.col("n_exact") < 0.05
+        ).alias("hll_within_bound"),
     )
 
 

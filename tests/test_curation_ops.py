@@ -242,7 +242,7 @@ def test_hll_sketches_are_accurate_and_mergeable(spark):
     rows = entry_mod.queries()["q88_distinct_sketches"](
         spark, "/root/testdata/sf0.01"
     ).collect()
-    assert rows and all(r.rel_err <= 0.05 for r in rows)
+    assert rows and all(r.hll_within_bound for r in rows)
     ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
     merged = (
         ev.groupBy("event_type")
