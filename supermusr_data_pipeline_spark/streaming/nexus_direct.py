@@ -58,22 +58,29 @@ unlike directory swaps, which is why index maintenance needed the
 pointer-file protocol (plans/index_maintenance.py) and this sidecar
 does not.
 
-Known semantic difference vs the FSM door: TTL expiry is evaluated when
-a micro-batch RUNS.  Under the ASAP trigger with a live source, batches
-run back-to-back and expiry lags the deadline by at most one cycle; if
-the source goes silent, pending frames wait for the next data batch
-(the FSM door's ProcessingTimeTimeout would fire on a no-data batch).
-The reference's aggregator polls for expiry on its consume loop
-(digitiser-aggregator/src/main.rs:149-163), which also stops firing
-without traffic — so this matches the reference more closely than the
-timer does, but callers that need silent-stream expiry should keep
-``noDataMicroBatches`` enabled or use the FSM door.
+Silent-stream TTL expiry (T1): batch-time expiry alone would let a
+pending incomplete frame wait indefinitely on a source that goes
+silent (Spark does not run no-data micro-batches for a stateless
+foreachBatch plan).  The door therefore carries a driver-side expiry
+ticker: ``expire_pending()`` dispatches TTL-expired frames from the
+driver-held carried rows alone — every pending frame's admitted rows
+are already in ``_pending_rows`` (pulled the batch they arrived), so
+the tick needs no batch input, only a local-relation write.  A daemon
+ticker thread (``start_expiry_timer``, wired by ``write_nexus_direct``)
+fires it between batches under the same lock that serializes
+``foreachBatch`` calls, restoring the FSM door's timer guarantee
+(ProcessingTimeTimeout, frame/partial.rs:30-40 — expiry anchored to
+first arrival) on the production door.  Tick writes get their own
+write-ahead intent carrying the expired keys, so a crash between the
+tick's append and its state save is recovered exactly-once too (see
+``_load_state``).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -160,6 +167,14 @@ class DirectNexusWriter:
         self._pending_rows: dict[tuple, list[tuple]] = {}
         self._tombstones: dict[tuple, int] = {}
         self._runs_rows: list | None = None
+        # silent-stream expiry: the ticker and the batch path serialize
+        # on this lock; _spark is captured on the first batch so a tick
+        # can build its local-relation write without a batch in hand
+        self._lock = threading.RLock()
+        self._spark: SparkSession | None = None
+        self._timer_stop: threading.Event | None = None
+        self._timer_thread: threading.Thread | None = None
+        self.timer_error: BaseException | None = None
 
     # ---- runs dimension (identical contract to NexusStreamWriter) ----
     def _load_runs(self) -> list:
@@ -225,7 +240,25 @@ class DirectNexusWriter:
         if os.path.isfile(itf):
             with open(itf) as fh:
                 intent = json.load(fh)
-            if self._last_bid is None or intent["bid"] > self._last_bid:
+            if intent.get("tick"):
+                # expiry-tick intent (expire_pending): same discriminator,
+                # but the batch-replay short-circuit doesn't apply — the
+                # engine never replays a tick — so the intent carries the
+                # expired keys and the recovery FINISHES the tick's state
+                # effects itself when the append landed (drop from
+                # pending, tombstone, adopt actual totals); when it
+                # didn't, pending stays intact and the next tick or
+                # batch re-dispatches.
+                pre = {k: tuple(v) for k, v in intent["totals"].items()}
+                actual = self._totals_from_sink(spark)
+                if actual != pre:
+                    self._totals = actual
+                    for kl in intent["expired_keys"]:
+                        key = tuple(kl)
+                        self._pending.pop(key, None)
+                        self._pending_rows.pop(key, None)
+                        self._tombstones[key] = intent["tomb_until"]
+            elif self._last_bid is None or intent["bid"] > self._last_bid:
                 pre = {k: tuple(v) for k, v in intent["totals"].items()}
                 actual = self._totals_from_sink(spark)
                 if actual != pre:
@@ -320,6 +353,11 @@ class DirectNexusWriter:
 
     # ---- the batch ----
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
+        with self._lock:
+            self._spark = batch.sparkSession
+            self._run_batch(batch, batch_id)
+
+    def _run_batch(self, batch: DataFrame, batch_id: int) -> None:
         t_start = time.perf_counter()
         spark = batch.sparkSession
         self._load_state(spark)
@@ -413,40 +451,10 @@ class DirectNexusWriter:
 
             # run matching + frame sequencing, driver-side (J1 predicate,
             # run_parameters.rs:156-175), exactly as NexusStreamWriter
-            dispatch.sort(key=lambda kf: (kf[0][0], kf[0][4]))
-            per_run: dict[str, tuple[int, int]] = {}
-            dim_vals = []
-            null_rows = []  # zero-event frames: ONE null-event row each
-            dispatched_keys = set()
-            for run in runs_rows:
-                for key, fs in dispatch:
-                    ts_us = key[0]
-                    if run.from_us < ts_us and (
-                        run.until_us is None or ts_us < run.until_us
-                    ):
-                        seq, idx = per_run.get(
-                            run.run_name, self._totals.get(run.run_name, (0, 0))
-                        )
-                        complete = sorted(fs.dids) == self.expected
-                        dim_vals.append(
-                            (
-                                *key, run.run_name, fs.veto, complete, seq,
-                                (ts_us - run.from_us) * 1000, idx,
-                            )
-                        )
-                        if fs.n_events == 0:
-                            null_rows.append(
-                                (
-                                    run.run_name, seq, (ts_us - run.from_us) * 1000,
-                                    idx, key[1], key[4], complete, key[3],
-                                    fs.veto, None, None, None,
-                                )
-                            )
-                        per_run[run.run_name] = (
-                            seq + 1, idx + max(fs.n_events, 1)
-                        )
-                        dispatched_keys.add(key)
-                        n_frames_committed.append(int(key[4]))
+            dim_vals, null_rows, per_run, dispatched_keys, frames = (
+                self._match_runs(dispatch, runs_rows)
+            )
+            n_frames_committed.extend(frames)
 
             if dim_vals:
                 self._write(
@@ -454,7 +462,9 @@ class DirectNexusWriter:
                     dispatched_keys, cross_rejects, dup_in_batch,
                 )
                 self._totals.update(per_run)
-            for key in dispatched_keys:
+            # every dispatched frame's carried rows are done with — also
+            # the ones matching no run (they are dropped, not written)
+            for key, _fs in dispatch:
                 self._pending_rows.pop(key, None)
 
             # carry rows of still-pending frames driver-side (bounded by
@@ -488,6 +498,150 @@ class DirectNexusWriter:
             )
         if self.on_commit is not None:
             self.on_commit(sorted(set(n_frames_committed)))
+
+    def _match_runs(self, dispatch, runs_rows):
+        """Run matching + frame sequencing for a dispatch set, driver-side
+        (J1 predicate, run_parameters.rs:156-175) — shared by the batch
+        path and the expiry tick.  Mutates nothing; returns
+        (dim_vals, null_rows, per_run, dispatched_keys, frame_numbers)."""
+        dispatch.sort(key=lambda kf: (kf[0][0], kf[0][4]))
+        per_run: dict[str, tuple[int, int]] = {}
+        dim_vals = []
+        null_rows = []  # zero-event frames: ONE null-event row each
+        dispatched_keys = set()
+        frames: list[int] = []
+        for run in runs_rows:
+            for key, fs in dispatch:
+                ts_us = key[0]
+                if run.from_us < ts_us and (
+                    run.until_us is None or ts_us < run.until_us
+                ):
+                    seq, idx = per_run.get(
+                        run.run_name, self._totals.get(run.run_name, (0, 0))
+                    )
+                    complete = sorted(fs.dids) == self.expected
+                    dim_vals.append(
+                        (
+                            *key, run.run_name, fs.veto, complete, seq,
+                            (ts_us - run.from_us) * 1000, idx,
+                        )
+                    )
+                    if fs.n_events == 0:
+                        null_rows.append(
+                            (
+                                run.run_name, seq, (ts_us - run.from_us) * 1000,
+                                idx, key[1], key[4], complete, key[3],
+                                fs.veto, None, None, None,
+                            )
+                        )
+                    per_run[run.run_name] = (
+                        seq + 1, idx + max(fs.n_events, 1)
+                    )
+                    dispatched_keys.add(key)
+                    frames.append(int(key[4]))
+        return dim_vals, null_rows, per_run, dispatched_keys, frames
+
+    # ---- silent-stream TTL expiry (T1) ----
+    def expire_pending(self) -> list[int]:
+        """Dispatch TTL-expired pending frames WITHOUT a micro-batch —
+        the timer guarantee for a source that goes silent.  Every
+        pending frame's admitted rows are already driver-side (pulled
+        into ``_pending_rows`` the batch they arrived), so the write is
+        a pure local-relation append.  Serialized against the batch
+        path by the writer lock; returns the dispatched frame numbers.
+
+        Crash safety mirrors the batch path: a tick that will touch the
+        sink first records a write-ahead intent carrying the expired
+        keys (the engine never replays a tick, so recovery must be able
+        to FINISH the tick's state effects itself — see _load_state)."""
+        with self._lock:
+            spark = self._spark
+            if spark is None or not self._loaded or not self._pending:
+                return []
+            now_ms = int(self.clock() * 1000)
+            dispatch = [
+                (k, fs)
+                for k, fs in self._pending.items()
+                if now_ms - fs.first_ms >= self.frame_ttl_ms
+            ]
+            if not dispatch:
+                return []
+            runs_rows = self._load_runs()
+            dim_vals, null_rows, per_run, dispatched_keys, frames = (
+                self._match_runs(dispatch, runs_rows)
+            )
+            tomb_until = now_ms + self.tombstone_ttl_ms
+            if dim_vals:
+                os.makedirs(self.state_dir, exist_ok=True)
+                itmp = self._intent_file() + ".tmp"
+                with open(itmp, "w") as fh:
+                    json.dump(
+                        {
+                            "bid": self._last_bid,
+                            "tick": True,
+                            "totals": {
+                                k: list(v) for k, v in self._totals.items()
+                            },
+                            "expired_keys": [list(k) for k in dispatched_keys],
+                            "tomb_until": tomb_until,
+                        },
+                        fh,
+                    )
+                os.replace(itmp, self._intent_file())
+                self._write(
+                    spark, None, dim_vals, null_rows, per_run,
+                    dispatched_keys, set(), False,
+                )
+                self._totals.update(per_run)
+            for key, _fs in dispatch:
+                self._pending.pop(key, None)
+                self._pending_rows.pop(key, None)
+                self._tombstones[key] = tomb_until
+            self._save_state()
+            itf = self._intent_file()
+            if os.path.isfile(itf):
+                os.remove(itf)
+            out = sorted(set(frames))
+            if self.on_commit is not None and out:
+                self.on_commit(out)
+            return out
+
+    def start_expiry_timer(self, interval_s: float | None = None) -> None:
+        """Daemon ticker firing ``expire_pending`` so the production door
+        is never weaker than the FSM door's ProcessingTimeTimeout.  The
+        default cadence (TTL/4, floor 50 ms) bounds expiry lag on a
+        silent stream to TTL + cadence.  Idle cost is one Event.wait —
+        no Spark job runs unless a frame actually expired."""
+        if self._timer_stop is not None:
+            return
+        stop = threading.Event()
+        self._timer_stop = stop
+        iv = (
+            interval_s
+            if interval_s is not None
+            else max(self.frame_ttl_ms / 4000.0, 0.05)
+        )
+
+        def _loop():
+            while not stop.wait(iv):
+                try:
+                    self.expire_pending()
+                except BaseException as e:  # noqa: BLE001 — surfaced via timer_error
+                    self.timer_error = e
+
+        t = threading.Thread(
+            target=_loop, daemon=True, name="nexus-direct-expiry"
+        )
+        t.start()
+        self._timer_thread = t
+
+    def stop_expiry_timer(self) -> None:
+        if self._timer_stop is not None:
+            self._timer_stop.set()
+            if self._timer_thread is not None:
+                self._timer_thread.join(timeout=10)
+            self._timer_stop = None
+            self._timer_thread = None
 
     # ---- helpers ----
     def _clean(self, msgs: DataFrame, cross_rejects, dup_in_batch) -> DataFrame:
@@ -533,31 +687,41 @@ class DirectNexusWriter:
         """Job 2: one broadcast-join + posexplode append.  Single-run
         batches write the run's partition directory directly; a batch
         spanning a run transition writes all runs in ONE partitionBy
-        job (all-or-nothing, as nexus_stream)."""
+        job (all-or-nothing, as nexus_stream).  ``msgs=None`` is the
+        expiry-tick path: the event source is the driver-held carried
+        rows alone (a local relation — no scan, no shuffle)."""
         single = len(per_run) == 1
         dim_local = spark.createDataFrame(dim_vals, _DIM_SCHEMA)
-        ev_src = self._clean(msgs, cross_rejects, dup_in_batch).filter(
-            F.size("channel") > 0
-        )
+        ev_src = None
+        if msgs is not None:
+            ev_src = self._clean(msgs, cross_rejects, dup_in_batch).filter(
+                F.size("channel") > 0
+            )
         carried = self._pending_local(spark, dispatched_keys)
         if carried is not None:
-            ev_src = ev_src.unionByName(
-                carried.filter(F.size("channel") > 0)
+            carried = carried.filter(F.size("channel") > 0)
+            ev_src = (
+                carried if ev_src is None else ev_src.unionByName(carried)
             )
-        out = _events_us_with_dim(
-            ev_src, dim_local, with_run_col=not single, outer=False
-        )
-        n_out = self.write_coalesce
-        if n_out is None:
-            n_out = int(spark.conf.get("spark.sql.shuffle.partitions", "8"))
-        if n_out:
-            out = out.coalesce(n_out)
+        out = None
+        if ev_src is not None:
+            out = _events_us_with_dim(
+                ev_src, dim_local, with_run_col=not single, outer=False
+            )
+            n_out = self.write_coalesce
+            if n_out is None:
+                n_out = int(spark.conf.get("spark.sql.shuffle.partitions", "8"))
+            if n_out:
+                out = out.coalesce(n_out)
         if null_rows:
             schema = _NULL_ROW_SCHEMA if single else (
                 "run_name string, " + _NULL_ROW_SCHEMA
             )
             vals = [r[1:] for r in null_rows] if single else null_rows
-            out = out.unionByName(spark.createDataFrame(vals, schema))
+            nr = spark.createDataFrame(vals, schema)
+            out = nr if out is None else out.unionByName(nr)
+        if out is None:
+            return
         if single:
             (run_name,) = per_run
             out.write.mode("append").option("compression", "snappy").parquet(
@@ -611,14 +775,31 @@ def write_nexus_direct(
     frame_ttl_ms: int = 500,
     tombstone_ttl_ms: int = 2000,
     trigger: dict | None = None,
+    expiry_timer: bool = True,
 ):
     """Start the fused direct door over a dev2 message stream
-    (DIGITISER_MESSAGE_SCHEMA).  Returns the StreamingQuery."""
+    (DIGITISER_MESSAGE_SCHEMA).  Returns the StreamingQuery (with the
+    writer attached as ``query.direct_writer``).
+
+    ``expiry_timer`` keeps the silent-stream TTL guarantee on by
+    default: a daemon ticker dispatches expired pending frames even
+    when no micro-batch runs (a stateless foreachBatch plan gets no
+    no-data batches).  The thread is daemonized and idles on one
+    Event.wait; call ``query.direct_writer.stop_expiry_timer()`` on
+    teardown for a deterministic join."""
     writer = DirectNexusWriter(
         runs, path, expected_digitizers, frame_ttl_ms, tombstone_ttl_ms
     )
     q = messages.writeStream.foreachBatch(writer).option(
         "checkpointLocation", checkpoint
     )
-    q = q.trigger(**(trigger or {"availableNow": True}))
-    return q.start()
+    trig = trigger or {"availableNow": True}
+    q = q.trigger(**trig)
+    query = q.start()
+    # finite triggers terminate with pending state parked (same as the
+    # FSM door, whose timers also stop with the query) — a ticker that
+    # outlived the query would mutate the sink after termination
+    if expiry_timer and not (trig.get("availableNow") or trig.get("once")):
+        writer.start_expiry_timer()
+    query.direct_writer = writer
+    return query

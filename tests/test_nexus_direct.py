@@ -531,3 +531,187 @@ def test_retirement_drops_run_from_live_writer(spark, tmp_path):
     assert not os.path.exists(os.path.join(sink, "run_name=run_a"))
     completed = os.path.join(sink, "completed", "run_name=run_a")
     assert spark.read.parquet(completed).count() == 2 * N_DIG
+
+
+# ---------------------------------------------------------------------------
+# silent-stream TTL expiry (VERDICT r9 #2): the production door's guarantee
+# must never be weaker than the FSM door's ProcessingTimeTimeout
+# ---------------------------------------------------------------------------
+
+
+def test_silent_stream_tick_dispatches_expired_frame(spark, tmp_path):
+    """expire_pending() with NO batch in flight dispatches a TTL-expired
+    incomplete frame from the driver-held carried rows, and a straggler
+    arriving afterwards is tombstone-rejected."""
+    import os
+
+    clock = [1000.0]
+    sink = str(tmp_path / "sink")
+    w = DirectNexusWriter(
+        _runs(spark), sink, list(range(N_DIG)), frame_ttl_ms=500,
+        clock=lambda: clock[0],
+    )
+    w(_batch(spark, [_msg(d, 0, 2) for d in range(N_DIG - 1)]), 0)
+    assert not os.path.isdir(os.path.join(sink, "run_name=run_a"))
+    assert w.expire_pending() == []  # TTL not reached: tick is a no-op
+    clock[0] += 0.6
+    assert w.expire_pending() == [0]  # the tick itself dispatches
+    out = spark.read.parquet(sink).collect()
+    assert len(out) == 2 * (N_DIG - 1)
+    assert all(not r.frame_complete and r.frame_number == 0 for r in out)
+    # straggler after the tick: rejected by the tick's tombstone
+    w(_batch(spark, [_msg(N_DIG - 1, 0, 2)]), 1)
+    assert spark.read.parquet(sink).count() == 2 * (N_DIG - 1)
+    # frame sequencing continues past the tick's dispatch
+    w(_batch(spark, [_msg(d, 1, 3) for d in range(N_DIG)]), 2)
+    f1 = spark.read.parquet(sink).filter("frame_number = 1").collect()
+    assert {r.frame_seq for r in f1} == {1}
+
+
+def test_silent_stream_zero_event_frame_tick(spark, tmp_path):
+    """A pending all-empty frame expires via the tick into exactly ONE
+    null-event row (the batch builder's explode_outer rule)."""
+    clock = [1000.0]
+    sink = str(tmp_path / "sink")
+    w = DirectNexusWriter(
+        _runs(spark), sink, list(range(N_DIG)), frame_ttl_ms=500,
+        clock=lambda: clock[0],
+    )
+    w(_batch(spark, [_msg(d, 0, 0) for d in range(N_DIG - 2)]), 0)
+    clock[0] += 0.6
+    assert w.expire_pending() == [0]
+    out = spark.read.parquet(sink).collect()
+    assert len(out) == 1 and out[0].event_id is None
+    assert not out[0].frame_complete and out[0].event_index == 0
+
+
+def test_silent_stream_live_timer_dispatches_within_ttl(spark, tmp_path):
+    """The pinned silent-tape test: one incomplete frame arrives, the
+    source goes silent, and the sink still receives the frame within
+    TTL + trigger + ticker cadence — no second batch ever runs."""
+    import os
+    import time as _time
+
+    spool = str(tmp_path / "spool")
+    _batch(spark, [_msg(d, 0, 2) for d in range(N_DIG - 1)]).coalesce(
+        1
+    ).write.parquet(spool)
+    stream = spark.readStream.schema(DIGITISER_MESSAGE_SCHEMA).parquet(spool)
+    sink = str(tmp_path / "sink")
+    q = write_nexus_direct(
+        stream, _runs(spark), sink, str(tmp_path / "ckpt"),
+        list(range(N_DIG)), frame_ttl_ms=400,
+        trigger={"processingTime": "200 milliseconds"},
+    )
+    try:
+        deadline = _time.time() + 30
+        rows = []
+        while _time.time() < deadline:
+            if os.path.isdir(os.path.join(sink, "run_name=run_a")):
+                try:
+                    rows = spark.read.parquet(sink).collect()
+                except Exception:
+                    rows = []  # partition dir exists, part files mid-commit
+                if rows:
+                    break
+            _time.sleep(0.1)
+        assert len(rows) == 2 * (N_DIG - 1)
+        assert all(not r.frame_complete for r in rows)
+        assert q.direct_writer.timer_error is None
+    finally:
+        q.direct_writer.stop_expiry_timer()
+        q.stop()
+
+
+def test_tick_crash_after_append_recovers_exactly_once(spark, tmp_path):
+    """Crash in the window between the tick's sink append and its state
+    save: the tick intent (expired keys + pre-totals) lets a fresh
+    writer FINISH the tick — no duplicate append, tombstone armed,
+    frame_seq continues."""
+
+    class CrashySave(DirectNexusWriter):
+        crash = False
+
+        def _save_state(self):
+            if self.crash:
+                raise RuntimeError("simulated crash before state save")
+            super()._save_state()
+
+    import pytest
+
+    clock = [1000.0]
+    sink = str(tmp_path / "sink")
+    runs = _runs(spark)
+    w = CrashySave(
+        runs, sink, list(range(N_DIG)), frame_ttl_ms=500,
+        clock=lambda: clock[0],
+    )
+    w(_batch(spark, [_msg(d, 0, 2) for d in range(N_DIG - 1)]), 0)
+    clock[0] += 0.6
+    w.crash = True
+    with pytest.raises(RuntimeError):
+        w.expire_pending()
+    # the append landed; state.json is stale (frame 0 still pending)
+    assert spark.read.parquet(sink).count() == 2 * (N_DIG - 1)
+
+    w2 = DirectNexusWriter(
+        runs, sink, list(range(N_DIG)), frame_ttl_ms=500,
+        clock=lambda: clock[0],
+    )
+    # straggler for frame 0 plus a complete frame 1
+    w2(
+        _batch(
+            spark,
+            [_msg(N_DIG - 1, 0, 2)] + [_msg(d, 1, 3) for d in range(N_DIG)],
+        ),
+        1,
+    )
+    out = spark.read.parquet(sink)
+    assert out.filter("frame_number = 0").count() == 2 * (N_DIG - 1)  # no dup
+    f1 = out.filter("frame_number = 1").collect()
+    assert len(f1) == 3 * N_DIG and {r.frame_seq for r in f1} == {1}
+    assert {r.event_index for r in f1} == {2 * (N_DIG - 1)}
+
+
+def test_tick_crash_before_append_redispatches(spark, tmp_path):
+    """Crash between the tick's intent write and the sink append: the
+    intent's pre-totals equal the sink's actuals, so recovery keeps the
+    frame pending and a later tick dispatches it exactly once."""
+
+    class CrashyWrite(DirectNexusWriter):
+        crash = False
+
+        def _write(self, *a, **kw):
+            if self.crash:
+                raise RuntimeError("simulated crash before sink append")
+            super()._write(*a, **kw)
+
+    import os
+
+    import pytest
+
+    clock = [1000.0]
+    sink = str(tmp_path / "sink")
+    runs = _runs(spark)
+    w = CrashyWrite(
+        runs, sink, list(range(N_DIG)), frame_ttl_ms=500,
+        clock=lambda: clock[0],
+    )
+    w(_batch(spark, [_msg(d, 0, 2) for d in range(N_DIG - 1)]), 0)
+    clock[0] += 0.6
+    w.crash = True
+    with pytest.raises(RuntimeError):
+        w.expire_pending()
+    assert os.path.isfile(os.path.join(sink, "_assembler_state", "intent.json"))
+    assert not os.path.isdir(os.path.join(sink, "run_name=run_a"))
+
+    w2 = DirectNexusWriter(
+        runs, sink, list(range(N_DIG)), frame_ttl_ms=500,
+        clock=lambda: clock[0],
+    )
+    w2._spark = spark
+    w2._load_state(spark)
+    assert w2.expire_pending() == [0]
+    out = spark.read.parquet(sink).collect()
+    assert len(out) == 2 * (N_DIG - 1)
+    assert all(not r.frame_complete and r.frame_number == 0 for r in out)
