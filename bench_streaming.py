@@ -200,6 +200,9 @@ def _start_query(
         writer = NexusStreamWriter(
             _runs_df(spark, n_frames), sink,
             on_commit=lambda frames: on_frames(frames, time.perf_counter()),
+            # tools/ab_fsm_intent.py toggles this to attribute the
+            # write-ahead intent's cost; production default is on
+            write_intent=os.environ.get("SPARK_GRAFT_FSM_INTENT", "1") == "1",
         )
         writer.phase_log = phase_log
         to_sink = assemble(messages, list(range(n_digitisers)), frame_ttl_ms=500)
@@ -442,6 +445,30 @@ def _run_shape(
     }
 
 
+def _median_paced(runs: list[dict]) -> dict:
+    """Median-of-N paced summary (VERDICT r9 #7): the 32x500 shape's
+    single-soak numbers chased a ±20% VM-noise band round-over-round;
+    the shape now reports the per-key MEDIAN across repeats plus the
+    min/max band, and keep-up as the majority vote."""
+    out = dict(runs[-1])
+    for k in (
+        "latency_slope_s_per_s", "whole_window_fps", "latency_p50_s",
+        "latency_p95_s", "latency_first_half_p50_s",
+        "latency_second_half_p50_s", "steady_p50_s", "steady_p95_s",
+    ):
+        vals = sorted(r[k] for r in runs if r.get(k) is not None)
+        out[k] = vals[len(vals) // 2] if vals else None
+    out["keeps_up_at_50fps"] = (
+        sum(1 for r in runs if r["keeps_up_at_50fps"]) * 2 > len(runs)
+    )
+    for k in ("steady_p50_s", "steady_p95_s"):
+        vals = [r[k] for r in runs if r.get(k) is not None]
+        if vals:
+            out[k[:-2] + "_band_s"] = [round(min(vals), 4), round(max(vals), 4)]
+    out["n_runs"] = len(runs)
+    return out
+
+
 def run(spark: SparkSession, workdir: str | None = None) -> dict:
     base = workdir or tempfile.mkdtemp(prefix="supermusr_stream_bench_")
     prior = {k: spark.conf.get(k, None) for k in _STREAM_CONF}
@@ -450,21 +477,36 @@ def run(spark: SparkSession, workdir: str | None = None) -> dict:
     try:
         shapes = {}
         for si, (n_digitisers, n_frames) in enumerate(SHAPES):
-            if si > 0:
-                # isolate shapes: drop cache bookkeeping, force a GC, and
-                # give the state-store maintenance / source cleaners a
-                # moment to release the previous soak's resources
-                spark.catalog.clearCache()
-                spark.sparkContext._jvm.System.gc()
-                time.sleep(5)
             label = f"{n_digitisers}x{EVENTS_PER_MESSAGE}"
-            # production door since round 9: the fused direct sink
-            # (streaming/nexus_direct.py) — adopted on a same-session A/B
-            # vs the FSM door (tools/AB_DIRECT_SINK_RESULT.json: steady
-            # p50 2.0 s vs 4.6-8.1 s, p95 2.7 s vs 5.9-11.7 s, both shapes)
-            shapes[label] = _run_shape(
-                spark, base, n_digitisers, n_frames, fsm="direct"
+            # the full 32x500 shape soaks THREE times (median + band);
+            # the 8x500 shape's single soak has been stable for rounds
+            reps = (
+                max(1, int(os.environ.get("SPARK_GRAFT_STREAM_REPS_32", "3")))
+                if n_digitisers == 32 else 1
             )
+            paced_runs = []
+            res = None
+            for rep in range(reps):
+                if si > 0 or rep > 0:
+                    # isolate soaks: drop cache bookkeeping, force a GC,
+                    # and give the state-store maintenance / source
+                    # cleaners a moment to release resources
+                    spark.catalog.clearCache()
+                    spark.sparkContext._jvm.System.gc()
+                    time.sleep(5)
+                # production door since round 9: the fused direct sink
+                # (streaming/nexus_direct.py) — adopted on a same-session
+                # A/B vs the FSM topology (AB_DIRECT_SINK_RESULT.json)
+                res = _run_shape(
+                    spark, base, n_digitisers, n_frames, fsm="direct",
+                    paced_only=(rep < reps - 1),
+                    label_suffix=f"_rep{rep}" if reps > 1 else "",
+                )
+                paced_runs.append(res["paced"])
+            shapes[label] = res
+            if reps > 1:
+                shapes[label]["paced"] = _median_paced(paced_runs)
+                shapes[label]["paced_runs"] = paced_runs
             shapes[label]["door"] = "direct"
         # continuity soak: the round-7/8 FSM door at the full shape, kept
         # short — so round-over-round envelope numbers stay comparable
@@ -473,7 +515,11 @@ def run(spark: SparkSession, workdir: str | None = None) -> dict:
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
         time.sleep(5)
-        n_fsm = int(os.environ.get("SPARK_GRAFT_STREAM_FRAMES_FSM", "1000"))
+        # 2000 frames (40 s, ~25 batches): the round-9 1000-frame soak was
+        # under-warmed (11 batches) and read a false keep-up regression —
+        # the r10 interleaved A/B (tools/AB_FSM_INTENT_RESULT.json) shows
+        # the door keeps up at this shape once soaks pass ~20 batches
+        n_fsm = int(os.environ.get("SPARK_GRAFT_STREAM_FRAMES_FSM", "2000"))
         fsm_label = f"{SHAPES[1][0]}x{EVENTS_PER_MESSAGE}_fsm"
         shapes[fsm_label] = _run_shape(
             spark, base, SHAPES[1][0], n_fsm, fsm="apply",
@@ -541,7 +587,20 @@ def run(spark: SparkSession, workdir: str | None = None) -> dict:
                 "decode at 32x500, tools/AB_KAFKA_STREAM_RESULT*."
                 "json).  The 32x500_fsm continuity soak keeps the "
                 "stateful door measured; the file tape stays so "
-                "round-over-round numbers remain comparable."
+                "round-over-round numbers remain comparable.  Round-10 "
+                "attribution of the r9 FSM keep-up regression "
+                "(tools/AB_FSM_INTENT_RESULT.json, interleaved "
+                "on/off/on/off at 32x500, 1500 frames/round): the "
+                "write-ahead intent costs NOTHING once warmed (warmed "
+                "rounds steady p50 3.344 s intent-on vs 3.362 s "
+                "intent-off; all four rounds keep up, slopes "
+                "0.003-0.019 < 0.02) — the r9 red reading came from "
+                "the under-warmed 1000-frame soak (11 batches) plus "
+                "VM variance, so the intent stays and the continuity "
+                "soak now runs 2000 frames.  The 32x500 direct-door "
+                "shape reports median-of-3 with a min/max band "
+                "(paced_runs) so round comparisons stop chasing the "
+                "±20% single-soak noise."
             ),
         },
     }

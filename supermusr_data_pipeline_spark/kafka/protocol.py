@@ -279,6 +279,157 @@ def decode_message_set(buf: bytes, *, verify_crc: bool = True) -> list[Record]:
     return out
 
 
+def _binary_column(u8, starts, lens):
+    """Build one Arrow binary array by direct buffer assembly: int32
+    offsets via cumsum + one numpy slice-copy per element (C memcpy) —
+    no per-element Python bytes objects.  ``lens`` uses -1 for null."""
+    import numpy as np
+    import pyarrow as pa
+
+    n = len(starts)
+    clipped = np.maximum(lens, 0)
+    offs = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(clipped, out=offs[1:])
+    total = int(offs[-1])
+    if n and total < n * 256:
+        # many small elements: one fully-vectorized gather (output
+        # position p of element i reads source starts[i] - offs[i] + p)
+        src = np.repeat(
+            starts.astype(np.int64) - offs[:-1], clipped
+        ) + np.arange(total, dtype=np.int64)
+        values = u8[src]
+    else:
+        # few large elements: one C memcpy per element
+        values = np.empty(total, dtype=np.uint8)
+        s_l, o_l, c_l = starts.tolist(), offs.tolist(), clipped.tolist()
+        for i in range(n):
+            ln = c_l[i]
+            if ln:
+                lo, s = o_l[i], s_l[i]
+                values[lo : lo + ln] = u8[s : s + ln]
+    if (lens < 0).any():
+        validity = pa.py_buffer(
+            np.packbits(lens >= 0, bitorder="little").tobytes()
+        )
+        nulls = int((lens < 0).sum())
+    else:
+        validity = None
+        nulls = 0
+    return pa.Array.from_buffers(
+        pa.binary(), n,
+        [validity, pa.py_buffer(offs), pa.py_buffer(values)],
+        null_count=nulls,
+    )
+
+
+def _gather_be(u8, starts, width, dtype):
+    """Vectorized big-endian field gather: one (n, width) fancy-index
+    over the raw buffer, reinterpreted as the big-endian dtype."""
+    import numpy as np
+
+    idx = starts[:, None] + np.arange(width)
+    return u8[idx].copy().view(dtype).ravel()
+
+
+def decode_message_set_columns(buf: bytes, *, verify_crc: bool = True):
+    """Vectorized v1 message-set parse for the Spark source's fetch path:
+    returns ``(offsets, timestamps_ms, keys, values)`` with the integer
+    columns as numpy int64 arrays and key/value as Arrow binary arrays
+    assembled straight from the fetched byte range — the only per-record
+    Python is a size-walk (2 struct reads each) and, when ``verify_crc``,
+    one C-level crc32 call.  Row-identical to ``decode_message_set``
+    (same truncation, CRC, and gzip-unwrap semantics; gzip wrappers
+    decompress then vector-parse their inner set with offset rebase)."""
+    import numpy as np
+    import pyarrow as pa
+
+    # size-walk: find entry starts (variable-length records — the only
+    # sequential dependency in the format)
+    starts: list[int] = []
+    pos, L = 0, len(buf)
+    while L - pos >= 12:
+        (size,) = struct.unpack_from(">i", buf, pos + 8)
+        if L - pos - 12 < size:
+            break  # partial trailing message — protocol-legal truncation
+        starts.append(pos)
+        pos += 12 + size
+    empty = (
+        np.empty(0, np.int64), np.empty(0, np.int64),
+        pa.array([], pa.binary()), pa.array([], pa.binary()),
+    )
+    if not starts:
+        return empty
+    st = np.asarray(starts, dtype=np.int64)
+    u8 = np.frombuffer(buf, dtype=np.uint8)
+
+    # fixed-offset header fields, gathered batch-wise
+    offsets = _gather_be(u8, st, 8, ">i8").astype(np.int64)
+    sizes = _gather_be(u8, st + 8, 4, ">i4").astype(np.int64)
+    magic = u8[st + 16]
+    attrs = u8[st + 17]
+    if (magic != 1).any():
+        raise ValueError(
+            f"unsupported magic {int(magic[(magic != 1).argmax()])}"
+        )
+    if verify_crc:
+        # plain-int zip + one C crc32 call per record (numpy-scalar
+        # iteration costs ~3x more than the checksum itself here)
+        crcs = _gather_be(u8, st + 12, 4, ">u4").tolist()
+        mv = memoryview(buf)
+        crc32 = zlib.crc32
+        for s, e, c in zip(
+            (st + 16).tolist(), (st + 12 + sizes).tolist(), crcs
+        ):
+            if crc32(mv[s:e]) != c:
+                raise ValueError("CRC mismatch")
+
+    codecs = attrs & _COMPRESSION_MASK
+    if codecs.any():
+        # wrappers present: unwrap each entry scalar-side (decompress is
+        # the cost, not the parse), vector-parse inner sets, concatenate
+        if ((codecs != _CODEC_NONE) & (codecs != _CODEC_GZIP)).any():
+            bad = codecs[(codecs != _CODEC_NONE) & (codecs != _CODEC_GZIP)][0]
+            raise ValueError(f"unsupported compression codec {int(bad)}")
+        chunks = []
+        for i in range(len(st)):
+            s, e = int(st[i]) + 12, int(st[i]) + 12 + int(sizes[i])
+            if codecs[i] == _CODEC_NONE:
+                chunks.append(
+                    decode_message_set_columns(
+                        buf[int(st[i]) : e], verify_crc=False
+                    )
+                )
+            else:
+                msg = Cursor(buf[s:e])
+                msg._take(4)  # crc (verified above)
+                msg.i8(), msg.i8()  # magic, attributes
+                msg.i64()  # wrapper timestamp
+                msg.bytes_()  # wrapper key (null)
+                inner = decode_message_set_columns(
+                    gzip.decompress(msg.bytes_() or b""), verify_crc=verify_crc
+                )
+                base = offsets[i] - (inner[0][-1] if len(inner[0]) else 0)
+                chunks.append((inner[0] + base, *inner[1:]))
+        return (
+            np.concatenate([c[0] for c in chunks]),
+            np.concatenate([c[1] for c in chunks]),
+            pa.concat_arrays([c[2] for c in chunks]),
+            pa.concat_arrays([c[3] for c in chunks]),
+        )
+
+    timestamps = _gather_be(u8, st + 18, 8, ">i8").astype(np.int64)
+    key_len = _gather_be(u8, st + 26, 4, ">i4").astype(np.int64)
+    key_start = st + 30
+    val_len_pos = key_start + np.maximum(key_len, 0)
+    val_len = _gather_be(u8, val_len_pos, 4, ">i4").astype(np.int64)
+    val_start = val_len_pos + 4
+    if ((val_start + np.maximum(val_len, 0)) != (st + 12 + sizes)).any():
+        raise ValueError("message size does not match key/value lengths")
+    keys = _binary_column(u8, key_start, key_len)
+    values = _binary_column(u8, val_start, val_len)
+    return offsets, timestamps, keys, values
+
+
 # ---------------------------------------------------------------------------
 # request/response framing
 # ---------------------------------------------------------------------------

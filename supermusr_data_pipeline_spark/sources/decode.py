@@ -292,27 +292,110 @@ def decode_dev2(df: DataFrame) -> DataFrame:
 def decode_dev2_messages(df: DataFrame) -> DataFrame:
     """dev2 payloads → one row per MESSAGE with SoA arrays — exactly the
     DIGITISER_MESSAGE_SCHEMA shape streaming frame assembly consumes, so a
-    Kafka-envelope stream plugs straight into assemble_frames_stream."""
+    Kafka-envelope stream plugs straight into assemble_frames_stream.
+
+    Arrow-native (``mapInArrow``): per batch, the event vectors of all
+    messages concatenate into ONE values buffer per column and the list
+    columns are built with ``pa.ListArray.from_arrays`` — no per-event
+    Python objects anywhere.  The previous pandas build boxed every
+    event through ``.tolist()`` (~3 PyObjects/event), which dominated
+    the kafka-wire front door's decode cost at the 32x500 shape
+    (VERDICT r9 #3).  Timestamps are emitted as timestamp[us, UTC]
+    (sessions here pin spark.sql.session.timeZone=UTC)."""
     from ..streaming.frame_assembly_stream import DIGITISER_MESSAGE_SCHEMA
 
-    def rows(d: dict) -> list[dict]:
-        return [
-            {
-                "digitizer_id": d["digitizer_id"],
-                **_md_cols(d["metadata"]),
-                "channel": np.asarray(d["channel"], dtype="int64").tolist()
-                if d["channel"] is not None
-                else [],
-                "event_time": np.asarray(d["time"], dtype="int64").tolist()
-                if d["time"] is not None
-                else [],
-                "event_voltage": np.asarray(d["voltage"], dtype="float64").tolist()
-                if d["voltage"] is not None
-                else [],
-            }
-        ]
+    import pyarrow as pa
 
-    return _map_decoded(df, "dev2", DIGITISER_MESSAGE_SCHEMA, rows)
+    out_schema = pa.schema(
+        [
+            ("digitizer_id", pa.int32()),
+            ("ts", pa.timestamp("us", tz="UTC")),
+            ("period_number", pa.int64()),
+            ("protons_per_pulse", pa.int32()),
+            ("running", pa.bool_()),
+            ("frame_number", pa.int64()),
+            ("veto_flags", pa.int32()),
+            ("channel", pa.list_(pa.int32())),
+            ("event_time", pa.list_(pa.int64())),
+            ("event_voltage", pa.list_(pa.float64())),
+        ]
+    )
+
+    def _list_col(vecs: list, np_type, pa_value_type):
+        lens = np.fromiter((len(v) for v in vecs), np.int32, len(vecs))
+        offs = np.zeros(len(vecs) + 1, dtype=np.int32)
+        np.cumsum(lens, out=offs[1:])
+        values = (
+            np.concatenate([np.asarray(v, dtype=np_type) for v in vecs])
+            if int(offs[-1])
+            else np.empty(0, dtype=np_type)
+        )
+        return pa.ListArray.from_arrays(
+            pa.array(offs), pa.array(values, type=pa_value_type)
+        )
+
+    def proc(batches):
+        decoder = M.DECODERS["dev2"]
+        for rb in batches:
+            dec = []
+            for v in rb.column(0):
+                try:
+                    dec.append(decoder(v.as_py()))
+                except Exception:
+                    continue  # malformed: warn-and-skip channel (P8)
+            n = len(dec)
+            if n == 0:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array([], type=f.type) for f in out_schema],
+                    schema=out_schema,
+                )
+                continue
+            md = [d["metadata"] for d in dec]
+            ts_us = np.fromiter(
+                (m["ts_ns"] // 1000 for m in md), np.int64, n
+            )
+            arrays = [
+                pa.array(
+                    np.fromiter(
+                        (d["digitizer_id"] for d in dec), np.int32, n
+                    )
+                ),
+                pa.array(ts_us).view(pa.timestamp("us", tz="UTC")),
+                pa.array(
+                    np.fromiter((m["period_number"] for m in md), np.int64, n)
+                ),
+                pa.array(
+                    np.fromiter(
+                        (m["protons_per_pulse"] for m in md), np.int32, n
+                    )
+                ),
+                pa.array(
+                    np.fromiter((bool(m["running"]) for m in md), bool, n)
+                ),
+                pa.array(
+                    np.fromiter((m["frame_number"] for m in md), np.int64, n)
+                ),
+                pa.array(
+                    np.fromiter((m["veto_flags"] for m in md), np.int32, n)
+                ),
+                _list_col(
+                    [d["channel"] if d["channel"] is not None else () for d in dec],
+                    np.int32, pa.int32(),
+                ),
+                _list_col(
+                    [d["time"] if d["time"] is not None else () for d in dec],
+                    np.int64, pa.int64(),
+                ),
+                _list_col(
+                    [d["voltage"] if d["voltage"] is not None else () for d in dec],
+                    np.float64, pa.float64(),
+                ),
+            ]
+            yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
+
+    return dispatch(df, "dev2").select("value").mapInArrow(
+        proc, DIGITISER_MESSAGE_SCHEMA
+    )
 
 
 def decode_aev2(df: DataFrame) -> DataFrame:

@@ -189,9 +189,19 @@ class NexusStreamWriter:
     replay short-circuits (the nexus_direct.py protocol, sidecar
     ``_writer_state``)."""
 
-    def __init__(self, runs: DataFrame, path: str, on_commit=None):
+    def __init__(
+        self, runs: DataFrame, path: str, on_commit=None,
+        write_intent: bool = True,
+    ):
         self.runs = runs
         self.path = path
+        # write_intent=False drops the per-batch write-ahead intent and
+        # with it the exactly-once-under-replay guarantee (the door
+        # reverts to documented at-least-once with compact_nexus_run as
+        # the dedupe backstop).  Exists for the same-session A/B that
+        # attributes the intent's latency cost (tools/ab_fsm_intent.py);
+        # production keeps the default.
+        self.write_intent = write_intent
         # optional observer: called with the sorted frame_numbers committed
         # by each batch, AFTER the sink write — rides the slim dimension
         # rows the batch collects anyway, so observation adds no Spark
@@ -363,19 +373,24 @@ class NexusStreamWriter:
                 # rare transition batch.
                 # write-ahead intent: (bid, pre-batch totals) before the
                 # append, removed after totals update — see class docstring
-                import json
+                if self.write_intent:
+                    import json
 
-                os.makedirs(os.path.dirname(self._intent_file()), exist_ok=True)
-                itmp = self._intent_file() + ".tmp"
-                with open(itmp, "w") as fh:
-                    json.dump(
-                        {
-                            "bid": batch_id,
-                            "totals": {k: list(v) for k, v in totals.items()},
-                        },
-                        fh,
+                    os.makedirs(
+                        os.path.dirname(self._intent_file()), exist_ok=True
                     )
-                os.replace(itmp, self._intent_file())
+                    itmp = self._intent_file() + ".tmp"
+                    with open(itmp, "w") as fh:
+                        json.dump(
+                            {
+                                "bid": batch_id,
+                                "totals": {
+                                    k: list(v) for k, v in totals.items()
+                                },
+                            },
+                            fh,
+                        )
+                    os.replace(itmp, self._intent_file())
                 if len(per_run) == 1:
                     (run_name,) = per_run
                     dim_local = spark.createDataFrame(dim_vals, _DIM_SCHEMA)

@@ -246,3 +246,52 @@ def test_unsupported_version_rejected_in_band():
         err, _apis = P.decode_api_versions_response(cur)
         conn.close()
     assert err == P.ERR_UNSUPPORTED_VERSION
+
+
+def test_column_decoder_matches_record_decoder():
+    """decode_message_set_columns (the Spark source's batched fetch
+    parse) is row-identical to decode_message_set across compression,
+    null keys/values, offset bases, concatenated sets, and trailing
+    truncation — and rejects the same corruptions."""
+    import os
+    import random
+
+    random.seed(20260815)
+    for _ in range(80):
+        n = random.randrange(0, 25)
+        recs = [
+            (
+                random.randrange(0, 2**40),
+                None if random.random() < 0.3
+                else os.urandom(random.randrange(0, 12)),
+                None if random.random() < 0.05
+                else os.urandom(random.randrange(0, 300)),
+            )
+            for _ in range(n)
+        ]
+        buf = P.encode_message_set(
+            recs,
+            base_offset=random.randrange(1000),
+            compression=random.choice(["none", "gzip"]),
+        )
+        if random.random() < 0.4 and n:
+            extra = [(7, b"k", os.urandom(50))]
+            buf += P.encode_message_set(
+                extra, base_offset=9000,
+                compression=random.choice(["none", "gzip"]),
+            )
+        if random.random() < 0.3 and len(buf) > 13:
+            buf = buf[: random.randrange(1, len(buf))]
+        ref = P.decode_message_set(buf)
+        offs, tss, keys, vals = P.decode_message_set_columns(buf)
+        assert list(offs) == [r.offset for r in ref]
+        assert list(tss) == [r.timestamp for r in ref]
+        assert keys.to_pylist() == [r.key for r in ref]
+        assert vals.to_pylist() == [r.value for r in ref]
+
+    # CRC corruption raises identically
+    corrupt = bytearray(P.encode_message_set([(123, b"k", b"hello")]))
+    corrupt[20] ^= 0xFF
+    for fn in (P.decode_message_set, P.decode_message_set_columns):
+        with pytest.raises(ValueError, match="CRC"):
+            fn(bytes(corrupt))

@@ -60,7 +60,7 @@ def _encode_tape(n_total: int, n_dig: int) -> list[list[bytes]]:
     return tape
 
 
-def _run_kafka(spark, base: str, n_frames: int, n_dig: int) -> dict:
+def _run_kafka(spark, base: str, n_frames: int, n_dig: int, tag: str = "") -> dict:
     from supermusr_data_pipeline_spark.kafka import MiniBroker, MiniProducer
     from supermusr_data_pipeline_spark.kafka.spark_source import KafkaWireDataSource
     from supermusr_data_pipeline_spark.sources.decode import decode_dev2_messages
@@ -97,12 +97,12 @@ def _run_kafka(spark, base: str, n_frames: int, n_dig: int) -> dict:
             decode_dev2_messages(wire), list(range(n_dig)), frame_ttl_ms=500
         )
         writer = NexusStreamWriter(
-            BS._runs_df(spark, n_total), os.path.join(base, "sink_kafka"),
+            BS._runs_df(spark, n_total), os.path.join(base, f"sink_kafka{tag}"),
             on_commit=on_commit,
         )
         q = (
             frames_stream.writeStream.foreachBatch(writer)
-            .option("checkpointLocation", os.path.join(base, "ckpt_kafka"))
+            .option("checkpointLocation", os.path.join(base, f"ckpt_kafka{tag}"))
             .trigger(processingTime="0 seconds")
             .start()
         )
@@ -184,27 +184,60 @@ def main() -> None:
         spark.conf.set(k, v)
 
     base = tempfile.mkdtemp(prefix="ab_kafka_stream_")
-    # file front door first (the incumbent), kafka second — both on the
-    # warmed session; the file soak itself warms the FSM/sink JIT the
-    # kafka run then also benefits from, biasing AGAINST the incumbent
-    # by at most the warm-in the file run pays alone, which its own
-    # slope/steady split already excludes
+    # INTERLEAVED arms (file, kafka, file, kafka) with cache/GC hygiene
+    # between soaks, so slow VM phases and session heap debt hit both
+    # doors equally — the r10 fix for the ordering bias the original
+    # file-then-kafka layout carried (the second arm inherited the first
+    # soak's churn).  Per-arm numbers are pooled medians of the rounds.
     n_dig = args.digitisers
-    file_res = BS._run_shape(spark, base, n_dig, args.frames, paced_only=True)
-    kafka_res = _run_kafka(spark, base, args.frames, n_dig)
+    half = max(200, args.frames // 2)
+    keys = (
+        "frames_done", "keeps_up_at_50fps", "latency_slope_s_per_s",
+        "latency_p50_s", "latency_p95_s", "steady_p50_s", "steady_p95_s",
+    )
+
+    def _hygiene():
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(5)
+
+    rounds = []
+    file_cycle = None
+    for rnd in range(2):
+        f = BS._run_shape(
+            spark, base, n_dig, half, paced_only=True,
+            label_suffix=f"_ab{rnd}",
+        )
+        file_cycle = f.get("cycle_decomposition") or file_cycle
+        rounds.append(("file", {k: f["paced"][k] for k in keys}))
+        _hygiene()
+        k = _run_kafka(spark, base, half, n_dig, tag=f"_ab{rnd}")
+        rounds.append(("kafka", k))
+        if rnd == 0:
+            _hygiene()
+
+    def pooled(arm: str) -> dict:
+        arm_rounds = [r for a, r in rounds if a == arm]
+        out = {}
+        for key in keys:
+            vals = sorted(
+                r[key] for r in arm_rounds if r.get(key) is not None
+            )
+            out[key] = vals[len(vals) // 2] if vals else None
+        out["keeps_up_at_50fps"] = all(
+            r["keeps_up_at_50fps"] for r in arm_rounds
+        )
+        out["rounds"] = arm_rounds
+        return out
 
     payload = {
         "shape": f"{n_dig}x{BS.EVENTS_PER_MESSAGE}",
         "frames": args.frames,
-        "file_source": {
-            k: file_res["paced"][k]
-            for k in (
-                "frames_done", "keeps_up_at_50fps", "latency_slope_s_per_s",
-                "latency_p50_s", "latency_p95_s", "steady_p50_s", "steady_p95_s",
-            )
-        },
-        "kafka_wire_source": kafka_res,
-        "file_cycle_decomposition": file_res.get("cycle_decomposition"),
+        "frames_per_round": half,
+        "interleaved_rounds": 2,
+        "file_source": pooled("file"),
+        "kafka_wire_source": pooled("kafka"),
+        "file_cycle_decomposition": file_cycle,
     }
     out_name = ("AB_KAFKA_STREAM_RESULT.json" if n_dig == 8
                 else f"AB_KAFKA_STREAM_RESULT_{n_dig}dig.json")
