@@ -11,9 +11,18 @@ directory (folding per-batch ``bid`` segments into the reserved base
 segment) and publish it atomically.  The front doors' crash-retry
 idempotency lives in the segment layout itself (dynamic partition
 overwrite of ``bid=<batch_id>``), so compaction has no sidecar marker
-state to preserve — but it DOES retire old segment ids, which is why it
-must run against a paused stream with no pre-compaction batch retry in
-flight.
+state to preserve.  Segment retirement is TWO-PHASE (VERDICT r9 #5):
+the pointer flip only RECORDS the stranded names in a ``_RETIRED``
+marker (phase 1 — tombstone); the files are deleted by ``gc_retired``
+on a LATER call (phase 2 — the in-stream hook runs it at the top of
+the next batch's ``maybe_compact``, by which point the engine has
+committed the previous batch, so no batch retry or in-flight probe can
+still be reading the old version).  With ``protect_bid`` covering the
+own-segment replay exclusion and the deferred GC covering mid-read
+retirement, ``maybe_compact`` is safe to run concurrently with an
+in-flight batch retry — no paused stream required.  Only the
+STANDALONE compactors called without ``protect_bid`` retain the
+paused-stream precondition (they fold the newest segment too).
 
 Publish protocol (object-storage-safe; VERDICT r7 #2): each artifact
 directory ``D`` holds hidden version subdirectories ``D/.v<N>`` and a
@@ -75,6 +84,7 @@ from pyspark.sql import functions as F
 
 _POINTER = "_CURRENT"
 _MANIFEST = "_COMPACT_MANIFEST"
+_RETIRED = "_RETIRED"
 
 
 # ---------------------------------------------------------------------------
@@ -126,7 +136,7 @@ def _gc_stale(path: str, keep: set[str]) -> None:
     except OSError:
         return
     for name in entries:
-        if name in keep or name == _POINTER:
+        if name in keep or name in (_POINTER, _RETIRED):
             continue
         full = os.path.join(path, name)
         if os.path.isdir(full):
@@ -136,6 +146,42 @@ def _gc_stale(path: str, keep: set[str]) -> None:
                 os.remove(full)
             except OSError:
                 pass
+
+
+def gc_retired(path: str) -> int:
+    """Phase 2 of the two-phase retire: delete the names the last
+    pointer flip recorded in ``_RETIRED``.  Safe whenever at least one
+    batch boundary has passed since that flip — the single maintainer
+    calls this at the top of the NEXT batch's ``maybe_compact``, by
+    which point the engine has committed the flip's batch, so no batch
+    retry or in-flight probe can still hold the old version.  Returns
+    the number of entries collected (0 when no marker)."""
+    marker = os.path.join(path, _RETIRED)
+    try:
+        with open(marker) as f:
+            names = json.load(f)
+    except OSError:
+        return 0
+    cur = _read_pointer(path)
+    removed = 0
+    for name in names:
+        if name == cur or name in (_POINTER, _RETIRED):
+            continue
+        full = os.path.join(path, name)
+        if os.path.isdir(full):
+            shutil.rmtree(full, ignore_errors=True)
+            removed += 1
+        elif os.path.exists(full):
+            try:
+                os.remove(full)
+                removed += 1
+            except OSError:
+                pass
+    try:
+        os.remove(marker)
+    except OSError:
+        pass
+    return removed
 
 
 def _count_files(d: str) -> int:
@@ -152,20 +198,40 @@ def _count_files(d: str) -> int:
 
 def _publish_compacted(path: str, write_fn, _fail_at: str | None = None) -> dict:
     """Shared skeleton: write the compacted copy to the next hidden
-    version dir, flip the pointer, GC.  ``write_fn(version_dir)`` does
-    the Spark write (mode overwrite — a crashed attempt's half-written
-    version dir is simply rewritten).  ``_fail_at`` is a test-only crash
-    injection point ('after_write' | 'after_flip')."""
+    version dir, flip the pointer, RECORD the stranded names in the
+    ``_RETIRED`` marker (phase 1 of the two-phase retire — actual
+    deletion is ``gc_retired``, run on a later call).  ``write_fn
+    (version_dir)`` does the Spark write (mode overwrite — a crashed
+    attempt's half-written version dir is simply rewritten).
+    ``_fail_at`` is a test-only crash injection point
+    ('after_write' | 'after_flip').
+
+    Catch-all at entry: anything stranded by an EARLIER flip whose
+    marker was lost to a crash is at least one publish old — collect it
+    here before writing the new version."""
     before = _count_files(resolve_dir(path))
+    gc_retired(path)
+    cur = _read_pointer(path)
+    if cur:
+        _gc_stale(path, keep={cur})
     vname = _next_version_name(path)
     vdir = os.path.join(path, vname)
     write_fn(vdir)
     if _fail_at == "after_write":
         raise RuntimeError("injected crash: after_write")
+    try:
+        retired = [
+            n for n in os.listdir(path)
+            if n not in (vname, _POINTER, _RETIRED)
+            and not n.endswith(".tmp")
+        ]
+    except OSError:
+        retired = []
     _flip_pointer(path, vname)
     if _fail_at == "after_flip":
         raise RuntimeError("injected crash: after_flip")
-    _gc_stale(path, keep={vname})
+    if retired:
+        _atomic_write_json(os.path.join(path, _RETIRED), retired)
     return {"files_before": before, "files_after": _count_files(resolve_dir(path))}
 
 
@@ -288,6 +354,14 @@ def maybe_compact(
     keeps its own-segment exclusion exact.  Returns the compactor's
     stats, or None when below threshold.
 
+    Pause-free (VERDICT r9 #5): every call first runs phase 2 of the
+    two-phase retire (``gc_retired``) — by the time THIS batch's hook
+    runs, the previous batch (including any flip it performed) is
+    checkpoint-committed, so the previous version's files can no longer
+    be mid-read by a batch retry or probe; the flip this call may
+    perform only tombstones (writes the ``_RETIRED`` marker), deleting
+    nothing until the next call.
+
     The NeXus sink is deliberately not served here: its compaction unit
     is a COMPLETED run, so its natural trigger is the retire lifecycle
     (operators/nexus_sink.retire_completed_runs), not the per-batch
@@ -300,6 +374,8 @@ def maybe_compact(
         subs = [os.path.join(index_path, s) for s in ("postings", "doclen", "stats")]
     else:
         raise ValueError(f"unknown index kind {kind!r}")
+    for s in subs:
+        gc_retired(s)
     worst = max((_max_files_per_dir(resolve_dir(s)) for s in subs), default=0)
     if worst <= max_files_per_dir:
         return None

@@ -49,6 +49,8 @@ def kafka_source_options(
     max_offsets_per_trigger: int | None = 10_000,
     starting_offsets: str = "latest",
     starting_timestamp_ms: int | None = None,
+    username: str | None = None,
+    password: str | None = None,
 ) -> dict[str, str]:
     """Options for ``spark.readStream.format("kafka")`` mirroring the
     reference consumer config (zstd transport, explicit group/topics —
@@ -57,7 +59,17 @@ def kafka_source_options(
     all-partitions time→offset lookup; ``startingOffsetsByTimestamp`` is
     the per-TopicPartition form and has no wildcard partition), replacing
     the reference's manual offset bisect (O3, trace-viewer
-    binary_by_timestamp.rs:20-72) with the source's built-in lookup."""
+    binary_by_timestamp.rs:20-72) with the source's built-in lookup.
+
+    ``username``/``password`` (both or neither, exactly as the reference
+    CLI enforces — common/src/lib.rs:40-49) emit the JVM source's SASL
+    option names for the reference's mechanism (SCRAM-SHA-256 over
+    sasl_plaintext, lib.rs:62-68).  The in-process wire broker serves
+    PLAINTEXT only and REJECTS these options explicitly
+    (kafka/spark_source.py) — they exist for a real cluster."""
+    if (username is None) != (password is None):
+        # the reference requires the pair (common/src/lib.rs:40-49)
+        raise ValueError("username and password must be provided together")
     opts = {
         "kafka.bootstrap.servers": brokers,
         "subscribe": ",".join(topics),
@@ -70,6 +82,13 @@ def kafka_source_options(
         opts["startingOffsets"] = starting_offsets
     if max_offsets_per_trigger is not None:
         opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    if username is not None:
+        opts["kafka.security.protocol"] = "SASL_PLAINTEXT"
+        opts["kafka.sasl.mechanism"] = "SCRAM-SHA-256"
+        opts["kafka.sasl.jaas.config"] = (
+            "org.apache.kafka.common.security.scram.ScramLoginModule "
+            f'required username="{username}" password="{password}";'
+        )
     return opts
 
 

@@ -60,10 +60,16 @@ def test_crash_before_flip_keeps_old_state_then_retry_converges(spark, tmp_path)
     assert im._read_pointer(bands) is None
     assert _probe_decisions(spark, idx) == before
 
-    # retry completes: pointer flipped, decisions identical, garbage gone
+    # retry completes: pointer flipped, decisions identical; the plain
+    # pre-versioning layout is TOMBSTONED (recorded in _RETIRED), not
+    # deleted — phase 2 of the two-phase retire collects it on the next
+    # maintenance call, after the flip's batch has committed
     im._compact_segmented(spark, bands, "band_no")
     assert im._read_pointer(bands) == ".v1"
     assert _probe_decisions(spark, idx) == before
+    assert im._RETIRED in os.listdir(bands)
+    assert any(n.startswith("band_no=") for n in os.listdir(bands))
+    assert im.gc_retired(bands) > 0
     assert set(os.listdir(bands)) == {im._POINTER, ".v1"}
 
 
@@ -75,15 +81,21 @@ def test_crash_after_flip_serves_new_state_and_gc_later(spark, tmp_path):
     with pytest.raises(RuntimeError, match="after_flip"):
         im._compact_segmented(spark, tokens, "tb", _fail_at="after_flip")
     # pointer flipped: readers already resolve the compacted copy; the
-    # stale plain partition dirs are inert garbage awaiting GC
+    # stale plain partition dirs are inert garbage awaiting GC (the
+    # crash lost the _RETIRED marker — the next publish's catch-all
+    # collects them anyway)
     assert im._read_pointer(tokens) == ".v1"
     assert _probe_decisions(spark, idx) == before
     assert any(n.startswith("tb=") for n in os.listdir(tokens))
 
-    # the next maintenance run collects the garbage (and re-compacts)
+    # the next maintenance run collects the stranded garbage, publishes
+    # .v2, and tombstones .v1; phase 2 then collects .v1
     im._compact_segmented(spark, tokens, "tb")
     assert im._read_pointer(tokens) == ".v2"
     assert _probe_decisions(spark, idx) == before
+    assert not any(n.startswith("tb=") for n in os.listdir(tokens))
+    assert ".v1" in os.listdir(tokens)  # tombstoned, one cycle of grace
+    im.gc_retired(tokens)
     assert set(os.listdir(tokens)) == {im._POINTER, ".v2"}
 
 
@@ -95,6 +107,10 @@ def test_repeated_compaction_and_post_compaction_appends(spark, tmp_path):
     before = _probe_decisions(spark, idx)
     im.compact_lsh_index(spark, idx)
     assert _probe_decisions(spark, idx) == before
+
+    # collect the tombstoned plain layout so root listings are clean
+    for sub in ("bands", "tokens"):
+        im.gc_retired(os.path.join(idx, sub))
 
     batch = spark.createDataFrame([_fresh(300)], SCHEMA)
     d = shard_ingest.admit_batch(batch, idx, exclude_bid=9)
