@@ -60,7 +60,8 @@ def _encode_tape(n_total: int, n_dig: int) -> list[list[bytes]]:
     return tape
 
 
-def _run_kafka(spark, base: str, n_frames: int, n_dig: int, tag: str = "") -> dict:
+def _run_kafka(spark, base: str, n_frames: int, n_dig: int, tag: str = "",
+               door: str = "fsm") -> dict:
     from supermusr_data_pipeline_spark.kafka import MiniBroker, MiniProducer
     from supermusr_data_pipeline_spark.kafka.spark_source import KafkaWireDataSource
     from supermusr_data_pipeline_spark.sources.decode import decode_dev2_messages
@@ -70,6 +71,7 @@ def _run_kafka(spark, base: str, n_frames: int, n_dig: int, tag: str = "") -> di
     from supermusr_data_pipeline_spark.streaming.frame_assembly_stream import (
         assemble_frames_stream,
     )
+    from supermusr_data_pipeline_spark.streaming.nexus_direct import DirectNexusWriter
     from supermusr_data_pipeline_spark.streaming.nexus_stream import NexusStreamWriter
 
     spark.dataSource.register(KafkaWireDataSource)
@@ -93,15 +95,26 @@ def _run_kafka(spark, base: str, n_frames: int, n_dig: int, tag: str = "") -> di
             spark.readStream.format("kafka-wire").options(**opts).load()
             .select("key", "value", "topic")
         )
-        frames_stream = assemble_frames_stream(
-            decode_dev2_messages(wire), list(range(n_dig)), frame_ttl_ms=500
-        )
-        writer = NexusStreamWriter(
-            BS._runs_df(spark, n_total), os.path.join(base, f"sink_kafka{tag}"),
-            on_commit=on_commit,
-        )
+        messages = decode_dev2_messages(wire)
+        if door == "direct":
+            # the production sink: frame assembly fused into foreachBatch
+            writer = DirectNexusWriter(
+                BS._runs_df(spark, n_total),
+                os.path.join(base, f"sink_kafka{tag}"),
+                list(range(n_dig)), frame_ttl_ms=500, on_commit=on_commit,
+            )
+            to_sink = messages
+        else:
+            writer = NexusStreamWriter(
+                BS._runs_df(spark, n_total),
+                os.path.join(base, f"sink_kafka{tag}"),
+                on_commit=on_commit,
+            )
+            to_sink = assemble_frames_stream(
+                messages, list(range(n_dig)), frame_ttl_ms=500
+            )
         q = (
-            frames_stream.writeStream.foreachBatch(writer)
+            to_sink.writeStream.foreachBatch(writer)
             .option("checkpointLocation", os.path.join(base, f"ckpt_kafka{tag}"))
             .trigger(processingTime="0 seconds")
             .start()
@@ -174,6 +187,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=1000)
     ap.add_argument("--digitisers", type=int, default=8)
+    ap.add_argument("--door", choices=["fsm", "direct"], default="fsm",
+                    help="sink door for BOTH arms (fsm keeps round-to-round "
+                         "continuity; direct is the production sink)")
     args = ap.parse_args()
 
     from supermusr_data_pipeline_spark.session import get_spark
@@ -201,17 +217,27 @@ def main() -> None:
         spark.sparkContext._jvm.System.gc()
         time.sleep(5)
 
+    # throwaway warm-in soak (codegen/python-worker start-up must not
+    # land on either measured arm — the r10 direct-door A/B showed a
+    # cold first round reading 3x its warmed latency)
+    BS._run_shape(
+        spark, base, n_dig, 300, paced_only=True, label_suffix="_warm",
+        fsm="direct" if args.door == "direct" else "apply",
+    )
+    _hygiene()
+
     rounds = []
     file_cycle = None
     for rnd in range(2):
         f = BS._run_shape(
             spark, base, n_dig, half, paced_only=True,
             label_suffix=f"_ab{rnd}",
+            fsm="direct" if args.door == "direct" else "apply",
         )
         file_cycle = f.get("cycle_decomposition") or file_cycle
         rounds.append(("file", {k: f["paced"][k] for k in keys}))
         _hygiene()
-        k = _run_kafka(spark, base, half, n_dig, tag=f"_ab{rnd}")
+        k = _run_kafka(spark, base, half, n_dig, tag=f"_ab{rnd}", door=args.door)
         rounds.append(("kafka", k))
         if rnd == 0:
             _hygiene()
@@ -231,6 +257,7 @@ def main() -> None:
         return out
 
     payload = {
+        "door": args.door,
         "shape": f"{n_dig}x{BS.EVENTS_PER_MESSAGE}",
         "frames": args.frames,
         "frames_per_round": half,
@@ -239,8 +266,9 @@ def main() -> None:
         "kafka_wire_source": pooled("kafka"),
         "file_cycle_decomposition": file_cycle,
     }
-    out_name = ("AB_KAFKA_STREAM_RESULT.json" if n_dig == 8
-                else f"AB_KAFKA_STREAM_RESULT_{n_dig}dig.json")
+    suffix = "" if args.door == "fsm" else f"_{args.door}"
+    out_name = (f"AB_KAFKA_STREAM_RESULT{suffix}.json" if n_dig == 8
+                else f"AB_KAFKA_STREAM_RESULT_{n_dig}dig{suffix}.json")
     with open(os.path.join(REPO, "tools", out_name), "w") as f:
         json.dump(payload, f)
         f.write("\n")
