@@ -6,8 +6,11 @@ no third-party client library).
 The implementation follows the public Apache Kafka protocol guide
 (https://kafka.apache.org/protocol) exclusively: message-format v1
 (magic 1, CRC-32 integrity, millisecond timestamps), Produce v2,
-Fetch v2, ListOffsets v1, Metadata v0, ApiVersions v0, and the default
-partitioner's murmur2 hash.  The broker is a single-node in-process
+Fetch v2, ListOffsets v1, Metadata v0, ApiVersions v0, the group
+coordination set (FindCoordinator/JoinGroup/SyncGroup/Heartbeat/
+LeaveGroup v0, generation-fenced OffsetCommit v2, OffsetFetch v1, and
+the consumer protocol-type's embedded subscription/assignment schemas),
+and the default partitioner's murmur2 hash.  The broker is a single-node in-process
 TCP server whose logs live in memory; the client is a blocking
 socket producer/consumer pair that parses the SAME option dict the
 production `kafka_source_options` builder emits, so the configuration
@@ -21,6 +24,7 @@ digitiser-aggregator/src/main.rs:463-495.
 
 from .broker import MiniBroker
 from .client import (
+    GroupConsumer,
     MiniConsumer,
     MiniProducer,
     consumer_from_options,
@@ -30,6 +34,7 @@ from .client import (
 from .spark_source import KafkaWireDataSource
 
 __all__ = [
+    "GroupConsumer",
     "KafkaWireDataSource",
     "MiniBroker",
     "MiniConsumer",

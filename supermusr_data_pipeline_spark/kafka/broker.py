@@ -27,6 +27,7 @@ import socketserver
 import struct
 import threading
 import time
+import uuid
 from dataclasses import dataclass, field
 
 from . import protocol as P
@@ -86,6 +87,38 @@ class _PartitionLog:
             return (-1, -1)
 
 
+@dataclass
+class _Member:
+    protocols: dict[str, bytes]  # protocol name -> subscription metadata
+    session_timeout_ms: int
+    last_seen: float
+    assignment: bytes = b""
+
+
+class _Group:
+    """One consumer group's coordinator state (the group-membership FSM
+    from the public protocol guide's group-management section): Empty ->
+    PreparingRebalance (members rejoin) -> CompletingRebalance (leader
+    computes assignments) -> Stable.  All transitions under one
+    condition variable; JoinGroup/SyncGroup responses BLOCK on it, which
+    is protocol behavior (the coordinator delays the join response until
+    the rebalance completes) and is safe here because the TCP server is
+    thread-per-connection."""
+
+    def __init__(self) -> None:
+        self.cond = threading.Condition()
+        self.state = "Empty"
+        self.generation = 0
+        self.members: dict[str, _Member] = {}
+        self.leader: str | None = None
+        self.protocol: str | None = None
+        self.protocol_type: str | None = None
+        self.joined: set[str] = set()
+        self.round = 0
+        # committed offsets survive membership churn (and even Empty)
+        self.offsets: dict[tuple[str, int], tuple[int, str | None]] = {}
+
+
 class MiniBroker:
     """Context-manager broker: ``with MiniBroker() as b: ...`` or
     explicit start()/stop().  ``b.bootstrap`` is the
@@ -97,6 +130,8 @@ class MiniBroker:
         self.port: int | None = None
         self._topics: dict[str, list[_PartitionLog]] = {}
         self._topics_lock = threading.Lock()
+        self._groups: dict[str, _Group] = {}
+        self._groups_lock = threading.Lock()
         self._server: socketserver.ThreadingTCPServer | None = None
         self._thread: threading.Thread | None = None
 
@@ -144,9 +179,252 @@ class MiniBroker:
             body = self._produce(cur)
         elif api_key == P.API_FETCH:
             body = self._fetch(cur)
-        else:  # API_LIST_OFFSETS
+        elif api_key == P.API_LIST_OFFSETS:
             body = self._list_offsets(cur)
+        elif api_key == P.API_FIND_COORDINATOR:
+            body = self._find_coordinator(cur)
+        elif api_key == P.API_JOIN_GROUP:
+            body = self._join_group(cur, _client or "member")
+        elif api_key == P.API_SYNC_GROUP:
+            body = self._sync_group(cur)
+        elif api_key == P.API_HEARTBEAT:
+            body = self._heartbeat(cur)
+        elif api_key == P.API_LEAVE_GROUP:
+            body = self._leave_group(cur)
+        elif api_key == P.API_OFFSET_COMMIT:
+            body = self._offset_commit(cur)
+        else:  # API_OFFSET_FETCH
+            body = self._offset_fetch(cur)
         return P.encode_response(corr_id, body)
+
+    # -- group coordination ---------------------------------------------------
+
+    def _get_group(self, group_id: str) -> _Group:
+        with self._groups_lock:
+            if group_id not in self._groups:
+                self._groups[group_id] = _Group()
+            return self._groups[group_id]
+
+    @staticmethod
+    def _evict_expired(g: _Group) -> None:
+        """Drop members whose session timed out (call under g.cond) —
+        the lazy form of the coordinator's session timer: every group
+        API passes through here, so a dead member is discovered no later
+        than the next group request."""
+        now = time.monotonic()
+        dead = [
+            mid for mid, m in g.members.items()
+            if (now - m.last_seen) * 1000.0 > m.session_timeout_ms
+        ]
+        if not dead:
+            return
+        for mid in dead:
+            del g.members[mid]
+            g.joined.discard(mid)
+        if g.members:
+            if g.state in ("Stable", "CompletingRebalance"):
+                g.state = "PreparingRebalance"
+                g.joined = set()
+                g.round += 1
+        else:
+            g.state = "Empty"
+        g.cond.notify_all()
+
+    @staticmethod
+    def _complete_join(g: _Group) -> None:
+        """All (surviving) members rejoined: bump the generation, elect
+        the leader, pick the common protocol (call under g.cond)."""
+        g.generation += 1
+        order = sorted(g.members)
+        g.leader = order[0] if order else None
+        common: list[str] = []
+        if g.leader is not None:
+            for name in g.members[g.leader].protocols:
+                if all(name in m.protocols for m in g.members.values()):
+                    common.append(name)
+        g.protocol = common[0] if common else None
+        g.state = "CompletingRebalance" if g.members else "Empty"
+
+    def _join_group(self, cur: P.Cursor, client_id: str) -> bytes:
+        group_id, session_timeout, member_id, ptype, protocols = (
+            P.decode_join_group_request(cur)
+        )
+        g = self._get_group(group_id)
+        with g.cond:
+            self._evict_expired(g)
+            if member_id:
+                if member_id not in g.members:
+                    return P.encode_join_group_response(
+                        P.ERR_UNKNOWN_MEMBER_ID, -1, None, None, member_id, []
+                    )
+            else:
+                member_id = f"{client_id}-{uuid.uuid4().hex[:12]}"
+            if g.members and g.protocol_type and ptype != g.protocol_type:
+                return P.encode_join_group_response(
+                    P.ERR_INCONSISTENT_GROUP_PROTOCOL, -1, None, None,
+                    member_id, [],
+                )
+            g.protocol_type = ptype
+            g.members[member_id] = _Member(
+                dict(protocols), session_timeout, time.monotonic()
+            )
+            if g.state != "PreparingRebalance":
+                g.state = "PreparingRebalance"
+                g.joined = set()
+                g.round += 1
+            my_round = g.round
+            g.joined.add(member_id)
+            g.cond.notify_all()
+            deadline = time.monotonic() + session_timeout / 1000.0
+            while g.state == "PreparingRebalance" and g.round == my_round:
+                if set(g.members) <= g.joined:
+                    self._complete_join(g)
+                    g.cond.notify_all()
+                    break
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    # stragglers missed the rebalance window: evict them
+                    # and complete with whoever rejoined (protocol's
+                    # rebalance-timeout behavior)
+                    for mid in [m for m in g.members if m not in g.joined]:
+                        del g.members[mid]
+                    self._complete_join(g)
+                    g.cond.notify_all()
+                    break
+                g.cond.wait(min(remaining, 0.05))
+            if member_id not in g.members or g.protocol is None:
+                err = (
+                    P.ERR_UNKNOWN_MEMBER_ID
+                    if member_id not in g.members
+                    else P.ERR_INCONSISTENT_GROUP_PROTOCOL
+                )
+                return P.encode_join_group_response(
+                    err, -1, None, None, member_id, []
+                )
+            g.members[member_id].last_seen = time.monotonic()
+            members = []
+            if member_id == g.leader:
+                members = [
+                    (mid, g.members[mid].protocols.get(g.protocol, b""))
+                    for mid in sorted(g.members)
+                ]
+            return P.encode_join_group_response(
+                P.ERR_NONE, g.generation, g.protocol, g.leader, member_id,
+                members,
+            )
+
+    def _sync_group(self, cur: P.Cursor) -> bytes:
+        group_id, gen, member_id, assignments = P.decode_sync_group_request(cur)
+        g = self._get_group(group_id)
+        with g.cond:
+            self._evict_expired(g)
+            if member_id not in g.members:
+                return P.encode_sync_group_response(P.ERR_UNKNOWN_MEMBER_ID, b"")
+            if gen != g.generation:
+                return P.encode_sync_group_response(P.ERR_ILLEGAL_GENERATION, b"")
+            if g.state == "PreparingRebalance":
+                return P.encode_sync_group_response(
+                    P.ERR_REBALANCE_IN_PROGRESS, b""
+                )
+            g.members[member_id].last_seen = time.monotonic()
+            if member_id == g.leader and assignments:
+                for mid, a in assignments:
+                    if mid in g.members:
+                        g.members[mid].assignment = a or b""
+                g.state = "Stable"
+                g.cond.notify_all()
+            deadline = time.monotonic() + g.members[member_id].session_timeout_ms / 1000.0
+            while g.state == "CompletingRebalance" and gen == g.generation:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0 or member_id not in g.members:
+                    break
+                g.cond.wait(min(remaining, 0.05))
+            if gen != g.generation or g.state != "Stable":
+                return P.encode_sync_group_response(
+                    P.ERR_REBALANCE_IN_PROGRESS, b""
+                )
+            return P.encode_sync_group_response(
+                P.ERR_NONE, g.members[member_id].assignment
+            )
+
+    def _heartbeat(self, cur: P.Cursor) -> bytes:
+        group_id, gen, member_id = P.decode_heartbeat_request(cur)
+        g = self._get_group(group_id)
+        with g.cond:
+            self._evict_expired(g)
+            if member_id not in g.members:
+                return P.encode_heartbeat_response(P.ERR_UNKNOWN_MEMBER_ID)
+            g.members[member_id].last_seen = time.monotonic()
+            if gen != g.generation:
+                return P.encode_heartbeat_response(P.ERR_ILLEGAL_GENERATION)
+            if g.state == "PreparingRebalance":
+                return P.encode_heartbeat_response(P.ERR_REBALANCE_IN_PROGRESS)
+            return P.encode_heartbeat_response(P.ERR_NONE)
+
+    def _leave_group(self, cur: P.Cursor) -> bytes:
+        group_id, member_id = P.decode_leave_group_request(cur)
+        g = self._get_group(group_id)
+        with g.cond:
+            if member_id not in g.members:
+                return P.encode_leave_group_response(P.ERR_UNKNOWN_MEMBER_ID)
+            del g.members[member_id]
+            g.joined.discard(member_id)
+            if g.members:
+                g.state = "PreparingRebalance"
+                g.joined = set()
+                g.round += 1
+            else:
+                g.state = "Empty"
+            g.cond.notify_all()
+            return P.encode_leave_group_response(P.ERR_NONE)
+
+    def _offset_commit(self, cur: P.Cursor) -> bytes:
+        group_id, gen, member_id, _retention, topics = (
+            P.decode_offset_commit_request(cur)
+        )
+        g = self._get_group(group_id)
+        with g.cond:
+            self._evict_expired(g)
+            err = P.ERR_NONE
+            if gen != -1 or member_id:
+                # group-managed commit: FENCED on membership + generation
+                if member_id not in g.members:
+                    err = P.ERR_UNKNOWN_MEMBER_ID
+                elif gen != g.generation:
+                    err = P.ERR_ILLEGAL_GENERATION
+                elif g.state == "PreparingRebalance":
+                    err = P.ERR_REBALANCE_IN_PROGRESS
+                else:
+                    g.members[member_id].last_seen = time.monotonic()
+            out = []
+            for topic, parts in topics:
+                prs = []
+                for pid, offset, metadata in parts:
+                    if err == P.ERR_NONE:
+                        g.offsets[(topic, pid)] = (offset, metadata)
+                    prs.append((pid, err))
+                out.append((topic, prs))
+            return P.encode_offset_commit_response(out)
+
+    def _offset_fetch(self, cur: P.Cursor) -> bytes:
+        group_id, topics = P.decode_offset_fetch_request(cur)
+        g = self._get_group(group_id)
+        with g.cond:
+            out = []
+            for topic, pids in topics:
+                prs = []
+                for pid in pids:
+                    off, md = g.offsets.get((topic, pid), (-1, None))
+                    prs.append((pid, off, md, P.ERR_NONE))
+                out.append((topic, prs))
+            return P.encode_offset_fetch_response(out)
+
+    def _find_coordinator(self, cur: P.Cursor) -> bytes:
+        P.decode_find_coordinator_request(cur)
+        # single-node: this broker coordinates every group
+        return P.encode_find_coordinator_response(
+            P.ERR_NONE, 0, self.host, self.port
+        )
 
     def _metadata(self, cur: P.Cursor) -> bytes:
         names = P.decode_metadata_request(cur)

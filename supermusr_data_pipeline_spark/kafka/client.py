@@ -280,11 +280,24 @@ def consumer_from_options(options: dict[str, str]) -> MiniConsumer:
     produces for ``spark.readStream.format("kafka")`` — the S1 closure:
     the same keys Spark's Kafka source would consume configure a live
     consumer here (unknown ``kafka.*`` passthrough keys are accepted and
-    ignored, as the real source does for client configs)."""
+    ignored, as the real source does for client configs).  A
+    ``kafka.group.id`` key (the JVM source's group override; the
+    reference CLI's --consumer-group) selects the GROUP-MANAGED
+    consumer — coordinator join, leader-assigned partitions, fenced
+    commits — instead of the manual whole-topic assignment."""
     brokers = options["kafka.bootstrap.servers"]
     topics = options["subscribe"].split(",")
     ts = options.get("startingTimestamp")
     max_offsets = options.get("maxOffsetsPerTrigger")
+    group = options.get("kafka.group.id")
+    if group:
+        return GroupConsumer(
+            brokers,
+            group,
+            topics,
+            starting_offsets=options.get("startingOffsets", "latest"),
+            max_poll_records=int(max_offsets) if max_offsets is not None else None,
+        )
     return MiniConsumer(
         brokers,
         topics,
@@ -359,3 +372,230 @@ def read_kafka_spool_stream(spark, spool_dir: str, max_files_per_trigger: int | 
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     return reader.parquet(spool_dir)
+
+
+class GroupConsumer(MiniConsumer):
+    """Group-managed consumer (S1's missing third: consumer-group
+    rebalancing).  Joins ``group_id`` through the wire coordinator
+    (FindCoordinator → JoinGroup → SyncGroup), owns the partitions the
+    elected LEADER assigns (client-side round-robin assignor over the
+    members' ConsumerProtocolSubscription metadata — assignment is a
+    client concern in the Kafka protocol, the broker only brokers the
+    agreement), heartbeats between polls, rebalances when membership
+    changes (join/leave/session-expiry all surface as
+    REBALANCE_IN_PROGRESS / UNKNOWN_MEMBER_ID on the next group call),
+    and commits offsets FENCED by (generation, member_id) so a fenced-
+    out consumer can never clobber its successor's progress.
+
+    Reference parity: create_default_consumer sets group.id and
+    enable.auto.commit=false (common/src/lib.rs:72-94) — commits here
+    are explicit too (``commit()``), and positions resume from the
+    group's committed offsets on (re)join, falling back to
+    ``starting_offsets`` for never-committed partitions.
+
+    Two connections by design: group APIs must flow while a fetch
+    long-polls, exactly why the real client separates the coordinator
+    channel from the data channel."""
+
+    def __init__(
+        self,
+        bootstrap: str,
+        group_id: str,
+        topics: list[str],
+        starting_offsets: str = "earliest",
+        session_timeout_ms: int = 6000,
+        heartbeat_interval_ms: int = 500,
+        max_poll_records: int | None = None,
+        client_id: str = "supermusr-group-consumer",
+    ) -> None:
+        self.group_id = group_id
+        self.topics = list(topics)
+        self.starting_offsets = starting_offsets
+        self.session_timeout_ms = session_timeout_ms
+        self.heartbeat_interval_ms = heartbeat_interval_ms
+        self.max_poll_records = max_poll_records
+        self.member_id = ""
+        self.generation = -1
+        self.rebalances = 0
+        self._positions: dict[tuple[str, int], int] = {}
+        self._conn = _Conn(bootstrap, client_id)  # data channel
+        cur = self._conn.request(
+            P.API_FIND_COORDINATOR, 0,
+            P.encode_find_coordinator_request(group_id),
+        )
+        err, _node, host, port = P.decode_find_coordinator_response(cur)
+        if err != P.ERR_NONE:
+            raise OSError(f"find_coordinator({group_id}): error {err}")
+        self._coord = _Conn(f"{host}:{port}", client_id)
+        self._last_heartbeat = 0.0
+        self._join()
+
+    # -- group membership ---------------------------------------------------
+
+    def _join(self) -> None:
+        sub = P.encode_consumer_subscription(self.topics)
+        while True:
+            cur = self._coord.request(
+                P.API_JOIN_GROUP, 0,
+                P.encode_join_group_request(
+                    self.group_id, self.session_timeout_ms, self.member_id,
+                    "consumer", [("roundrobin", sub)],
+                ),
+            )
+            err, gen, proto, leader, member, members = (
+                P.decode_join_group_response(cur)
+            )
+            if err == P.ERR_UNKNOWN_MEMBER_ID:
+                self.member_id = ""  # fenced: rejoin as a new member
+                continue
+            if err != P.ERR_NONE:
+                raise OSError(f"join_group({self.group_id}): error {err}")
+            self.member_id = member
+            self.generation = gen
+            assignments: list[tuple[str, bytes]] = []
+            if member == leader:
+                assignments = self._lead_assign(members)
+            cur = self._coord.request(
+                P.API_SYNC_GROUP, 0,
+                P.encode_sync_group_request(
+                    self.group_id, gen, member, assignments
+                ),
+            )
+            serr, mine = P.decode_sync_group_response(cur)
+            if serr == P.ERR_REBALANCE_IN_PROGRESS:
+                continue  # membership changed mid-sync: rejoin
+            if serr in (P.ERR_UNKNOWN_MEMBER_ID, P.ERR_ILLEGAL_GENERATION):
+                self.member_id = ""
+                continue
+            if serr != P.ERR_NONE:
+                raise OSError(f"sync_group({self.group_id}): error {serr}")
+            tps, _ud = P.decode_consumer_assignment(mine or b"")
+            owned = [(t, p) for t, ps in tps for p in sorted(ps)]
+            self._adopt(owned)
+            self.rebalances += 1
+            self._last_heartbeat = time.monotonic()
+            return
+
+    def _lead_assign(self, members: list[tuple[str, bytes]]) -> list[tuple[str, bytes]]:
+        """The round-robin assignor: topic-partitions in (topic,
+        partition) order dealt to members in member-id order — the stock
+        client's RoundRobinAssignor layout."""
+        all_topics = sorted(
+            {
+                t
+                for _mid, md in members
+                for t in P.decode_consumer_subscription(md or b"")[0]
+            }
+        )
+        counts = self._conn.metadata(all_topics)
+        tps = [(t, p) for t in all_topics for p in range(counts.get(t, 0))]
+        order = [mid for mid, _md in members]
+        per: dict[str, list[tuple[str, int]]] = {mid: [] for mid in order}
+        for i, tp in enumerate(tps):
+            per[order[i % len(order)]].append(tp)
+
+        def pack(tp_list: list[tuple[str, int]]) -> bytes:
+            by_t: dict[str, list[int]] = {}
+            for t, p in tp_list:
+                by_t.setdefault(t, []).append(p)
+            return P.encode_consumer_assignment(sorted(by_t.items()))
+
+        return [(mid, pack(per[mid])) for mid in order]
+
+    def _adopt(self, owned: list[tuple[str, int]]) -> None:
+        """Position newly-owned partitions: committed group offset when
+        one exists, else the configured starting point."""
+        self._positions = {}
+        if not owned:
+            return
+        by_t: dict[str, list[int]] = {}
+        for t, p in owned:
+            by_t.setdefault(t, []).append(p)
+        cur = self._coord.request(
+            P.API_OFFSET_FETCH, 1,
+            P.encode_offset_fetch_request(self.group_id, sorted(by_t.items())),
+        )
+        uncommitted: list[tuple[str, list[int]]] = []
+        for topic, prs in P.decode_offset_fetch_response(cur):
+            missing = []
+            for pid, off, _md, err in prs:
+                if err == P.ERR_NONE and off >= 0:
+                    self._positions[(topic, pid)] = off
+                else:
+                    missing.append(pid)
+            if missing:
+                uncommitted.append((topic, sorted(missing)))
+        if uncommitted:
+            target = (
+                P.EARLIEST_TIMESTAMP
+                if self.starting_offsets == "earliest"
+                else P.LATEST_TIMESTAMP
+            )
+            self._seek_all(uncommitted, target)
+
+    def assignment(self) -> list[tuple[str, int]]:
+        return sorted(self._positions)
+
+    # -- the poll/heartbeat/commit loop --------------------------------------
+
+    def _maybe_heartbeat(self) -> None:
+        if (
+            time.monotonic() - self._last_heartbeat
+        ) * 1000.0 < self.heartbeat_interval_ms:
+            return
+        cur = self._coord.request(
+            P.API_HEARTBEAT, 0,
+            P.encode_heartbeat_request(
+                self.group_id, self.generation, self.member_id
+            ),
+        )
+        err = P.decode_heartbeat_response(cur)
+        self._last_heartbeat = time.monotonic()
+        if err in (
+            P.ERR_REBALANCE_IN_PROGRESS,
+            P.ERR_ILLEGAL_GENERATION,
+            P.ERR_UNKNOWN_MEMBER_ID,
+        ):
+            if err == P.ERR_UNKNOWN_MEMBER_ID:
+                self.member_id = ""
+            self._join()
+        elif err != P.ERR_NONE:
+            raise OSError(f"heartbeat({self.group_id}): error {err}")
+
+    def poll(self, max_wait_ms: int = 500, **kw) -> list[ConsumerRecord]:
+        self._maybe_heartbeat()
+        if not self._positions:
+            time.sleep(min(max_wait_ms, self.heartbeat_interval_ms) / 1000.0)
+            return []
+        return super().poll(max_wait_ms=max_wait_ms, **kw)
+
+    def commit(self) -> None:
+        """Commit current positions, fenced by (generation, member)."""
+        if not self._positions:
+            return
+        by_t: dict[str, list[tuple[int, int, str | None]]] = {}
+        for (t, p), off in sorted(self._positions.items()):
+            by_t.setdefault(t, []).append((p, off, None))
+        cur = self._coord.request(
+            P.API_OFFSET_COMMIT, 2,
+            P.encode_offset_commit_request(
+                self.group_id, self.generation, self.member_id,
+                sorted(by_t.items()),
+            ),
+        )
+        for _topic, prs in P.decode_offset_commit_response(cur):
+            for _pid, err in prs:
+                if err != P.ERR_NONE:
+                    raise OSError(f"offset_commit fenced: error {err}")
+
+    def close(self, leave: bool = True) -> None:
+        if leave and self.member_id:
+            try:
+                self._coord.request(
+                    P.API_LEAVE_GROUP, 0,
+                    P.encode_leave_group_request(self.group_id, self.member_id),
+                )
+            except OSError:
+                pass
+        self._coord.close()
+        self._conn.close()

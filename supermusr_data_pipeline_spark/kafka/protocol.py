@@ -15,12 +15,18 @@ and a broker interoperate over real TCP):
   and response header v0 (correlation_id);
 - APIs: Produce v2, Fetch v2, ListOffsets v1, Metadata v0,
   ApiVersions v0 — the minimum for produce / consume / seek-by-time /
-  topology discovery;
+  topology discovery — plus the group-coordination set:
+  FindCoordinator v0, JoinGroup v0, SyncGroup v0, Heartbeat v0,
+  LeaveGroup v0, OffsetCommit v2 (generation-fenced), OffsetFetch v1,
+  and the consumer protocol-type's embedded subscription/assignment
+  schemas (ConsumerProtocolSubscription/Assignment v0);
 - the default partitioner's murmur2 (seed 0x9747b28c), so keyed
   messages land on the same partition a stock Kafka client would pick.
 
 Error codes used: 0 NONE, 1 OFFSET_OUT_OF_RANGE, 2 CORRUPT_MESSAGE,
-3 UNKNOWN_TOPIC_OR_PARTITION, 35 UNSUPPORTED_VERSION.
+3 UNKNOWN_TOPIC_OR_PARTITION, 22 ILLEGAL_GENERATION,
+23 INCONSISTENT_GROUP_PROTOCOL, 25 UNKNOWN_MEMBER_ID,
+27 REBALANCE_IN_PROGRESS, 35 UNSUPPORTED_VERSION.
 """
 
 from __future__ import annotations
@@ -34,12 +40,23 @@ API_PRODUCE = 0
 API_FETCH = 1
 API_LIST_OFFSETS = 2
 API_METADATA = 3
+API_OFFSET_COMMIT = 8
+API_OFFSET_FETCH = 9
+API_FIND_COORDINATOR = 10
+API_JOIN_GROUP = 11
+API_HEARTBEAT = 12
+API_LEAVE_GROUP = 13
+API_SYNC_GROUP = 14
 API_VERSIONS = 18
 
 ERR_NONE = 0
 ERR_OFFSET_OUT_OF_RANGE = 1
 ERR_CORRUPT_MESSAGE = 2
 ERR_UNKNOWN_TOPIC_OR_PARTITION = 3
+ERR_ILLEGAL_GENERATION = 22
+ERR_INCONSISTENT_GROUP_PROTOCOL = 23
+ERR_UNKNOWN_MEMBER_ID = 25
+ERR_REBALANCE_IN_PROGRESS = 27
 ERR_UNSUPPORTED_VERSION = 35
 
 # (api_key, min_version, max_version) advertised by ApiVersions
@@ -48,6 +65,13 @@ SUPPORTED_APIS = [
     (API_FETCH, 2, 2),
     (API_LIST_OFFSETS, 1, 1),
     (API_METADATA, 0, 0),
+    (API_OFFSET_COMMIT, 2, 2),
+    (API_OFFSET_FETCH, 1, 1),
+    (API_FIND_COORDINATOR, 0, 0),
+    (API_JOIN_GROUP, 0, 0),
+    (API_HEARTBEAT, 0, 0),
+    (API_LEAVE_GROUP, 0, 0),
+    (API_SYNC_GROUP, 0, 0),
     (API_VERSIONS, 0, 0),
 ]
 
@@ -698,3 +722,269 @@ def decode_api_versions_response(cur: Cursor):
     err = cur.i16()
     apis = cur.array(lambda c: (c.i16(), c.i16(), c.i16()))
     return err, apis
+
+
+# --- Group coordination (FindCoordinator v0, JoinGroup v0, SyncGroup v0,
+# --- Heartbeat v0, LeaveGroup v0, OffsetCommit v2, OffsetFetch v1) ----------
+# Message layouts from the public protocol guide; the consumer-embedded
+# subscription/assignment schemas are the "consumer" protocol-type ones
+# every stock client uses (ConsumerProtocolSubscription/Assignment v0).
+
+
+def encode_find_coordinator_request(group_id: str) -> bytes:
+    return e_string(group_id)
+
+
+def decode_find_coordinator_request(cur: Cursor) -> str:
+    return cur.string()
+
+
+def encode_find_coordinator_response(
+    error: int, node_id: int, host: str, port: int
+) -> bytes:
+    return e_i16(error) + e_i32(node_id) + e_string(host) + e_i32(port)
+
+
+def decode_find_coordinator_response(cur: Cursor):
+    return cur.i16(), cur.i32(), cur.string(), cur.i32()
+
+
+def encode_join_group_request(
+    group_id: str,
+    session_timeout_ms: int,
+    member_id: str,
+    protocol_type: str,
+    protocols: list[tuple[str, bytes]],
+) -> bytes:
+    return (
+        e_string(group_id)
+        + e_i32(session_timeout_ms)
+        + e_string(member_id)
+        + e_string(protocol_type)
+        + e_array(protocols, lambda p: e_string(p[0]) + e_bytes(p[1]))
+    )
+
+
+def decode_join_group_request(cur: Cursor):
+    group_id = cur.string()
+    session_timeout = cur.i32()
+    member_id = cur.string()
+    protocol_type = cur.string()
+    protocols = cur.array(lambda c: (c.string(), c.bytes_()))
+    return group_id, session_timeout, member_id, protocol_type, protocols
+
+
+def encode_join_group_response(
+    error: int,
+    generation_id: int,
+    group_protocol: str | None,
+    leader_id: str | None,
+    member_id: str | None,
+    members: list[tuple[str, bytes]],
+) -> bytes:
+    """``members`` is non-empty only in the LEADER's response."""
+    return (
+        e_i16(error)
+        + e_i32(generation_id)
+        + e_string(group_protocol or "")
+        + e_string(leader_id or "")
+        + e_string(member_id or "")
+        + e_array(members, lambda m: e_string(m[0]) + e_bytes(m[1]))
+    )
+
+
+def decode_join_group_response(cur: Cursor):
+    error = cur.i16()
+    gen = cur.i32()
+    proto = cur.string()
+    leader = cur.string()
+    member = cur.string()
+    members = cur.array(lambda c: (c.string(), c.bytes_()))
+    return error, gen, proto, leader, member, members
+
+
+def encode_sync_group_request(
+    group_id: str,
+    generation_id: int,
+    member_id: str,
+    assignments: list[tuple[str, bytes]],
+) -> bytes:
+    """``assignments`` is non-empty only from the LEADER."""
+    return (
+        e_string(group_id)
+        + e_i32(generation_id)
+        + e_string(member_id)
+        + e_array(assignments, lambda a: e_string(a[0]) + e_bytes(a[1]))
+    )
+
+
+def decode_sync_group_request(cur: Cursor):
+    group_id = cur.string()
+    gen = cur.i32()
+    member = cur.string()
+    assignments = cur.array(lambda c: (c.string(), c.bytes_()))
+    return group_id, gen, member, assignments
+
+
+def encode_sync_group_response(error: int, assignment: bytes) -> bytes:
+    return e_i16(error) + e_bytes(assignment)
+
+
+def decode_sync_group_response(cur: Cursor):
+    return cur.i16(), cur.bytes_()
+
+
+def encode_heartbeat_request(group_id: str, generation_id: int, member_id: str) -> bytes:
+    return e_string(group_id) + e_i32(generation_id) + e_string(member_id)
+
+
+def decode_heartbeat_request(cur: Cursor):
+    return cur.string(), cur.i32(), cur.string()
+
+
+def encode_heartbeat_response(error: int) -> bytes:
+    return e_i16(error)
+
+
+def decode_heartbeat_response(cur: Cursor) -> int:
+    return cur.i16()
+
+
+def encode_leave_group_request(group_id: str, member_id: str) -> bytes:
+    return e_string(group_id) + e_string(member_id)
+
+
+def decode_leave_group_request(cur: Cursor):
+    return cur.string(), cur.string()
+
+
+encode_leave_group_response = encode_heartbeat_response
+decode_leave_group_response = decode_heartbeat_response
+
+
+def encode_offset_commit_request(
+    group_id: str,
+    generation_id: int,
+    member_id: str,
+    topics: list[tuple[str, list[tuple[int, int, str | None]]]],
+    retention_time_ms: int = -1,
+) -> bytes:
+    """v2: topics = [(topic, [(partition, offset, metadata)])].
+    generation_id=-1 + member_id='' is the standalone (non-group-managed)
+    commit the protocol allows; real generations are FENCED."""
+    return (
+        e_string(group_id)
+        + e_i32(generation_id)
+        + e_string(member_id)
+        + e_i64(retention_time_ms)
+        + e_array(
+            topics,
+            lambda t: e_string(t[0])
+            + e_array(
+                t[1],
+                lambda p: e_i32(p[0]) + e_i64(p[1]) + e_string(p[2]),
+            ),
+        )
+    )
+
+
+def decode_offset_commit_request(cur: Cursor):
+    group_id = cur.string()
+    gen = cur.i32()
+    member = cur.string()
+    retention = cur.i64()
+
+    def part(c: Cursor):
+        return c.i32(), c.i64(), c.string()
+
+    topics = cur.array(lambda c: (c.string(), c.array(part)))
+    return group_id, gen, member, retention, topics
+
+
+def encode_offset_commit_response(
+    topics: list[tuple[str, list[tuple[int, int]]]],
+) -> bytes:
+    """topics = [(topic, [(partition, error)])]."""
+    return e_array(
+        topics,
+        lambda t: e_string(t[0])
+        + e_array(t[1], lambda p: e_i32(p[0]) + e_i16(p[1])),
+    )
+
+
+def decode_offset_commit_response(cur: Cursor):
+    return cur.array(lambda c: (c.string(), c.array(lambda p: (p.i32(), p.i16()))))
+
+
+def encode_offset_fetch_request(
+    group_id: str, topics: list[tuple[str, list[int]]]
+) -> bytes:
+    return e_string(group_id) + e_array(
+        topics,
+        lambda t: e_string(t[0]) + e_array(t[1], e_i32),
+    )
+
+
+def decode_offset_fetch_request(cur: Cursor):
+    group_id = cur.string()
+    topics = cur.array(lambda c: (c.string(), c.array(lambda p: p.i32())))
+    return group_id, topics
+
+
+def encode_offset_fetch_response(
+    topics: list[tuple[str, list[tuple[int, int, str | None, int]]]],
+) -> bytes:
+    """topics = [(topic, [(partition, offset, metadata, error)])];
+    offset -1 = nothing committed."""
+    return e_array(
+        topics,
+        lambda t: e_string(t[0])
+        + e_array(
+            t[1],
+            lambda p: e_i32(p[0]) + e_i64(p[1]) + e_string(p[2]) + e_i16(p[3]),
+        ),
+    )
+
+
+def decode_offset_fetch_response(cur: Cursor):
+    def part(c: Cursor):
+        return c.i32(), c.i64(), c.string(), c.i16()
+
+    return cur.array(lambda c: (c.string(), c.array(part)))
+
+
+# --- the "consumer" protocol-type embedded schemas --------------------------
+
+
+def encode_consumer_subscription(topics: list[str], user_data: bytes = b"") -> bytes:
+    """ConsumerProtocolSubscription v0: the metadata each member sends in
+    JoinGroup when protocol_type='consumer'."""
+    return e_i16(0) + e_array(topics, e_string) + e_bytes(user_data)
+
+
+def decode_consumer_subscription(buf: bytes):
+    cur = Cursor(buf)
+    _version = cur.i16()
+    topics = cur.array(lambda c: c.string())
+    user_data = cur.bytes_()
+    return topics, user_data
+
+
+def encode_consumer_assignment(
+    topics: list[tuple[str, list[int]]], user_data: bytes = b""
+) -> bytes:
+    """ConsumerProtocolAssignment v0: what the leader hands each member
+    through SyncGroup."""
+    return (
+        e_i16(0)
+        + e_array(topics, lambda t: e_string(t[0]) + e_array(t[1], e_i32))
+        + e_bytes(user_data)
+    )
+
+
+def decode_consumer_assignment(buf: bytes):
+    cur = Cursor(buf)
+    _version = cur.i16()
+    topics = cur.array(lambda c: (c.string(), c.array(lambda p: p.i32())))
+    user_data = cur.bytes_()
+    return topics, user_data

@@ -51,6 +51,7 @@ def kafka_source_options(
     starting_timestamp_ms: int | None = None,
     username: str | None = None,
     password: str | None = None,
+    group_id: str | None = None,
 ) -> dict[str, str]:
     """Options for ``spark.readStream.format("kafka")`` mirroring the
     reference consumer config (zstd transport, explicit group/topics —
@@ -82,6 +83,11 @@ def kafka_source_options(
         opts["startingOffsets"] = starting_offsets
     if max_offsets_per_trigger is not None:
         opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    if group_id is not None:
+        # the JVM source's consumer-group override (the reference CLI's
+        # --consumer-group, common/src/lib.rs:77); consumer_from_options
+        # maps it to the GROUP-MANAGED GroupConsumer
+        opts["kafka.group.id"] = group_id
     if username is not None:
         opts["kafka.security.protocol"] = "SASL_PLAINTEXT"
         opts["kafka.sasl.mechanism"] = "SCRAM-SHA-256"
