@@ -521,6 +521,18 @@ def run(spark: SparkSession, workdir: str | None = None) -> dict:
         # the door keeps up at this shape once soaks pass ~20 batches
         n_fsm = int(os.environ.get("SPARK_GRAFT_STREAM_FRAMES_FSM", "2000"))
         fsm_label = f"{SHAPES[1][0]}x{EVENTS_PER_MESSAGE}_fsm"
+        # throwaway warm-in: the stateful operator's python state workers
+        # and codegen are COLD here (the preceding soaks ran the direct
+        # door) — without this the soak's first batches read as keep-up
+        # drift, the same artifact the r10 interleaved A/B attributed
+        # (tools/AB_FSM_INTENT_RESULT.json)
+        _run_shape(
+            spark, base, SHAPES[1][0], 300, fsm="apply",
+            paced_only=True, label_suffix="_fsmwarm",
+        )
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(5)
         shapes[fsm_label] = _run_shape(
             spark, base, SHAPES[1][0], n_fsm, fsm="apply",
             paced_only=True, label_suffix="_fsm",
