@@ -17,7 +17,13 @@ Behavior notes (all protocol-conformant choices):
   one message when any is available (the protocol's no-starvation
   rule), and respects ``max_wait_ms``/``min_bytes`` long-polling;
 - ListOffsets v1 implements -2 (earliest), -1 (log end) and
-  timestamp lookup (first offset with timestamp >= target).
+  timestamp lookup (first offset with timestamp >= target);
+- the GROUP COORDINATOR (``_Group``): JoinGroup rebalance rounds with
+  generation bump + leader election + common-protocol selection,
+  SyncGroup assignment distribution, Heartbeat/LeaveGroup membership,
+  lazy session-timeout eviction (every group API passes through
+  ``_evict_expired``), and per-group committed offsets with
+  generation-fenced OffsetCommit v2 / OffsetFetch v1.
 """
 
 from __future__ import annotations
