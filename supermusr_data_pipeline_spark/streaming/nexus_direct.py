@@ -353,6 +353,11 @@ class DirectNexusWriter:
 
     # ---- the batch ----
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
+        if self.timer_error is not None:
+            # a background expiry tick failed: surface it through the
+            # engine (fail the query) instead of leaving it polled-only
+            err, self.timer_error = self.timer_error, None
+            raise RuntimeError("expiry ticker failed; see cause") from err
         with self._lock:
             self._spark = batch.sparkSession
             self._run_batch(batch, batch_id)
@@ -606,12 +611,23 @@ class DirectNexusWriter:
                 self.on_commit(out)
             return out
 
-    def start_expiry_timer(self, interval_s: float | None = None) -> None:
+    def start_expiry_timer(
+        self, interval_s: float | None = None, alive=None
+    ) -> None:
         """Daemon ticker firing ``expire_pending`` so the production door
         is never weaker than the FSM door's ProcessingTimeTimeout.  The
         default cadence (TTL/4, floor 50 ms) bounds expiry lag on a
         silent stream to TTL + cadence.  Idle cost is one Event.wait —
-        no Spark job runs unless a frame actually expired."""
+        no Spark job runs unless a frame actually expired.
+
+        ``alive`` (optional zero-arg callable) ties the ticker's lifetime
+        to the owning StreamingQuery: when it returns falsy the loop
+        exits on its own, so a query that dies on an error (or is
+        stopped without ``stop_expiry_timer``) cannot leave a ticker
+        appending expired frames to a dead stream's sink.  A tick
+        failure is retained in ``timer_error`` AND re-raised into the
+        next micro-batch (failing the query, Spark's error surface) —
+        it is never silently swallowed."""
         if self._timer_stop is not None:
             return
         stop = threading.Event()
@@ -624,6 +640,13 @@ class DirectNexusWriter:
 
         def _loop():
             while not stop.wait(iv):
+                if alive is not None:
+                    try:
+                        ok = alive()
+                    except BaseException:  # session torn down mid-check
+                        ok = False
+                    if not ok:
+                        break
                 try:
                     self.expire_pending()
                 except BaseException as e:  # noqa: BLE001 — surfaced via timer_error
@@ -798,8 +821,18 @@ def write_nexus_direct(
     query = q.start()
     # finite triggers terminate with pending state parked (same as the
     # FSM door, whose timers also stop with the query) — a ticker that
-    # outlived the query would mutate the sink after termination
+    # outlived the query would mutate the sink after termination.  The
+    # liveness probe below makes that guarantee unconditional: even if
+    # the query dies on an error (or q.stop() without stop_expiry_timer),
+    # the loop sees isActive go false and exits on its own.
     if expiry_timer and not (trig.get("availableNow") or trig.get("once")):
-        writer.start_expiry_timer()
+
+        def _alive() -> bool:
+            try:
+                return bool(query.isActive)
+            except BaseException:  # session gone — definitely not alive
+                return False
+
+        writer.start_expiry_timer(alive=_alive)
     query.direct_writer = writer
     return query

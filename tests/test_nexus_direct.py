@@ -715,3 +715,34 @@ def test_tick_crash_before_append_redispatches(spark, tmp_path):
     out = spark.read.parquet(sink).collect()
     assert len(out) == 2 * (N_DIG - 1)
     assert all(not r.frame_complete and r.frame_number == 0 for r in out)
+
+
+def test_expiry_timer_exits_when_query_dead(tmp_path):
+    """The ticker's lifetime is tied to the owning query: when the
+    liveness probe goes false (query errored / stopped without
+    stop_expiry_timer), the loop exits on its own instead of appending
+    to a dead stream's sink (ADVICE r10)."""
+    import time as _time
+
+    w = DirectNexusWriter(None, str(tmp_path / "s"), [0])
+    alive = {"v": True}
+    w.start_expiry_timer(interval_s=0.02, alive=lambda: alive["v"])
+    assert w._timer_thread.is_alive()
+    alive["v"] = False
+    deadline = _time.time() + 2
+    while w._timer_thread.is_alive() and _time.time() < deadline:
+        _time.sleep(0.02)
+    assert not w._timer_thread.is_alive()
+    w.stop_expiry_timer()
+
+
+def test_timer_error_fails_next_batch(tmp_path):
+    """A failed expiry tick is re-raised into the next micro-batch —
+    surfaced through the engine, not left polled-only (ADVICE r10)."""
+    import pytest
+
+    w = DirectNexusWriter(None, str(tmp_path / "s"), [0])
+    w.timer_error = ValueError("tick failed")
+    with pytest.raises(RuntimeError, match="expiry ticker"):
+        w(None, 0)
+    assert w.timer_error is None  # consumed, not re-raised forever
