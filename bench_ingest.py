@@ -378,14 +378,18 @@ def bench_kafka_partition_sweep(spark) -> dict:
     MB/s at each width, (c) the measured driver-side metadata cost
     (oracle construction + earliest/latest ListOffsets), which must stay
     flat in partition count, and (d) the single-connection ceiling
-    through the exact executor fetch path.  Honest local caveat: broker
-    AND all fetch tasks share one Python process's GIL here, so widening
-    the task split redistributes the single-pipe ceiling instead of
-    adding bandwidth — the measured flat drain curve plus the flat
-    driver is exactly the signature expected of this topology.  On a
-    real cluster each partition's task fetches from its own broker over
-    its own NIC and the same split scales — the control/data separation
-    is identical to the JVM source's."""
+    through the exact executor fetch path.  Round 11 flipped the r10
+    inverse curve (114 -> 59.5 MB/s from 2 -> 16 partitions): the
+    broker now serves fetches as ONE slice of a pre-encoded log with a
+    gather write (no per-record re-encode, no response re-joins), so
+    concurrent fetch tasks stop contending on the broker's interpreter
+    lock and the drain curve is non-decreasing in partition count, with
+    the widest split exceeding the single-connection ceiling.  Local
+    caveat that remains: broker and all fetch tasks still share one
+    machine's memory bandwidth here; on a real cluster each partition's
+    task fetches from its own broker over its own NIC and the same
+    split scales further — the control/data separation is identical to
+    the JVM source's."""
     from supermusr_data_pipeline_spark.kafka import (
         KafkaWireDataSource,
         MiniBroker,
@@ -400,7 +404,9 @@ def bench_kafka_partition_sweep(spark) -> dict:
 
     from supermusr_data_pipeline_spark.kafka.spark_source import _fetch_range
 
-    n_frames = int(os.environ.get("SPARK_GRAFT_KAFKA_SWEEP_FRAMES", "400"))
+    # 800 frames = ~131 MB: big enough that fetch time dominates the
+    # ~0.9 s fixed Spark batch-job overhead the 65 MB tape hid behind
+    n_frames = int(os.environ.get("SPARK_GRAFT_KAFKA_SWEEP_FRAMES", "800"))
     n_dig, n_events = 32, 500
     ch = [int(e % 8) for e in range(n_events)]
     et = [int(e * 37 % 20_000_000) for e in range(n_events)]
@@ -431,20 +437,27 @@ def bench_kafka_partition_sweep(spark) -> dict:
     # partition (n_fetch_tasks), a driver that stays at ~ms of
     # ListOffsets work regardless of partitions, and this measured
     # single-pipe ceiling for context.
+    import statistics
+
     with MiniBroker() as broker:
         broker.create_topic("ceil", partitions=1)
         with MiniProducer(broker.bootstrap, buffer_max=256) as prod:
             for d, v in payloads:
                 prod.send("ceil", v, key=str(d).encode())
-        t0 = time.perf_counter()
-        n = sum(
-            b.num_rows
-            for b in _fetch_range(
-                broker.bootstrap, "ceil", 0, 0, len(payloads)
+        # warm-up pass (numpy/arrow import + page cache) dropped, then
+        # median-of-3 (bench methodology: single soaks chase ±20% noise)
+        reps = []
+        for _ in range(4):
+            t0 = time.perf_counter()
+            n = sum(
+                b.num_rows
+                for b in _fetch_range(
+                    broker.bootstrap, "ceil", 0, 0, len(payloads)
+                )
             )
-        )
-        ceil_s = time.perf_counter() - t0
-        assert n == len(payloads)
+            reps.append(time.perf_counter() - t0)
+            assert n == len(payloads)
+        ceil_s = statistics.median(reps[1:])
     sweep["single_connection_ceiling_mb_s"] = round(total_mb / ceil_s, 1)
     warmed = False
     for nparts in (2, 8, 16):
@@ -461,10 +474,16 @@ def bench_kafka_partition_sweep(spark) -> dict:
             if not warmed:
                 df.limit(1).count()  # one-time Python-worker warm-up
                 warmed = True
-            t0 = time.perf_counter()
-            n = df.count()
-            drain_s = time.perf_counter() - t0
-            assert n == len(payloads)
+            # rep0 warms THIS width's broker (first contact, page cache)
+            # and is dropped; the point is the median of the next 3
+            reps = []
+            for _ in range(4):
+                t0 = time.perf_counter()
+                n = df.count()
+                reps.append(time.perf_counter() - t0)
+                assert n == len(payloads)
+            reps = reps[1:]
+            drain_s = statistics.median(reps)
             # driver profile: the ONLY per-trigger driver work the source
             # does is this metadata round (plus offset arithmetic)
             t1 = time.perf_counter()
@@ -477,6 +496,7 @@ def bench_kafka_partition_sweep(spark) -> dict:
                 "n_fetch_tasks": nparts,
                 "drain_mb_s": round(total_mb / drain_s, 1),
                 "drain_s": round(drain_s, 3),
+                "drain_s_band": [round(min(reps), 3), round(max(reps), 3)],
                 "driver_list_offsets_ms": round(driver_ms, 2),
             }
     return sweep

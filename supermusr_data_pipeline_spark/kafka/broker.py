@@ -41,43 +41,66 @@ from . import protocol as P
 
 @dataclass
 class _PartitionLog:
-    # records[i] = (timestamp_ms, key, value); offset == index
-    records: list[tuple[int, bytes | None, bytes | None]] = field(default_factory=list)
+    """Pre-encoded partition log: entry ``i``'s wire bytes live at
+    ``buf[pos[i] : pos[i+1]]``, encoded ONCE at append time.  A fetch is
+    then a bisect + ONE buffer slice — O(1) Python operations per
+    request — instead of a per-record re-encode.  (The per-record
+    encode capped a single connection at ~156 MB/s and made concurrent
+    fetch tasks CONTEND on the broker process's interpreter lock, which
+    is why the r10 partition sweep scaled inversely: 114 MB/s at 2
+    partitions -> 59.5 at 16.  Real brokers do the same thing for the
+    same reason — the log is stored in wire format and served
+    zero-copy.)"""
+
+    timestamps: list[int] = field(default_factory=list)
+    buf: bytearray = field(default_factory=bytearray)
+    pos: list[int] = field(default_factory=lambda: [0])
     lock: threading.Lock = field(default_factory=threading.Lock)
 
     def append_set(self, message_set: bytes) -> tuple[int, int]:
         """Validate + append a produced message set; returns
-        (base_offset, error_code)."""
+        (base_offset, error_code).  Gzip'd produces are decompressed
+        here (broker-side down-conversion) so every stored entry is a
+        plain v1 message served as-is."""
         try:
             recs = P.decode_message_set(message_set)
         except ValueError:
             return -1, P.ERR_CORRUPT_MESSAGE
         with self.lock:
-            base = len(self.records)
+            base = len(self.timestamps)
             now = int(time.time() * 1000)
-            for r in recs:
+            for i, r in enumerate(recs):
                 ts = r.timestamp if r.timestamp >= 0 else now
-                self.records.append((ts, r.key, r.value))
+                self.timestamps.append(ts)
+                self.buf += P.encode_message_set(
+                    [(ts, r.key, r.value)], base_offset=base + i
+                )
+                self.pos.append(len(self.buf))
         return base, P.ERR_NONE
 
     def read(self, fetch_offset: int, max_bytes: int) -> tuple[bytes, int, int]:
-        """Serve a fetch: returns (message_set, high_watermark, error)."""
+        """Serve a fetch: returns (message_set, high_watermark, error).
+        Whole entries up to ``max_bytes``, always at least one when any
+        is available (the protocol's no-starvation rule)."""
+        import bisect
+
         with self.lock:
-            hw = len(self.records)
+            hw = len(self.timestamps)
             if fetch_offset < 0 or fetch_offset > hw:
                 return b"", hw, P.ERR_OFFSET_OUT_OF_RANGE
-            out: list[bytes] = []
-            size = 0
-            for off in range(fetch_offset, hw):
-                ts, k, v = self.records[off]
-                entry = P.encode_message_set([(ts, k, v)], base_offset=off)
-                if out and size + len(entry) > max_bytes:
-                    break
-                out.append(entry)
-                size += len(entry)
-                if size >= max_bytes:
-                    break
-            return b"".join(out), hw, P.ERR_NONE
+            if fetch_offset == hw:
+                return b"", hw, P.ERR_NONE
+            lo = fetch_offset
+            # largest hi with pos[hi] - pos[lo] <= max_bytes, floor lo+1
+            hi = bisect.bisect_right(self.pos, self.pos[lo] + max_bytes) - 1
+            hi = max(lo + 1, min(hi, hw))
+            # ONE copy (memoryview slice -> bytes); the gather-write
+            # response path sends this buffer to the socket as-is
+            return (
+                bytes(memoryview(self.buf)[self.pos[lo] : self.pos[hi]]),
+                hw,
+                P.ERR_NONE,
+            )
 
     def lookup(self, timestamp: int) -> tuple[int, int]:
         """ListOffsets: returns (found_timestamp, offset); offset -1 when
@@ -86,8 +109,8 @@ class _PartitionLog:
             if timestamp == P.EARLIEST_TIMESTAMP:
                 return (-1, 0)
             if timestamp == P.LATEST_TIMESTAMP:
-                return (-1, len(self.records))
-            for off, (ts, _k, _v) in enumerate(self.records):
+                return (-1, len(self.timestamps))
+            for off, ts in enumerate(self.timestamps):
                 if ts >= timestamp:
                     return (ts, off)
             return (-1, -1)
@@ -160,11 +183,17 @@ class MiniBroker:
 
     def topic_sizes(self) -> dict[str, list[int]]:
         with self._topics_lock:
-            return {t: [len(p.records) for p in parts] for t, parts in self._topics.items()}
+            return {
+                t: [len(p.timestamps) for p in parts]
+                for t, parts in self._topics.items()
+            }
 
     # -- request dispatch ---------------------------------------------------
 
-    def _handle(self, payload: bytes) -> bytes:
+    def _handle(self, payload: bytes) -> bytes | list[bytes]:
+        """Returns the framed response: bytes, or a list of buffers for
+        a gather write (the fetch path — multi-MB message sets go to the
+        socket without being re-joined into one buffer)."""
         cur = P.Cursor(payload)
         api_key, api_version, corr_id, _client = P.decode_request_header(cur)
         versions = {k: (lo, hi) for k, lo, hi in P.SUPPORTED_APIS}
@@ -184,7 +213,7 @@ class MiniBroker:
         elif api_key == P.API_PRODUCE:
             body = self._produce(cur)
         elif api_key == P.API_FETCH:
-            body = self._fetch(cur)
+            return self._fetch(cur, corr_id)
         elif api_key == P.API_LIST_OFFSETS:
             body = self._list_offsets(cur)
         elif api_key == P.API_FIND_COORDINATOR:
@@ -282,7 +311,18 @@ class MiniBroker:
             g.joined.add(member_id)
             g.cond.notify_all()
             deadline = time.monotonic() + session_timeout / 1000.0
-            while g.state == "PreparingRebalance" and g.round == my_round:
+            while g.state == "PreparingRebalance":
+                if member_id not in g.members:
+                    break  # evicted mid-wait (session expiry elsewhere)
+                if g.round != my_round:
+                    # a new round started mid-wait (LeaveGroup/eviction
+                    # bumped it and cleared g.joined): this OUTSTANDING
+                    # join participates in the new round — the real
+                    # coordinator keeps a pending JoinGroup enrolled
+                    # across rebalance restarts rather than failing it
+                    my_round = g.round
+                    g.joined.add(member_id)
+                    deadline = time.monotonic() + session_timeout / 1000.0
                 if set(g.members) <= g.joined:
                     self._complete_join(g)
                     g.cond.notify_all()
@@ -460,7 +500,7 @@ class MiniBroker:
             responses.append((topic, prs))
         return P.encode_produce_response(responses)
 
-    def _fetch(self, cur: P.Cursor) -> bytes:
+    def _fetch(self, cur: P.Cursor, corr_id: int) -> list[bytes]:
         _replica, max_wait, min_bytes, topics = P.decode_fetch_request(cur)
         deadline = time.monotonic() + max_wait / 1000.0
 
@@ -485,7 +525,7 @@ class MiniBroker:
         while total < min_bytes and time.monotonic() < deadline:
             time.sleep(0.005)
             out, total = serve()
-        return P.encode_fetch_response(out)
+        return P.encode_fetch_response_parts(out, corr_id)
 
     def _list_offsets(self, cur: P.Cursor) -> bytes:
         _replica, topics = P.decode_list_offsets_request(cur)
@@ -510,6 +550,7 @@ class MiniBroker:
         class Handler(socketserver.BaseRequestHandler):
             def handle(self) -> None:  # one connection, many requests
                 sock = self.request
+                sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
                 try:
                     while True:
                         hdr = _recv_exact(sock, 4)
@@ -519,7 +560,11 @@ class MiniBroker:
                         payload = _recv_exact(sock, size)
                         if payload is None:
                             return
-                        sock.sendall(broker._handle(payload))
+                        resp = broker._handle(payload)
+                        if isinstance(resp, list):
+                            _send_buffers(sock, resp)  # gather write
+                        else:
+                            sock.sendall(resp)
                 except (ConnectionResetError, BrokenPipeError, OSError):
                     return
 
@@ -550,11 +595,35 @@ class MiniBroker:
         self.stop()
 
 
+def _send_buffers(sock: socket.socket, parts: list[bytes]) -> None:
+    """Write a gather-form response: sendmsg in a loop — like send(), it
+    may accept only a prefix on a blocking socket, so resume past what
+    was taken until the whole response is on the wire."""
+    total = sum(len(p) for p in parts)
+    sent = sock.sendmsg(parts)
+    while sent < total:
+        skip = sent
+        rest: list = []
+        for p in parts:
+            if skip >= len(p):
+                skip -= len(p)
+                continue
+            rest.append(memoryview(p)[skip:] if skip else p)
+            skip = 0
+        parts = rest
+        total = sum(len(p) for p in parts)
+        sent = sock.sendmsg(parts)
+
+
 def _recv_exact(sock: socket.socket, n: int) -> bytes | None:
-    buf = b""
-    while len(buf) < n:
-        chunk = sock.recv(n - len(buf))
-        if not chunk:
+    # recv_into a preallocated buffer — a multi-MB produce request in
+    # kernel-sized chunks must not pay quadratic ``bytes +=`` re-copies
+    buf = bytearray(n)
+    view = memoryview(buf)
+    got = 0
+    while got < n:
+        r = sock.recv_into(view[got:])
+        if r == 0:
             return None
-        buf += chunk
-    return buf
+        got += r
+    return bytes(buf)

@@ -45,35 +45,58 @@ class ConsumerRecord:
 
 
 class _Conn:
-    """One blocking connection: frame requests, match correlation ids."""
+    """One blocking connection: frame requests, match correlation ids.
+    ``send_request``/``recv_response`` expose the two halves so a caller
+    can PIPELINE — put the next request on the wire before consuming the
+    previous response (responses come back in order; pending correlation
+    ids are matched FIFO, which the protocol guarantees per
+    connection)."""
 
     def __init__(self, bootstrap: str, client_id: str) -> None:
         host, port = bootstrap.rsplit(":", 1)
         self.sock = socket.create_connection((host, int(port)), timeout=30)
+        # request/response framing: never batch the tail of a frame
+        self.sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
         self.client_id = client_id
         self._corr = itertools.count(1)
+        self._pending: list[int] = []
 
-    def request(self, api_key: int, api_version: int, body: bytes) -> P.Cursor:
+    def send_request(self, api_key: int, api_version: int, body: bytes) -> None:
         corr = next(self._corr)
+        self._pending.append(corr)
         self.sock.sendall(
             P.encode_request(api_key, api_version, corr, self.client_id, body)
         )
+
+    def recv_response(self) -> P.Cursor:
         (size,) = struct.unpack(">i", self._recv(4))
         payload = self._recv(size)
         cur = P.Cursor(payload)
         got = cur.i32()
-        if got != corr:
-            raise OSError(f"correlation mismatch: sent {corr}, got {got}")
+        exp = self._pending.pop(0)
+        if got != exp:
+            raise OSError(f"correlation mismatch: sent {exp}, got {got}")
         return cur
 
+    def request(self, api_key: int, api_version: int, body: bytes) -> P.Cursor:
+        self.send_request(api_key, api_version, body)
+        return self.recv_response()
+
     def _recv(self, n: int) -> bytes:
-        buf = b""
-        while len(buf) < n:
-            chunk = self.sock.recv(n - len(buf))
-            if not chunk:
+        # recv_into a preallocated buffer: a multi-MB fetch response
+        # arrives in many kernel-sized chunks, and the naive
+        # ``buf += chunk`` on immutable bytes re-copies the whole prefix
+        # per chunk — quadratic memcpy that capped a single connection
+        # at ~156 MB/s
+        buf = bytearray(n)
+        view = memoryview(buf)
+        got = 0
+        while got < n:
+            r = self.sock.recv_into(view[got:])
+            if r == 0:
                 raise ConnectionError("broker closed connection")
-            buf += chunk
-        return buf
+            got += r
+        return bytes(buf)
 
     def close(self) -> None:
         try:
@@ -296,6 +319,7 @@ def consumer_from_options(options: dict[str, str]) -> MiniConsumer:
             group,
             topics,
             starting_offsets=options.get("startingOffsets", "latest"),
+            starting_timestamp_ms=int(ts) if ts is not None else None,
             max_poll_records=int(max_offsets) if max_offsets is not None else None,
         )
     return MiniConsumer(
@@ -403,6 +427,7 @@ class GroupConsumer(MiniConsumer):
         group_id: str,
         topics: list[str],
         starting_offsets: str = "earliest",
+        starting_timestamp_ms: int | None = None,
         session_timeout_ms: int = 6000,
         heartbeat_interval_ms: int = 500,
         max_poll_records: int | None = None,
@@ -411,6 +436,11 @@ class GroupConsumer(MiniConsumer):
         self.group_id = group_id
         self.topics = list(topics)
         self.starting_offsets = starting_offsets
+        # startingTimestamp with a group: committed offsets still win
+        # (the group's progress is authoritative), the timestamp only
+        # positions NEVER-COMMITTED partitions — the JVM source's
+        # semantics for group.id + startingTimestamp
+        self.starting_timestamp_ms = starting_timestamp_ms
         self.session_timeout_ms = session_timeout_ms
         self.heartbeat_interval_ms = heartbeat_interval_ms
         self.max_poll_records = max_poll_records
@@ -526,11 +556,14 @@ class GroupConsumer(MiniConsumer):
             if missing:
                 uncommitted.append((topic, sorted(missing)))
         if uncommitted:
-            target = (
-                P.EARLIEST_TIMESTAMP
-                if self.starting_offsets == "earliest"
-                else P.LATEST_TIMESTAMP
-            )
+            if self.starting_timestamp_ms is not None:
+                target = self.starting_timestamp_ms
+            else:
+                target = (
+                    P.EARLIEST_TIMESTAMP
+                    if self.starting_offsets == "earliest"
+                    else P.LATEST_TIMESTAMP
+                )
             self._seek_all(uncommitted, target)
 
     def assignment(self) -> list[tuple[str, int]]:

@@ -303,6 +303,23 @@ def decode_message_set(buf: bytes, *, verify_crc: bool = True) -> list[Record]:
     return out
 
 
+def message_set_last_offset(buf: bytes) -> int | None:
+    """Size-walk a message set and return the LAST complete entry's
+    offset field (None when empty).  For a gzip wrapper this is the v1
+    rule's absolute offset of the last INNER record, so ``last + 1`` is
+    the correct next fetch position either way.  Used by the pipelined
+    fetch path to put the next request on the wire BEFORE paying the
+    full columnar decode of the current response."""
+    pos, L, last = 0, len(buf), None
+    while L - pos >= 12:
+        offset, size = struct.unpack_from(">qi", buf, pos)
+        if L - pos - 12 < size:
+            break  # partial trailing message — protocol-legal truncation
+        last = offset
+        pos += 12 + size
+    return last
+
+
 def _binary_column(u8, starts, lens):
     """Build one Arrow binary array by direct buffer assembly: int32
     offsets via cumsum + one numpy slice-copy per element (C memcpy) —
@@ -312,9 +329,18 @@ def _binary_column(u8, starts, lens):
 
     n = len(starts)
     clipped = np.maximum(lens, 0)
+    total = int(clipped.sum(dtype=np.int64))
+    if total > np.iinfo(np.int32).max:
+        # Arrow binary offsets are int32: a (decompressed) fetch response
+        # whose key/value bytes exceed 2 GiB would silently wrap cumsum —
+        # fail loud instead (decode_message_set handles any size; callers
+        # should fetch smaller ranges)
+        raise ValueError(
+            f"message-set key/value bytes ({total}) exceed the 2 GiB "
+            "Arrow binary-offset limit; fetch a smaller range"
+        )
     offs = np.zeros(n + 1, dtype=np.int32)
     np.cumsum(clipped, out=offs[1:])
-    total = int(offs[-1])
     if n and total < n * 256:
         # many small elements: one fully-vectorized gather (output
         # position p of element i reads source starts[i] - offs[i] + p)
@@ -593,6 +619,49 @@ def encode_fetch_response(
             lambda p: e_i32(p[0]) + e_i16(p[1]) + e_i64(p[2]) + e_bytes(p[3]),
         ),
     )
+
+
+def encode_fetch_response_parts(
+    topics: list[tuple[str, list[tuple[int, int, int, bytes]]]],
+    correlation_id: int,
+    throttle_ms: int = 0,
+) -> list[bytes]:
+    """Gather-write form of a FULL framed fetch response (size prefix +
+    correlation id included): returns a list of buffers for the server
+    to write straight to the socket, with each partition's message set
+    passed through UN-COPIED.  ``encode_fetch_response`` + two
+    ``encode_response`` concatenations memcpy a multi-MB response ~5
+    more times; at this VM's ~2 GB/s memcpy that was the broker's serve
+    ceiling.  Wire bytes are identical to the joined form (the fetch
+    test suite pins decode-equality)."""
+    head: list[bytes] = []  # small pieces accumulated, flushed per mset
+    parts: list[bytes] = []
+    total = 0
+
+    def emit(b: bytes, big: bool = False) -> None:
+        nonlocal total
+        total += len(b)
+        if big:
+            if head:
+                parts.append(b"".join(head))
+                head.clear()
+            parts.append(b)
+        else:
+            head.append(b)
+
+    emit(e_i32(correlation_id))
+    emit(e_i32(throttle_ms))
+    emit(e_i32(len(topics)))
+    for topic, prs in topics:
+        emit(e_string(topic))
+        emit(e_i32(len(prs)))
+        for pid, err, hw, mset in prs:
+            emit(struct.pack(">ihqi", pid, err, hw, len(mset)))
+            if mset:
+                emit(mset, big=len(mset) > 1 << 16)
+    if head:
+        parts.append(b"".join(head))
+    return [e_i32(total), *parts]
 
 
 def decode_fetch_response(cur: Cursor):

