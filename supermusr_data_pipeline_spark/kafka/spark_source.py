@@ -65,6 +65,7 @@ class _RangePartition(InputPartition):
     partition: int
     start: int
     end: int
+    decode: str = "none"
 
 
 _FETCH_BYTES = 1 << 24  # 16 MiB per round trip
@@ -72,7 +73,7 @@ _FETCH_BYTES = 1 << 24  # 16 MiB per round trip
 
 def _fetch_range(
     bootstrap: str, topic: str, pid: int, start: int, end: int,
-    fetch_bytes: int = _FETCH_BYTES,
+    fetch_bytes: int = _FETCH_BYTES, decode: str = "none",
 ):
     """Executor-side: fetch [start, end) from one partition over its own
     connection, yielding one Arrow RecordBatch per fetch response — the
@@ -137,16 +138,31 @@ def _fetch_range(
             hi = int(np.searchsorted(offs, end, side="left"))
             if hi > lo:
                 n = hi - lo
-                yield pa.record_batch(
-                    {
-                        "key": keys.slice(lo, n),
-                        "value": vals.slice(lo, n),
-                        "topic": pa.array([topic] * n, pa.string()),
-                        "partition": pa.array(np.full(n, pid, dtype=np.int32)),
-                        "offset": pa.array(offs[lo:hi]),
-                        "timestamp": pa.array(tss[lo:hi] * 1000).view(ts_type),
-                    }
-                )
+                if decode == "dev2":
+                    # FUSED decode (valueDecode=dev2): emit the message
+                    # columns straight from the fetch task — the raw
+                    # payload bytes never cross back into the JVM just
+                    # to re-enter Python for a mapInArrow stage
+                    from ..sources.decode import dev2_arrow_batch
+
+                    rb = dev2_arrow_batch(vals.slice(lo, n))
+                    if rb.num_rows:
+                        yield rb
+                else:
+                    yield pa.record_batch(
+                        {
+                            "key": keys.slice(lo, n),
+                            "value": vals.slice(lo, n),
+                            "topic": pa.array([topic] * n, pa.string()),
+                            "partition": pa.array(
+                                np.full(n, pid, dtype=np.int32)
+                            ),
+                            "offset": pa.array(offs[lo:hi]),
+                            "timestamp": pa.array(tss[lo:hi] * 1000).view(
+                                ts_type
+                            ),
+                        }
+                    )
             off = nxt
     finally:
         conn.close()
@@ -232,19 +248,37 @@ class _OffsetOracle:
         return st
 
 
-def _ranges(bootstrap: str, start: dict, end: dict) -> list[_RangePartition]:
+def _ranges(
+    bootstrap: str, start: dict, end: dict, decode: str = "none"
+) -> list[_RangePartition]:
     parts = []
     for key, e in end.items():
         topic, _, pid = key.rpartition(_SEP)
         s = start.get(key, 0)
         if e > s:
-            parts.append(_RangePartition(bootstrap, topic, int(pid), s, e))
+            parts.append(
+                _RangePartition(bootstrap, topic, int(pid), s, e, decode)
+            )
     return parts
+
+
+def _decode_opt(options) -> str:
+    """valueDecode option: 'none' (the JVM Kafka source's raw columns)
+    or 'dev2' (fused schema-aware decode — the source itself emits
+    DIGITISER_MESSAGE_SCHEMA rows)."""
+    decode = str(_opt(options, "valueDecode", "none")).lower()
+    if decode not in ("none", "dev2"):
+        raise ValueError(
+            f"valueDecode={decode!r}: supported values are 'none' (raw "
+            "key/value columns) and 'dev2' (fused digitiser-message decode)"
+        )
+    return decode
 
 
 class KafkaWireStreamReader(DataSourceStreamReader):
     def __init__(self, options) -> None:
         self._oracle = _OffsetOracle(options)
+        self._decode = _decode_opt(options)
         starting_ts = _opt(options, "startingTimestamp")
         starting = _opt(options, "startingOffsets", "latest")
         if starting_ts is not None:
@@ -296,13 +330,17 @@ class KafkaWireStreamReader(DataSourceStreamReader):
             k: max(start.get(k, 0), end.get(k, 0))
             for k in set(start) | set(end)
         }
-        parts = _ranges(self._oracle.bootstrap, start, end)
+        parts = _ranges(self._oracle.bootstrap, start, end, self._decode)
         # a trigger with nothing to do still needs >= 1 partition (the
         # API requires a non-empty sequence); an empty range yields no rows
         if not parts:
             any_key = next(iter(end), f"_none{_SEP}0")
             topic, _, pid = any_key.rpartition(_SEP)
-            parts = [_RangePartition(self._oracle.bootstrap, topic, int(pid), 0, 0)]
+            parts = [
+                _RangePartition(
+                    self._oracle.bootstrap, topic, int(pid), 0, 0, self._decode
+                )
+            ]
         return parts
 
     def read(self, partition: _RangePartition):
@@ -312,6 +350,7 @@ class KafkaWireStreamReader(DataSourceStreamReader):
             partition.partition,
             partition.start,
             partition.end,
+            decode=partition.decode,
         )
 
     def commit(self, end: dict) -> None:
@@ -329,7 +368,10 @@ class KafkaWireBatchReader(DataSourceReader):
             end = oracle.offsets_at(P.LATEST_TIMESTAMP)
         finally:
             oracle.close()
-        self._parts = _ranges(_opt(options, "kafka.bootstrap.servers"), start, end)
+        self._parts = _ranges(
+            _opt(options, "kafka.bootstrap.servers"), start, end,
+            _decode_opt(options),
+        )
 
     def partitions(self):
         return self._parts or [_RangePartition("", "_none", 0, 0, 0)]
@@ -341,6 +383,7 @@ class KafkaWireBatchReader(DataSourceReader):
             partition.partition,
             partition.start,
             partition.end,
+            decode=partition.decode,
         )
 
 
@@ -352,7 +395,13 @@ class KafkaWireDataSource(DataSource):
     def name(cls) -> str:
         return "kafka-wire"
 
-    def schema(self) -> str:
+    def schema(self):
+        if _decode_opt(self.options) == "dev2":
+            from ..streaming.frame_assembly_stream import (
+                DIGITISER_MESSAGE_SCHEMA,
+            )
+
+            return DIGITISER_MESSAGE_SCHEMA
         return KAFKA_SOURCE_SCHEMA
 
     def reader(self, schema) -> KafkaWireBatchReader:

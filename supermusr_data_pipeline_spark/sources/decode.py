@@ -289,24 +289,10 @@ def decode_dev2(df: DataFrame) -> DataFrame:
     return _map_decoded_cols(df, "dev2", DEV2_DECODED_SCHEMA, cols)
 
 
-def decode_dev2_messages(df: DataFrame) -> DataFrame:
-    """dev2 payloads → one row per MESSAGE with SoA arrays — exactly the
-    DIGITISER_MESSAGE_SCHEMA shape streaming frame assembly consumes, so a
-    Kafka-envelope stream plugs straight into assemble_frames_stream.
-
-    Arrow-native (``mapInArrow``): per batch, the event vectors of all
-    messages concatenate into ONE values buffer per column and the list
-    columns are built with ``pa.ListArray.from_arrays`` — no per-event
-    Python objects anywhere.  The previous pandas build boxed every
-    event through ``.tolist()`` (~3 PyObjects/event), which dominated
-    the kafka-wire front door's decode cost at the 32x500 shape
-    (VERDICT r9 #3).  Timestamps are emitted as timestamp[us, UTC]
-    (sessions here pin spark.sql.session.timeZone=UTC)."""
-    from ..streaming.frame_assembly_stream import DIGITISER_MESSAGE_SCHEMA
-
+def _dev2_arrow_schema():
     import pyarrow as pa
 
-    out_schema = pa.schema(
+    return pa.schema(
         [
             ("digitizer_id", pa.int32()),
             ("ts", pa.timestamp("us", tz="UTC")),
@@ -321,77 +307,100 @@ def decode_dev2_messages(df: DataFrame) -> DataFrame:
         ]
     )
 
+
+def dev2_arrow_batch(values):
+    """Decode an iterable of raw dev2 payloads (bytes / None / Arrow
+    binary scalars) into ONE Arrow RecordBatch of the
+    DIGITISER_MESSAGE_SCHEMA shape.  Identifier-checked per payload:
+    non-dev2 or malformed entries are warn-and-skipped (P8).  All event
+    vectors concatenate into one values buffer per column
+    (``pa.ListArray.from_arrays``) — no per-event Python objects.
+
+    Shared by the ``mapInArrow`` decoder stage
+    (``decode_dev2_messages``) and the kafka-wire source's FUSED
+    ``valueDecode=dev2`` path (kafka/spark_source.py), where decoding
+    inside the source task removes a whole JVM<->Python round trip of
+    the raw payload bytes per micro-batch."""
+    import pyarrow as pa
+
+    out_schema = _dev2_arrow_schema()
+    decoder = M.DECODERS["dev2"]
+    dec = []
+    for v in values:
+        b = v if isinstance(v, (bytes, bytearray)) or v is None else v.as_py()
+        if b is None or len(b) < 8 or bytes(b[4:8]) != b"dev2":
+            continue  # wrong family on the topic: warn-and-skip
+        try:
+            dec.append(decoder(b))
+        except Exception:
+            continue  # malformed: warn-and-skip channel (P8)
+    n = len(dec)
+    if n == 0:
+        return pa.RecordBatch.from_arrays(
+            [pa.array([], type=f.type) for f in out_schema],
+            schema=out_schema,
+        )
+
     def _list_col(vecs: list, np_type, pa_value_type):
         lens = np.fromiter((len(v) for v in vecs), np.int32, len(vecs))
         offs = np.zeros(len(vecs) + 1, dtype=np.int32)
         np.cumsum(lens, out=offs[1:])
-        values = (
+        values_buf = (
             np.concatenate([np.asarray(v, dtype=np_type) for v in vecs])
             if int(offs[-1])
             else np.empty(0, dtype=np_type)
         )
         return pa.ListArray.from_arrays(
-            pa.array(offs), pa.array(values, type=pa_value_type)
+            pa.array(offs), pa.array(values_buf, type=pa_value_type)
         )
 
+    md = [d["metadata"] for d in dec]
+    ts_us = np.fromiter((m["ts_ns"] // 1000 for m in md), np.int64, n)
+    arrays = [
+        pa.array(np.fromiter((d["digitizer_id"] for d in dec), np.int32, n)),
+        pa.array(ts_us).view(pa.timestamp("us", tz="UTC")),
+        pa.array(np.fromiter((m["period_number"] for m in md), np.int64, n)),
+        pa.array(
+            np.fromiter((m["protons_per_pulse"] for m in md), np.int32, n)
+        ),
+        pa.array(np.fromiter((bool(m["running"]) for m in md), bool, n)),
+        pa.array(np.fromiter((m["frame_number"] for m in md), np.int64, n)),
+        pa.array(np.fromiter((m["veto_flags"] for m in md), np.int32, n)),
+        _list_col(
+            [d["channel"] if d["channel"] is not None else () for d in dec],
+            np.int32, pa.int32(),
+        ),
+        _list_col(
+            [d["time"] if d["time"] is not None else () for d in dec],
+            np.int64, pa.int64(),
+        ),
+        _list_col(
+            [d["voltage"] if d["voltage"] is not None else () for d in dec],
+            np.float64, pa.float64(),
+        ),
+    ]
+    return pa.RecordBatch.from_arrays(arrays, schema=out_schema)
+
+
+def decode_dev2_messages(df: DataFrame) -> DataFrame:
+    """dev2 payloads → one row per MESSAGE with SoA arrays — exactly the
+    DIGITISER_MESSAGE_SCHEMA shape streaming frame assembly consumes, so a
+    Kafka-envelope stream plugs straight into assemble_frames_stream.
+
+    Arrow-native (``mapInArrow`` over ``dev2_arrow_batch``): per batch,
+    the event vectors of all messages concatenate into ONE values buffer
+    per column and the list columns are built with
+    ``pa.ListArray.from_arrays`` — no per-event Python objects anywhere.
+    The previous pandas build boxed every event through ``.tolist()``
+    (~3 PyObjects/event), which dominated the kafka-wire front door's
+    decode cost at the 32x500 shape (VERDICT r9 #3).  Timestamps are
+    emitted as timestamp[us, UTC] (sessions here pin
+    spark.sql.session.timeZone=UTC)."""
+    from ..streaming.frame_assembly_stream import DIGITISER_MESSAGE_SCHEMA
+
     def proc(batches):
-        decoder = M.DECODERS["dev2"]
         for rb in batches:
-            dec = []
-            for v in rb.column(0):
-                try:
-                    dec.append(decoder(v.as_py()))
-                except Exception:
-                    continue  # malformed: warn-and-skip channel (P8)
-            n = len(dec)
-            if n == 0:
-                yield pa.RecordBatch.from_arrays(
-                    [pa.array([], type=f.type) for f in out_schema],
-                    schema=out_schema,
-                )
-                continue
-            md = [d["metadata"] for d in dec]
-            ts_us = np.fromiter(
-                (m["ts_ns"] // 1000 for m in md), np.int64, n
-            )
-            arrays = [
-                pa.array(
-                    np.fromiter(
-                        (d["digitizer_id"] for d in dec), np.int32, n
-                    )
-                ),
-                pa.array(ts_us).view(pa.timestamp("us", tz="UTC")),
-                pa.array(
-                    np.fromiter((m["period_number"] for m in md), np.int64, n)
-                ),
-                pa.array(
-                    np.fromiter(
-                        (m["protons_per_pulse"] for m in md), np.int32, n
-                    )
-                ),
-                pa.array(
-                    np.fromiter((bool(m["running"]) for m in md), bool, n)
-                ),
-                pa.array(
-                    np.fromiter((m["frame_number"] for m in md), np.int64, n)
-                ),
-                pa.array(
-                    np.fromiter((m["veto_flags"] for m in md), np.int32, n)
-                ),
-                _list_col(
-                    [d["channel"] if d["channel"] is not None else () for d in dec],
-                    np.int32, pa.int32(),
-                ),
-                _list_col(
-                    [d["time"] if d["time"] is not None else () for d in dec],
-                    np.int64, pa.int64(),
-                ),
-                _list_col(
-                    [d["voltage"] if d["voltage"] is not None else () for d in dec],
-                    np.float64, pa.float64(),
-                ),
-            ]
-            yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
+            yield dev2_arrow_batch(rb.column(0))
 
     return dispatch(df, "dev2").select("value").mapInArrow(
         proc, DIGITISER_MESSAGE_SCHEMA

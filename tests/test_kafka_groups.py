@@ -405,3 +405,97 @@ def test_join_survives_leave_during_rebalance():
         assert leader == member, "sole survivor leads"
         assert proto == "roundrobin"
         c1.close(leave=False)
+
+
+def test_spark_job_to_group_consumer_interop(spark):
+    """Interop closure (VERDICT r10 next #8): a SPARK JOB produces the
+    topic over the wire (executor-side producers in foreachPartition),
+    and stock-shaped group consumers — subscribe -> rebalance ->
+    committed offsets — consume it: one member drains and commits, a
+    second member joining forces a rebalance (generation bump, disjoint
+    split), both drain Spark-produced deltas, and a fresh member of the
+    same group resumes from the committed offsets with nothing
+    redelivered."""
+    with MiniBroker() as broker:
+        broker.create_topic("docs", partitions=4)
+        bootstrap = broker.bootstrap
+
+        def produce(df):
+            def send_part(rows):
+                from supermusr_data_pipeline_spark.kafka import MiniProducer
+
+                with MiniProducer(bootstrap, buffer_max=64) as p:
+                    for r in rows:
+                        p.send("docs", r.v.encode(), key=r.k.encode())
+
+            df.foreachPartition(send_part)
+
+        produce(
+            spark.range(120).selectExpr(
+                "cast(id as string) k", "concat('v-', id) v"
+            )
+        )
+        assert sum(broker.topic_sizes()["docs"]) == 120
+
+        c1 = GroupConsumer(
+            bootstrap, "readers", ["docs"],
+            session_timeout_ms=4000, heartbeat_interval_ms=100,
+        )
+        assert c1.assignment() == [("docs", p) for p in range(4)]
+        got = {}
+        deadline = time.time() + 20
+        while len(got) < 120 and time.time() < deadline:
+            for r in c1.poll(max_wait_ms=100):
+                got[r.value.decode()] = r.key.decode()
+        assert len(got) == 120
+        assert got["v-17"] == "17"  # content round-trips, not just counts
+        c1.commit()
+        gen0 = c1.generation
+
+        # a second member joins -> rebalance -> disjoint two-way split
+        box = {}
+        th = threading.Thread(
+            target=lambda: box.update(
+                c2=GroupConsumer(
+                    bootstrap, "readers", ["docs"],
+                    session_timeout_ms=4000, heartbeat_interval_ms=100,
+                )
+            )
+        )
+        th.start()
+        deadline = time.time() + 10
+        while "c2" not in box and time.time() < deadline:
+            c1.poll(max_wait_ms=50)
+        th.join(timeout=10)
+        c2 = box["c2"]
+        while len(c1.assignment()) != 2 and time.time() < deadline:
+            c1.poll(max_wait_ms=50)
+        assert c1.generation > gen0
+        a1, a2 = set(c1.assignment()), set(c2.assignment())
+        assert a1 | a2 == {("docs", p) for p in range(4)} and not (a1 & a2)
+
+        # Spark produces a delta; the group sees each record exactly once
+        produce(
+            spark.range(120, 160).selectExpr(
+                "cast(id as string) k", "concat('v-', id) v"
+            )
+        )
+        delta = []
+        deadline = time.time() + 20
+        while len(delta) < 40 and time.time() < deadline:
+            delta.extend(c1.poll(max_wait_ms=100))
+            delta.extend(c2.poll(max_wait_ms=100))
+        assert sorted(r.value.decode() for r in delta) == sorted(
+            f"v-{i}" for i in range(120, 160)
+        )
+        c1.commit()
+        c2.commit()
+        c1.close()
+        c2.close()
+
+        # committed handoff: a fresh member resumes, nothing redelivered
+        c3 = GroupConsumer(
+            bootstrap, "readers", ["docs"], session_timeout_ms=4000
+        )
+        assert c3.poll(max_wait_ms=200) == []
+        c3.close()

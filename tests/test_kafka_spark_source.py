@@ -181,3 +181,58 @@ def test_daq_chain_consumes_native_source(registered, tmp_path):
     assert out.count() == 5
     assert {r.frame_number for r in out.collect()} == {1, 2}
     assert out.filter("run_name = 'run_w'").count() == 5
+
+
+def test_value_decode_dev2_fused_matches_two_stage(spark):
+    """valueDecode=dev2 (decode fused into the source task) is
+    row-identical to the two-stage raw-read -> decode_dev2_messages
+    path, including the warn-and-skip of a non-dev2 payload on the
+    topic (P8).  The fused form removes a JVM<->Python round trip of
+    the raw payload bytes per micro-batch (r11, wire-door latency)."""
+    from supermusr_data_pipeline_spark.kafka import (
+        KafkaWireDataSource,
+        MiniBroker,
+        MiniProducer,
+    )
+    from supermusr_data_pipeline_spark.sources import messages as M
+    from supermusr_data_pipeline_spark.sources.decode import decode_dev2_messages
+    from supermusr_data_pipeline_spark.streaming.envelope_stream import (
+        kafka_source_options,
+    )
+
+    spark.dataSource.register(KafkaWireDataSource)
+    with MiniBroker() as broker:
+        broker.create_topic("t", partitions=2)
+        with MiniProducer(broker.bootstrap) as prod:
+            for i in range(24):
+                md = {
+                    "ts_ns": (1_700_000_000_000_000 + i * 20_000) * 1000,
+                    "period_number": i // 8, "protons_per_pulse": 4,
+                    "running": True, "frame_number": i, "veto_flags": i % 3,
+                }
+                prod.send(
+                    "t",
+                    M.encode_dev2(i % 4, md, [1, 2, 3], [10, 20, 30], [0, 1, 2]),
+                    key=str(i % 4).encode(),
+                )
+            prod.send("t", b"garbage-not-a-dev2-payload", key=b"x")
+        opts = kafka_source_options(
+            broker.bootstrap, ["t"], starting_offsets="earliest"
+        )
+        fused = (
+            spark.read.format("kafka-wire").options(**opts)
+            .option("valueDecode", "dev2").load()
+        )
+        raw = spark.read.format("kafka-wire").options(**opts).load()
+        two_stage = decode_dev2_messages(raw.select("key", "value", "topic"))
+        a = sorted(map(repr, fused.collect()))
+        b = sorted(map(repr, two_stage.collect()))
+        assert len(a) == 24 and a == b
+
+        import pytest
+
+        with pytest.raises(Exception, match="valueDecode"):
+            (
+                spark.read.format("kafka-wire").options(**opts)
+                .option("valueDecode", "protobuf").load().count()
+            )

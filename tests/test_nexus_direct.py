@@ -746,3 +746,47 @@ def test_timer_error_fails_next_batch(tmp_path):
     with pytest.raises(RuntimeError, match="expiry ticker"):
         w(None, 0)
     assert w.timer_error is None  # consumed, not re-raised forever
+
+
+def test_pending_rows_byte_budget_dispatches_early(spark, tmp_path):
+    """The carried-rows cache is bounded by BYTES, not just TTL
+    (VERDICT r10 next #5): at 10x event density the budget forces the
+    oldest pending frames to dispatch incomplete-early (the reference's
+    memory-pressure posture for a partial frame, frame/partial.rs:30-40)
+    and late messages for them hit tombstones, exactly as TTL expiry."""
+    clock = [1000.0]
+    sink = str(tmp_path / "sink")
+    runs = _runs(spark)
+    budget = 300_000
+    mk = lambda: DirectNexusWriter(  # noqa: E731
+        runs, sink, [0, 1], frame_ttl_ms=10**9, tombstone_ttl_ms=10**9,
+        clock=lambda: clock[0], pending_max_bytes=budget,
+    )
+    w = mk()
+    n_ev = 5000  # 10x the 32x500 shape's per-message event density
+    row_b = 80 + 20 * n_ev
+    for f in range(6):
+        # every frame arrives INCOMPLETE (digitiser 1 never shows)
+        w(_batch(spark, [_msg(0, f, n_ev)]), f)
+        clock[0] += 0.02
+        assert w._pending_bytes <= budget, f"budget breached after batch {f}"
+    # oldest frames were dispatched incomplete to honor the budget ...
+    out = spark.read.parquet(sink)
+    done = {int(r.frame_number) for r in out.select("frame_number").distinct().collect()}
+    assert done and min(done) == 0, "eviction must be oldest-first"
+    assert all(
+        not r.frame_complete
+        for r in out.select("frame_complete").distinct().collect()
+    )
+    # ... and the driver-held cache stays FLAT: at most budget's worth
+    held = sum(len(rs) for rs in w._pending_rows.values())
+    assert held * row_b <= budget
+    assert 0 < held < 6
+    # a late message for an early-dispatched frame hits its tombstone
+    n_before = out.count()
+    w(_batch(spark, [_msg(1, 0, n_ev)]), 6)
+    assert spark.read.parquet(sink).count() == n_before
+    # restart recomputes the byte accounting from the sidecar
+    w2 = mk()
+    w2._load_state(spark)
+    assert w2._pending_bytes == w._pending_bytes > 0

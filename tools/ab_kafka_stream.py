@@ -64,7 +64,6 @@ def _run_kafka(spark, base: str, n_frames: int, n_dig: int, tag: str = "",
                door: str = "fsm") -> dict:
     from supermusr_data_pipeline_spark.kafka import MiniBroker, MiniProducer
     from supermusr_data_pipeline_spark.kafka.spark_source import KafkaWireDataSource
-    from supermusr_data_pipeline_spark.sources.decode import decode_dev2_messages
     from supermusr_data_pipeline_spark.streaming.envelope_stream import (
         kafka_source_options,
     )
@@ -91,11 +90,15 @@ def _run_kafka(spark, base: str, n_frames: int, n_dig: int, tag: str = "",
         opts = kafka_source_options(
             broker.bootstrap, ["daq-events"], starting_offsets="earliest",
         )
-        wire = (
-            spark.readStream.format("kafka-wire").options(**opts).load()
-            .select("key", "value", "topic")
+        # FUSED decode (valueDecode=dev2): the source task emits message
+        # columns directly, so the raw payload bytes never round-trip
+        # JVM -> Python a second time for a mapInArrow stage (r11; the
+        # two-stage form is pinned row-identical by
+        # test_kafka_spark_source.py)
+        messages = (
+            spark.readStream.format("kafka-wire").options(**opts)
+            .option("valueDecode", "dev2").load()
         )
-        messages = decode_dev2_messages(wire)
         if door == "direct":
             # the production sink: frame assembly fused into foreachBatch
             writer = DirectNexusWriter(
@@ -200,11 +203,12 @@ def main() -> None:
         spark.conf.set(k, v)
 
     base = tempfile.mkdtemp(prefix="ab_kafka_stream_")
-    # INTERLEAVED arms (file, kafka, file, kafka) with cache/GC hygiene
-    # between soaks, so slow VM phases and session heap debt hit both
-    # doors equally — the r10 fix for the ordering bias the original
-    # file-then-kafka layout carried (the second arm inherited the first
-    # soak's churn).  Per-arm numbers are pooled medians of the rounds.
+    # ABBA arms (file, kafka, kafka, file) with cache/GC hygiene between
+    # soaks: the r10 interleave (ABAB) equalized which arm pays start-up,
+    # but a LINEAR position drift (session heap debt, slow VM phases that
+    # build over minutes) still lands 1+3 vs 2+4 — ABBA gives both arms
+    # the same position sum, cancelling linear drift exactly.  Per-arm
+    # numbers are pooled medians of the rounds.
     n_dig = args.digitisers
     half = max(200, args.frames // 2)
     keys = (
@@ -228,18 +232,21 @@ def main() -> None:
 
     rounds = []
     file_cycle = None
-    for rnd in range(2):
-        f = BS._run_shape(
-            spark, base, n_dig, half, paced_only=True,
-            label_suffix=f"_ab{rnd}",
-            fsm="direct" if args.door == "direct" else "apply",
-        )
-        file_cycle = f.get("cycle_decomposition") or file_cycle
-        rounds.append(("file", {k: f["paced"][k] for k in keys}))
-        _hygiene()
-        k = _run_kafka(spark, base, half, n_dig, tag=f"_ab{rnd}", door=args.door)
-        rounds.append(("kafka", k))
-        if rnd == 0:
+    for rnd, arm in enumerate(("file", "kafka", "kafka", "file")):
+        if arm == "file":
+            f = BS._run_shape(
+                spark, base, n_dig, half, paced_only=True,
+                label_suffix=f"_ab{rnd}",
+                fsm="direct" if args.door == "direct" else "apply",
+            )
+            file_cycle = f.get("cycle_decomposition") or file_cycle
+            rounds.append(("file", {k: f["paced"][k] for k in keys}))
+        else:
+            k = _run_kafka(
+                spark, base, half, n_dig, tag=f"_ab{rnd}", door=args.door
+            )
+            rounds.append(("kafka", k))
+        if rnd < 3:
             _hygiene()
 
     def pooled(arm: str) -> dict:
@@ -249,7 +256,15 @@ def main() -> None:
             vals = sorted(
                 r[key] for r in arm_rounds if r.get(key) is not None
             )
-            out[key] = vals[len(vals) // 2] if vals else None
+            if not vals:
+                out[key] = None
+            elif len(vals) % 2:
+                out[key] = vals[len(vals) // 2]
+            else:
+                # true median for even round counts (upper-middle alone
+                # biased the pooled number toward the worse round)
+                mid = len(vals) // 2
+                out[key] = round((vals[mid - 1] + vals[mid]) / 2, 5)
         out["keeps_up_at_50fps"] = all(
             r["keeps_up_at_50fps"] for r in arm_rounds
         )
@@ -261,7 +276,7 @@ def main() -> None:
         "shape": f"{n_dig}x{BS.EVENTS_PER_MESSAGE}",
         "frames": args.frames,
         "frames_per_round": half,
-        "interleaved_rounds": 2,
+        "interleave": "ABBA",
         "file_source": pooled("file"),
         "kafka_wire_source": pooled("kafka"),
         "file_cycle_decomposition": file_cycle,
