@@ -57,6 +57,10 @@ AB_QUERIES = [
     "q29_ivf_ann",
     "q47_ann_recall",
     "q14_threshold_detect",
+    # r10 drift watch-items (VERDICT r10 #3): q08 read +73% r9->r10 with
+    # no code change to the query; q29/q25 sat at the edge of the ±20%
+    # band.  Run against the r9 tree to attribute code vs session noise.
+    "q08_interval_match",
 ]
 
 

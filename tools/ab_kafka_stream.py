@@ -221,13 +221,18 @@ def main() -> None:
         spark.sparkContext._jvm.System.gc()
         time.sleep(5)
 
-    # throwaway warm-in soak (codegen/python-worker start-up must not
-    # land on either measured arm — the r10 direct-door A/B showed a
-    # cold first round reading 3x its warmed latency)
+    # throwaway warm-in soaks, ONE PER DOOR (codegen/python-worker
+    # start-up must not land on either measured arm — the r10
+    # direct-door A/B showed a cold first round reading 3x its warmed
+    # latency, and the r11 fused-source A/B showed the same for the
+    # wire door's Python-DataSource path when only the file door was
+    # warmed)
     BS._run_shape(
         spark, base, n_dig, 300, paced_only=True, label_suffix="_warm",
         fsm="direct" if args.door == "direct" else "apply",
     )
+    _hygiene()
+    _run_kafka(spark, base, 300, n_dig, tag="_warm", door=args.door)
     _hygiene()
 
     rounds = []
