@@ -7,11 +7,12 @@ Motivation (VERDICT r7 latency floor): the measured cycle decomposition
 attributes ~0.21-0.23 s of every micro-batch to file-source directory
 listing.  The kafka-wire source's admission control is one ListOffsets
 wire call (~ms) instead of a directory list, so the trigger overhead
-term could shrink — but the wire path ADDS dev2 decode (mapInPandas)
-that the file tapes pre-pay, and Python-source planning has its own
+term could shrink — but the wire path ADDS dev2 decode that the file
+tapes pre-pay (FUSED into the source task since r11, valueDecode=dev2 —
+no separate mapInArrow stage), and Python-source planning has its own
 per-batch cost.  This tool measures the swap honestly: same
-SparkSession, same FSM + sink, same pacing, interleave-free but
-back-to-back (the repo's same-session variance rule).
+SparkSession, same FSM + sink, same pacing, ABBA-interleaved with both
+doors warmed first (the repo's same-session variance rule).
 
 Usage: python tools/ab_kafka_stream.py [--frames 1000]
 Writes tools/AB_KAFKA_STREAM_RESULT.json and prints one JSON line.

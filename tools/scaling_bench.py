@@ -189,11 +189,14 @@ def main() -> None:
     # build; the build's OWN scaling is recorded as lsh_index_build)
     from supermusr_data_pipeline_spark.plans import incremental
 
+    app = spark.sparkContext.applicationId
     idx_build: dict[int, float] = {}
     for k in factors:
         t0 = time.perf_counter()
-        incremental.write_lsh_index(spark, dirs[k], incremental.lsh_index_path(dirs[k]))
-        incremental._BUILT.add((spark.sparkContext.applicationId, dirs[k]))
+        incremental.write_lsh_index(
+            spark, dirs[k], incremental.lsh_index_path(dirs[k])
+        )
+        incremental._BUILT[(app, dirs[k])] = True
         idx_build[k] = round(time.perf_counter() - t0, 3)
 
     # throwaway warm-in at 1x: codegen + python workers off the clock
