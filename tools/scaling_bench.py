@@ -58,19 +58,25 @@ FACT_TABLES = ["documents", "embeddings", "events", "lineitem"]
 
 # top-10 by r10 bench cost + family coverage: ANN (PQ/SQ8/IVF), LSH
 # near-dup + clusters, incremental dedup (probe + persisted index),
-# pandas-UDF detector, TPC-H aggregate, lexical retrieval
-QUERIES = [
-    "q78_ivf_pq_ann",
-    "q51_ivf_sq8_ann",
-    "q29_ivf_ann",
-    "q25_lsh_near_dup",
-    "q42_dedup_clusters",
-    "q79_incremental_dedup",
-    "q82_indexed_incremental",
-    "q14_threshold_detect",
-    "q01_pricing_summary",
-    "q112_bm25_topk",
-]
+# pandas-UDF detector, TPC-H aggregate, lexical retrieval.
+# expected exponent: the ANN queries answer "top-k for EVERY 50th
+# vector", so their query set grows WITH the corpus — work is
+# N_queries x per-probe cost ~ N^2/cells by construction, and the
+# honest linear reference for them is exponent 2 (a fixed query set
+# over a growing corpus would be exponent 1 — that shape is covered by
+# the per-probe ingest benches).  Everything else is expected ~N.
+QUERIES = {
+    "q78_ivf_pq_ann": 2.0,
+    "q51_ivf_sq8_ann": 2.0,
+    "q29_ivf_ann": 2.0,
+    "q25_lsh_near_dup": 1.0,
+    "q42_dedup_clusters": 1.0,
+    "q79_incremental_dedup": 1.0,
+    "q82_indexed_incremental": 1.0,
+    "q14_threshold_detect": 1.0,
+    "q01_pricing_summary": 1.0,
+    "q112_bm25_topk": 1.0,
+}
 
 _VOWEL_PERMS = [
     "aeiou", "eioua", "iouae", "ouaei", "uaeio",
@@ -87,6 +93,8 @@ def build_scaled(spark, dst: str, k: int) -> float:
     """Materialize the k-times corpus under ``dst``; returns build secs."""
     from pyspark.sql import functions as F
 
+    from supermusr_data_pipeline_spark.sources.testdata import load_table
+
     t0 = time.perf_counter()
     os.makedirs(dst, exist_ok=True)
     for t in DIM_TABLES:
@@ -94,7 +102,7 @@ def build_scaled(spark, dst: str, k: int) -> float:
         if not os.path.exists(out):
             shutil.copyfile(os.path.join(SRC_SF, f"{t}.parquet"), out)
 
-    docs = spark.read.parquet(os.path.join(SRC_SF, "documents.parquet"))
+    docs = load_table(spark, SRC_SF, "documents")
     n_doc = docs.agg(F.max("doc_id")).first()[0] + 1
 
     def doc_rep(df, r):
@@ -111,7 +119,7 @@ def build_scaled(spark, dst: str, k: int) -> float:
         os.path.join(dst, "documents.parquet")
     )
 
-    emb = spark.read.parquet(os.path.join(SRC_SF, "embeddings.parquet"))
+    emb = load_table(spark, SRC_SF, "embeddings")
     n_vec = emb.agg(F.max("vec_id")).first()[0] + 1
 
     def emb_rep(df, r):
@@ -130,7 +138,9 @@ def build_scaled(spark, dst: str, k: int) -> float:
         os.path.join(dst, "embeddings.parquet")
     )
 
-    ev = spark.read.parquet(os.path.join(SRC_SF, "events.parquet"))
+    # load_table normalizes the ts dtype (NTZ/NANOS variants by
+    # generator version) to session-local TIMESTAMP
+    ev = load_table(spark, SRC_SF, "events")
     lo, hi, n_ev, n_usr = ev.agg(
         F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts")),
         F.max("event_id"), F.max("user_id"),
@@ -149,7 +159,7 @@ def build_scaled(spark, dst: str, k: int) -> float:
         os.path.join(dst, "events.parquet")
     )
 
-    li = spark.read.parquet(os.path.join(SRC_SF, "lineitem.parquet"))
+    li = load_table(spark, SRC_SF, "lineitem")
     n_ord = li.agg(F.max("l_orderkey")).first()[0] + 1
 
     def li_rep(df, r):
@@ -199,12 +209,30 @@ def main() -> None:
         incremental._BUILT[(app, dirs[k])] = True
         idx_build[k] = round(time.perf_counter() - t0, 3)
 
+    def _clear_shared() -> None:
+        # the dedup family caches per-(session, sf_dir) intermediates
+        # (localCheckpoint) — warm-in would otherwise hand the x1
+        # measurement a ~free cache hit and garbage alphas
+        try:
+            from supermusr_data_pipeline_spark.plans.text_dedup import (
+                clear_shared_cache,
+            )
+
+            clear_shared_cache()
+        except ImportError:
+            pass
+
     # throwaway warm-in at 1x: codegen + python workers off the clock
     for name in QUERIES:
         qs[name](spark, dirs[factors[0]]).count()
+    _clear_shared()
 
     times: dict[str, dict[int, float]] = {q: {} for q in QUERIES}
     for k in factors:
+        # each scale starts cache-cold; WITHIN a scale queries run in
+        # bench.py's pipeline order, so each number is the incremental
+        # stage cost exactly as BENCH_r*.json reports it
+        _clear_shared()
         for name in QUERIES:
             t0 = time.perf_counter()
             qs[name](spark, dirs[k]).count()
@@ -212,20 +240,25 @@ def main() -> None:
 
     k1, kN = factors[0], factors[-1]
     per_query = {}
-    for name in QUERIES:
+    for name, expected in QUERIES.items():
         t1, tN = times[name][k1], times[name][kN]
         ratio = tN / t1 if t1 > 0 else None
         alpha = (
             round(math.log(ratio) / math.log(kN / k1), 3)
             if ratio and ratio > 0 else None
         )
-        overhead = round(ratio / (kN / k1), 3) if ratio else None
+        # overhead vs the EXPECTED work growth (see QUERIES): 1.0 =
+        # exactly the expected shape, <=1.3 passes the r10 gate
+        overhead = (
+            round(ratio / (kN / k1) ** expected, 3) if ratio else None
+        )
         per_query[name] = {
             "t_s": {f"x{k}": times[name][k] for k in factors},
             "alpha": alpha,
-            "overhead_vs_linear_x10": overhead,
+            "expected_exponent": expected,
+            "overhead_vs_expected": overhead,
             "verdict": (
-                "linear-ish" if overhead is not None and overhead <= 1.3
+                "within-expected" if overhead is not None and overhead <= 1.3
                 else "super-linear"
             ),
         }
@@ -237,9 +270,12 @@ def main() -> None:
         "lsh_index_build_s": {f"x{k}": idx_build[k] for k in factors},
         "queries": per_query,
         "note": (
-            "alpha = log(t_xN/t_x1)/log(N); overhead = t_xN/(N*t_x1): "
-            "<=1 means fixed costs still amortizing, <=1.3 passes the "
-            "r10 gate, above needs an attributed cause"
+            "alpha = log(t_xN/t_x1)/log(N); overhead = "
+            "t_xN/(N^expected * t_x1) where expected is the query's "
+            "work-growth exponent (2 for the ANN queries, whose query "
+            "set is a fixed FRACTION of the corpus): <=1 means fixed "
+            "costs still amortizing, <=1.3 passes the r10 gate, above "
+            "needs an attributed cause"
         ),
     }
     with open(os.path.join(REPO, "tools", "SCALING_RESULT.json"), "w") as f:
