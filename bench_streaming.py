@@ -612,7 +612,23 @@ def run(spark: SparkSession, workdir: str | None = None) -> dict:
                 "soak now runs 2000 frames.  The 32x500 direct-door "
                 "shape reports median-of-3 with a min/max band "
                 "(paced_runs) so round comparisons stop chasing the "
-                "±20% single-soak noise."
+                "±20% single-soak noise.  Round-11 attribution of the "
+                "FSM door's residual drift vs the r7 record (3.68 s "
+                "vs 2.94 s steady p50): tools/ab_fsm_r7.py ran the r7 "
+                "PACKAGE code against HEAD, ABBA in one session — r7 "
+                "code pooled 3.68 s (one round red) vs HEAD 3.29 s "
+                "(all rounds keep up), sink_fsm_s ~1.0 s on BOTH arms "
+                "(tools/AB_FSM_R7_RESULT.json).  The r7-era 0.58 s "
+                "sink_fsm_s floor is not reproducible even by r7's "
+                "own code in today's session: the floor moved with "
+                "the VM, not the code.  Round-11 wire front door: "
+                "fetch pipelining + pre-encoded broker log + FUSED "
+                "dev2 decode (valueDecode=dev2) close the r10 gap — "
+                "both-doors-warmed ABBA at 32x500 on the direct door "
+                "reads file 2.17 s / wire 2.42 s pooled steady p50 "
+                "with matched rounds equal within 1% and ALL rounds "
+                "keeping up (tools/AB_KAFKA_STREAM_RESULT_32dig_"
+                "direct.json)."
             ),
         },
     }
