@@ -239,12 +239,22 @@ def main() -> None:
     # the per-query numbers lost).  Persist the full payload to a committed
     # file so every round's numbers survive regardless of stdout capture,
     # and keep the stdout line as the driver's machine-readable channel.
+    bl_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+    )
     try:
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
-            "w",
-        ) as f:
-            f.write(line + "\n")
+        # sections maintained by side tools (tools/scaling_bench.py) are
+        # carried forward, not clobbered by a headline refresh
+        try:
+            with open(bl_path) as f:
+                prev = json.load(f)
+            for carry in ("scaling",):
+                if carry in prev and carry not in payload:
+                    payload[carry] = prev[carry]
+        except (OSError, ValueError):
+            pass
+        with open(bl_path, "w") as f:
+            f.write(json.dumps(payload) + "\n")
     except OSError:  # pragma: no cover — read-only checkout must not sink the bench
         pass
     print(line)
