@@ -360,3 +360,82 @@ def test_binary_column_guards_int32_offset_overflow():
         np.array([2, -1], dtype=np.int64),
     )
     assert col.to_pylist() == [b"ab", None]
+
+
+def test_partition_log_slice_serves_reference_semantics():
+    """Property: the pre-encoded log's bisect+slice serve (r11) is
+    record-identical to the protocol's reference semantics — from any
+    fetch offset, whole entries in order, at least one when available
+    (no starvation), never exceeding max_bytes except for a lone
+    oversized entry."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from supermusr_data_pipeline_spark.kafka.broker import _PartitionLog
+    from supermusr_data_pipeline_spark.kafka import protocol as P
+
+    rec = st.tuples(
+        st.integers(min_value=0, max_value=2**40),       # timestamp_ms
+        st.one_of(st.none(), st.binary(max_size=64)),    # key
+        st.one_of(st.none(), st.binary(max_size=600)),   # value
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        recs=st.lists(rec, min_size=1, max_size=30),
+        chunks=st.integers(min_value=1, max_value=5),
+        gzip_on=st.booleans(),
+        data=st.data(),
+    )
+    def prop(recs, chunks, gzip_on, data):
+        log = _PartitionLog()
+        per = -(-len(recs) // chunks)
+        for i in range(0, len(recs), per):
+            mset = P.encode_message_set(
+                recs[i : i + per],
+                compression="gzip" if gzip_on else "none",
+            )
+            base, err = log.append_set(mset)
+            assert err == P.ERR_NONE and base == i
+        off = data.draw(st.integers(min_value=0, max_value=len(recs)))
+        max_bytes = data.draw(st.integers(min_value=1, max_value=4096))
+        served, hw, err = log.read(off, max_bytes)
+        assert err == P.ERR_NONE and hw == len(recs)
+        out = P.decode_message_set(served)
+        if off < len(recs):
+            assert out, "no-starvation: at least one entry when available"
+        # in-order, contiguous, matching the produced records
+        for j, r in enumerate(out):
+            assert r.offset == off + j
+            ts, k, v = recs[off + j]
+            assert (r.timestamp, r.key, r.value) == (ts, k, v)
+        if len(out) > 1:
+            assert len(served) <= max_bytes, "multi-entry serve over budget"
+
+    prop()
+
+
+def test_gather_write_framing_survives_partial_sends():
+    """A fetch response far larger than the socket buffer exercises the
+    gather-write resume loop (_send_buffers' memoryview restart after a
+    partial sendmsg) — the framed response must arrive byte-exact."""
+    with MiniBroker() as broker:
+        broker.create_topic("big", partitions=1)
+        blob = bytes(range(256)) * 512  # 128 KiB per record
+        with MiniProducer(broker.bootstrap, buffer_max=16) as prod:
+            for i in range(200):  # ~26 MB total
+                prod.send("big", blob, key=str(i).encode(), timestamp_ms=i)
+        from supermusr_data_pipeline_spark.kafka.client import _Conn
+
+        conn = _Conn(broker.bootstrap, "big-reader")
+        cur = conn.request(
+            P.API_FETCH, 2,
+            P.encode_fetch_request(500, 1, [("big", [(0, 0, 1 << 26)])]),
+        )
+        _th, topics = P.decode_fetch_response(cur)
+        [(_t, [(pid, err, hw, mset)])] = topics
+        assert (pid, err, hw) == (0, P.ERR_NONE, 200)
+        recs = P.decode_message_set(mset)
+        assert len(recs) == 200
+        assert all(r.value == blob and r.timestamp == i for i, r in enumerate(recs))
+        conn.close()
