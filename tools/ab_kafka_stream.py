@@ -62,7 +62,7 @@ def _encode_tape(n_total: int, n_dig: int) -> list[list[bytes]]:
 
 
 def _run_kafka(spark, base: str, n_frames: int, n_dig: int, tag: str = "",
-               door: str = "fsm") -> dict:
+               door: str = "fsm", cycle_out: list | None = None) -> dict:
     from supermusr_data_pipeline_spark.kafka import MiniBroker, MiniProducer
     from supermusr_data_pipeline_spark.kafka.spark_source import KafkaWireDataSource
     from supermusr_data_pipeline_spark.streaming.envelope_stream import (
@@ -117,6 +117,8 @@ def _run_kafka(spark, base: str, n_frames: int, n_dig: int, tag: str = "",
             to_sink = assemble_frames_stream(
                 messages, list(range(n_dig)), frame_ttl_ms=500
             )
+        phase_log: list = []
+        writer.phase_log = phase_log
         q = (
             to_sink.writeStream.foreachBatch(writer)
             .option("checkpointLocation", os.path.join(base, f"ckpt_kafka{tag}"))
@@ -162,6 +164,11 @@ def _run_kafka(spark, base: str, n_frames: int, n_dig: int, tag: str = "",
                     break
             time.sleep(0.05)
         th.join(timeout=10)
+        if cycle_out is not None:
+            # same engine-durations + sink-phase-timers table the file
+            # arm records (_cycle_decomposition) so the wire-vs-file gap
+            # is attributable per cycle bucket, not just end-to-end
+            cycle_out.append(BS._cycle_decomposition(q, phase_log))
         q.stop()
         prod.close()
 
@@ -238,6 +245,7 @@ def main() -> None:
 
     rounds = []
     file_cycle = None
+    kafka_cycles: list = []
     for rnd, arm in enumerate(("file", "kafka", "kafka", "file")):
         if arm == "file":
             f = BS._run_shape(
@@ -249,7 +257,8 @@ def main() -> None:
             rounds.append(("file", {k: f["paced"][k] for k in keys}))
         else:
             k = _run_kafka(
-                spark, base, half, n_dig, tag=f"_ab{rnd}", door=args.door
+                spark, base, half, n_dig, tag=f"_ab{rnd}", door=args.door,
+                cycle_out=kafka_cycles,
             )
             rounds.append(("kafka", k))
         if rnd < 3:
@@ -286,6 +295,7 @@ def main() -> None:
         "file_source": pooled("file"),
         "kafka_wire_source": pooled("kafka"),
         "file_cycle_decomposition": file_cycle,
+        "kafka_cycle_decomposition": kafka_cycles[-1] if kafka_cycles else None,
     }
     suffix = "" if args.door == "fsm" else f"_{args.door}"
     out_name = (f"AB_KAFKA_STREAM_RESULT{suffix}.json" if n_dig == 8
