@@ -291,3 +291,108 @@ def test_f144_value_int_sidecar_above_2p53(spark):
     assert out["pv:u"].value_int is None  # exceeds BIGINT: honest NULL
     assert out["pv:u"].value == float(u64_big)
     assert out["pv:d"].value_int is None and out["pv:d"].value == 2.5
+
+
+# ---------------------------------------------------------------------------
+# vectorized whole-column dev2 decode: _dev2_vectorized must be
+# row-identical to the per-message slow path on every input shape —
+# uniform layouts (the strided zero-index gather), ragged layouts, junk,
+# truncations, nulls, slices, and absent fields
+# ---------------------------------------------------------------------------
+
+
+def _dev2_payload(i: int, n_ev: int) -> bytes:
+    md = {
+        "ts_ns": 1_700_000_000_123_456_789 + i * 12_345,
+        "period_number": i // 7,
+        "protons_per_pulse": i % 200,
+        "running": bool(i % 2),
+        "frame_number": i,
+        "veto_flags": i % 65_536,
+    }
+    ch = [(e * 3 + i) % 4096 for e in range(n_ev)]
+    et = [(e * 37 + i) % 20_000_000 for e in range(n_ev)]
+    ev = [(e + i) % 4096 for e in range(n_ev)]
+    return M.encode_dev2(i % 256, md, et, ev, ch)
+
+
+def _slow_reference(col):
+    # a python list forces dev2_arrow_batch down the per-message path
+    return D.dev2_arrow_batch(list(col.to_pylist()))
+
+
+def test_dev2_vectorized_matches_slow_path_mixed():
+    import pyarrow as pa
+
+    payloads = [_dev2_payload(i, (i * 13) % 700) for i in range(120)]
+    junk = [b"", b"xxx", b"xxxxdat2" + bytes(50), None, b"xxxxdev2",
+            b"xxxxdev2" + bytes(2)]
+    junk += [payloads[5][:cut] for cut in (9, 15, 23, 40, 100,
+                                           len(payloads[5]) - 1)]
+    col = pa.array(payloads[:30] + junk + payloads[30:], pa.binary())
+    fast = D._dev2_vectorized(col)
+    assert fast.equals(_slow_reference(col))
+    assert fast.num_rows == 120  # every junk entry skipped, no real one
+    # sliced column (the fetch path hands over offset slices)
+    sl = col.slice(17, 90)
+    assert D._dev2_vectorized(sl).equals(_slow_reference(sl))
+    # large_binary spelling
+    colL = pa.array(col.to_pylist(), pa.large_binary())
+    assert D._dev2_vectorized(colL).equals(fast)
+
+
+def test_dev2_vectorized_uniform_and_ragged_paths():
+    import pyarrow as pa
+
+    uniform = pa.array([_dev2_payload(i, 500) for i in range(64)], pa.binary())
+    assert D._dev2_vectorized(uniform).equals(_slow_reference(uniform))
+    ragged = pa.array(
+        [_dev2_payload(i, 1 + (i * 37) % 600) for i in range(64)], pa.binary()
+    )
+    assert D._dev2_vectorized(ragged).equals(_slow_reference(ragged))
+    empty = pa.array([], pa.binary())
+    assert D._dev2_vectorized(empty).num_rows == 0
+    all_junk = pa.array([b"junk", None, b""], pa.binary())
+    assert D._dev2_vectorized(all_junk).num_rows == 0
+
+
+def test_dev2_vectorized_absent_vectors_default_empty():
+    """A table written without its vector slots decodes to empty lists —
+    the vtable's absent-field default, same as the slow path."""
+    import pyarrow as pa
+
+    b = fb.Builder()
+    md = M._metadata_table(b, MD)
+    b.start_table()
+    b.slot_offset(1, md)
+    b.slot_scalar(0, "u8", 42)
+    bare = b.finish(b.end_table(), "dev2")
+    col = pa.array([bare, _dev2_payload(3, 5)], pa.binary())
+    fast = D._dev2_vectorized(col)
+    assert fast.equals(_slow_reference(col))
+    assert fast.num_rows == 2
+    assert fast.column("channel")[0].as_py() == []
+    assert fast.column("digitizer_id")[0].as_py() == 42
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.tuples(st.integers(0, 10_000), st.integers(0, 40)),
+            st.binary(max_size=60),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_dev2_vectorized_property_equality(entries):
+    import pyarrow as pa
+
+    payloads = [
+        _dev2_payload(i, n) if isinstance(e, tuple) else e
+        for e in entries
+        for i, n in [e if isinstance(e, tuple) else (0, 0)]
+    ]
+    col = pa.array(payloads, pa.binary())
+    assert D._dev2_vectorized(col).equals(_slow_reference(col))
