@@ -412,7 +412,16 @@ class DirectNexusWriter:
             "digitizer_id", "veto_flags",
             "channel", "event_time", "event_voltage",
         )
+        cache_comp_key = "spark.sql.inMemoryColumnarStorage.compressed"
+        prior_comp = spark.conf.get(cache_comp_key, "true")
         if self.persist_batch:
+            # the per-batch micro-cache lives for ONE cycle (< 2 s):
+            # columnar compression of the event arrays is pure CPU on
+            # both the build and the two cache-hit jobs (measured
+            # ~55 + 15 ms per 54-frame batch at 32x500).  Scoped
+            # set/restore: the conf is read when the InMemoryRelation is
+            # planned, and this writer runs under self._lock
+            spark.conf.set(cache_comp_key, "false")
             msgs.persist()
         n_frames_committed: list[int] = []
         try:
@@ -502,6 +511,7 @@ class DirectNexusWriter:
         finally:
             if self.persist_batch:
                 msgs.unpersist()
+                spark.conf.set(cache_comp_key, prior_comp)
 
         self._last_bid = batch_id
         self._save_state()

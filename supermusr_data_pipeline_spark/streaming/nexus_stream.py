@@ -307,6 +307,11 @@ class NexusStreamWriter:
         # commit-observation source (no post-write job at all), and the
         # write is the only action that touches the event arrays.
         runs_rows = self._load_runs(spark)
+        # one-cycle micro-cache: columnar compression is pure CPU here
+        # (see DirectNexusWriter._run_batch); scoped set/restore
+        cache_comp_key = "spark.sql.inMemoryColumnarStorage.compressed"
+        prior_comp = spark.conf.get(cache_comp_key, "true")
+        spark.conf.set(cache_comp_key, "false")
         frames_batch.persist()
         try:
             # ONE action through the stateful subtree: a slim per-frame
@@ -416,6 +421,7 @@ class NexusStreamWriter:
                 totals.update(per_run)
         finally:
             frames_batch.unpersist()
+            spark.conf.set(cache_comp_key, prior_comp)
         if self.phase_log is not None:
             t_end = time.perf_counter()
             self.phase_log.append(
