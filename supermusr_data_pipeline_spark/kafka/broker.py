@@ -595,29 +595,37 @@ class MiniBroker:
         self.stop()
 
 
+# Linux caps one sendmsg at IOV_MAX (1024) iovecs; beyond it the call
+# raises EMSGSIZE rather than taking a prefix.  A fetch response for a
+# very wide subscription (~2 buffers per partition) can exceed that.
+_IOV_MAX = 1024
+
+
 def _send_buffers(sock: socket.socket, parts: list[bytes]) -> None:
     """Write a gather-form response: sendmsg in a loop — like send(), it
     may accept only a prefix on a blocking socket, so resume past what
-    was taken until the whole response is on the wire."""
-    total = sum(len(p) for p in parts)
-    sent = sock.sendmsg(parts)
-    while sent < total:
+    was taken until the whole response is on the wire.  Each call sends
+    at most _IOV_MAX buffers (EMSGSIZE above that, not a short write)."""
+    while parts:
+        sent = sock.sendmsg(parts[: _IOV_MAX])
         skip = sent
         rest: list = []
-        for p in parts:
+        for i, p in enumerate(parts):
             if skip >= len(p):
                 skip -= len(p)
                 continue
             rest.append(memoryview(p)[skip:] if skip else p)
-            skip = 0
+            rest.extend(parts[i + 1 :])
+            break
         parts = rest
-        total = sum(len(p) for p in parts)
-        sent = sock.sendmsg(parts)
 
 
-def _recv_exact(sock: socket.socket, n: int) -> bytes | None:
+def _recv_exact(sock: socket.socket, n: int) -> bytearray | None:
     # recv_into a preallocated buffer — a multi-MB produce request in
-    # kernel-sized chunks must not pay quadratic ``bytes +=`` re-copies
+    # kernel-sized chunks must not pay quadratic ``bytes +=`` re-copies.
+    # Returned as the bytearray itself: a final bytes() would be one
+    # more whole-payload memcpy, and every consumer (Cursor's
+    # struct.unpack_from, np.frombuffer, gzip) takes any buffer
     buf = bytearray(n)
     view = memoryview(buf)
     got = 0
@@ -626,4 +634,4 @@ def _recv_exact(sock: socket.socket, n: int) -> bytes | None:
         if r == 0:
             return None
         got += r
-    return bytes(buf)
+    return buf

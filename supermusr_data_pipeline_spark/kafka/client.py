@@ -82,12 +82,13 @@ class _Conn:
         self.send_request(api_key, api_version, body)
         return self.recv_response()
 
-    def _recv(self, n: int) -> bytes:
+    def _recv(self, n: int) -> bytearray:
         # recv_into a preallocated buffer: a multi-MB fetch response
         # arrives in many kernel-sized chunks, and the naive
         # ``buf += chunk`` on immutable bytes re-copies the whole prefix
         # per chunk — quadratic memcpy that capped a single connection
-        # at ~156 MB/s
+        # at ~156 MB/s.  Returned as the bytearray itself: a final
+        # bytes() would be one more whole-response memcpy per round trip
         buf = bytearray(n)
         view = memoryview(buf)
         got = 0
@@ -96,7 +97,7 @@ class _Conn:
             if r == 0:
                 raise ConnectionError("broker closed connection")
             got += r
-        return bytes(buf)
+        return buf
 
     def close(self) -> None:
         try:

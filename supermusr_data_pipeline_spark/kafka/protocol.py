@@ -320,6 +320,27 @@ def message_set_last_offset(buf: bytes) -> int | None:
     return last
 
 
+def message_set_prefix_len(buf: bytes, end_offset: int) -> int:
+    """Byte length of the prefix holding every record with offset <
+    ``end_offset`` — so a planned-range consumer can clamp the columnar
+    decode to what the range actually needs instead of decoding a whole
+    16 MiB response whose tail belongs to the NEXT trigger.  The entry
+    whose offset field first reaches ``end_offset`` is INCLUDED: a v1
+    gzip wrapper's offset is its LAST inner record's, so that boundary
+    entry may still straddle ``end_offset`` with earlier inner records
+    the range needs (the caller's offset filter drops the overshoot);
+    every later entry's records all sit at or past it."""
+    pos, L = 0, len(buf)
+    while L - pos >= 12:
+        offset, size = struct.unpack_from(">qi", buf, pos)
+        if L - pos - 12 < size:
+            break  # partial trailing message — protocol-legal truncation
+        pos += 12 + size
+        if offset >= end_offset:
+            break
+    return pos
+
+
 def _binary_column(u8, starts, lens):
     """Build one Arrow binary array by direct buffer assembly: int32
     offsets via cumsum + one numpy slice-copy per element (C memcpy) —

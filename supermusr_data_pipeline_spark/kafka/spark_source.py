@@ -131,6 +131,13 @@ def _fetch_range(
             nxt = last + 1
             if nxt < end:
                 _send(nxt)  # pipeline: broker works while we decode
+            plen = P.message_set_prefix_len(mset, end)
+            if plen < len(mset):
+                # the response tail belongs past the planned range (a
+                # capped trigger): clamp the columnar decode to the
+                # prefix this range needs — the next trigger re-fetches
+                # and decodes the tail itself
+                mset = mset[:plen]
             offs, tss, keys, vals = P.decode_message_set_columns(mset)
             # offsets are ascending within a partition: the [off, end)
             # filter is a binary-searched slice

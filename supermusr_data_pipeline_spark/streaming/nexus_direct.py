@@ -89,6 +89,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .cache_conf import uncompressed_cache
 from .nexus_stream import _DIM_SCHEMA, _events_us_with_dim, _quote
 
 _KEY_US = ["ts_us", "period_number", "protons_per_pulse", "running", "frame_number"]
@@ -412,19 +413,19 @@ class DirectNexusWriter:
             "digitizer_id", "veto_flags",
             "channel", "event_time", "event_voltage",
         )
-        cache_comp_key = "spark.sql.inMemoryColumnarStorage.compressed"
-        prior_comp = spark.conf.get(cache_comp_key, "true")
-        if self.persist_batch:
-            # the per-batch micro-cache lives for ONE cycle (< 2 s):
-            # columnar compression of the event arrays is pure CPU on
-            # both the build and the two cache-hit jobs (measured
-            # ~55 + 15 ms per 54-frame batch at 32x500).  Scoped
-            # set/restore: the conf is read when the InMemoryRelation is
-            # planned, and this writer runs under self._lock
-            spark.conf.set(cache_comp_key, "false")
-            msgs.persist()
+        # the per-batch micro-cache lives for ONE cycle (< 2 s):
+        # columnar compression of the event arrays is pure CPU on both
+        # the build and the two cache-hit jobs (measured ~55 + 15 ms per
+        # 54-frame batch at 32x500).  Depth-counted context manager:
+        # exception-safe and correct when another writer interleaves in
+        # the same session (see streaming/cache_conf.py)
+        comp_ctx = uncompressed_cache(spark) if self.persist_batch else None
+        if comp_ctx is not None:
+            comp_ctx.__enter__()
         n_frames_committed: list[int] = []
         try:
+            if self.persist_batch:
+                msgs.persist()
             # job 1: slim collect — key + did + veto + count, never arrays
             slim = msgs.select(
                 *_KEY_US, "digitizer_id", "veto_flags",
@@ -511,7 +512,8 @@ class DirectNexusWriter:
         finally:
             if self.persist_batch:
                 msgs.unpersist()
-                spark.conf.set(cache_comp_key, prior_comp)
+            if comp_ctx is not None:
+                comp_ctx.__exit__(None, None, None)
 
         self._last_bid = batch_id
         self._save_state()

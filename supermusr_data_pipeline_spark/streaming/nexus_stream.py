@@ -35,6 +35,8 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .cache_conf import uncompressed_cache
+
 
 _FRAME_KEY = ["ts", "period_number", "protons_per_pulse", "running", "frame_number"]
 # the dimension round-trips through driver rows and back into a local
@@ -307,13 +309,12 @@ class NexusStreamWriter:
         # commit-observation source (no post-write job at all), and the
         # write is the only action that touches the event arrays.
         runs_rows = self._load_runs(spark)
-        # one-cycle micro-cache: columnar compression is pure CPU here
-        # (see DirectNexusWriter._run_batch); scoped set/restore
-        cache_comp_key = "spark.sql.inMemoryColumnarStorage.compressed"
-        prior_comp = spark.conf.get(cache_comp_key, "true")
-        spark.conf.set(cache_comp_key, "false")
-        frames_batch.persist()
+        # one-cycle micro-cache: columnar compression is pure CPU here —
+        # depth-counted, exception-safe flip (streaming/cache_conf.py)
+        comp_ctx = uncompressed_cache(spark)
+        comp_ctx.__enter__()
         try:
+            frames_batch.persist()
             # ONE action through the stateful subtree: a slim per-frame
             # projection (no event arrays) — bounded by frames-in-batch,
             # never by events.  Run matching, frame sequencing, and the
@@ -421,7 +422,7 @@ class NexusStreamWriter:
                 totals.update(per_run)
         finally:
             frames_batch.unpersist()
-            spark.conf.set(cache_comp_key, prior_comp)
+            comp_ctx.__exit__(None, None, None)
         if self.phase_log is not None:
             t_end = time.perf_counter()
             self.phase_log.append(

@@ -439,3 +439,64 @@ def test_gather_write_framing_survives_partial_sends():
         assert len(recs) == 200
         assert all(r.value == blob and r.timestamp == i for i, r in enumerate(recs))
         conn.close()
+
+
+def test_fetch_response_parts_bytes_identical_to_joined_form():
+    """The gather-write encoder and the joined encoder must stay
+    byte-identical — the parts form is the broker's live path, the
+    joined form the documented reference spelling."""
+    topics = [
+        ("alpha", [(0, P.ERR_NONE, 7, b"\x01" * 37), (1, 3, -1, b"")]),
+        ("b", [(2, P.ERR_NONE, 99, bytes(range(256)) * 5)]),
+    ]
+    joined = P.encode_response(1234, P.encode_fetch_response(topics))
+    parts = P.encode_fetch_response_parts(topics, 1234)
+    assert b"".join(parts) == joined
+
+
+def test_message_set_prefix_len_clamps_to_range():
+    """message_set_prefix_len keeps every record below the range end,
+    includes the straddling boundary entry, and drops the rest."""
+    mset = P.encode_message_set(
+        [(1000 + i, b"k", bytes([i])) for i in range(10)], base_offset=5
+    )
+    # offsets 5..14; end=9 -> prefix holds 5..9 (entry 9 included)
+    plen = P.message_set_prefix_len(mset, 9)
+    offs, _ts, _k, vals = P.decode_message_set_columns(mset[:plen])
+    assert list(offs) == [5, 6, 7, 8, 9]
+    # end beyond the set: whole buffer
+    assert P.message_set_prefix_len(mset, 100) == len(mset)
+    # end at/below the first offset: exactly one entry (the straddler)
+    one = P.message_set_prefix_len(mset, 5)
+    offs1, _t, _k2, _v = P.decode_message_set_columns(mset[:one])
+    assert list(offs1) == [5]
+    # empty set
+    assert P.message_set_prefix_len(b"", 3) == 0
+
+
+def test_send_buffers_chunks_past_iov_max():
+    """A response of more than IOV_MAX buffers must be written whole —
+    one sendmsg call would raise EMSGSIZE at 1025 iovecs."""
+    import socket as sk
+    import threading
+
+    from supermusr_data_pipeline_spark.kafka import broker as B
+
+    parts = [bytes([i % 251]) * (1 + i % 7) for i in range(3000)]
+    want = b"".join(parts)
+    srv, cli = sk.socketpair()
+    got = bytearray()
+
+    def reader():
+        while len(got) < len(want):
+            chunk = cli.recv(65536)
+            if not chunk:
+                break
+            got.extend(chunk)
+
+    th = threading.Thread(target=reader)
+    th.start()
+    B._send_buffers(srv, parts)
+    th.join(timeout=10)
+    srv.close(); cli.close()
+    assert bytes(got) == want
