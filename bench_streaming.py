@@ -643,7 +643,15 @@ def run(spark: SparkSession, workdir: str | None = None) -> dict:
                 "on this VM (±20%) is larger than the remaining gap, "
                 "so the wire-vs-file ledger is carried as the "
                 "decomposition, not a single headline pair "
-                "(tools/AB_KAFKA_STREAM_RESULT_32dig_direct.json)."
+                "(tools/AB_KAFKA_STREAM_RESULT_32dig_direct.json).  "
+                "Round-11 headroom probe (tools/STRETCH_SHAPE_RESULT."
+                "json): the 50 fps envelope HOLDS at 2x the full "
+                "shape — 64x500 sustained, 1.6M events/s, steady p50 "
+                "1.96 s — and breaks between 64 and 128 digitisers on "
+                "this 32-thread VM (128x500 drains 38.3 of 50 fps; "
+                "binding term is the event-write job at 3.0M events/"
+                "batch — per-executor write bandwidth, i.e. more "
+                "executors on a real cluster, not a topology change)."
             ),
         },
     }
