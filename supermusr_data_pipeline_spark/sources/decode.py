@@ -357,150 +357,152 @@ def _gather_ranges(B: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.nd
     )
 
 
-def _dev2_vectorized(arr):
-    """Vectorized whole-column dev2 decode: every FlatBuffers traversal
-    step (root uoffset → vtable → field slots → vector headers) runs as a
-    numpy gather over the Arrow binary column's ONE contiguous data
-    buffer, and the event vectors land via a single fancy-index gather —
-    no per-message Python objects at all.  Decodes the generic table
-    wire format (any vtable layout, absent fields → schema defaults),
-    with strict per-message bounds masking: a message whose traversal
-    would read outside its own [start, end) byte range is dropped,
-    exactly the warn-and-skip contract of the per-message slow path
-    (P8).  Returns a RecordBatch, or None when the input type isn't a
-    plain binary column (caller falls back to the slow path)."""
-    import pyarrow as pa
+class _FbColumnWalker:
+    """Vectorized whole-column FlatBuffers traversal: every step (root
+    uoffset → vtable → field slots → vector headers) runs as a numpy
+    gather over the Arrow binary column's ONE contiguous data buffer —
+    no per-message Python objects.  Decodes the generic table wire
+    format (any vtable layout, absent fields → schema defaults) with
+    strict per-message bounds masking: a message whose traversal would
+    read outside its own [start, end) byte range drops out of ``ok``,
+    exactly the warn-and-skip contract of the per-message decoders
+    (P8).  Shared by the dev2 and aev2 column decoders.  Raises
+    TypeError for a non-binary column (callers fall back to the
+    per-message path)."""
 
-    if arr.type == pa.binary():
-        offdt = np.int32
-    elif arr.type == pa.large_binary():
-        offdt = np.int64
-    else:
-        return None
-    out_schema = _dev2_arrow_schema()
-    n_msgs = len(arr)
-    bufs = arr.buffers()
-    if n_msgs == 0 or bufs[2] is None or len(bufs[2]) == 0:
-        return pa.RecordBatch.from_arrays(
-            [pa.array([], type=f.type) for f in out_schema], schema=out_schema
-        )
-    off = np.frombuffer(
-        bufs[1], dtype=offdt, count=n_msgs + 1, offset=arr.offset * np.dtype(offdt).itemsize
-    ).astype(np.int64)
-    B = np.frombuffer(bufs[2], dtype=np.uint8)
-    Bn = len(B)
-    s, e = off[:-1], off[1:]
+    def __init__(self, arr) -> None:
+        import pyarrow as pa
+
+        if arr.type == pa.binary():
+            offdt = np.int32
+        elif arr.type == pa.large_binary():
+            offdt = np.int64
+        else:
+            raise TypeError(f"not a binary column: {arr.type}")
+        self.n = len(arr)
+        bufs = arr.buffers()
+        self.empty = self.n == 0 or bufs[2] is None or len(bufs[2]) == 0
+        if self.empty:
+            return
+        off = np.frombuffer(
+            bufs[1], dtype=offdt, count=self.n + 1,
+            offset=arr.offset * np.dtype(offdt).itemsize,
+        ).astype(np.int64)
+        self.B = np.frombuffer(bufs[2], dtype=np.uint8)
+        self.Bn = len(self.B)
+        self.s, self.e = off[:-1], off[1:]
+        self.ok = (self.e - self.s) >= 8
+        if bufs[0] is not None:  # validity bitmap (slice-aware)
+            bits = np.unpackbits(
+                np.frombuffer(bufs[0], dtype=np.uint8), bitorder="little"
+            )
+            self.ok &= bits[arr.offset : arr.offset + self.n].astype(bool)
 
     # all byte reads are CLIPPED so masked-out messages can never index
-    # out of bounds; their garbage values are discarded by `ok`
-    def u8(p):
-        return B[np.clip(p, 0, Bn - 1)].astype(np.int64)
+    # out of bounds; their garbage values are discarded by ``ok``
+    def u8(self, p):
+        return self.B[np.clip(p, 0, self.Bn - 1)].astype(np.int64)
 
-    def u16(p):
-        p = np.clip(p, 0, max(Bn - 2, 0))
-        return u8(p) | (u8(p + 1) << 8)
+    def u16(self, p):
+        p = np.clip(p, 0, max(self.Bn - 2, 0))
+        return self.u8(p) | (self.u8(p + 1) << 8)
 
-    def u32(p):
-        p = np.clip(p, 0, max(Bn - 4, 0))
-        return u16(p) | (u16(p + 2) << 16)
+    def u32(self, p):
+        p = np.clip(p, 0, max(self.Bn - 4, 0))
+        return self.u16(p) | (self.u16(p + 2) << 16)
 
-    def u64(p):
-        p = np.clip(p, 0, max(Bn - 8, 0))
-        return u32(p) | (u32(p + 4) << 32)
+    def u64(self, p):
+        p = np.clip(p, 0, max(self.Bn - 8, 0))
+        return self.u32(p) | (self.u32(p + 4) << 32)
 
-    ok = (e - s) >= 8
-    if bufs[0] is not None:  # validity bitmap (slice-aware)
-        bits = np.unpackbits(
-            np.frombuffer(bufs[0], dtype=np.uint8), bitorder="little"
-        )
-        ok &= bits[arr.offset : arr.offset + n_msgs].astype(bool)
-    ident = b"dev2"
-    for k in range(4):
-        ok &= u8(s + 4 + k) == ident[k]
+    def require_ident(self, ident: bytes) -> None:
+        for k in range(4):
+            self.ok &= self.u8(self.s + 4 + k) == ident[k]
 
-    def table_at(tpos):
+    def root(self):
+        return self.s + self.u32(self.s)
+
+    def table_at(self, tpos):
         """vtable position + size of the table at ``tpos``, folding the
         structural bounds checks into ``ok``."""
-        nonlocal ok
-        ok &= (tpos >= s) & (tpos + 4 <= e)
-        soff = u32(tpos)
+        self.ok &= (tpos >= self.s) & (tpos + 4 <= self.e)
+        soff = self.u32(tpos)
         soff = np.where(soff >= 1 << 31, soff - (1 << 32), soff)
         vpos = tpos - soff
-        ok &= (vpos >= s) & (vpos + 4 <= e)
-        vsize = u16(vpos)
-        ok &= (vsize >= 4) & (vpos + vsize <= e)
+        self.ok &= (vpos >= self.s) & (vpos + 4 <= self.e)
+        vsize = self.u16(vpos)
+        self.ok &= (vsize >= 4) & (vpos + vsize <= self.e)
         return vpos, vsize
 
-    def field(tpos, vpos, vsize, idx):
+    def field(self, tpos, vpos, vsize, idx):
         """(present, field_pos) of slot ``idx`` — absent fields get the
         schema default downstream, exactly like flatbuf.field_pos."""
         slot = 4 + 2 * idx
         has = (slot + 2) <= vsize
-        voff = np.where(has, u16(vpos + slot), 0)
+        voff = np.where(has, self.u16(vpos + slot), 0)
         return has & (voff != 0), tpos + voff
 
-    def scalar(tpos, vpos, vsize, idx, reader, width, default=0):
-        nonlocal ok
-        present, fpos = field(tpos, vpos, vsize, idx)
-        ok &= ~present | (fpos + width <= e)
+    def scalar(self, tpos, vpos, vsize, idx, reader, width, default=0):
+        present, fpos = self.field(tpos, vpos, vsize, idx)
+        self.ok &= ~present | (fpos + width <= self.e)
         return np.where(present, reader(fpos), default)
 
-    root = s + u32(s)
-    rv, rvs = table_at(root)
-    digitizer_id = scalar(root, rv, rvs, 0, u8, 1)
+    def vector_header(self, tpos, vpos, vsize, idx, itemsize):
+        """(values_pos, count) of the vector at slot ``idx``; absent →
+        count 0 (schema default: empty)."""
+        present, fpos = self.field(tpos, vpos, vsize, idx)
+        self.ok &= ~present | (fpos + 4 <= self.e)
+        vp = fpos + self.u32(fpos)
+        self.ok &= ~present | ((vp >= self.s) & (vp + 4 <= self.e))
+        cnt = np.where(present, self.u32(vp), 0)
+        self.ok &= ~present | (vp + 4 + cnt * itemsize <= self.e)
+        return vp, cnt
 
-    # metadata table (slot 1) is REQUIRED: the slow path raises (and
-    # skips) when it's absent, because _read_metadata derefs its pos
-    md_present, md_fp = field(root, rv, rvs, 1)
-    ok &= md_present & (md_fp + 4 <= e)
-    mpos = md_fp + u32(md_fp)
-    mv, mvs = table_at(mpos)
-    period_number = scalar(mpos, mv, mvs, 1, u64, 8)
-    protons = scalar(mpos, mv, mvs, 2, u8, 1)
-    running = scalar(mpos, mv, mvs, 3, u8, 1) != 0
-    frame_number = scalar(mpos, mv, mvs, 4, u32, 4)
-    veto_flags = scalar(mpos, mv, mvs, 5, u16, 2)
-
-    # GpsTime struct (slot 0, 14 bytes inline, layout <BxHBBBxHHH)
-    g_present, gpos = field(mpos, mv, mvs, 0)
-    ok &= ~g_present | (gpos + 14 <= e)
-    base_s = (
-        _year_epoch_table()[u8(gpos)]
-        + (u16(gpos + 2) - 1) * 86400
-        + u8(gpos + 4) * 3600
-        + u8(gpos + 5) * 60
-        + u8(gpos + 6)
-    )
-    ts_ns = base_s * 1_000_000_000 + (
-        u16(gpos + 8) * 1_000_000 + u16(gpos + 10) * 1_000 + u16(gpos + 12)
-    )
-    ts_us = np.where(g_present, ts_ns // 1_000, 0)
-
-    # event vectors: slots 2 time(u32) / 3 voltage(u16) / 4 channel(u32)
-    vec = {}
-    for idx, itemsize in ((2, 4), (3, 2), (4, 4)):
-        present, fpos = field(root, rv, rvs, idx)
-        ok &= ~present | (fpos + 4 <= e)
-        vp = fpos + u32(fpos)
-        ok &= ~present | ((vp >= s) & (vp + 4 <= e))
-        cnt = np.where(present, u32(vp), 0)
-        ok &= ~present | (vp + 4 + cnt * itemsize <= e)
-        vec[idx] = (vp, cnt, itemsize)
-
-    n_out = int(np.count_nonzero(ok))
-    if n_out == 0:
-        return pa.RecordBatch.from_arrays(
-            [pa.array([], type=f.type) for f in out_schema], schema=out_schema
+    def metadata_arrays(self, tpos, vpos, vsize, slot):
+        """FrameMetadataV2 at the REQUIRED table slot (absent metadata
+        masks the message out — the per-message path raises and skips):
+        (ts_us, period, protons, running, frame, veto) numpy arrays.
+        GpsTime (slot 0, 14-byte inline struct <BxHBBBxHHH) becomes
+        epoch µs via a year-epoch lookup — pure int64 arithmetic."""
+        md_present, md_fp = self.field(tpos, vpos, vsize, slot)
+        self.ok &= md_present & (md_fp + 4 <= self.e)
+        mpos = md_fp + self.u32(md_fp)
+        mv, mvs = self.table_at(mpos)
+        period = self.scalar(mpos, mv, mvs, 1, self.u64, 8)
+        protons = self.scalar(mpos, mv, mvs, 2, self.u8, 1)
+        running = self.scalar(mpos, mv, mvs, 3, self.u8, 1) != 0
+        frame = self.scalar(mpos, mv, mvs, 4, self.u32, 4)
+        veto = self.scalar(mpos, mv, mvs, 5, self.u16, 2)
+        g_present, gpos = self.field(mpos, mv, mvs, 0)
+        self.ok &= ~g_present | (gpos + 14 <= self.e)
+        base_s = (
+            _year_epoch_table()[self.u8(gpos)]
+            + (self.u16(gpos + 2) - 1) * 86400
+            + self.u8(gpos + 4) * 3600
+            + self.u8(gpos + 5) * 60
+            + self.u8(gpos + 6)
         )
+        ts_ns = base_s * 1_000_000_000 + (
+            self.u16(gpos + 8) * 1_000_000
+            + self.u16(gpos + 10) * 1_000
+            + self.u16(gpos + 12)
+        )
+        ts_us = np.where(g_present, ts_ns // 1_000, 0)
+        return ts_us, period, protons, running, frame, veto
 
-    def list_col(idx, view_dt, np_out, pa_value_type):
-        vp, cnt, itemsize = vec[idx]
+    def list_col(self, vp, cnt, itemsize, view_dt, np_out, pa_value_type):
+        """Build one Arrow list column from vector headers — call only
+        after ``ok`` is FINAL.  Values land via _gather_ranges (strided
+        zero-index copy for uniform layouts)."""
+        import pyarrow as pa
+
+        ok = self.ok
         counts = cnt[ok].astype(np.int32)
-        offs = np.zeros(n_out + 1, dtype=np.int32)
+        offs = np.zeros(int(np.count_nonzero(ok)) + 1, dtype=np.int32)
         np.cumsum(counts, out=offs[1:])
         rows = ok & (cnt > 0)
         if rows.any():
-            raw = _gather_ranges(B, vp[rows] + 4, cnt[rows] * itemsize)
+            raw = _gather_ranges(self.B, vp[rows] + 4, cnt[rows] * itemsize)
             values_buf = raw.view(view_dt).astype(np_out)
         else:
             values_buf = np.empty(0, dtype=np_out)
@@ -508,17 +510,189 @@ def _dev2_vectorized(arr):
             pa.array(offs), pa.array(values_buf, type=pa_value_type)
         )
 
+
+def _empty_batch(out_schema):
+    import pyarrow as pa
+
+    return pa.RecordBatch.from_arrays(
+        [pa.array([], type=f.type) for f in out_schema], schema=out_schema
+    )
+
+
+def _dev2_vectorized(arr):
+    """Vectorized whole-column dev2 decode on _FbColumnWalker.  Returns
+    a DIGITISER_MESSAGE_SCHEMA-shaped RecordBatch; raises TypeError for
+    a non-binary column (caller falls back to the per-message path)."""
+    import pyarrow as pa
+
+    out_schema = _dev2_arrow_schema()
+    w = _FbColumnWalker(arr)
+    if w.empty:
+        return _empty_batch(out_schema)
+    w.require_ident(b"dev2")
+    root = w.root()
+    rv, rvs = w.table_at(root)
+    digitizer_id = w.scalar(root, rv, rvs, 0, w.u8, 1)
+    ts_us, period, protons, running, frame, veto = w.metadata_arrays(
+        root, rv, rvs, 1
+    )
+    # event vectors: slots 2 time(u32) / 3 voltage(u16) / 4 channel(u32)
+    vec = {
+        idx: w.vector_header(root, rv, rvs, idx, itemsize)
+        for idx, itemsize in ((2, 4), (3, 2), (4, 4))
+    }
+    ok = w.ok
+    if not ok.any():
+        return _empty_batch(out_schema)
     arrays = [
         pa.array(digitizer_id[ok].astype(np.int32)),
         pa.array(ts_us[ok]).view(pa.timestamp("us", tz="UTC")),
-        pa.array(period_number[ok]),
+        pa.array(period[ok]),
         pa.array(protons[ok].astype(np.int32)),
         pa.array(running[ok]),
-        pa.array(frame_number[ok]),
-        pa.array(veto_flags[ok].astype(np.int32)),
-        list_col(4, "<u4", np.int32, pa.int32()),
-        list_col(2, "<u4", np.int64, pa.int64()),
-        list_col(3, "<u2", np.float64, pa.float64()),
+        pa.array(frame[ok]),
+        pa.array(veto[ok].astype(np.int32)),
+        w.list_col(*vec[4], 4, "<u4", np.int32, pa.int32()),
+        w.list_col(*vec[2], 4, "<u4", np.int64, pa.int64()),
+        w.list_col(*vec[3], 2, "<u2", np.float64, pa.float64()),
+    ]
+    return pa.RecordBatch.from_arrays(arrays, schema=out_schema)
+
+
+def _aev2_arrow_schema():
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            ("ts", pa.timestamp("us", tz="UTC")),
+            ("period_number", pa.int64()),
+            ("protons_per_pulse", pa.int32()),
+            ("running", pa.bool_()),
+            ("frame_number", pa.int64()),
+            ("veto_flags", pa.int32()),
+            ("complete", pa.bool_()),
+            ("digitizers_present", pa.list_(pa.int32())),
+            ("channel", pa.list_(pa.int32())),
+            ("event_time", pa.list_(pa.int64())),
+            ("event_voltage", pa.list_(pa.int32())),
+        ]
+    )
+
+
+def _aev2_vectorized(arr):
+    """Vectorized whole-column aev2 decode (FrameAssembledEventList —
+    the reference nexus-writer's wire input): AEV2_DECODED_SCHEMA-shaped
+    RecordBatch.  Root slots: 0 metadata / 1 time(u32) / 2 voltage(u16)
+    / 3 channel(u32) / 4 complete(bool) / 5 digitizers_present(u8)."""
+    import pyarrow as pa
+
+    out_schema = _aev2_arrow_schema()
+    w = _FbColumnWalker(arr)
+    if w.empty:
+        return _empty_batch(out_schema)
+    w.require_ident(b"aev2")
+    root = w.root()
+    rv, rvs = w.table_at(root)
+    ts_us, period, protons, running, frame, veto = w.metadata_arrays(
+        root, rv, rvs, 0
+    )
+    complete = w.scalar(root, rv, rvs, 4, w.u8, 1) != 0
+    vec = {
+        idx: w.vector_header(root, rv, rvs, idx, itemsize)
+        for idx, itemsize in ((1, 4), (2, 2), (3, 4), (5, 1))
+    }
+    ok = w.ok
+    if not ok.any():
+        return _empty_batch(out_schema)
+    arrays = [
+        pa.array(ts_us[ok]).view(pa.timestamp("us", tz="UTC")),
+        pa.array(period[ok]),
+        pa.array(protons[ok].astype(np.int32)),
+        pa.array(running[ok]),
+        pa.array(frame[ok]),
+        pa.array(veto[ok].astype(np.int32)),
+        pa.array(complete[ok]),
+        w.list_col(*vec[5], 1, "<u1", np.int32, pa.int32()),
+        w.list_col(*vec[3], 4, "<u4", np.int32, pa.int32()),
+        w.list_col(*vec[1], 4, "<u4", np.int64, pa.int64()),
+        w.list_col(*vec[2], 2, "<u2", np.int32, pa.int32()),
+    ]
+    return pa.RecordBatch.from_arrays(arrays, schema=out_schema)
+
+
+def aev2_arrow_batch(values):
+    """aev2 payloads → ONE AEV2_DECODED_SCHEMA-shaped RecordBatch.
+    Arrow binary columns take the vectorized whole-column path; other
+    inputs fall back to the per-message decoder (same warn-and-skip
+    contract).  Pinned row-identical by tests/test_envelope_decode.py."""
+    import pyarrow as pa
+
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    if isinstance(values, pa.Array):
+        try:
+            return _aev2_vectorized(values)
+        except TypeError:
+            pass  # exotic column type: per-message below
+
+    out_schema = _aev2_arrow_schema()
+    decoder = M.DECODERS["aev2"]
+    dec = []
+    for v in values:
+        b = v if isinstance(v, (bytes, bytearray)) or v is None else v.as_py()
+        if b is None or len(b) < 8 or bytes(b[4:8]) != b"aev2":
+            continue  # wrong family: warn-and-skip
+        try:
+            dec.append(decoder(b))
+        except Exception:
+            continue  # malformed: warn-and-skip channel (P8)
+    n = len(dec)
+    if n == 0:
+        return _empty_batch(out_schema)
+
+    def _list_col(vecs, np_type, pa_value_type):
+        lens = np.fromiter((len(v) for v in vecs), np.int32, len(vecs))
+        offs = np.zeros(len(vecs) + 1, dtype=np.int32)
+        np.cumsum(lens, out=offs[1:])
+        values_buf = (
+            np.concatenate([np.asarray(v).astype(np_type) for v in vecs])
+            if int(offs[-1])
+            else np.empty(0, dtype=np_type)
+        )
+        return pa.ListArray.from_arrays(
+            pa.array(offs), pa.array(values_buf, type=pa_value_type)
+        )
+
+    md = [d["metadata"] for d in dec]
+    arrays = [
+        pa.array(
+            np.fromiter((m["ts_ns"] // 1000 for m in md), np.int64, n)
+        ).view(pa.timestamp("us", tz="UTC")),
+        pa.array(np.fromiter((m["period_number"] for m in md), np.int64, n)),
+        pa.array(
+            np.fromiter((m["protons_per_pulse"] for m in md), np.int32, n)
+        ),
+        pa.array(np.fromiter((bool(m["running"]) for m in md), bool, n)),
+        pa.array(np.fromiter((m["frame_number"] for m in md), np.int64, n)),
+        pa.array(np.fromiter((m["veto_flags"] for m in md), np.int32, n)),
+        pa.array(np.fromiter((bool(d["complete"]) for d in dec), bool, n)),
+        _list_col(
+            [d["digitizers_present"] if d["digitizers_present"] is not None
+             else () for d in dec],
+            np.int32, pa.int32(),
+        ),
+        _list_col(
+            [d["channel"] if d["channel"] is not None else () for d in dec],
+            np.int32, pa.int32(),
+        ),
+        _list_col(
+            [d["time"] if d["time"] is not None else () for d in dec],
+            np.int64, pa.int64(),
+        ),
+        _list_col(
+            [d["voltage"] if d["voltage"] is not None else () for d in dec],
+            np.int32, pa.int32(),
+        ),
     ]
     return pa.RecordBatch.from_arrays(arrays, schema=out_schema)
 
@@ -637,24 +811,21 @@ def decode_dev2_messages(df: DataFrame) -> DataFrame:
 
 
 def decode_aev2(df: DataFrame) -> DataFrame:
-    """aev2 payloads → one grouped row per assembled frame."""
+    """aev2 payloads → one grouped row per assembled frame.
 
-    def _ints(x) -> list:
-        return [] if x is None else np.asarray(x).astype("int64").tolist()
+    Arrow-native (``mapInArrow`` over ``aev2_arrow_batch``, the
+    vectorized whole-column decoder): the previous row-dict build boxed
+    every event through ``.tolist()`` (~3 PyObjects/event) — at the
+    reference writer's 800k events/s aev2 ingest that per-event Python
+    was the decode cost."""
 
-    def rows(d: dict) -> list[dict]:
-        return [
-            {
-                **_md_cols(d["metadata"]),
-                "complete": d["complete"],
-                "digitizers_present": _ints(d["digitizers_present"]),
-                "channel": _ints(d["channel"]),
-                "event_time": _ints(d["time"]),
-                "event_voltage": _ints(d["voltage"]),
-            }
-        ]
+    def proc(batches):
+        for rb in batches:
+            yield aev2_arrow_batch(rb.column(0))
 
-    return _map_decoded(df, "aev2", AEV2_DECODED_SCHEMA, rows)
+    return dispatch(df, "aev2").select("value").mapInArrow(
+        proc, AEV2_DECODED_SCHEMA
+    )
 
 
 def decode_run_control(df: DataFrame) -> DataFrame:

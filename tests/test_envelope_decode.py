@@ -396,3 +396,85 @@ def test_dev2_vectorized_property_equality(entries):
     ]
     col = pa.array(payloads, pa.binary())
     assert D._dev2_vectorized(col).equals(_slow_reference(col))
+
+
+def _aev2_payload(i: int, n_ev: int, n_dig: int = 8) -> bytes:
+    md = {
+        "ts_ns": 1_700_000_000_123_456_789 + i * 12_345,
+        "period_number": i // 7,
+        "protons_per_pulse": i % 200,
+        "running": bool(i % 2),
+        "frame_number": i,
+        "veto_flags": i % 65_536,
+    }
+    ch = [(e * 3 + i) % 4096 for e in range(n_ev)]
+    et = [(e * 37 + i) % 20_000_000 for e in range(n_ev)]
+    ev = [(e + i) % 4096 for e in range(n_ev)]
+    return M.encode_aev2(md, et, ev, ch, bool(i % 3), list(range(n_dig)))
+
+
+def test_aev2_vectorized_matches_slow_path_mixed():
+    import pyarrow as pa
+
+    payloads = [_aev2_payload(i, (i * 13) % 700) for i in range(80)]
+    junk = [b"", b"xxx", b"xxxxdev2" + bytes(50), None, b"xxxxaev2",
+            b"xxxxaev2" + bytes(2)]
+    junk += [payloads[5][:cut] for cut in (9, 15, 23, 40, 100,
+                                           len(payloads[5]) - 1)]
+    col = pa.array(payloads[:20] + junk + payloads[20:], pa.binary())
+    fast = D._aev2_vectorized(col)
+    assert fast.equals(D.aev2_arrow_batch(list(col.to_pylist())))
+    assert fast.num_rows == 80
+    sl = col.slice(11, 60)
+    assert D._aev2_vectorized(sl).equals(
+        D.aev2_arrow_batch(list(sl.to_pylist()))
+    )
+    assert fast.column("complete")[0].as_py() == bool(0 % 3)
+    assert fast.column("digitizers_present")[0].as_py() == list(range(8))
+
+
+def test_aev2_arrow_matches_per_message_decoder():
+    """The arrow fallback's field mapping against messages.decode_aev2
+    directly — one frame, every column value checked."""
+    import pyarrow as pa
+
+    buf = _aev2_payload(9, 17, n_dig=3)
+    d = M.decode_aev2(buf)
+    rb = D.aev2_arrow_batch(pa.array([buf], pa.binary()))
+    row = {c: rb.column(c)[0].as_py() for c in rb.schema.names}
+    assert row["period_number"] == d["metadata"]["period_number"]
+    assert row["frame_number"] == d["metadata"]["frame_number"]
+    assert row["veto_flags"] == d["metadata"]["veto_flags"]
+    assert row["running"] == bool(d["metadata"]["running"])
+    assert row["complete"] == bool(d["complete"])
+    assert row["digitizers_present"] == list(d["digitizers_present"])
+    assert row["channel"] == list(d["channel"])
+    assert row["event_time"] == list(d["time"])
+    assert row["event_voltage"] == list(d["voltage"])
+    us = d["metadata"]["ts_ns"] // 1000
+    assert int(row["ts"].timestamp() * 1e6) in (us, us - 1)  # float round
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.tuples(st.integers(0, 10_000), st.integers(0, 40)),
+            st.binary(max_size=60),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_aev2_vectorized_property_equality(entries):
+    import pyarrow as pa
+
+    payloads = [
+        _aev2_payload(i, n) if isinstance(e, tuple) else e
+        for e in entries
+        for i, n in [e if isinstance(e, tuple) else (0, 0)]
+    ]
+    col = pa.array(payloads, pa.binary())
+    assert D._aev2_vectorized(col).equals(
+        D.aev2_arrow_batch(list(col.to_pylist()))
+    )
