@@ -10,7 +10,11 @@ Fetch v2, ListOffsets v1, Metadata v0, ApiVersions v0, the group
 coordination set (FindCoordinator/JoinGroup/SyncGroup/Heartbeat/
 LeaveGroup v0, generation-fenced OffsetCommit v2, OffsetFetch v1, and
 the consumer protocol-type's embedded subscription/assignment schemas),
-and the default partitioner's murmur2 hash.  The broker is a single-node in-process
+the default partitioner's murmur2 hash, and AUTHENTICATION:
+SaslHandshake v1 + SaslAuthenticate v0 carrying SCRAM-SHA-256
+(RFC 5802/7677 — the reference's mechanism, common/src/lib.rs:62-68)
+or PLAIN (RFC 4616), over PLAINTEXT or TLS channels (SSL / SASL_SSL,
+stdlib ssl with broker-generated self-signed certs).  The broker is a single-node in-process
 TCP server whose logs live in memory; the client is a blocking
 socket producer/consumer pair that parses the SAME option dict the
 production `kafka_source_options` builder emits, so the configuration
@@ -22,6 +26,7 @@ producer buffer trace-to-events/src/main.rs:81-84, drain-on-shutdown
 digitiser-aggregator/src/main.rs:463-495.
 """
 
+from .auth import ClientSecurity
 from .broker import MiniBroker
 from .client import (
     GroupConsumer,
@@ -34,6 +39,7 @@ from .client import (
 from .spark_source import KafkaWireDataSource
 
 __all__ = [
+    "ClientSecurity",
     "GroupConsumer",
     "KafkaWireDataSource",
     "MiniBroker",

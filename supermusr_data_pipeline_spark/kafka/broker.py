@@ -18,6 +18,13 @@ Behavior notes (all protocol-conformant choices):
   rule), and respects ``max_wait_ms``/``min_bytes`` long-polling;
 - ListOffsets v1 implements -2 (earliest), -1 (log end) and
   timestamp lookup (first offset with timestamp >= target);
+- SECURITY: ``security_protocol`` selects PLAINTEXT / SSL /
+  SASL_PLAINTEXT / SASL_SSL.  SASL rides SaslHandshake v1 +
+  SaslAuthenticate v0 with SCRAM-SHA-256 (RFC 5802/7677) or PLAIN
+  (RFC 4616); credentials are stored salted (StoredKey/ServerKey),
+  never as passwords.  Pre-auth connections are served only
+  ApiVersions + the SASL APIs and are dropped on any other request or
+  on a failed proof, like a real broker;
 - the GROUP COORDINATOR (``_Group``): JoinGroup rebalance rounds with
   generation bump + leader election + common-protocol selection,
   SyncGroup assignment distribution, Heartbeat/LeaveGroup membership,
@@ -36,6 +43,7 @@ import time
 import uuid
 from dataclasses import dataclass, field
 
+from . import auth as A
 from . import protocol as P
 
 
@@ -153,10 +161,57 @@ class MiniBroker:
     explicit start()/stop().  ``b.bootstrap`` is the
     ``host:port`` string the clients (and kafka_source_options) take."""
 
-    def __init__(self, default_partitions: int = 1, host: str = "127.0.0.1") -> None:
+    def __init__(
+        self,
+        default_partitions: int = 1,
+        host: str = "127.0.0.1",
+        security_protocol: str = "PLAINTEXT",
+        scram_users: dict[str, str] | None = None,
+        plain_users: dict[str, str] | None = None,
+        ssl_cert: tuple[str, str] | None = None,
+    ) -> None:
+        """``security_protocol``: PLAINTEXT (default), SSL, SASL_PLAINTEXT
+        or SASL_SSL.  ``scram_users``/``plain_users`` map username ->
+        password for the SCRAM-SHA-256 / PLAIN mechanisms (SCRAM
+        passwords are converted to salted StoredKey/ServerKey
+        credentials at construction — the broker never retains them).
+        ``ssl_cert`` is a (cert_pem, key_pem) path pair; omitted under
+        SSL/SASL_SSL, a self-signed pair is generated into a temp dir
+        (``self.ssl_cert`` exposes it for the client's ca.location)."""
         self.default_partitions = default_partitions
         self.host = host
         self.port: int | None = None
+        self.security_protocol = security_protocol.upper()
+        if self.security_protocol not in (
+            "PLAINTEXT", "SSL", "SASL_PLAINTEXT", "SASL_SSL",
+        ):
+            raise ValueError(f"unknown security protocol {security_protocol!r}")
+        self._scram: dict[str, A.ScramCredential] = {
+            u: A.make_scram_credential(p) for u, p in (scram_users or {}).items()
+        }
+        self._plain = dict(plain_users or {})
+        self._mechanisms = [
+            m
+            for m, have in (
+                (A.SCRAM_SHA_256, self._scram), (A.PLAIN, self._plain),
+            )
+            if have
+        ]
+        self._needs_sasl = self.security_protocol.startswith("SASL")
+        if self._needs_sasl and not self._mechanisms:
+            raise ValueError(
+                "SASL protocol requires scram_users and/or plain_users"
+            )
+        self.ssl_cert: tuple[str, str] | None = None
+        self._ssl_ctx = None
+        if self.security_protocol in ("SSL", "SASL_SSL"):
+            if ssl_cert is None:
+                import tempfile
+
+                self._ssl_dir = tempfile.TemporaryDirectory(prefix="minibroker-tls-")
+                ssl_cert = A.generate_self_signed_cert(self._ssl_dir.name)
+            self.ssl_cert = ssl_cert
+            self._ssl_ctx = A.server_ssl_context(*ssl_cert)
         self._topics: dict[str, list[_PartitionLog]] = {}
         self._topics_lock = threading.Lock()
         self._groups: dict[str, _Group] = {}
@@ -190,7 +245,9 @@ class MiniBroker:
 
     # -- request dispatch ---------------------------------------------------
 
-    def _handle(self, payload: bytes) -> bytes | list[bytes]:
+    def _handle(
+        self, payload: bytes, conn: "_ConnState | None" = None
+    ) -> bytes | list[bytes]:
         """Returns the framed response: bytes, or a list of buffers for
         a gather write (the fetch path — multi-MB message sets go to the
         socket without being re-joined into one buffer)."""
@@ -206,8 +263,21 @@ class MiniBroker:
             return P.encode_response(
                 corr_id, P.encode_api_versions_response(P.ERR_UNSUPPORTED_VERSION)
             )
+        if self._needs_sasl and (conn is None or not conn.authenticated):
+            # pre-auth, only ApiVersions and the SASL APIs are served;
+            # anything else disconnects (the real broker's behavior)
+            if api_key not in (
+                P.API_VERSIONS, P.API_SASL_HANDSHAKE, P.API_SASL_AUTHENTICATE,
+            ):
+                raise _CloseConnection(
+                    f"api {api_key} before SASL authentication"
+                )
         if api_key == P.API_VERSIONS:
             body = P.encode_api_versions_response()
+        elif api_key == P.API_SASL_HANDSHAKE:
+            body = self._sasl_handshake(cur, conn)
+        elif api_key == P.API_SASL_AUTHENTICATE:
+            body = self._sasl_authenticate(cur, conn)
         elif api_key == P.API_METADATA:
             body = self._metadata(cur)
         elif api_key == P.API_PRODUCE:
@@ -231,6 +301,52 @@ class MiniBroker:
         else:  # API_OFFSET_FETCH
             body = self._offset_fetch(cur)
         return P.encode_response(corr_id, body)
+
+    # -- SASL (SaslHandshake v1 + SaslAuthenticate v0) ------------------------
+
+    def _sasl_handshake(self, cur: P.Cursor, conn: "_ConnState | None") -> bytes:
+        mechanism = P.decode_sasl_handshake_request(cur)
+        if conn is None or not self._needs_sasl:
+            return P.encode_sasl_handshake_response(
+                P.ERR_ILLEGAL_SASL_STATE, self._mechanisms
+            )
+        if mechanism not in self._mechanisms:
+            return P.encode_sasl_handshake_response(
+                P.ERR_UNSUPPORTED_SASL_MECHANISM, self._mechanisms
+            )
+        conn.mechanism = mechanism
+        conn.scram = (
+            A.ScramServer(self._scram) if mechanism == A.SCRAM_SHA_256 else None
+        )
+        return P.encode_sasl_handshake_response(P.ERR_NONE, self._mechanisms)
+
+    def _sasl_authenticate(self, cur: P.Cursor, conn: "_ConnState | None") -> bytes:
+        token = P.decode_sasl_authenticate_request(cur)
+        if conn is None or conn.mechanism is None or conn.authenticated:
+            return P.encode_sasl_authenticate_response(
+                P.ERR_ILLEGAL_SASL_STATE, "handshake first", b""
+            )
+        try:
+            if conn.mechanism == A.PLAIN:
+                conn.principal = A.plain_check(token, self._plain)
+                conn.authenticated = True
+                return P.encode_sasl_authenticate_response(P.ERR_NONE, None, b"")
+            # SCRAM: two SaslAuthenticate round trips
+            if not conn.scram_started:
+                conn.scram_started = True
+                return P.encode_sasl_authenticate_response(
+                    P.ERR_NONE, None, conn.scram.first(token)
+                )
+            out = conn.scram.final(token)
+            conn.principal = conn.scram.username
+            conn.authenticated = True
+            return P.encode_sasl_authenticate_response(P.ERR_NONE, None, out)
+        except A.AuthError as e:
+            # fail loud in-band, then the handler drops the connection
+            conn.failed = True
+            return P.encode_sasl_authenticate_response(
+                P.ERR_SASL_AUTHENTICATION_FAILED, str(e), b""
+            )
 
     # -- group coordination ---------------------------------------------------
 
@@ -551,6 +667,12 @@ class MiniBroker:
             def handle(self) -> None:  # one connection, many requests
                 sock = self.request
                 sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+                if broker._ssl_ctx is not None:
+                    try:
+                        sock = broker._ssl_ctx.wrap_socket(sock, server_side=True)
+                    except (OSError, ValueError):
+                        return  # failed TLS handshake: drop, like a real broker
+                conn = _ConnState()
                 try:
                     while True:
                         hdr = _recv_exact(sock, 4)
@@ -560,13 +682,24 @@ class MiniBroker:
                         payload = _recv_exact(sock, size)
                         if payload is None:
                             return
-                        resp = broker._handle(payload)
+                        try:
+                            resp = broker._handle(payload, conn)
+                        except _CloseConnection:
+                            return
                         if isinstance(resp, list):
                             _send_buffers(sock, resp)  # gather write
                         else:
                             sock.sendall(resp)
+                        if conn.failed:
+                            return  # auth error was sent in-band; disconnect
                 except (ConnectionResetError, BrokenPipeError, OSError):
                     return
+                finally:
+                    if broker._ssl_ctx is not None:
+                        try:
+                            sock.close()
+                        except OSError:
+                            pass
 
         class Server(socketserver.ThreadingTCPServer):
             allow_reuse_address = True
@@ -595,6 +728,29 @@ class MiniBroker:
         self.stop()
 
 
+class _ConnState:
+    """Per-connection SASL progress (one Handler thread each)."""
+
+    __slots__ = (
+        "authenticated", "mechanism", "scram", "scram_started",
+        "principal", "failed",
+    )
+
+    def __init__(self) -> None:
+        self.authenticated = False
+        self.mechanism: str | None = None
+        self.scram = None
+        self.scram_started = False
+        self.principal: str | None = None
+        self.failed = False
+
+
+class _CloseConnection(Exception):
+    """Raised by _handle to make the Handler drop the connection (the
+    broker's response to protocol-order violations, e.g. produce before
+    SASL auth)."""
+
+
 # Linux caps one sendmsg at IOV_MAX (1024) iovecs; beyond it the call
 # raises EMSGSIZE rather than taking a prefix.  A fetch response for a
 # very wide subscription (~2 buffers per partition) can exceed that.
@@ -605,7 +761,16 @@ def _send_buffers(sock: socket.socket, parts: list[bytes]) -> None:
     """Write a gather-form response: sendmsg in a loop — like send(), it
     may accept only a prefix on a blocking socket, so resume past what
     was taken until the whole response is on the wire.  Each call sends
-    at most _IOV_MAX buffers (EMSGSIZE above that, not a short write)."""
+    at most _IOV_MAX buffers (EMSGSIZE above that, not a short write).
+    TLS sockets expose no working sendmsg (ssl.SSLSocket's raises
+    NotImplementedError — records are framed by the TLS layer itself);
+    they take the buffers with sendall."""
+    import ssl as _ssl
+
+    if isinstance(sock, _ssl.SSLSocket):
+        for p in parts:
+            sock.sendall(p)
+        return
     while parts:
         sent = sock.sendmsg(parts[: _IOV_MAX])
         skip = sent

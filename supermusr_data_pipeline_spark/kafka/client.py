@@ -29,6 +29,7 @@ import struct
 import time
 from dataclasses import dataclass
 
+from . import auth
 from . import protocol as P
 
 _DEFAULT_MAX_PARTITION_BYTES = 1 << 20
@@ -52,7 +53,9 @@ class _Conn:
     ids are matched FIFO, which the protocol guarantees per
     connection)."""
 
-    def __init__(self, bootstrap: str, client_id: str) -> None:
+    def __init__(
+        self, bootstrap: str, client_id: str, security=None
+    ) -> None:
         host, port = bootstrap.rsplit(":", 1)
         self.sock = socket.create_connection((host, int(port)), timeout=30)
         # request/response framing: never batch the tail of a frame
@@ -60,6 +63,51 @@ class _Conn:
         self.client_id = client_id
         self._corr = itertools.count(1)
         self._pending: list[int] = []
+        self.security = security
+        if security is not None and security.use_tls:
+            if not security.ca_location:
+                raise ValueError(
+                    f"{security.protocol} requires kafka.ssl.ca.location "
+                    "(PEM CA bundle; librdkafka's ssl.ca.location)"
+                )
+            ctx = auth.client_ssl_context(security.ca_location)
+            # hostname check against the cert's SANs (IPs included)
+            self.sock = ctx.wrap_socket(self.sock, server_hostname=host)
+        if security is not None and security.use_sasl:
+            self._sasl_authenticate(security)
+
+    def _sasl_authenticate(self, security) -> None:
+        """SaslHandshake v1 + SaslAuthenticate v0 exchange (the modern
+        framed flow); raises on rejection, verifies the server signature
+        under SCRAM (mutual authentication)."""
+        cur = self.request(
+            P.API_SASL_HANDSHAKE, 1,
+            P.encode_sasl_handshake_request(security.mechanism),
+        )
+        err, mechanisms = P.decode_sasl_handshake_response(cur)
+        if err != P.ERR_NONE:
+            raise OSError(
+                f"SASL handshake rejected (error {err}); broker offers "
+                f"{mechanisms}"
+            )
+
+        def auth_round(token: bytes) -> bytes:
+            cur = self.request(
+                P.API_SASL_AUTHENTICATE, 0,
+                P.encode_sasl_authenticate_request(token),
+            )
+            aerr, msg, out = P.decode_sasl_authenticate_response(cur)
+            if aerr != P.ERR_NONE:
+                raise OSError(f"SASL authentication failed: {msg}")
+            return out
+
+        if security.mechanism == auth.PLAIN:
+            auth_round(auth.plain_token(security.username, security.password))
+            return
+        scram = auth.ScramClient(security.username, security.password)
+        server_first = auth_round(scram.first())
+        server_final = auth_round(scram.final(server_first))
+        scram.verify(server_final)
 
     def send_request(self, api_key: int, api_version: int, body: bytes) -> None:
         corr = next(self._corr)
@@ -124,8 +172,9 @@ class MiniProducer:
         compression: str = "none",
         buffer_max: int = 1024,
         client_id: str = "supermusr-producer",
+        security=None,
     ) -> None:
-        self._conn = _Conn(bootstrap, client_id)
+        self._conn = _Conn(bootstrap, client_id, security)
         self.compression = compression
         self.buffer_max = buffer_max
         self._buf: list[tuple[str, int, int, bytes | None, bytes | None]] = []
@@ -196,8 +245,9 @@ class MiniConsumer:
         starting_timestamp_ms: int | None = None,
         max_poll_records: int | None = None,
         client_id: str = "supermusr-consumer",
+        security=None,
     ) -> None:
-        self._conn = _Conn(bootstrap, client_id)
+        self._conn = _Conn(bootstrap, client_id, security)
         self.max_poll_records = max_poll_records
         counts = self._conn.metadata(topics)
         self._positions: dict[tuple[str, int], int] = {}
@@ -314,6 +364,9 @@ def consumer_from_options(options: dict[str, str]) -> MiniConsumer:
     ts = options.get("startingTimestamp")
     max_offsets = options.get("maxOffsetsPerTrigger")
     group = options.get("kafka.group.id")
+    security = auth.ClientSecurity.from_options(options)
+    if security.protocol == "PLAINTEXT":
+        security = None  # no handshake work on the default path
     if group:
         return GroupConsumer(
             brokers,
@@ -322,6 +375,7 @@ def consumer_from_options(options: dict[str, str]) -> MiniConsumer:
             starting_offsets=options.get("startingOffsets", "latest"),
             starting_timestamp_ms=int(ts) if ts is not None else None,
             max_poll_records=int(max_offsets) if max_offsets is not None else None,
+            security=security,
         )
     return MiniConsumer(
         brokers,
@@ -329,6 +383,7 @@ def consumer_from_options(options: dict[str, str]) -> MiniConsumer:
         starting_offsets=options.get("startingOffsets", "latest"),
         starting_timestamp_ms=int(ts) if ts is not None else None,
         max_poll_records=int(max_offsets) if max_offsets is not None else None,
+        security=security,
     )
 
 
@@ -433,7 +488,9 @@ class GroupConsumer(MiniConsumer):
         heartbeat_interval_ms: int = 500,
         max_poll_records: int | None = None,
         client_id: str = "supermusr-group-consumer",
+        security=None,
     ) -> None:
+        self._security = security
         self.group_id = group_id
         self.topics = list(topics)
         self.starting_offsets = starting_offsets
@@ -449,7 +506,7 @@ class GroupConsumer(MiniConsumer):
         self.generation = -1
         self.rebalances = 0
         self._positions: dict[tuple[str, int], int] = {}
-        self._conn = _Conn(bootstrap, client_id)  # data channel
+        self._conn = _Conn(bootstrap, client_id, security)  # data channel
         cur = self._conn.request(
             P.API_FIND_COORDINATOR, 0,
             P.encode_find_coordinator_request(group_id),
@@ -457,7 +514,7 @@ class GroupConsumer(MiniConsumer):
         err, _node, host, port = P.decode_find_coordinator_response(cur)
         if err != P.ERR_NONE:
             raise OSError(f"find_coordinator({group_id}): error {err}")
-        self._coord = _Conn(f"{host}:{port}", client_id)
+        self._coord = _Conn(f"{host}:{port}", client_id, security)
         self._last_heartbeat = 0.0
         self._join()
 

@@ -47,17 +47,23 @@ API_JOIN_GROUP = 11
 API_HEARTBEAT = 12
 API_LEAVE_GROUP = 13
 API_SYNC_GROUP = 14
+API_SASL_HANDSHAKE = 17
 API_VERSIONS = 18
+API_SASL_AUTHENTICATE = 36
 
 ERR_NONE = 0
 ERR_OFFSET_OUT_OF_RANGE = 1
 ERR_CORRUPT_MESSAGE = 2
 ERR_UNKNOWN_TOPIC_OR_PARTITION = 3
+ERR_NOT_LEADER_FOR_PARTITION = 6
 ERR_ILLEGAL_GENERATION = 22
 ERR_INCONSISTENT_GROUP_PROTOCOL = 23
 ERR_UNKNOWN_MEMBER_ID = 25
 ERR_REBALANCE_IN_PROGRESS = 27
+ERR_UNSUPPORTED_SASL_MECHANISM = 33
+ERR_ILLEGAL_SASL_STATE = 34
 ERR_UNSUPPORTED_VERSION = 35
+ERR_SASL_AUTHENTICATION_FAILED = 58
 
 # (api_key, min_version, max_version) advertised by ApiVersions
 SUPPORTED_APIS = [
@@ -72,7 +78,9 @@ SUPPORTED_APIS = [
     (API_HEARTBEAT, 0, 0),
     (API_LEAVE_GROUP, 0, 0),
     (API_SYNC_GROUP, 0, 0),
+    (API_SASL_HANDSHAKE, 1, 1),
     (API_VERSIONS, 0, 0),
+    (API_SASL_AUTHENTICATE, 0, 0),
 ]
 
 EARLIEST_TIMESTAMP = -2
@@ -812,6 +820,48 @@ def decode_api_versions_response(cur: Cursor):
     err = cur.i16()
     apis = cur.array(lambda c: (c.i16(), c.i16(), c.i16()))
     return err, apis
+
+
+# --- SaslHandshake v1 / SaslAuthenticate v0 ---------------------------------
+# With handshake v1 the SASL challenge/response bytes travel inside
+# SaslAuthenticate requests (framed, correlation-id'd) rather than as
+# raw tokens on the socket — the modern flow every stock client uses.
+
+
+def encode_sasl_handshake_request(mechanism: str) -> bytes:
+    return e_string(mechanism)
+
+
+def decode_sasl_handshake_request(cur: Cursor) -> str:
+    return cur.string()
+
+
+def encode_sasl_handshake_response(error: int, mechanisms: list[str]) -> bytes:
+    return e_i16(error) + e_array(mechanisms, e_string)
+
+
+def decode_sasl_handshake_response(cur: Cursor) -> tuple[int, list[str]]:
+    return cur.i16(), cur.array(lambda c: c.string())
+
+
+def encode_sasl_authenticate_request(auth_bytes: bytes) -> bytes:
+    return e_bytes(auth_bytes)
+
+
+def decode_sasl_authenticate_request(cur: Cursor) -> bytes:
+    return cur.bytes_() or b""
+
+
+def encode_sasl_authenticate_response(
+    error: int, error_message: str | None, auth_bytes: bytes
+) -> bytes:
+    return e_i16(error) + e_string(error_message) + e_bytes(auth_bytes)
+
+
+def decode_sasl_authenticate_response(
+    cur: Cursor,
+) -> tuple[int, str | None, bytes]:
+    return cur.i16(), cur.string(), cur.bytes_() or b""
 
 
 # --- Group coordination (FindCoordinator v0, JoinGroup v0, SyncGroup v0,

@@ -42,6 +42,7 @@ from pyspark.sql.datasource import (
 )
 
 from . import protocol as P
+from .auth import ClientSecurity
 from .client import _Conn
 
 KAFKA_SOURCE_SCHEMA = (
@@ -66,6 +67,7 @@ class _RangePartition(InputPartition):
     start: int
     end: int
     decode: str = "none"
+    security: ClientSecurity | None = None
 
 
 _FETCH_BYTES = 1 << 24  # 16 MiB per round trip
@@ -74,6 +76,7 @@ _FETCH_BYTES = 1 << 24  # 16 MiB per round trip
 def _fetch_range(
     bootstrap: str, topic: str, pid: int, start: int, end: int,
     fetch_bytes: int = _FETCH_BYTES, decode: str = "none",
+    security: ClientSecurity | None = None,
 ):
     """Executor-side: fetch [start, end) from one partition over its own
     connection, yielding one Arrow RecordBatch per fetch response — the
@@ -100,7 +103,7 @@ def _fetch_range(
     if start >= end:
         return
     ts_type = pa.timestamp("us", tz="UTC")
-    conn = _Conn(bootstrap, f"kafka-wire-task-{os.getpid()}")
+    conn = _Conn(bootstrap, f"kafka-wire-task-{os.getpid()}", security)
 
     def _send(off: int) -> None:
         conn.send_request(
@@ -175,32 +178,23 @@ def _fetch_range(
         conn.close()
 
 
-def _reject_auth_options(options) -> None:
-    """The in-process broker speaks PLAINTEXT only: an auth mechanism
-    requested through the JVM source's option names must fail LOUDLY at
-    plan time, not be silently ignored (VERDICT r9 #8 — silence here
-    would read as authenticated).  `kafka_source_options(username=...,
-    password=...)` emits these names for a real SASL cluster."""
-    proto = _opt(options, "kafka.security.protocol", "PLAINTEXT")
-    sasl = [
-        k for k in options
-        if k.lower().startswith("kafka.sasl.")
-    ]
-    if str(proto).upper() != "PLAINTEXT" or sasl:
-        raise ValueError(
-            "kafka-wire supports PLAINTEXT only: the in-process broker "
-            f"(kafka/broker.py) implements no SASL/TLS handshake, so "
-            f"security.protocol={proto!r} / {sorted(sasl)} cannot be "
-            "honored.  Point these options at a real Kafka cluster via "
-            'format("kafka"), or drop the auth settings.'
-        )
+def _client_security(options) -> ClientSecurity | None:
+    """Parse the JVM source's auth options (security.protocol,
+    sasl.mechanism, sasl.jaas.config) plus librdkafka's ssl.ca.location
+    into a picklable ClientSecurity that rides the read plan to the
+    executor fetch tasks.  Unsupported mechanisms/protocols fail LOUDLY
+    at plan time (VERDICT r9 #8 — silence here would read as
+    authenticated); PLAIN and SCRAM-SHA-256 over PLAINTEXT or TLS are
+    honored for real against the in-process broker (kafka/auth.py)."""
+    sec = ClientSecurity.from_options(options, opt=_opt)
+    return None if sec.protocol == "PLAINTEXT" else sec
 
 
 class _OffsetOracle:
     """Driver-side metadata helper: one connection, ListOffsets calls."""
 
     def __init__(self, options) -> None:
-        _reject_auth_options(options)
+        self.security = _client_security(options)
         self.bootstrap = _opt(options, "kafka.bootstrap.servers")
         if not self.bootstrap:
             raise ValueError("kafka.bootstrap.servers is required")
@@ -212,7 +206,7 @@ class _OffsetOracle:
 
     def conn(self) -> _Conn:
         if self._conn is None:
-            self._conn = _Conn(self.bootstrap, "kafka-wire-driver")
+            self._conn = _Conn(self.bootstrap, "kafka-wire-driver", self.security)
         return self._conn
 
     def assignment(self) -> list[tuple[str, int]]:
@@ -256,7 +250,8 @@ class _OffsetOracle:
 
 
 def _ranges(
-    bootstrap: str, start: dict, end: dict, decode: str = "none"
+    bootstrap: str, start: dict, end: dict, decode: str = "none",
+    security: ClientSecurity | None = None,
 ) -> list[_RangePartition]:
     parts = []
     for key, e in end.items():
@@ -264,7 +259,9 @@ def _ranges(
         s = start.get(key, 0)
         if e > s:
             parts.append(
-                _RangePartition(bootstrap, topic, int(pid), s, e, decode)
+                _RangePartition(
+                    bootstrap, topic, int(pid), s, e, decode, security
+                )
             )
     return parts
 
@@ -337,7 +334,10 @@ class KafkaWireStreamReader(DataSourceStreamReader):
             k: max(start.get(k, 0), end.get(k, 0))
             for k in set(start) | set(end)
         }
-        parts = _ranges(self._oracle.bootstrap, start, end, self._decode)
+        parts = _ranges(
+            self._oracle.bootstrap, start, end, self._decode,
+            self._oracle.security,
+        )
         # a trigger with nothing to do still needs >= 1 partition (the
         # API requires a non-empty sequence); an empty range yields no rows
         if not parts:
@@ -358,6 +358,7 @@ class KafkaWireStreamReader(DataSourceStreamReader):
             partition.start,
             partition.end,
             decode=partition.decode,
+            security=partition.security,
         )
 
     def commit(self, end: dict) -> None:
@@ -377,7 +378,7 @@ class KafkaWireBatchReader(DataSourceReader):
             oracle.close()
         self._parts = _ranges(
             _opt(options, "kafka.bootstrap.servers"), start, end,
-            _decode_opt(options),
+            _decode_opt(options), oracle.security,
         )
 
     def partitions(self):
@@ -391,6 +392,7 @@ class KafkaWireBatchReader(DataSourceReader):
             partition.start,
             partition.end,
             decode=partition.decode,
+            security=partition.security,
         )
 
 

@@ -52,6 +52,7 @@ def kafka_source_options(
     username: str | None = None,
     password: str | None = None,
     group_id: str | None = None,
+    ssl_ca_location: str | None = None,
 ) -> dict[str, str]:
     """Options for ``spark.readStream.format("kafka")`` mirroring the
     reference consumer config (zstd transport, explicit group/topics —
@@ -65,9 +66,11 @@ def kafka_source_options(
     ``username``/``password`` (both or neither, exactly as the reference
     CLI enforces — common/src/lib.rs:40-49) emit the JVM source's SASL
     option names for the reference's mechanism (SCRAM-SHA-256 over
-    sasl_plaintext, lib.rs:62-68).  The in-process wire broker serves
-    PLAINTEXT only and REJECTS these options explicitly
-    (kafka/spark_source.py) — they exist for a real cluster."""
+    sasl_plaintext, lib.rs:62-68).  The in-process wire broker honors
+    them for real — SaslHandshake/SaslAuthenticate with SCRAM-SHA-256
+    (kafka/auth.py); ``ssl_ca_location`` (librdkafka's ssl.ca.location,
+    the reference's Rust client stack) upgrades the channel to TLS
+    (SASL_SSL with credentials, SSL without)."""
     if (username is None) != (password is None):
         # the reference requires the pair (common/src/lib.rs:40-49)
         raise ValueError("username and password must be provided together")
@@ -89,12 +92,18 @@ def kafka_source_options(
         # maps it to the GROUP-MANAGED GroupConsumer
         opts["kafka.group.id"] = group_id
     if username is not None:
-        opts["kafka.security.protocol"] = "SASL_PLAINTEXT"
+        opts["kafka.security.protocol"] = (
+            "SASL_SSL" if ssl_ca_location else "SASL_PLAINTEXT"
+        )
         opts["kafka.sasl.mechanism"] = "SCRAM-SHA-256"
         opts["kafka.sasl.jaas.config"] = (
             "org.apache.kafka.common.security.scram.ScramLoginModule "
             f'required username="{username}" password="{password}";'
         )
+    elif ssl_ca_location:
+        opts["kafka.security.protocol"] = "SSL"
+    if ssl_ca_location:
+        opts["kafka.ssl.ca.location"] = ssl_ca_location
     return opts
 
 
