@@ -14,7 +14,13 @@ the default partitioner's murmur2 hash, and AUTHENTICATION:
 SaslHandshake v1 + SaslAuthenticate v0 carrying SCRAM-SHA-256
 (RFC 5802/7677 — the reference's mechanism, common/src/lib.rs:62-68)
 or PLAIN (RFC 4616), over PLAINTEXT or TLS channels (SSL / SASL_SSL,
-stdlib ssl with broker-generated self-signed certs).  The broker is a single-node in-process
+stdlib ssl with broker-generated self-signed certs).  REPLICATION:
+``cluster.MiniCluster`` runs N broker nodes on distinct sockets with
+pull-based follower fetch, ISR + high-watermark commit semantics,
+acks=-1 waits, min.insync.replicas, and ISR-fenced leader failover;
+producer/consumer route requests per partition leader with metadata
+refresh on NOT_LEADER, and the Spark kafka-wire source fans its fetch
+tasks out across brokers.  The broker is a single-node in-process
 TCP server whose logs live in memory; the client is a blocking
 socket producer/consumer pair that parses the SAME option dict the
 production `kafka_source_options` builder emits, so the configuration
@@ -28,6 +34,7 @@ digitiser-aggregator/src/main.rs:463-495.
 
 from .auth import ClientSecurity
 from .broker import MiniBroker
+from .cluster import ClusterBroker, MiniCluster
 from .client import (
     GroupConsumer,
     MiniConsumer,
@@ -40,7 +47,9 @@ from .spark_source import KafkaWireDataSource
 
 __all__ = [
     "ClientSecurity",
+    "ClusterBroker",
     "GroupConsumer",
+    "MiniCluster",
     "KafkaWireDataSource",
     "MiniBroker",
     "MiniConsumer",

@@ -86,17 +86,24 @@ class _PartitionLog:
                 self.pos.append(len(self.buf))
         return base, P.ERR_NONE
 
-    def read(self, fetch_offset: int, max_bytes: int) -> tuple[bytes, int, int]:
-        """Serve a fetch: returns (message_set, high_watermark, error).
+    def read(
+        self, fetch_offset: int, max_bytes: int, limit: int | None = None
+    ) -> tuple[bytes, int, int]:
+        """Serve a fetch: returns (message_set, served_up_to, error).
         Whole entries up to ``max_bytes``, always at least one when any
-        is available (the protocol's no-starvation rule)."""
+        is available (the protocol's no-starvation rule).  ``limit``
+        caps the readable end below the log end — the replicated
+        cluster's HIGH WATERMARK fence for consumer fetches (followers
+        fetch with limit=None and read past the HW, per the protocol)."""
         import bisect
 
         with self.lock:
             hw = len(self.timestamps)
-            if fetch_offset < 0 or fetch_offset > hw:
+            if limit is not None:
+                hw = min(hw, limit)
+            if fetch_offset < 0 or fetch_offset > len(self.timestamps):
                 return b"", hw, P.ERR_OFFSET_OUT_OF_RANGE
-            if fetch_offset == hw:
+            if fetch_offset >= hw:
                 return b"", hw, P.ERR_NONE
             lo = fetch_offset
             # largest hi with pos[hi] - pos[lo] <= max_bytes, floor lo+1

@@ -159,6 +159,157 @@ class _Conn:
         _brokers, tmeta = P.decode_metadata_response(cur)
         return {name: len(parts) for err, name, parts in tmeta if err == P.ERR_NONE}
 
+    def metadata_full(self, topics: list[str]):
+        """Raw (brokers, topics) metadata — node addresses and
+        per-partition (leader, replicas, isr), the cluster routing
+        surface."""
+        cur = self.request(P.API_METADATA, 0, P.encode_metadata_request(topics))
+        return P.decode_metadata_response(cur)
+
+
+class _Router:
+    """Leader-aware connection management for producer/consumer: one
+    ``_Conn`` per broker address, a (topic, partition) -> leader-address
+    map refreshed from Metadata, and bootstrap failover across a
+    comma-separated broker list.  Against a single broker every
+    partition maps to the one address, so request grouping degenerates
+    to exactly the old single-connection behavior."""
+
+    def __init__(self, bootstrap: str, client_id: str, security=None) -> None:
+        self.addrs = [a.strip() for a in bootstrap.split(",") if a.strip()]
+        if not self.addrs:
+            raise ValueError("empty bootstrap list")
+        self.client_id = client_id
+        self.security = security
+        self._conns: dict[str, _Conn] = {}
+        self._leader: dict[tuple[str, int], str] = {}
+        self._counts: dict[str, int] = {}
+        self._meta_addr: str | None = None
+
+    def conn(self, addr: str) -> _Conn:
+        c = self._conns.get(addr)
+        if c is None:
+            c = self._conns[addr] = _Conn(addr, self.client_id, self.security)
+        return c
+
+    def invalidate(self, addr: str) -> None:
+        c = self._conns.pop(addr, None)
+        if c is not None:
+            c.close()
+
+    def meta_conn(self) -> _Conn:
+        """A connection to ANY live broker (bootstrap failover order:
+        last-good, the bootstrap list, every known leader address)."""
+        candidates = []
+        if self._meta_addr:
+            candidates.append(self._meta_addr)
+        candidates += [a for a in self.addrs if a not in candidates]
+        candidates += [
+            a for a in set(self._leader.values()) if a not in candidates
+        ]
+        last_err: Exception | None = None
+        for addr in candidates:
+            try:
+                c = self.conn(addr)
+                self._meta_addr = addr
+                return c
+            except OSError as e:
+                self.invalidate(addr)
+                last_err = e
+        raise OSError(f"no reachable broker in {candidates}: {last_err}")
+
+    def refresh(self, topics: list[str]) -> None:
+        """One Metadata round trip (with bootstrap failover): updates
+        partition counts and the leader map."""
+        last_err: Exception | None = None
+        for _attempt in range(2):
+            conn = self.meta_conn()
+            try:
+                brokers, tmeta = conn.metadata_full(topics)
+            except OSError as e:
+                self.invalidate(self._meta_addr)
+                self._meta_addr = None
+                last_err = e
+                continue
+            by_node = {nid: f"{host}:{port}" for nid, host, port in brokers}
+            for err, name, parts in tmeta:
+                if err != P.ERR_NONE:
+                    continue
+                self._counts[name] = len(parts)
+                for perr, pid, leader, _replicas, _isr in parts:
+                    if perr == P.ERR_NONE and leader in by_node:
+                        self._leader[(name, pid)] = by_node[leader]
+                    else:
+                        self._leader.pop((name, pid), None)
+            return
+        raise OSError(f"metadata refresh failed: {last_err}")
+
+    def partitions(self, topic: str) -> int:
+        if topic not in self._counts:
+            self.refresh([topic])
+        return self._counts[topic]
+
+    def leader_addr(self, topic: str, pid: int) -> str:
+        addr = self._leader.get((topic, pid))
+        if addr is None:
+            self.refresh([topic])
+            addr = self._leader.get((topic, pid))
+        if addr is None:
+            raise OSError(f"no leader available for {topic}/{pid}")
+        return addr
+
+    def list_offsets(
+        self, tps: list[tuple[str, int]], target: int
+    ) -> dict[tuple[str, int], int]:
+        """Leader-routed ListOffsets for the given partitions; one
+        refresh-and-retry on moved leadership.  -1 means the timestamp
+        is past the log end."""
+        out: dict[tuple[str, int], int] = {}
+        pending = list(tps)
+        for attempt in (0, 1):
+            moved: list[tuple[str, int]] = []
+            for addr, group in sorted(self.group_by_leader(pending).items()):
+                by_topic: dict[str, list[tuple[int, int]]] = {}
+                for t, p in group:
+                    by_topic.setdefault(t, []).append((p, target))
+                body = P.encode_list_offsets_request(sorted(by_topic.items()))
+                try:
+                    cur = self.conn(addr).request(P.API_LIST_OFFSETS, 1, body)
+                except OSError:
+                    self.invalidate(addr)
+                    moved.extend(group)
+                    continue
+                for topic, prs in P.decode_list_offsets_response(cur):
+                    for pid, err, _ts, off in prs:
+                        if err == P.ERR_NOT_LEADER_FOR_PARTITION:
+                            moved.append((topic, pid))
+                        elif err != P.ERR_NONE:
+                            raise OSError(
+                                f"list_offsets {topic}/{pid}: error {err}"
+                            )
+                        else:
+                            out[(topic, pid)] = off
+            if not moved:
+                return out
+            if attempt == 1:
+                raise OSError(f"list_offsets failed after refresh: {moved}")
+            self.refresh(sorted({t for t, _p in moved}))
+            pending = moved
+        return out
+
+    def group_by_leader(self, tps) -> dict[str, list[tuple[str, int]]]:
+        """[(topic, pid)] -> {leader_addr: [(topic, pid)]}, resolving
+        unknown leaders with one refresh."""
+        out: dict[str, list[tuple[str, int]]] = {}
+        for t, p in tps:
+            out.setdefault(self.leader_addr(t, p), []).append((t, p))
+        return out
+
+    def close(self) -> None:
+        for c in self._conns.values():
+            c.close()
+        self._conns.clear()
+
 
 class MiniProducer:
     """Buffered producer with the reference's bounded-buffer discipline:
@@ -174,17 +325,15 @@ class MiniProducer:
         client_id: str = "supermusr-producer",
         security=None,
     ) -> None:
-        self._conn = _Conn(bootstrap, client_id, security)
+        self._router = _Router(bootstrap, client_id, security)
+        self._router.meta_conn()  # fail fast on an unreachable bootstrap
         self.compression = compression
         self.buffer_max = buffer_max
         self._buf: list[tuple[str, int, int, bytes | None, bytes | None]] = []
-        self._n_partitions: dict[str, int] = {}
         self.acked = 0
 
     def _partitions(self, topic: str) -> int:
-        if topic not in self._n_partitions:
-            self._n_partitions.update(self._conn.metadata([topic]))
-        return self._n_partitions[topic]
+        return self._router.partitions(topic)
 
     def send(
         self,
@@ -208,22 +357,56 @@ class MiniProducer:
         for topic, pid, ts, k, v in self._buf:
             grouped.setdefault((topic, pid), []).append((ts, k, v))
         self._buf = []
-        by_topic: dict[str, list[tuple[int, bytes]]] = {}
-        for (topic, pid), recs in grouped.items():
-            mset = P.encode_message_set(recs, compression=self.compression)
-            by_topic.setdefault(topic, []).append((pid, mset))
-        body = P.encode_produce_request(-1, 30_000, sorted(by_topic.items()))
-        cur = self._conn.request(P.API_PRODUCE, 2, body)
-        topics, _throttle = P.decode_produce_response(cur)
-        for topic, prs in topics:
-            for pid, err, _base, _lat in prs:
-                if err != P.ERR_NONE:
-                    raise OSError(f"produce to {topic}/{pid} failed: error {err}")
+        msets = {
+            tp: P.encode_message_set(recs, compression=self.compression)
+            for tp, recs in grouped.items()
+        }
+        pending = dict(msets)
+        # leader-routed, acks=-1 (committed to the full ISR); one retry
+        # after a metadata refresh for partitions whose leadership MOVED
+        # (NOT_LEADER never appended, so the retry cannot duplicate;
+        # mid-response connection failures raise — ambiguous outcomes
+        # must not be blind-retried)
+        for attempt in (0, 1):
+            failed: dict[tuple[str, int], bytes] = {}
+            by_addr = self._router.group_by_leader(sorted(pending))
+            for addr, tps in sorted(by_addr.items()):
+                by_topic: dict[str, list[tuple[int, bytes]]] = {}
+                for t, pid in tps:
+                    by_topic.setdefault(t, []).append((pid, pending[(t, pid)]))
+                body = P.encode_produce_request(-1, 30_000, sorted(by_topic.items()))
+                try:
+                    cur = self._router.conn(addr).request(P.API_PRODUCE, 2, body)
+                except OSError:
+                    # connection died: refresh and retry these (the send
+                    # may or may not have landed — the broker applies
+                    # whole message sets, and a reconnect retry matches
+                    # the real producer's retries>0 at-least-once default)
+                    self._router.invalidate(addr)
+                    failed.update({tp: pending[tp] for tp in tps})
+                    continue
+                topics, _throttle = P.decode_produce_response(cur)
+                for topic, prs in topics:
+                    for pid, err, _base, _lat in prs:
+                        if err == P.ERR_NOT_LEADER_FOR_PARTITION:
+                            failed[(topic, pid)] = pending[(topic, pid)]
+                        elif err != P.ERR_NONE:
+                            raise OSError(
+                                f"produce to {topic}/{pid} failed: error {err}"
+                            )
+            if not failed:
+                break
+            if attempt == 1:
+                raise OSError(
+                    f"produce failed after leader refresh: {sorted(failed)}"
+                )
+            self._router.refresh(sorted({t for t, _p in failed}))
+            pending = failed
         self.acked += sum(len(r) for r in grouped.values())
 
     def close(self) -> None:
         self.flush()
-        self._conn.close()
+        self._router.close()
 
     def __enter__(self) -> "MiniProducer":
         return self
@@ -247,9 +430,10 @@ class MiniConsumer:
         client_id: str = "supermusr-consumer",
         security=None,
     ) -> None:
-        self._conn = _Conn(bootstrap, client_id, security)
+        self._router = _Router(bootstrap, client_id, security)
         self.max_poll_records = max_poll_records
-        counts = self._conn.metadata(topics)
+        counts = self._router.meta_conn().metadata(topics)
+        self._router.refresh(topics)
         self._positions: dict[tuple[str, int], int] = {}
         missing = [t for t in topics if t not in counts]
         if missing:
@@ -266,24 +450,29 @@ class MiniConsumer:
             [(t, list(range(counts[t]))) for t in topics], target
         )
 
+    def _list_offsets(
+        self, tps: list[tuple[str, int]], target: int
+    ) -> dict[tuple[str, int], int]:
+        return self._router.list_offsets(tps, target)
+
     def _seek_all(self, assignment: list[tuple[str, list[int]]], target: int) -> None:
-        body = P.encode_list_offsets_request(
-            [(t, [(p, target) for p in pids]) for t, pids in assignment]
-        )
-        cur = self._conn.request(P.API_LIST_OFFSETS, 1, body)
-        for topic, prs in P.decode_list_offsets_response(cur):
-            for pid, err, _ts, off in prs:
-                if err != P.ERR_NONE:
-                    raise OSError(f"list_offsets {topic}/{pid}: error {err}")
-                # timestamp lookup past the log end → -1: start at the end
-                # (nothing at/after the target yet), matching the Kafka
-                # source's startingTimestamp + failOnDataLoss=false posture
-                self._positions[(topic, pid)] = off if off >= 0 else self._log_end(topic, pid)
+        tps = [(t, p) for t, pids in assignment for p in pids]
+        offs = self._list_offsets(tps, target)
+        # timestamp lookup past the log end → -1: start at the end
+        # (nothing at/after the target yet), matching the Kafka
+        # source's startingTimestamp + failOnDataLoss=false posture
+        ends: dict[tuple[str, int], int] = {}
+        missing = [tp for tp, off in offs.items() if off < 0]
+        if missing:
+            ends = self._list_offsets(missing, P.LATEST_TIMESTAMP)
+        for tp in tps:
+            off = offs[tp]
+            self._positions[tp] = off if off >= 0 else ends[tp]
 
     def _log_end(self, topic: str, pid: int) -> int:
-        body = P.encode_list_offsets_request([(topic, [(pid, P.LATEST_TIMESTAMP)])])
-        cur = self._conn.request(P.API_LIST_OFFSETS, 1, body)
-        return P.decode_list_offsets_response(cur)[0][1][0][3]
+        return self._list_offsets([(topic, pid)], P.LATEST_TIMESTAMP)[
+            (topic, pid)
+        ]
 
     def seek_tail(self, n: int) -> None:
         """Position each partition ``n`` records before its log end — the
@@ -311,36 +500,69 @@ class MiniConsumer:
         min_bytes: int = 1,
         max_partition_bytes: int = _DEFAULT_MAX_PARTITION_BYTES,
     ) -> list[ConsumerRecord]:
-        """One blocking fetch across the assignment; advances positions.
-        ``max_poll_records`` (the maxOffsetsPerTrigger analog) bounds the
-        batch — excess records stay on the broker for the next poll."""
-        by_topic: dict[str, list[tuple[int, int, int]]] = {}
-        for (t, p), off in sorted(self._positions.items()):
-            by_topic.setdefault(t, []).append((p, off, max_partition_bytes))
-        body = P.encode_fetch_request(max_wait_ms, min_bytes, sorted(by_topic.items()))
-        cur = self._conn.request(P.API_FETCH, 2, body)
-        _throttle, topics = P.decode_fetch_response(cur)
+        """One blocking fetch PER PARTITION LEADER across the
+        assignment; advances positions.  Against a single broker this is
+        one fetch request on one connection (the pre-cluster behavior);
+        against a MiniCluster each leader gets its own request — the
+        per-broker fan-out a real consumer does.  ``max_poll_records``
+        (the maxOffsetsPerTrigger analog) bounds the batch — excess
+        records stay on the broker for the next poll.  Moved leadership
+        (NOT_LEADER / dead connection) triggers ONE metadata refresh and
+        retry; fetch is idempotent so the retry is safe."""
         out: list[ConsumerRecord] = []
         budget = self.max_poll_records
-        for topic, prs in topics:
-            for pid, err, _hw, mset in prs:
-                if err != P.ERR_NONE:
-                    raise OSError(f"fetch {topic}/{pid}: error {err}")
-                for r in P.decode_message_set(mset or b""):
-                    if r.offset < self._positions[(topic, pid)]:
-                        continue  # duplicate below our position — drop
-                    if budget is not None and budget <= 0:
-                        break
-                    out.append(
-                        ConsumerRecord(topic, pid, r.offset, r.timestamp, r.key, r.value)
+        pending = sorted(self._positions)
+        for attempt in (0, 1):
+            moved: list[tuple[str, int]] = []
+            for addr, group in sorted(
+                self._router.group_by_leader(pending).items()
+            ):
+                by_topic: dict[str, list[tuple[int, int, int]]] = {}
+                for t, p in group:
+                    by_topic.setdefault(t, []).append(
+                        (p, self._positions[(t, p)], max_partition_bytes)
                     )
-                    self._positions[(topic, pid)] = r.offset + 1
-                    if budget is not None:
-                        budget -= 1
+                body = P.encode_fetch_request(
+                    max_wait_ms, min_bytes, sorted(by_topic.items())
+                )
+                try:
+                    cur = self._router.conn(addr).request(P.API_FETCH, 2, body)
+                except OSError:
+                    self._router.invalidate(addr)
+                    moved.extend(group)
+                    continue
+                _throttle, topics = P.decode_fetch_response(cur)
+                for topic, prs in topics:
+                    for pid, err, _hw, mset in prs:
+                        if err == P.ERR_NOT_LEADER_FOR_PARTITION:
+                            moved.append((topic, pid))
+                            continue
+                        if err != P.ERR_NONE:
+                            raise OSError(f"fetch {topic}/{pid}: error {err}")
+                        for r in P.decode_message_set(mset or b""):
+                            if r.offset < self._positions[(topic, pid)]:
+                                continue  # duplicate below our position — drop
+                            if budget is not None and budget <= 0:
+                                break
+                            out.append(
+                                ConsumerRecord(
+                                    topic, pid, r.offset, r.timestamp,
+                                    r.key, r.value,
+                                )
+                            )
+                            self._positions[(topic, pid)] = r.offset + 1
+                            if budget is not None:
+                                budget -= 1
+            if not moved:
+                break
+            if attempt == 1:
+                raise OSError(f"fetch failed after leader refresh: {moved}")
+            self._router.refresh(sorted({t for t, _p in moved}))
+            pending = moved
         return out
 
     def close(self) -> None:
-        self._conn.close()
+        self._router.close()
 
     def __enter__(self) -> "MiniConsumer":
         return self
@@ -506,8 +728,9 @@ class GroupConsumer(MiniConsumer):
         self.generation = -1
         self.rebalances = 0
         self._positions: dict[tuple[str, int], int] = {}
-        self._conn = _Conn(bootstrap, client_id, security)  # data channel
-        cur = self._conn.request(
+        # data channel: leader-routed like the manual consumer's
+        self._router = _Router(bootstrap, client_id, security)
+        cur = self._router.meta_conn().request(
             P.API_FIND_COORDINATOR, 0,
             P.encode_find_coordinator_request(group_id),
         )
@@ -575,7 +798,7 @@ class GroupConsumer(MiniConsumer):
                 for t in P.decode_consumer_subscription(md or b"")[0]
             }
         )
-        counts = self._conn.metadata(all_topics)
+        counts = self._router.meta_conn().metadata(all_topics)
         tps = [(t, p) for t in all_topics for p in range(counts.get(t, 0))]
         order = [mid for mid, _md in members]
         per: dict[str, list[tuple[str, int]]] = {mid: [] for mid in order}
@@ -689,4 +912,4 @@ class GroupConsumer(MiniConsumer):
             except OSError:
                 pass
         self._coord.close()
-        self._conn.close()
+        self._router.close()

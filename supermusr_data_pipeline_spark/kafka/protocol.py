@@ -55,7 +55,10 @@ ERR_NONE = 0
 ERR_OFFSET_OUT_OF_RANGE = 1
 ERR_CORRUPT_MESSAGE = 2
 ERR_UNKNOWN_TOPIC_OR_PARTITION = 3
+ERR_LEADER_NOT_AVAILABLE = 5
 ERR_NOT_LEADER_FOR_PARTITION = 6
+ERR_REQUEST_TIMED_OUT = 7
+ERR_NOT_ENOUGH_REPLICAS = 19
 ERR_ILLEGAL_GENERATION = 22
 ERR_INCONSISTENT_GROUP_PROTOCOL = 23
 ERR_UNKNOWN_MEMBER_ID = 25
@@ -769,25 +772,28 @@ def decode_metadata_request(cur: Cursor) -> list[str]:
 
 def encode_metadata_response(
     brokers: list[tuple[int, str, int]],
-    topics: list[tuple[int, str, list[tuple[int, int, int]]]],
+    topics: list,
 ) -> bytes:
     """brokers = [(node_id, host, port)];
-    topics = [(error, name, [(error, partition, leader)])] — single-node,
-    so replicas == isr == [leader]."""
+    topics = [(error, name, parts)] where each part is either
+    (error, partition, leader) — the single-node form, replicas == isr
+    == [leader] — or (error, partition, leader, replicas, isr) for a
+    replicated cluster (leader -1 when the partition is offline)."""
+
+    def part(p) -> bytes:
+        err, pid, leader = p[0], p[1], p[2]
+        replicas = p[3] if len(p) > 3 else [leader]
+        isr = p[4] if len(p) > 4 else [leader]
+        return (
+            e_i16(err) + e_i32(pid) + e_i32(leader)
+            + e_array(replicas, e_i32) + e_array(isr, e_i32)
+        )
+
     return e_array(
         brokers, lambda b: e_i32(b[0]) + e_string(b[1]) + e_i32(b[2])
     ) + e_array(
         topics,
-        lambda t: e_i16(t[0])
-        + e_string(t[1])
-        + e_array(
-            t[2],
-            lambda p: e_i16(p[0])
-            + e_i32(p[1])
-            + e_i32(p[2])
-            + e_array([p[2]], e_i32)  # replicas
-            + e_array([p[2]], e_i32),  # isr
-        ),
+        lambda t: e_i16(t[0]) + e_string(t[1]) + e_array(t[2], part),
     )
 
 
@@ -797,9 +803,9 @@ def decode_metadata_response(cur: Cursor):
 
     def part(c: Cursor):
         err, pid, leader = c.i16(), c.i32(), c.i32()
-        c.array(lambda cc: cc.i32())  # replicas
-        c.array(lambda cc: cc.i32())  # isr
-        return err, pid, leader
+        replicas = c.array(lambda cc: cc.i32())
+        isr = c.array(lambda cc: cc.i32())
+        return err, pid, leader, replicas, isr
 
     def topic(c: Cursor):
         return c.i16(), c.string(), c.array(part)

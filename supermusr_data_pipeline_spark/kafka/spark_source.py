@@ -43,7 +43,7 @@ from pyspark.sql.datasource import (
 
 from . import protocol as P
 from .auth import ClientSecurity
-from .client import _Conn
+from .client import _Conn, _Router
 
 KAFKA_SOURCE_SCHEMA = (
     "key binary, value binary, topic string, partition int, "
@@ -202,57 +202,56 @@ class _OffsetOracle:
         if not subscribe:
             raise ValueError("subscribe is required")
         self.topics = subscribe.split(",")
-        self._conn: _Conn | None = None
+        self._router: _Router | None = None
 
-    def conn(self) -> _Conn:
-        if self._conn is None:
-            self._conn = _Conn(self.bootstrap, "kafka-wire-driver", self.security)
-        return self._conn
+    def router(self) -> _Router:
+        if self._router is None:
+            self._router = _Router(
+                self.bootstrap, "kafka-wire-driver", self.security
+            )
+        return self._router
 
     def assignment(self) -> list[tuple[str, int]]:
-        counts = self.conn().metadata(self.topics)
+        counts = self.router().meta_conn().metadata(self.topics)
         missing = [t for t in self.topics if t not in counts]
         if missing:
             raise ValueError(f"unknown topics: {missing}")
         return [(t, p) for t in self.topics for p in range(counts[t])]
 
+    def leader_addr(self, topic: str, pid: int) -> str:
+        """The broker address an executor fetch task for this partition
+        must dial: its LEADER on a cluster; the one broker otherwise."""
+        return self.router().leader_addr(topic, pid)
+
     def offsets_at(self, target: int) -> dict[str, int]:
         tps = self.assignment()
-        by_topic: dict[str, list[int]] = {}
-        for t, p in tps:
-            by_topic.setdefault(t, []).append(p)
-        body = P.encode_list_offsets_request(
-            sorted((t, [(p, target) for p in sorted(ps)]) for t, ps in by_topic.items())
-        )
-        cur = self.conn().request(P.API_LIST_OFFSETS, 1, body)
-        out: dict[str, int] = {}
-        for topic, prs in P.decode_list_offsets_response(cur):
-            for pid, err, _ts, off in prs:
-                if err != P.ERR_NONE:
-                    raise OSError(f"list_offsets {topic}/{pid}: error {err}")
-                if off < 0:  # timestamp past log end → start at the end
-                    off = None
-                out[f"{topic}{_SEP}{pid}"] = off
-        if any(v is None for v in out.values()):
+        offs = self.router().list_offsets(tps, target)
+        out = {f"{t}{_SEP}{p}": off for (t, p), off in offs.items()}
+        if any(v < 0 for v in out.values()):
+            # timestamp past log end → start at the end
             ends = self.offsets_at(P.LATEST_TIMESTAMP)
-            out = {k: (ends[k] if v is None else v) for k, v in out.items()}
+            out = {k: (ends[k] if v < 0 else v) for k, v in out.items()}
         return out
 
     def close(self) -> None:
-        if self._conn is not None:
-            self._conn.close()
-            self._conn = None
+        if self._router is not None:
+            self._router.close()
+            self._router = None
 
-    def __getstate__(self):  # executors never use the cached socket
+    def __getstate__(self):  # executors never use the cached sockets
         st = self.__dict__.copy()
-        st["_conn"] = None
+        st["_router"] = None
         return st
 
 
 def _ranges(
-    bootstrap: str, start: dict, end: dict, decode: str = "none",
-    security: ClientSecurity | None = None,
+    oracle: "_OffsetOracle", start: dict, end: dict, decode: str = "none"
 ) -> list[_RangePartition]:
+    """One InputPartition per topic-partition with data, each addressed
+    to that partition's LEADER broker — on a MiniCluster the executor
+    fetch tasks fan out across brokers (the JVM source's exact
+    data-plane shape); on a single broker every range dials the one
+    node, as before."""
     parts = []
     for key, e in end.items():
         topic, _, pid = key.rpartition(_SEP)
@@ -260,7 +259,8 @@ def _ranges(
         if e > s:
             parts.append(
                 _RangePartition(
-                    bootstrap, topic, int(pid), s, e, decode, security
+                    oracle.leader_addr(topic, int(pid)), topic, int(pid),
+                    s, e, decode, oracle.security,
                 )
             )
     return parts
@@ -334,10 +334,7 @@ class KafkaWireStreamReader(DataSourceStreamReader):
             k: max(start.get(k, 0), end.get(k, 0))
             for k in set(start) | set(end)
         }
-        parts = _ranges(
-            self._oracle.bootstrap, start, end, self._decode,
-            self._oracle.security,
-        )
+        parts = _ranges(self._oracle, start, end, self._decode)
         # a trigger with nothing to do still needs >= 1 partition (the
         # API requires a non-empty sequence); an empty range yields no rows
         if not parts:
@@ -374,12 +371,9 @@ class KafkaWireBatchReader(DataSourceReader):
         try:
             start = oracle.offsets_at(P.EARLIEST_TIMESTAMP)
             end = oracle.offsets_at(P.LATEST_TIMESTAMP)
+            self._parts = _ranges(oracle, start, end, _decode_opt(options))
         finally:
             oracle.close()
-        self._parts = _ranges(
-            _opt(options, "kafka.bootstrap.servers"), start, end,
-            _decode_opt(options), oracle.security,
-        )
 
     def partitions(self):
         return self._parts or [_RangePartition("", "_none", 0, 0, 0)]

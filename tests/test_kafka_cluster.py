@@ -1,0 +1,244 @@
+"""The multi-node MiniCluster: partition leadership spread, pull
+replication with ISR + high-watermark semantics, acks=-1 commit
+waiting, min.insync.replicas enforcement, leader failover with
+client-side metadata refresh, group coordination across nodes, and the
+Spark kafka-wire source fanning its fetch tasks out across brokers."""
+
+import time
+
+import pytest
+
+from supermusr_data_pipeline_spark.kafka import (
+    GroupConsumer,
+    MiniConsumer,
+    MiniProducer,
+)
+from supermusr_data_pipeline_spark.kafka import protocol as P
+from supermusr_data_pipeline_spark.kafka.client import _Conn
+from supermusr_data_pipeline_spark.kafka.cluster import MiniCluster
+
+
+def _await(predicate, timeout_s=5.0, interval=0.02):
+    deadline = time.time() + timeout_s
+    while time.time() < deadline:
+        if predicate():
+            return True
+        time.sleep(interval)
+    return predicate()
+
+
+def _drain(consumer, max_wait_ms=200):
+    out = []
+    while True:
+        batch = consumer.poll(max_wait_ms=max_wait_ms)
+        if not batch:
+            return out
+        out.extend(batch)
+
+
+def test_metadata_spreads_leadership_and_replicas():
+    with MiniCluster(n_brokers=3, replication_factor=2) as c:
+        c.create_topic("traces", partitions=6)
+        conn = _Conn(c.bootstrap.split(",")[0], "probe")
+        brokers, tmeta = conn.metadata_full(["traces"])
+        conn.close()
+        assert len(brokers) == 3
+        (_err, _name, parts) = tmeta[0]
+        leaders = [leader for _e, _p, leader, _r, _i in parts]
+        assert len(parts) == 6
+        # leadership is spread, not piled on one node
+        assert len(set(leaders)) == 3
+        for _e, _p, leader, replicas, isr in parts:
+            assert len(replicas) == 2 and leader == replicas[0]
+            assert sorted(isr) == sorted(replicas)
+
+
+def test_acks_all_commits_to_follower_before_returning():
+    with MiniCluster(n_brokers=2, replication_factor=2) as c:
+        c.create_topic("traces", partitions=1)
+        with MiniProducer(c.bootstrap, buffer_max=10_000) as prod:
+            for i in range(200):
+                prod.send("traces", f"m{i}".encode(), key=b"k")
+            prod.flush()
+            # acks=-1 returned => the full ISR has every record NOW,
+            # not eventually: both nodes' local logs are complete
+            sizes = [b.topic_sizes()["traces"][0] for b in c.brokers]
+            assert sizes == [200, 200]
+        consumer = MiniConsumer(c.bootstrap, ["traces"],
+                                starting_offsets="earliest")
+        got = [r.value.decode() for r in _drain(consumer)]
+        consumer.close()
+        assert got == [f"m{i}" for i in range(200)]
+
+
+def test_direct_produce_to_non_leader_is_rejected():
+    with MiniCluster(n_brokers=2, replication_factor=1) as c:
+        c.create_topic("traces", partitions=1)
+        st = c.meta.state("traces", 0)
+        follower_id = 1 - st.leader
+        addr = "%s:%d" % c.meta.brokers[follower_id]
+        conn = _Conn(addr, "wrong-door")
+        mset = P.encode_message_set([(0, None, b"x")])
+        cur = conn.request(
+            P.API_PRODUCE, 2,
+            P.encode_produce_request(-1, 1000, [("traces", [(0, mset)])]),
+        )
+        topics, _ = P.decode_produce_response(cur)
+        assert topics[0][1][0][1] == P.ERR_NOT_LEADER_FOR_PARTITION
+        conn.close()
+
+
+def test_min_insync_replicas_enforced_when_follower_dies():
+    with MiniCluster(
+        n_brokers=2, replication_factor=2, min_insync_replicas=2,
+        replica_lag_ms=500,
+    ) as c:
+        c.create_topic("traces", partitions=1)
+        with MiniProducer(c.bootstrap, buffer_max=10) as prod:
+            prod.send("traces", b"before")
+            prod.flush()
+            st = c.meta.state("traces", 0)
+            follower = next(r for r in st.replicas if r != st.leader)
+            c.kill(follower)
+            # ISR shrinks below min.insync -> acks=-1 produce must fail
+            # loud (NOT_ENOUGH_REPLICAS), not silently under-replicate
+            assert _await(lambda: len(c.meta.state("traces", 0).isr) < 2)
+            prod.send("traces", b"after")
+            with pytest.raises(OSError, match="error 19"):
+                prod.flush()
+
+
+def test_leader_failover_producer_and_consumer_continue():
+    with MiniCluster(n_brokers=3, replication_factor=2) as c:
+        c.create_topic("traces", partitions=1)
+        prod = MiniProducer(c.bootstrap, buffer_max=10_000)
+        for i in range(50):
+            prod.send("traces", f"a{i}".encode())
+        prod.flush()
+        consumer = MiniConsumer(c.bootstrap, ["traces"],
+                                starting_offsets="earliest")
+        first = [r.value.decode() for r in _drain(consumer)]
+        assert first == [f"a{i}" for i in range(50)]
+
+        st = c.meta.state("traces", 0)
+        old_leader, old_epoch = st.leader, st.epoch
+        c.kill(old_leader)
+        assert st.leader != old_leader and st.leader >= 0
+        assert st.epoch == old_epoch + 1
+
+        # the producer's next flush routes to the new leader (one
+        # metadata refresh inside flush), no records lost
+        for i in range(50):
+            prod.send("traces", f"b{i}".encode())
+        prod.flush()
+        prod.close()
+        # the consumer keeps polling through the failover: nothing
+        # redelivered, nothing missing
+        second = [r.value.decode() for r in _drain(consumer)]
+        consumer.close()
+        assert second == [f"b{i}" for i in range(50)]
+
+
+def test_unreplicated_partition_goes_offline_with_its_leader():
+    with MiniCluster(n_brokers=2, replication_factor=1) as c:
+        c.create_topic("traces", partitions=2)
+        # find a partition led by node 0 and one led by node 1
+        leaders = [c.meta.state("traces", p).leader for p in (0, 1)]
+        assert sorted(leaders) == [0, 1]
+        c.kill(0)
+        dead_pid = leaders.index(0)
+        live_pid = 1 - dead_pid
+        assert c.meta.state("traces", dead_pid).leader == -1  # offline
+        assert c.meta.state("traces", live_pid).leader == 1
+        conn = _Conn("%s:%d" % c.meta.brokers[1], "probe")
+        _brokers, tmeta = conn.metadata_full(["traces"])
+        conn.close()
+        parts = {p: (e, leader) for e, p, leader, _r, _i in tmeta[0][2]}
+        assert parts[dead_pid] == (P.ERR_LEADER_NOT_AVAILABLE, -1)
+        assert parts[live_pid] == (P.ERR_NONE, 1)
+
+
+def test_follower_rejoins_isr_after_catching_up():
+    with MiniCluster(
+        n_brokers=2, replication_factor=2, replica_lag_ms=300
+    ) as c:
+        c.create_topic("traces", partitions=1)
+        st = c.meta.state("traces", 0)
+        follower = next(r for r in st.replicas if r != st.leader)
+        with MiniProducer(c.bootstrap, buffer_max=10) as prod:
+            prod.send("traces", b"x")
+            prod.flush()
+        # simulate a stalled follower (network-partition analog): the
+        # lag timer evicts it from the ISR
+        c.pause_replication(follower, "traces", 0)
+        with MiniProducer(c.bootstrap, buffer_max=10) as prod:
+            prod.send("traces", b"y")
+            prod.flush()  # commits on the shrunken ISR (min.insync=1)
+        assert _await(lambda: follower not in st.isr)
+        # un-stall: the housekeeper restarts the fetcher, the follower
+        # catches up and the ISR expands again (the protocol's rule)
+        c.resume_replication(follower, "traces", 0)
+        assert _await(lambda: follower in st.isr, timeout_s=5)
+        assert _await(
+            lambda: c.brokers[follower].topic_sizes()["traces"][0] == 2
+        )
+
+
+def test_group_consumer_coordinates_across_cluster():
+    with MiniCluster(n_brokers=3, replication_factor=2) as c:
+        c.create_topic("docs", partitions=4)
+        with MiniProducer(c.bootstrap, buffer_max=10_000) as prod:
+            for i in range(100):
+                prod.send("docs", f"v{i}".encode(), key=str(i).encode())
+        c1 = GroupConsumer(c.bootstrap, "readers", ["docs"],
+                           session_timeout_ms=4000)
+        assert c1.assignment() == [("docs", p) for p in range(4)]
+        got = {r.value.decode() for r in _drain(c1)}
+        assert len(got) == 100
+        c1.commit()
+        c1.close()
+        # a fresh member resumes from the cluster-plane committed
+        # offsets: nothing redelivered
+        c2 = GroupConsumer(c.bootstrap, "readers", ["docs"],
+                           session_timeout_ms=4000)
+        assert _drain(c2) == []
+        c2.close()
+
+
+def test_spark_kafka_wire_fans_out_across_brokers(spark):
+    """The kafka-wire DataSource against a 3-node cluster: the driver's
+    oracle routes ListOffsets per leader, every range partition dials
+    its own leader broker, and the read returns the full topic — the
+    per-broker data-plane fan-out the 100 TB posture claims."""
+    from supermusr_data_pipeline_spark.kafka import KafkaWireDataSource
+    from supermusr_data_pipeline_spark.kafka.spark_source import _OffsetOracle
+    from supermusr_data_pipeline_spark.streaming.envelope_stream import (
+        kafka_source_options,
+    )
+
+    with MiniCluster(n_brokers=3, replication_factor=2) as c:
+        c.create_topic("traces", partitions=6)
+        with MiniProducer(c.bootstrap, buffer_max=10_000) as prod:
+            for i in range(600):
+                prod.send("traces", f"v{i}".encode(), key=str(i).encode())
+        opts = kafka_source_options(c.bootstrap, ["traces"])
+        lowered = {k.lower(): v for k, v in opts.items()}
+        oracle = _OffsetOracle(lowered)
+        addrs = {
+            oracle.leader_addr("traces", p) for p in range(6)
+        }
+        oracle.close()
+        assert len(addrs) == 3  # ranges dial three distinct brokers
+        spark.dataSource.register(KafkaWireDataSource)
+        df = spark.read.format("kafka-wire").options(**opts).load()
+        rows = df.collect()
+        assert len(rows) == 600
+        assert sorted({r.partition for r in rows}) == list(range(6))
+        assert {bytes(r.value).decode() for r in rows} == {
+            f"v{i}" for i in range(600)
+        }
+
+
+def test_cluster_rejects_secured_listeners_loudly():
+    with pytest.raises(ValueError, match="PLAINTEXT only"):
+        MiniCluster(n_brokers=2, security_protocol="SASL_PLAINTEXT")
