@@ -117,6 +117,18 @@ class _PartitionLog:
                 P.ERR_NONE,
             )
 
+    def truncate(self, to: int) -> None:
+        """Drop every entry at offset >= ``to`` — the replication
+        recovery rule: a replica rejoining after a crash (or finding its
+        log ahead of a new leader's) truncates its uncommitted tail and
+        re-fetches from the leader."""
+        with self.lock:
+            if to >= len(self.timestamps):
+                return
+            del self.timestamps[to:]
+            del self.buf[self.pos[to]:]
+            del self.pos[to + 1:]
+
     def lookup(self, timestamp: int) -> tuple[int, int]:
         """ListOffsets: returns (found_timestamp, offset); offset -1 when
         no message has timestamp >= target."""

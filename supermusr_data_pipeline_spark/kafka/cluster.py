@@ -120,6 +120,12 @@ class ClusterBroker(MiniBroker):
         self.meta = meta
         self._logs: dict[tuple[str, int], _PartitionLog] = {}
         self._logs_lock = threading.Lock()
+        # per-partition recovery point: the last KNOWN-COMMITTED offset
+        # bound (leader: its own HW; follower: the HW the leader
+        # reported on fetch).  A restart truncates local logs here —
+        # entries beyond it were never acked and may diverge from the
+        # post-failover leader's lineage.
+        self._recovery_point: dict[tuple[str, int], int] = {}
 
     # -- local log storage (only partitions this node replicates) ----------
 
@@ -168,6 +174,9 @@ class ClusterBroker(MiniBroker):
         if new_hw > st.hw:
             st.hw = new_hw
             st.cond.notify_all()
+        self._recovery_point[(topic, pid)] = max(
+            self._recovery_point.get((topic, pid), 0), st.hw
+        )
 
     # -- request handlers ----------------------------------------------------
 
@@ -363,17 +372,30 @@ class _ReplicaFetcher(threading.Thread):
         meta = self.broker.meta
         me = self.broker.node_id
         log = self.broker._log(self.topic, self.pid)
+        epoch_seen: int | None = None
         while not self.stop_flag.is_set():
             with meta.lock:
                 st = meta.state(self.topic, self.pid)
                 alive = me in meta.live
                 leader = st.leader if st is not None else -1
                 addr = meta.brokers.get(leader)
+                epoch = st.epoch if st is not None else -1
             if not alive:
                 return
             if st is None or leader < 0 or leader == me or addr is None:
                 time.sleep(0.02)
                 continue
+            if epoch != epoch_seen:
+                # following a NEW leader lineage (or starting fresh):
+                # truncate to the known-committed recovery point before
+                # fetching — entries beyond it were replicated from the
+                # previous lineage and may diverge even at EQUAL log
+                # lengths, which fetch offsets alone cannot detect (the
+                # in-process analog of leader-epoch truncation)
+                log.truncate(
+                    self.broker._recovery_point.get((self.topic, self.pid), 0)
+                )
+                epoch_seen = epoch
             try:
                 if self._conn is None or self._conn_addr != addr:
                     if self._conn is not None:
@@ -390,8 +412,23 @@ class _ReplicaFetcher(threading.Thread):
                 cur = self._conn.request(P.API_FETCH, 2, body)
                 _throttle, topics = P.decode_fetch_response(cur)
                 for _t, prs in topics:
-                    for _pid, err, _hw, mset in prs:
-                        if err != P.ERR_NONE or not mset:
+                    for _pid, err, hw, mset in prs:
+                        if err == P.ERR_OFFSET_OUT_OF_RANGE:
+                            # our log is AHEAD of the new leader's (we
+                            # replicated past the old HW before the
+                            # failover): truncate the diverged tail to
+                            # the leader's log end and re-fetch — the
+                            # protocol's replica reconciliation rule
+                            log.truncate(hw)
+                            continue
+                        if err != P.ERR_NONE:
+                            continue
+                        # replica fetches carry the leader's HW: that is
+                        # this follower's crash-recovery point
+                        key = (self.topic, self.pid)
+                        rp = self.broker._recovery_point
+                        rp[key] = max(rp.get(key, 0), min(hw, off))
+                        if not mset:
                             continue
                         base, aerr = log.append_set(mset)
                         if aerr == P.ERR_NONE and base != off:
@@ -532,6 +569,34 @@ class MiniCluster:
 
     def resume_replication(self, node_id: int, topic: str, pid: int) -> None:
         self._paused.discard((node_id, topic, pid))
+
+    def restart(self, node_id: int) -> None:
+        """Bring a killed broker back: truncate each local log to its
+        recovery point (its uncommitted tail may diverge from the
+        post-failover lineage), re-register on a fresh socket, and
+        rejoin — followers catch up and re-enter the ISR via the normal
+        fetch path; a partition that went OFFLINE with this node as its
+        last ISR member elects it leader again."""
+        broker = self.brokers[node_id]
+        if node_id in self.meta.live:
+            raise ValueError(f"broker {node_id} is already live")
+        with broker._logs_lock:
+            for key, log in broker._logs.items():
+                log.truncate(broker._recovery_point.get(key, 0))
+        broker.start()
+        with self.meta.lock:
+            self.meta.brokers[node_id] = (broker.host, broker.port)
+            self.meta.live.add(node_id)
+            for name, parts in self.meta.topics.items():
+                for pid, st in enumerate(parts):
+                    if st.leader == -1 and node_id in st.replicas:
+                        st.leader = node_id
+                        st.epoch += 1
+                        st.isr = {node_id}
+                        st.follower_pos.clear()
+                        st.follower_seen.clear()
+                        st.hw = len(broker._log(name, pid).timestamps)
+                        st.cond.notify_all()
 
     def kill(self, node_id: int) -> None:
         """Fail a broker: drop its connections, move every leadership it

@@ -32,6 +32,7 @@ carries to a real multi-broker cluster unchanged.
 from __future__ import annotations
 
 import os
+import time
 from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
@@ -68,6 +69,7 @@ class _RangePartition(InputPartition):
     end: int
     decode: str = "none"
     security: ClientSecurity | None = None
+    fallback: str | None = None
 
 
 _FETCH_BYTES = 1 << 24  # 16 MiB per round trip
@@ -77,6 +79,7 @@ def _fetch_range(
     bootstrap: str, topic: str, pid: int, start: int, end: int,
     fetch_bytes: int = _FETCH_BYTES, decode: str = "none",
     security: ClientSecurity | None = None,
+    fallback: str | None = None,
 ):
     """Executor-side: fetch [start, end) from one partition over its own
     connection, yielding one Arrow RecordBatch per fetch response — the
@@ -96,14 +99,26 @@ def _fetch_range(
     decodes round N.  Safe within a planned range: the driver's
     ListOffsets bounded ``end``, so the data exists and the request
     cannot long-poll.  One 16 MiB budget per round trip (vs 4 MiB
-    request-per-response before) amortizes the remaining turnarounds."""
+    request-per-response before) amortizes the remaining turnarounds.
+
+    FAILOVER (round 11): when ``fallback`` carries the bootstrap list,
+    a dead connection or a NOT_LEADER response re-resolves the
+    partition's leader through cluster metadata and resumes from the
+    current position — so a Spark task planned against a broker that
+    dies mid-batch (or a retried task whose pinned leader moved)
+    completes against the new leader instead of failing the job.
+    Resumption is exactly-once: ``off`` advances only after a batch is
+    fully yielded, and the HW fence means planned ranges are committed
+    records only."""
     import numpy as np
     import pyarrow as pa
 
     if start >= end:
         return
     ts_type = pa.timestamp("us", tz="UTC")
-    conn = _Conn(bootstrap, f"kafka-wire-task-{os.getpid()}", security)
+    client_id = f"kafka-wire-task-{os.getpid()}"
+    conn = _Conn(bootstrap, client_id, security)
+    retries_left = 3
 
     def _send(off: int) -> None:
         conn.send_request(
@@ -111,18 +126,52 @@ def _fetch_range(
             P.encode_fetch_request(500, 1, [(topic, [(pid, off, fetch_bytes)])]),
         )
 
+    def _failover(off: int) -> None:
+        """Re-resolve the leader and reconnect; the caller resumes its
+        send/recv cycle from ``off``."""
+        nonlocal conn, retries_left
+        if fallback is None or retries_left <= 0:
+            raise
+        retries_left -= 1
+        try:
+            conn.close()
+        except OSError:
+            pass
+        from .client import _Router
+
+        time.sleep(0.05)
+        router = _Router(fallback, client_id, security)
+        try:
+            router.refresh([topic])
+            addr = router.leader_addr(topic, pid)
+        finally:
+            # keep only the leader connection; _Conn is created fresh
+            router.close()
+        conn = _Conn(addr, client_id, security)
+        _send(off)
+
     try:
         off = start
         _send(off)
         while off < end:
-            cur = conn.recv_response()
-            _throttle, topics = P.decode_fetch_response(cur)
-            mset = b""
-            for _t, prs in topics:
-                for _pid, err, _hw, m in prs:
-                    if err != P.ERR_NONE:
-                        raise OSError(f"fetch {topic}/{pid}@{off}: error {err}")
-                    mset = m or b""
+            try:
+                cur = conn.recv_response()
+                _throttle, topics = P.decode_fetch_response(cur)
+                mset = b""
+                for _t, prs in topics:
+                    for _pid, err, _hw, m in prs:
+                        if err == P.ERR_NOT_LEADER_FOR_PARTITION:
+                            raise ConnectionError(
+                                f"{topic}/{pid}: leadership moved"
+                            )
+                        if err != P.ERR_NONE:
+                            raise OSError(
+                                f"fetch {topic}/{pid}@{off}: error {err}"
+                            )
+                        mset = m or b""
+            except (ConnectionError, OSError):
+                _failover(off)
+                continue
             last = P.message_set_last_offset(mset)
             if last is None or last < off:
                 # range end beyond what the broker will serve (shouldn't
@@ -260,7 +309,7 @@ def _ranges(
             parts.append(
                 _RangePartition(
                     oracle.leader_addr(topic, int(pid)), topic, int(pid),
-                    s, e, decode, oracle.security,
+                    s, e, decode, oracle.security, oracle.bootstrap,
                 )
             )
     return parts
@@ -356,6 +405,7 @@ class KafkaWireStreamReader(DataSourceStreamReader):
             partition.end,
             decode=partition.decode,
             security=partition.security,
+            fallback=partition.fallback,
         )
 
     def commit(self, end: dict) -> None:
@@ -387,6 +437,7 @@ class KafkaWireBatchReader(DataSourceReader):
             partition.end,
             decode=partition.decode,
             security=partition.security,
+            fallback=partition.fallback,
         )
 
 

@@ -242,3 +242,185 @@ def test_spark_kafka_wire_fans_out_across_brokers(spark):
 def test_cluster_rejects_secured_listeners_loudly():
     with pytest.raises(ValueError, match="PLAINTEXT only"):
         MiniCluster(n_brokers=2, security_protocol="SASL_PLAINTEXT")
+
+
+def test_fetch_range_fails_over_mid_range():
+    """The executor fetch path survives its leader dying mid-range: with
+    ``fallback`` it re-resolves leadership and resumes from the exact
+    position — every offset delivered once."""
+    from supermusr_data_pipeline_spark.kafka.spark_source import _fetch_range
+
+    with MiniCluster(n_brokers=2, replication_factor=2) as c:
+        c.create_topic("traces", partitions=1)
+        payload = b"x" * 1000
+        with MiniProducer(c.bootstrap, buffer_max=500) as prod:
+            for i in range(2000):
+                prod.send("traces", payload, key=str(i).encode())
+        st = c.meta.state("traces", 0)
+        leader_addr = "%s:%d" % c.meta.brokers[st.leader]
+        gen = _fetch_range(
+            leader_addr, "traces", 0, 0, 2000,
+            fetch_bytes=1 << 18,  # ~256 KiB/round trip -> many rounds
+            fallback=c.bootstrap,
+        )
+        got = []
+        first = next(gen)
+        got.extend(first.column("offset").to_pylist())
+        c.kill(st.leader)  # connection drops mid-pipeline
+        for rb in gen:
+            got.extend(rb.column("offset").to_pylist())
+        assert got == list(range(2000))  # exactly-once, in order
+
+
+def test_streaming_query_survives_leader_failover(spark, tmp_path):
+    """A live Structured Streaming read over a replicated topic keeps
+    going through a broker kill: offsets are HW-fenced (planned ranges
+    are committed records only), the driver's oracle refreshes leaders,
+    and executor tasks fail over — the sink ends complete with no
+    duplicates."""
+    from supermusr_data_pipeline_spark.kafka import KafkaWireDataSource
+    from supermusr_data_pipeline_spark.streaming.envelope_stream import (
+        kafka_source_options,
+    )
+
+    with MiniCluster(n_brokers=3, replication_factor=2) as c:
+        c.create_topic("traces", partitions=2)
+        with MiniProducer(c.bootstrap, buffer_max=10_000) as prod:
+            for i in range(300):
+                prod.send("traces", f"v{i}".encode(), key=str(i).encode())
+        spark.dataSource.register(KafkaWireDataSource)
+        opts = kafka_source_options(
+            c.bootstrap, ["traces"], starting_offsets="earliest",
+            max_offsets_per_trigger=100,
+        )
+        out = str(tmp_path / "sink")
+        q = (
+            spark.readStream.format("kafka-wire").options(**opts).load()
+            .selectExpr("cast(value as string) v")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(processingTime="300 milliseconds")
+            .start()
+        )
+        try:
+            assert _await(
+                lambda: _count_or_zero(spark, out) >= 100, timeout_s=60
+            )
+            victim = c.meta.state("traces", 0).leader
+            c.kill(victim)
+            with MiniProducer(c.bootstrap, buffer_max=10_000) as prod:
+                for i in range(300, 400):
+                    prod.send("traces", f"v{i}".encode(), key=str(i).encode())
+            assert _await(
+                lambda: _count_or_zero(spark, out) >= 400, timeout_s=60
+            )
+        finally:
+            q.stop()
+        vals = [r.v for r in spark.read.parquet(out).collect()]
+        assert len(vals) == 400  # nothing duplicated by the failover
+        assert set(vals) == {f"v{i}" for i in range(400)}  # nothing lost
+
+
+def _count_or_zero(spark, path):
+    try:
+        return spark.read.parquet(path).count()
+    except Exception:
+        return 0
+
+
+def test_restarted_follower_truncates_and_catches_up():
+    """Broker lifecycle round trip: kill a follower, keep producing on
+    the shrunken ISR, restart it — it truncates to its recovery point,
+    re-fetches the diverged range, catches up, and rejoins the ISR."""
+    with MiniCluster(
+        n_brokers=2, replication_factor=2, replica_lag_ms=400
+    ) as c:
+        c.create_topic("traces", partitions=1)
+        with MiniProducer(c.bootstrap, buffer_max=10_000) as prod:
+            for i in range(100):
+                prod.send("traces", f"a{i}".encode())
+        st = c.meta.state("traces", 0)
+        follower = next(r for r in st.replicas if r != st.leader)
+        c.kill(follower)
+        assert _await(lambda: follower not in st.isr)
+        with MiniProducer(c.bootstrap, buffer_max=10_000) as prod:
+            for i in range(100):
+                prod.send("traces", f"b{i}".encode())
+        assert c.brokers[follower].topic_sizes()["traces"][0] == 100
+        c.restart(follower)
+        assert _await(
+            lambda: c.brokers[follower].topic_sizes()["traces"][0] == 200,
+            timeout_s=10,
+        )
+        assert _await(lambda: follower in st.isr, timeout_s=10)
+
+
+def test_offline_partition_recovers_when_its_broker_returns():
+    with MiniCluster(n_brokers=2, replication_factor=1) as c:
+        c.create_topic("traces", partitions=2)
+        with MiniProducer(c.bootstrap, buffer_max=10_000) as prod:
+            for i in range(60):
+                prod.send("traces", f"v{i}".encode(), key=str(i).encode())
+        dead = 0
+        dead_pids = [
+            p for p in (0, 1) if c.meta.state("traces", p).leader == dead
+        ]
+        c.kill(dead)
+        for p in dead_pids:
+            assert c.meta.state("traces", p).leader == -1
+        c.restart(dead)
+        for p in dead_pids:
+            st = c.meta.state("traces", p)
+            assert st.leader == dead and st.isr == {dead}
+        consumer = MiniConsumer(c.bootstrap, ["traces"],
+                                starting_offsets="earliest")
+        got = {r.value.decode() for r in _drain(consumer)}
+        consumer.close()
+        # rf=1 and committed-at-append: everything is still there
+        assert got == {f"v{i}" for i in range(60)}
+
+
+def test_restart_truncates_diverged_uncommitted_tail():
+    """A follower that held an UNCOMMITTED beyond-HW tail (the state a
+    crash window leaves: fetched from the old leader, never acked) dies
+    and returns after the leader moved on: the restart truncates the
+    diverged tail to the recovery point, re-fetches the real lineage,
+    and converges byte-for-byte (the replica reconciliation rule —
+    in-process analog of leader-epoch truncation)."""
+    with MiniCluster(
+        n_brokers=2, replication_factor=2, replica_lag_ms=300
+    ) as c:
+        c.create_topic("traces", partitions=1)
+        with MiniProducer(c.bootstrap, buffer_max=10) as prod:
+            prod.send("traces", b"committed")
+            prod.flush()
+        st = c.meta.state("traces", 0)
+        leader = st.leader
+        follower = next(r for r in st.replicas if r != leader)
+        assert _await(
+            lambda: c.brokers[follower].topic_sizes()["traces"][0] == 1
+        )
+        # stall replication, then plant the beyond-HW tail the crash
+        # window leaves on the follower
+        c.pause_replication(follower, "traces", 0)
+        flog = c.brokers[follower]._log("traces", 0)
+        flog.append_set(P.encode_message_set([(0, None, b"ghost")]))
+        c.kill(follower)
+        # the leader commits a DIFFERENT record at that offset (ISR
+        # shrank to the leader alone, min.insync=1)
+        with MiniProducer(c.bootstrap, buffer_max=10) as prod:
+            prod.send("traces", b"the-real-offset-1")
+            prod.flush()
+        c.resume_replication(follower, "traces", 0)
+        c.restart(follower)
+
+        def follower_values():
+            recs = P.decode_message_set(bytes(flog.buf))
+            return [r.value for r in recs]
+
+        assert _await(
+            lambda: follower_values() == [b"committed", b"the-real-offset-1"],
+            timeout_s=10,
+        )
+        assert _await(lambda: follower in st.isr, timeout_s=10)
