@@ -612,7 +612,11 @@ def test_silent_stream_live_timer_dispatches_within_ttl(spark, tmp_path):
                     rows = spark.read.parquet(sink).collect()
                 except Exception:
                     rows = []  # partition dir exists, part files mid-commit
-                if rows:
+                # poll until the FULL dispatch is visible: a read racing
+                # the append can legitimately see a subset of part files
+                # (observed under heavy machine load), and that partial
+                # view is not the assertion target
+                if len(rows) >= 2 * (N_DIG - 1):
                     break
             _time.sleep(0.1)
         assert len(rows) == 2 * (N_DIG - 1)
