@@ -299,3 +299,53 @@ def test_spark_kafka_wire_read_over_sasl_ssl(spark):
         assert {bytes(r.value).decode() for r in rows} == {
             f"v{i}" for i in range(90)
         }
+
+
+def test_spark_streaming_read_over_sasl_ssl(spark, tmp_path):
+    """The streaming face of the same matrix corner: engine-checkpointed
+    offsets over an authenticated TLS channel — driver oracle and every
+    executor fetch task authenticate per micro-batch."""
+    from supermusr_data_pipeline_spark.kafka import KafkaWireDataSource
+
+    with MiniBroker(security_protocol="SASL_SSL",
+                    scram_users={"svc": "hunter2"},
+                    default_partitions=2) as b:
+        cert, _key = b.ssl_cert
+        sec = A.ClientSecurity(
+            protocol="SASL_SSL", mechanism="SCRAM-SHA-256",
+            username="svc", password="hunter2", ca_location=cert,
+        )
+        with MiniProducer(b.bootstrap, security=sec) as prod:
+            for i in range(40):
+                prod.send("traces", f"v{i}".encode(), key=str(i).encode())
+        spark.dataSource.register(KafkaWireDataSource)
+        opts = kafka_source_options(
+            b.bootstrap, ["traces"], username="svc", password="hunter2",
+            ssl_ca_location=cert, starting_offsets="earliest",
+            max_offsets_per_trigger=25,
+        )
+        out = str(tmp_path / "sink")
+        q = (
+            spark.readStream.format("kafka-wire").options(**opts).load()
+            .selectExpr("cast(value as string) v")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+        try:
+            import time as _t
+
+            deadline = _t.time() + 45
+            n = 0
+            while _t.time() < deadline and n < 40:
+                try:
+                    n = spark.read.parquet(out).count()
+                except Exception:
+                    n = 0
+                _t.sleep(0.2)
+        finally:
+            q.stop()
+        vals = {r.v for r in spark.read.parquet(out).collect()}
+        assert vals == {f"v{i}" for i in range(40)}
