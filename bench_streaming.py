@@ -644,6 +644,14 @@ def run(spark: SparkSession, workdir: str | None = None) -> dict:
                 "so the wire-vs-file ledger is carried as the "
                 "decomposition, not a single headline pair "
                 "(tools/AB_KAFKA_STREAM_RESULT_32dig_direct.json).  "
+                "END-OF-ROUND-11 re-measure on the final tree (idle "
+                "machine, same ABBA): file pooled steady p50 1.574 s "
+                "vs wire 1.658 s — a 5% gap with the ROUNDS "
+                "INTERLEAVED (wire best 1.584 < file worst 1.704), "
+                "all four rounds keep up (slopes <= 0.011); vs the "
+                "r10 red of 2.39/2.15 against 1.69/1.91 with one "
+                "failed round, the wire face now ties the file door "
+                "within round-to-round variance at the full shape.  "
                 "Round-11 headroom probe (tools/STRETCH_SHAPE_RESULT."
                 "json): the 50 fps envelope HOLDS at 2x the full "
                 "shape — 64x500 sustained, 1.6M events/s, steady p50 "
