@@ -730,23 +730,51 @@ class GroupConsumer(MiniConsumer):
         self._positions: dict[tuple[str, int], int] = {}
         # data channel: leader-routed like the manual consumer's
         self._router = _Router(bootstrap, client_id, security)
+        self._client_id = client_id
+        self._security = security
+        self._coord: _Conn | None = None
+        self._find_coordinator()
+        self._last_heartbeat = 0.0
+        self._join()
+
+    def _find_coordinator(self) -> None:
+        """(Re)discover the group's coordinator and connect the
+        coordinator channel — also the failover path: when the
+        coordinator broker dies, the cluster maps the group to a
+        surviving node (group state is cluster-plane, so commits and
+        membership carry over)."""
+        if self._coord is not None:
+            self._coord.close()
+            self._coord = None
         cur = self._router.meta_conn().request(
             P.API_FIND_COORDINATOR, 0,
-            P.encode_find_coordinator_request(group_id),
+            P.encode_find_coordinator_request(self.group_id),
         )
         err, _node, host, port = P.decode_find_coordinator_response(cur)
         if err != P.ERR_NONE:
-            raise OSError(f"find_coordinator({group_id}): error {err}")
-        self._coord = _Conn(f"{host}:{port}", client_id, security)
-        self._last_heartbeat = 0.0
-        self._join()
+            raise OSError(f"find_coordinator({self.group_id}): error {err}")
+        self._coord = _Conn(f"{host}:{port}", self._client_id, self._security)
+
+    def _coord_request(self, api: int, version: int, body: bytes) -> P.Cursor:
+        """Coordinator request with one re-discovery retry on a dead
+        connection (the real client's coordinator-failover behavior).
+        Safe for every group API: join/sync/heartbeat/commit are
+        idempotent under (generation, member) fencing."""
+        try:
+            return self._coord.request(api, version, body)
+        except (OSError, ConnectionError):
+            import time as _time
+
+            _time.sleep(0.05)
+            self._find_coordinator()
+            return self._coord.request(api, version, body)
 
     # -- group membership ---------------------------------------------------
 
     def _join(self) -> None:
         sub = P.encode_consumer_subscription(self.topics)
         while True:
-            cur = self._coord.request(
+            cur = self._coord_request(
                 P.API_JOIN_GROUP, 0,
                 P.encode_join_group_request(
                     self.group_id, self.session_timeout_ms, self.member_id,
@@ -766,7 +794,7 @@ class GroupConsumer(MiniConsumer):
             assignments: list[tuple[str, bytes]] = []
             if member == leader:
                 assignments = self._lead_assign(members)
-            cur = self._coord.request(
+            cur = self._coord_request(
                 P.API_SYNC_GROUP, 0,
                 P.encode_sync_group_request(
                     self.group_id, gen, member, assignments
@@ -822,7 +850,7 @@ class GroupConsumer(MiniConsumer):
         by_t: dict[str, list[int]] = {}
         for t, p in owned:
             by_t.setdefault(t, []).append(p)
-        cur = self._coord.request(
+        cur = self._coord_request(
             P.API_OFFSET_FETCH, 1,
             P.encode_offset_fetch_request(self.group_id, sorted(by_t.items())),
         )
@@ -857,7 +885,7 @@ class GroupConsumer(MiniConsumer):
             time.monotonic() - self._last_heartbeat
         ) * 1000.0 < self.heartbeat_interval_ms:
             return
-        cur = self._coord.request(
+        cur = self._coord_request(
             P.API_HEARTBEAT, 0,
             P.encode_heartbeat_request(
                 self.group_id, self.generation, self.member_id
@@ -890,7 +918,7 @@ class GroupConsumer(MiniConsumer):
         by_t: dict[str, list[tuple[int, int, str | None]]] = {}
         for (t, p), off in sorted(self._positions.items()):
             by_t.setdefault(t, []).append((p, off, None))
-        cur = self._coord.request(
+        cur = self._coord_request(
             P.API_OFFSET_COMMIT, 2,
             P.encode_offset_commit_request(
                 self.group_id, self.generation, self.member_id,
