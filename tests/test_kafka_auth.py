@@ -349,3 +349,33 @@ def test_spark_streaming_read_over_sasl_ssl(spark, tmp_path):
             q.stop()
         vals = {r.v for r in spark.read.parquet(out).collect()}
         assert vals == {f"v{i}" for i in range(40)}
+
+
+def test_scram_roundtrip_property():
+    """Property: the full SCRAM exchange authenticates for arbitrary
+    unicode usernames/passwords (saslname escaping included) and fails
+    for any perturbed password."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        user=st.text(min_size=1, max_size=24),
+        password=st.text(min_size=1, max_size=24),
+    )
+    def _case(user, password):
+        users = {user: A.make_scram_credential(password, iterations=256)}
+        server = A.ScramServer(users)
+        client = A.ScramClient(user, password)
+        s1 = server.first(client.first())
+        s2 = server.final(client.final(s1))
+        client.verify(s2)
+        assert server.username == user
+        # the same exchange with a wrong password must fail
+        bad = A.ScramClient(user, password + "x")
+        server2 = A.ScramServer(users)
+        sb1 = server2.first(bad.first())
+        with pytest.raises(A.AuthError):
+            server2.final(bad.final(sb1))
+
+    _case()
