@@ -108,15 +108,34 @@ class ScramServer:
     """
 
     def __init__(
-        self, users: dict[str, ScramCredential], nonce: str | None = None
+        self,
+        users: dict[str, ScramCredential],
+        nonce: str | None = None,
+        decoy_secret: bytes | None = None,
     ) -> None:
         self._users = users
         self._nonce = nonce or secrets.token_urlsafe(18)
+        # decoys must be DETERMINISTIC per username (derived from a
+        # broker-held RANDOM secret), or repeated probes would expose
+        # which usernames exist by whether the salt is stable; the
+        # secret must be unpredictable or the decoy salts themselves
+        # become recognizable.  Standalone uses get a fresh secret
+        # (stable only within this server instance — fine for one
+        # connection's exchange); the broker passes its own.
+        self._decoy_secret = decoy_secret or secrets.token_bytes(16)
         self._auth_message: bytes | None = None
         self._cred: ScramCredential | None = None
         self.username: str | None = None
 
     def first(self, client_first: bytes) -> bytes:
+        try:
+            return self._first(client_first)
+        except (KeyError, ValueError, IndexError) as e:
+            # malformed frame (bad UTF-8/base64/missing attr) is an
+            # AUTH failure answered in-band, not a handler crash
+            raise AuthError(f"malformed client-first: {e}") from e
+
+    def _first(self, client_first: bytes) -> bytes:
         text = client_first.decode("utf-8")
         # GS2 header: Kafka clients use no channel binding -> "n,,"
         if not text.startswith("n,"):
@@ -127,10 +146,18 @@ class ScramServer:
             raise AuthError("client-first missing n=/r=")
         self.username = saslname_unescape(attrs["n"])
         cred = self._users.get(self.username)
-        # unknown user: proceed with a decoy credential and fail at the
-        # proof check, so the response does not oracle valid usernames
-        self._cred = cred or make_scram_credential(secrets.token_hex(8))
-        self._known = cred is not None
+        # unknown user: proceed with a DETERMINISTIC decoy credential
+        # and fail at the proof check — stable salt/iterations per
+        # username, so repeated probes cannot distinguish existing
+        # users (a fresh random decoy would be a two-probe oracle)
+        if cred is None:
+            name = self.username.encode("utf-8")
+            cred = make_scram_credential(
+                _hmac(self._decoy_secret, b"pw:" + name).hex(),
+                salt=_hmac(self._decoy_secret, b"salt:" + name)[:16],
+            )
+        self._cred = cred
+        self._known = self.username in self._users
         combined = attrs["r"] + self._nonce
         server_first = (
             f"r={combined},"
@@ -145,6 +172,12 @@ class ScramServer:
     def final(self, client_final: bytes) -> bytes:
         if self._cred is None:
             raise AuthError("final before first")
+        try:
+            return self._final(client_final)
+        except (KeyError, ValueError, IndexError) as e:
+            raise AuthError(f"malformed client-final: {e}") from e
+
+    def _final(self, client_final: bytes) -> bytes:
         text = client_final.decode("utf-8")
         attrs = _parse_attrs(text)
         if attrs.get("c") != base64.b64encode(b"n,,").decode():
@@ -232,7 +265,10 @@ def plain_check(token: bytes, users: dict[str, str]) -> str:
     parts = token.split(b"\x00")
     if len(parts) != 3:
         raise AuthError("malformed PLAIN token")
-    _authzid, user, password = (p.decode("utf-8") for p in parts)
+    try:
+        _authzid, user, password = (p.decode("utf-8") for p in parts)
+    except ValueError as e:  # UnicodeDecodeError
+        raise AuthError("malformed PLAIN token") from e
     expected = users.get(user)
     if expected is None or not hmac.compare_digest(
         expected.encode(), password.encode()

@@ -208,6 +208,11 @@ class MiniBroker:
         self._scram: dict[str, A.ScramCredential] = {
             u: A.make_scram_credential(p) for u, p in (scram_users or {}).items()
         }
+        # one per-broker secret so unknown-user decoy credentials are
+        # stable across connections (anti-enumeration) yet unpredictable
+        import secrets as _secrets
+
+        self._scram_decoy = _secrets.token_bytes(16)
         self._plain = dict(plain_users or {})
         self._mechanisms = [
             m
@@ -335,7 +340,9 @@ class MiniBroker:
             )
         conn.mechanism = mechanism
         conn.scram = (
-            A.ScramServer(self._scram) if mechanism == A.SCRAM_SHA_256 else None
+            A.ScramServer(self._scram, decoy_secret=self._scram_decoy)
+            if mechanism == A.SCRAM_SHA_256
+            else None
         )
         return P.encode_sasl_handshake_response(P.ERR_NONE, self._mechanisms)
 

@@ -218,6 +218,45 @@ class _Router:
                 last_err = e
         raise OSError(f"no reachable broker in {candidates}: {last_err}")
 
+    def meta_request(self, fn):
+        """Run ``fn(conn)`` against ANY live broker: tries the cached
+        metadata address first, then fails over across the bootstrap
+        list and every known leader address — a cached socket to a DEAD
+        broker must not sink a call two live brokers could serve."""
+        last_err: Exception | None = None
+        tried = 0
+        while tried < 2 + len(self.addrs):
+            tried += 1
+            conn = self.meta_conn()
+            try:
+                return fn(conn)
+            except OSError as e:
+                self.invalidate(self._meta_addr)
+                self._meta_addr = None
+                last_err = e
+        raise OSError(f"no broker served the metadata call: {last_err}")
+
+    def metadata_counts(self, topics: list[str]) -> dict[str, int]:
+        """topic -> partition count, with broker failover (also updates
+        the leader map — one round trip serves both)."""
+        brokers, tmeta = self.meta_request(lambda c: c.metadata_full(topics))
+        self._apply_metadata(brokers, tmeta)
+        return {
+            name: len(parts) for err, name, parts in tmeta if err == P.ERR_NONE
+        }
+
+    def _apply_metadata(self, brokers, tmeta) -> None:
+        by_node = {nid: f"{host}:{port}" for nid, host, port in brokers}
+        for err, name, parts in tmeta:
+            if err != P.ERR_NONE:
+                continue
+            self._counts[name] = len(parts)
+            for perr, pid, leader, _replicas, _isr in parts:
+                if perr == P.ERR_NONE and leader in by_node:
+                    self._leader[(name, pid)] = by_node[leader]
+                else:
+                    self._leader.pop((name, pid), None)
+
     def refresh(self, topics: list[str]) -> None:
         """One Metadata round trip (with bootstrap failover): updates
         partition counts and the leader map."""
@@ -231,16 +270,7 @@ class _Router:
                 self._meta_addr = None
                 last_err = e
                 continue
-            by_node = {nid: f"{host}:{port}" for nid, host, port in brokers}
-            for err, name, parts in tmeta:
-                if err != P.ERR_NONE:
-                    continue
-                self._counts[name] = len(parts)
-                for perr, pid, leader, _replicas, _isr in parts:
-                    if perr == P.ERR_NONE and leader in by_node:
-                        self._leader[(name, pid)] = by_node[leader]
-                    else:
-                        self._leader.pop((name, pid), None)
+            self._apply_metadata(brokers, tmeta)
             return
         raise OSError(f"metadata refresh failed: {last_err}")
 
@@ -432,8 +462,8 @@ class MiniConsumer:
     ) -> None:
         self._router = _Router(bootstrap, client_id, security)
         self.max_poll_records = max_poll_records
-        counts = self._router.meta_conn().metadata(topics)
-        self._router.refresh(topics)
+        # one metadata round trip: partition counts AND the leader map
+        counts = self._router.metadata_counts(topics)
         self._positions: dict[tuple[str, int], int] = {}
         missing = [t for t in topics if t not in counts]
         if missing:
@@ -712,7 +742,6 @@ class GroupConsumer(MiniConsumer):
         client_id: str = "supermusr-group-consumer",
         security=None,
     ) -> None:
-        self._security = security
         self.group_id = group_id
         self.topics = list(topics)
         self.starting_offsets = starting_offsets
@@ -746,9 +775,11 @@ class GroupConsumer(MiniConsumer):
         if self._coord is not None:
             self._coord.close()
             self._coord = None
-        cur = self._router.meta_conn().request(
-            P.API_FIND_COORDINATOR, 0,
-            P.encode_find_coordinator_request(self.group_id),
+        cur = self._router.meta_request(
+            lambda c: c.request(
+                P.API_FIND_COORDINATOR, 0,
+                P.encode_find_coordinator_request(self.group_id),
+            )
         )
         err, _node, host, port = P.decode_find_coordinator_response(cur)
         if err != P.ERR_NONE:
@@ -826,7 +857,7 @@ class GroupConsumer(MiniConsumer):
                 for t in P.decode_consumer_subscription(md or b"")[0]
             }
         )
-        counts = self._router.meta_conn().metadata(all_topics)
+        counts = self._router.metadata_counts(all_topics)
         tps = [(t, p) for t in all_topics for p in range(counts.get(t, 0))]
         order = [mid for mid, _md in members]
         per: dict[str, list[tuple[str, int]]] = {mid: [] for mid in order}

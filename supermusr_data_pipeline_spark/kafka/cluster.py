@@ -289,9 +289,17 @@ class ClusterBroker(MiniBroker):
                                 st.isr.add(replica)
                             self._recompute_hw(topic, pid, st)
                         limit = None if replica >= 0 else st.hw
+                        leader_hw = st.hw
                     mset, hw, err = self._log(topic, pid).read(
                         off, max_bytes, limit=limit
                     )
+                    if replica >= 0:
+                        # replica fetches SERVE past the HW but REPORT
+                        # the HW (not the LEO) in the response — the
+                        # follower records it as its crash-recovery
+                        # point, and reporting LEO there would let a
+                        # diverged uncommitted tail survive truncation
+                        hw = leader_hw
                     total += len(mset)
                     prs.append((pid, err, hw, mset))
                 out.append((topic, prs))
@@ -504,7 +512,8 @@ class MiniCluster:
 
     def stop(self) -> None:
         self._stop.set()
-        for f in self._fetchers.values():
+        # snapshot: the housekeeper may still insert fetchers mid-scan
+        for f in list(self._fetchers.values()):
             f.stop_flag.set()
         for b in self.brokers:
             if b.node_id in self.meta.live:

@@ -75,6 +75,11 @@ class _RangePartition(InputPartition):
 _FETCH_BYTES = 1 << 24  # 16 MiB per round trip
 
 
+class _FetchError(RuntimeError):
+    """In-band broker error (e.g. OFFSET_OUT_OF_RANGE) — NOT a transport
+    failure, so the leader-failover retry must not swallow it."""
+
+
 def _fetch_range(
     bootstrap: str, topic: str, pid: int, start: int, end: int,
     fetch_bytes: int = _FETCH_BYTES, decode: str = "none",
@@ -137,8 +142,6 @@ def _fetch_range(
             conn.close()
         except OSError:
             pass
-        from .client import _Router
-
         time.sleep(0.05)
         router = _Router(fallback, client_id, security)
         try:
@@ -165,7 +168,7 @@ def _fetch_range(
                                 f"{topic}/{pid}: leadership moved"
                             )
                         if err != P.ERR_NONE:
-                            raise OSError(
+                            raise _FetchError(
                                 f"fetch {topic}/{pid}@{off}: error {err}"
                             )
                         mset = m or b""
@@ -177,7 +180,7 @@ def _fetch_range(
                 # range end beyond what the broker will serve (shouldn't
                 # happen — ranges come from its own ListOffsets) — bail
                 # rather than spin
-                raise OSError(
+                raise _FetchError(
                     f"no progress fetching {topic}/{pid}@{off} (end {end})"
                 )
             nxt = last + 1
@@ -261,7 +264,7 @@ class _OffsetOracle:
         return self._router
 
     def assignment(self) -> list[tuple[str, int]]:
-        counts = self.router().meta_conn().metadata(self.topics)
+        counts = self.router().metadata_counts(self.topics)
         missing = [t for t in self.topics if t not in counts]
         if missing:
             raise ValueError(f"unknown topics: {missing}")

@@ -379,3 +379,76 @@ def test_scram_roundtrip_property():
             server2.final(bad.final(sb1))
 
     _case()
+
+
+def test_malformed_sasl_frames_fail_in_band_not_crash():
+    """Garbage SASL payloads (missing attrs, bad base64, invalid UTF-8)
+    get the in-band SASL_AUTHENTICATION_FAILED response — never a
+    handler crash or a silent drop before the error frame."""
+    with MiniBroker(security_protocol="SASL_PLAINTEXT",
+                    scram_users={"svc": "pw"}) as b:
+        for garbage in (
+            b"\xff\xfe invalid utf8",
+            b"n,,nonsense-without-attrs",
+            b"n,,n=svc",  # missing r=
+        ):
+            conn = _Conn(b.bootstrap, "fuzzer")
+            cur = conn.request(
+                P.API_SASL_HANDSHAKE, 1,
+                P.encode_sasl_handshake_request("SCRAM-SHA-256"),
+            )
+            err, _m = P.decode_sasl_handshake_response(cur)
+            assert err == P.ERR_NONE
+            cur = conn.request(
+                P.API_SASL_AUTHENTICATE, 0,
+                P.encode_sasl_authenticate_request(garbage),
+            )
+            aerr, msg, _out = P.decode_sasl_authenticate_response(cur)
+            assert aerr == P.ERR_SASL_AUTHENTICATION_FAILED
+            assert msg  # the reason travels in-band
+            conn.close()
+        # malformed client-FINAL after a valid first round
+        conn = _Conn(b.bootstrap, "fuzzer2")
+        conn.request(P.API_SASL_HANDSHAKE, 1,
+                     P.encode_sasl_handshake_request("SCRAM-SHA-256"))
+        client = A.ScramClient("svc", "pw")
+        cur = conn.request(P.API_SASL_AUTHENTICATE, 0,
+                           P.encode_sasl_authenticate_request(client.first()))
+        aerr, _msg, _sf = P.decode_sasl_authenticate_response(cur)
+        assert aerr == P.ERR_NONE
+        cur = conn.request(
+            P.API_SASL_AUTHENTICATE, 0,
+            P.encode_sasl_authenticate_request(b"c=biws,r=zzz,p=!!notb64"),
+        )
+        aerr, msg, _out = P.decode_sasl_authenticate_response(cur)
+        assert aerr == P.ERR_SASL_AUTHENTICATION_FAILED
+        conn.close()
+
+
+def test_unknown_user_decoy_is_stable_across_connections():
+    """Anti-enumeration: probing a nonexistent username twice yields the
+    SAME salt/iterations (deterministic per-broker decoy) — a fresh
+    random decoy per connection would be a two-probe existence oracle."""
+    with MiniBroker(security_protocol="SASL_PLAINTEXT",
+                    scram_users={"svc": "pw"}) as b:
+        def server_first(user):
+            conn = _Conn(b.bootstrap, "probe")
+            conn.request(P.API_SASL_HANDSHAKE, 1,
+                         P.encode_sasl_handshake_request("SCRAM-SHA-256"))
+            client = A.ScramClient(user, "whatever")
+            cur = conn.request(
+                P.API_SASL_AUTHENTICATE, 0,
+                P.encode_sasl_authenticate_request(client.first()),
+            )
+            aerr, _msg, out = P.decode_sasl_authenticate_response(cur)
+            conn.close()
+            assert aerr == P.ERR_NONE  # failure only lands at the proof
+            attrs = dict(kv.split("=", 1) for kv in out.decode().split(",")[1:])
+            return attrs["s"], attrs["i"]
+
+        a1 = server_first("ghost")
+        a2 = server_first("ghost")
+        assert a1 == a2  # stable decoy: no existence oracle
+        real1 = server_first("svc")
+        real2 = server_first("svc")
+        assert real1 == real2 and real1 != a1

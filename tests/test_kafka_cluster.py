@@ -459,3 +459,63 @@ def test_group_consumer_survives_coordinator_death():
                            session_timeout_ms=4000)
         assert _drain(c2) == []  # committed offsets carried over
         c2.close()
+
+
+def test_replica_fetch_reports_hw_not_leo():
+    """The wire contract behind crash recovery: a replica fetch response
+    carries the leader's HIGH WATERMARK, not its log end — a follower
+    recording LEO as its recovery point would let a diverged uncommitted
+    tail survive restart truncation (round-11 review finding)."""
+    with MiniCluster(
+        n_brokers=3, replication_factor=3, replica_lag_ms=60_000
+    ) as c:
+        c.create_topic("traces", partitions=1)
+        st = c.meta.state("traces", 0)
+        leader = st.leader
+        followers = [r for r in st.replicas if r != leader]
+        # hold the HW back: pause one follower (lag window is huge, so
+        # it stays in the ISR and pins hw at its position)
+        c.pause_replication(followers[1], "traces", 0)
+        llog = c.brokers[leader]._log("traces", 0)
+        llog.append_set(P.encode_message_set([(0, None, b"x"), (0, None, b"y")]))
+        with c.meta.lock:
+            c.brokers[leader]._recompute_hw("traces", 0, st)
+        assert st.hw == 0  # paused follower pins the HW below LEO=2
+        addr = "%s:%d" % c.meta.brokers[leader]
+        conn = _Conn(addr, "replica-probe")
+        cur = conn.request(
+            P.API_FETCH, 2,
+            P.encode_fetch_request(
+                100, 1, [("traces", [(0, 2, 1 << 20)])],
+                replica_id=followers[0],
+            ),
+        )
+        _thr, topics = P.decode_fetch_response(cur)
+        _pid, err, hw, _mset = topics[0][1][0]
+        conn.close()
+        assert err == P.ERR_NONE
+        assert hw == st.hw  # the HW, not LEO=2
+        # and the caught-up follower's recovery point respects it
+        rp = c.brokers[followers[0]]._recovery_point.get(("traces", 0), 0)
+        assert rp <= st.hw
+
+
+def test_router_fails_over_when_cached_meta_broker_dies():
+    """A cached metadata connection to a dead broker must not sink a
+    call two live brokers could serve (round-11 review finding)."""
+    from supermusr_data_pipeline_spark.kafka.client import _Router
+
+    with MiniCluster(n_brokers=3, replication_factor=2) as c:
+        c.create_topic("traces", partitions=3)
+        router = _Router(c.bootstrap, "probe")
+        counts = router.metadata_counts(["traces"])
+        assert counts == {"traces": 3}
+        # the router's cached meta address is the first bootstrap entry;
+        # kill exactly that broker
+        dead = next(
+            nid for nid, (h, p) in sorted(c.meta.brokers.items())
+            if f"{h}:{p}" == router._meta_addr
+        )
+        c.kill(dead)
+        assert router.metadata_counts(["traces"]) == {"traces": 3}
+        router.close()
