@@ -77,6 +77,11 @@ class ScramCredential:
     iterations: int
 
 
+# RFC 7677 §4: SCRAM-SHA-256 iteration counts below 4096 SHOULD be
+# rejected; doubles as the client-side downgrade floor (ScramClient.final).
+MIN_ITERATIONS = 4096
+
+
 def make_scram_credential(
     password: str, salt: bytes | None = None, iterations: int = 4096
 ) -> ScramCredential:
@@ -222,6 +227,13 @@ class ScramClient:
         combined, salt, iters = attrs["r"], attrs["s"], int(attrs["i"])
         if not combined.startswith(self._nonce):
             raise AuthError("server nonce does not extend client nonce")
+        if iters < MIN_ITERATIONS:
+            # RFC 5802 downgrade guard: a MITM on a plaintext channel could
+            # otherwise send i=1 and collect a near-free-to-brute-force
+            # proof.  4096 is the RFC 7677 SCRAM-SHA-256 minimum.
+            raise AuthError(
+                f"server iteration count {iters} below minimum {MIN_ITERATIONS}"
+            )
         salted = hashlib.pbkdf2_hmac(
             "sha256", self._password.encode("utf-8"),
             base64.b64decode(salt), iters,
@@ -280,6 +292,18 @@ def plain_check(token: bytes, users: dict[str, str]) -> str:
 # ---------------------------------------------------------------------------
 # option-dict parsing (JVM Kafka source names + librdkafka ssl.ca.location)
 # ---------------------------------------------------------------------------
+
+
+def build_jaas(username: str, password: str) -> str:
+    """Emit a ``kafka.sasl.jaas.config`` value for the ScramLoginModule,
+    escaping backslashes and double quotes so that credentials containing
+    either survive the round-trip through :func:`parse_jaas` (which already
+    understands ``\\"`` / ``\\\\`` escapes) byte-identical."""
+    esc = lambda v: v.replace("\\", "\\\\").replace('"', '\\"')  # noqa: E731
+    return (
+        "org.apache.kafka.common.security.scram.ScramLoginModule "
+        f'required username="{esc(username)}" password="{esc(password)}";'
+    )
 
 
 def parse_jaas(jaas: str) -> tuple[str, str]:

@@ -28,6 +28,7 @@ import threading
 import time
 
 from . import protocol as P
+from .auth import AuthError
 from .broker import MiniBroker, _PartitionLog
 from .client import _Conn
 
@@ -39,7 +40,7 @@ class _PartitionState:
 
     __slots__ = (
         "leader", "replicas", "isr", "epoch", "hw",
-        "follower_pos", "follower_seen", "cond",
+        "follower_pos", "follower_seen", "cond", "last_isr",
     )
 
     def __init__(self, leader: int, replicas: list[int], lock) -> None:
@@ -48,6 +49,11 @@ class _PartitionState:
         self.isr: set[int] = set(replicas)
         self.epoch = 0
         self.hw = 0
+        # ISR snapshot taken the instant the partition goes OFFLINE
+        # (leader -1): the only nodes whose logs are complete to the HW
+        # and therefore the only legal leaders on restart (no unclean
+        # election).  Empty while the partition is online.
+        self.last_isr: set[int] = set()
         # follower -> next fetch offset (it has everything below it)
         self.follower_pos: dict[int, int] = {}
         # a follower that has never fetched gets the full lag window
@@ -367,11 +373,14 @@ class _ReplicaFetcher(threading.Thread):
     loop re-resolves leadership every round, so it follows failovers
     and parks while this node IS the leader."""
 
-    def __init__(self, broker: ClusterBroker, topic: str, pid: int) -> None:
+    def __init__(
+        self, broker: ClusterBroker, topic: str, pid: int, security=None
+    ) -> None:
         super().__init__(daemon=True)
         self.broker = broker
         self.topic = topic
         self.pid = pid
+        self.security = security
         self.stop_flag = threading.Event()
         self._conn: _Conn | None = None
         self._conn_addr: tuple[str, int] | None = None
@@ -409,7 +418,8 @@ class _ReplicaFetcher(threading.Thread):
                     if self._conn is not None:
                         self._conn.close()
                     self._conn = _Conn(
-                        f"{addr[0]}:{addr[1]}", f"replica-{me}"
+                        f"{addr[0]}:{addr[1]}", f"replica-{me}",
+                        security=self.security,
                     )
                     self._conn_addr = addr
                 off = len(log.timestamps)
@@ -443,7 +453,10 @@ class _ReplicaFetcher(threading.Thread):
                             raise AssertionError(
                                 f"replica log divergence at {base} != {off}"
                             )
-            except (OSError, ConnectionError):
+            except (OSError, ConnectionError, AuthError):
+                # AuthError here is a broker dying mid-handshake (the
+                # credentials themselves are validated at cluster init);
+                # treat it like any connection fault and re-dial
                 if self._conn is not None:
                     self._conn.close()
                 self._conn = None
@@ -466,19 +479,67 @@ class MiniCluster:
         default_partitions: int = 1,
         min_insync_replicas: int = 1,
         replica_lag_ms: int = 2000,
+        inter_broker_user: tuple[str, str] | None = None,
         **broker_kw,
     ) -> None:
+        """Secured listeners compose with replication: under
+        SASL_PLAINTEXT / SASL_SSL the replica fetchers authenticate with
+        ``inter_broker_user`` (the in-process analog of a real cluster's
+        ``inter.broker.listener.name`` principal — the reference deploys
+        its pipeline SASL_SSL everywhere, common/src/lib.rs:51-70), and
+        under SSL / SASL_SSL every broker serves ONE shared self-signed
+        cert (all listeners are 127.0.0.1) exposed as
+        ``self.ssl_ca_location`` for clients and fetchers alike."""
         if replication_factor > n_brokers:
             raise ValueError("replication_factor cannot exceed n_brokers")
-        if str(broker_kw.get("security_protocol", "PLAINTEXT")).upper() != (
-            "PLAINTEXT"
-        ):
-            # inter-broker replication would need its own authenticated
-            # listener (a real cluster's inter.broker.listener.name);
-            # fail loud rather than hang the replica fetchers pre-auth
-            raise ValueError(
-                "MiniCluster replication runs PLAINTEXT only; secured "
-                "listeners are a single-broker (MiniBroker) feature"
+        proto = str(broker_kw.get("security_protocol", "PLAINTEXT")).upper()
+        if proto.startswith("SASL"):
+            if inter_broker_user is None:
+                # fail loud rather than hang the replica fetchers pre-auth
+                raise ValueError(
+                    "a SASL-secured MiniCluster needs inter_broker_user="
+                    "(username, password) for its replica fetchers (the "
+                    "inter.broker.listener principal); add it to "
+                    "scram_users/plain_users too"
+                )
+            known = dict(broker_kw.get("scram_users") or {})
+            known.update(broker_kw.get("plain_users") or {})
+            u, p = inter_broker_user
+            if known.get(u) != p:
+                raise ValueError(
+                    "inter_broker_user must appear in scram_users or "
+                    "plain_users with the same password"
+                )
+        self.ssl_ca_location: str | None = None
+        if proto in ("SSL", "SASL_SSL") and broker_kw.get("ssl_cert") is None:
+            import tempfile
+
+            from . import auth as A
+
+            self._ssl_dir = tempfile.TemporaryDirectory(
+                prefix="minicluster-tls-"
+            )
+            broker_kw["ssl_cert"] = A.generate_self_signed_cert(
+                self._ssl_dir.name
+            )
+        if broker_kw.get("ssl_cert") is not None:
+            self.ssl_ca_location = broker_kw["ssl_cert"][0]
+        self._fetcher_security = None
+        if proto != "PLAINTEXT":
+            from .auth import PLAIN, SCRAM_SHA_256, ClientSecurity
+
+            mechanism = user = password = None
+            if proto.startswith("SASL"):
+                user, password = inter_broker_user
+                mechanism = (
+                    SCRAM_SHA_256
+                    if user in (broker_kw.get("scram_users") or {})
+                    else PLAIN
+                )
+            self._fetcher_security = ClientSecurity(
+                protocol=proto, mechanism=mechanism,
+                username=user, password=password,
+                ca_location=self.ssl_ca_location,
             )
         self.meta = _ClusterMeta(
             replication_factor, default_partitions,
@@ -561,7 +622,9 @@ class MiniCluster:
                 if f is None or not f.is_alive():
                     nid, name, pid = key
                     broker = self.brokers[nid]
-                    self._fetchers[key] = _ReplicaFetcher(broker, name, pid)
+                    self._fetchers[key] = _ReplicaFetcher(
+                        broker, name, pid, security=self._fetcher_security
+                    )
                     self._fetchers[key].start()
             self._stop.wait(0.05)
 
@@ -598,8 +661,13 @@ class MiniCluster:
             self.meta.live.add(node_id)
             for name, parts in self.meta.topics.items():
                 for pid, st in enumerate(parts):
-                    if st.leader == -1 and node_id in st.replicas:
+                    if st.leader == -1 and node_id in st.last_isr:
+                        # only a member of the ISR-at-offline may take
+                        # leadership: a lag-evicted follower returning
+                        # first would be an unclean election, silently
+                        # truncating records committed past its log end
                         st.leader = node_id
+                        st.last_isr = set()
                         st.epoch += 1
                         st.isr = {node_id}
                         st.follower_pos.clear()
@@ -615,6 +683,7 @@ class MiniCluster:
             self.meta.live.discard(node_id)
             for name, parts in self.meta.topics.items():
                 for pid, st in enumerate(parts):
+                    isr_before = set(st.isr)
                     st.isr.discard(node_id)
                     st.follower_pos.pop(node_id, None)
                     st.follower_seen.pop(node_id, None)
@@ -641,6 +710,10 @@ class MiniCluster:
                         else:
                             st.leader = -1
                             st.epoch += 1
+                            # the ISR as it stood when the leader died —
+                            # these (and only these) logs reach the HW,
+                            # so only they may be re-elected (restart())
+                            st.last_isr = isr_before
                     st.cond.notify_all()
         for key, f in list(self._fetchers.items()):
             if key[0] == node_id:

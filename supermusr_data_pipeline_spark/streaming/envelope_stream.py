@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..kafka.auth import build_jaas
 from ..sources import messages as M
 
 ENVELOPE_STREAM_SCHEMA = T.StructType(
@@ -96,10 +97,10 @@ def kafka_source_options(
             "SASL_SSL" if ssl_ca_location else "SASL_PLAINTEXT"
         )
         opts["kafka.sasl.mechanism"] = "SCRAM-SHA-256"
-        opts["kafka.sasl.jaas.config"] = (
-            "org.apache.kafka.common.security.scram.ScramLoginModule "
-            f'required username="{username}" password="{password}";'
-        )
+        # build_jaas escapes '"' and '\' so parse_jaas round-trips any
+        # credential byte-identical (unescaped interpolation mis-parsed
+        # passwords containing either character)
+        opts["kafka.sasl.jaas.config"] = build_jaas(username, password)
     elif ssl_ca_location:
         opts["kafka.security.protocol"] = "SSL"
     if ssl_ca_location:

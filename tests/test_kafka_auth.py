@@ -96,6 +96,53 @@ def test_plain_token_check():
             A.plain_check(bad, {"u": "p"})
 
 
+def test_scram_client_rejects_low_iteration_count():
+    """RFC 5802 downgrade guard: a MITM on a plaintext channel could send
+    i=1 to make the client's derived proof near-free to brute-force
+    offline; the client must refuse below the RFC 7677 floor of 4096."""
+    import base64
+
+    client = A.ScramClient("user", "pencil", nonce="cnonce")
+    client.first()
+    salt = base64.b64encode(b"\x00" * 16).decode()
+    evil = f"r=cnonceXYZ,s={salt},i=1".encode()
+    with pytest.raises(A.AuthError, match="iteration count"):
+        client.final(evil)
+    # the legitimate floor itself is accepted (proof fails later at the
+    # server, but the client-side downgrade check passes)
+    ok = f"r=cnonceXYZ,s={salt},i={A.MIN_ITERATIONS}".encode()
+    client2 = A.ScramClient("user", "pencil", nonce="cnonce")
+    client2.first()
+    client2.final(ok)  # no raise
+
+
+def test_jaas_builder_roundtrip_property():
+    """Property: kafka_source_options → ClientSecurity.from_options
+    round-trips ANY unicode credential — including '\"' and '\\', which
+    the unescaped f-string builder used to mis-emit (truncated password
+    or plan-time ValueError)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        user=st.text(min_size=1, max_size=24),
+        password=st.text(min_size=1, max_size=24),
+    )
+    def _case(user, password):
+        opts = kafka_source_options(
+            "localhost:1", ["traces"], username=user, password=password
+        )
+        sec = A.ClientSecurity.from_options(opts)
+        assert (sec.username, sec.password) == (user, password)
+        assert sec.protocol == "SASL_PLAINTEXT"
+
+    _case()
+    # the two characters the old builder broke on, pinned explicitly
+    for pw in ('pa"ss', "pa\\ss", 'a\\"b', '"', "\\"):
+        assert A.parse_jaas(A.build_jaas("u", pw)) == ("u", pw)
+
+
 def test_jaas_parsing():
     user, pw = A.parse_jaas(
         "org.apache.kafka.common.security.scram.ScramLoginModule "
@@ -364,7 +411,12 @@ def test_scram_roundtrip_property():
         password=st.text(min_size=1, max_size=24),
     )
     def _case(user, password):
-        users = {user: A.make_scram_credential(password, iterations=256)}
+        # MIN_ITERATIONS: the client now enforces the RFC 7677 floor
+        users = {
+            user: A.make_scram_credential(
+                password, iterations=A.MIN_ITERATIONS
+            )
+        }
         server = A.ScramServer(users)
         client = A.ScramClient(user, password)
         s1 = server.first(client.first())

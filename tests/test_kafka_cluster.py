@@ -239,9 +239,108 @@ def test_spark_kafka_wire_fans_out_across_brokers(spark):
         }
 
 
-def test_cluster_rejects_secured_listeners_loudly():
-    with pytest.raises(ValueError, match="PLAINTEXT only"):
-        MiniCluster(n_brokers=2, security_protocol="SASL_PLAINTEXT")
+def test_cluster_sasl_requires_inter_broker_user():
+    """A SASL cluster without an inter-broker principal fails loud at
+    construction (not a pre-auth replica-fetcher hang), as does a
+    principal absent from the user stores."""
+    with pytest.raises(ValueError, match="inter_broker_user"):
+        MiniCluster(
+            n_brokers=2, security_protocol="SASL_PLAINTEXT",
+            scram_users={"svc": "pw"},
+        )
+    with pytest.raises(ValueError, match="must appear in"):
+        MiniCluster(
+            n_brokers=2, security_protocol="SASL_PLAINTEXT",
+            scram_users={"svc": "pw"}, inter_broker_user=("ghost", "pw"),
+        )
+
+
+def _secured_cluster(**kw):
+    """3-broker SASL_SSL cluster: replica fetchers authenticate with the
+    inter-broker SCRAM principal over TLS (the reference's deployment
+    posture — SASL_SSL everywhere, common/src/lib.rs:51-70)."""
+    defaults = dict(
+        n_brokers=3, replication_factor=2,
+        security_protocol="SASL_SSL",
+        scram_users={"svc": "hunter2", "replicator": "wheel"},
+        inter_broker_user=("replicator", "wheel"),
+    )
+    defaults.update(kw)
+    return MiniCluster(**defaults)
+
+
+def _client_security(c, user="svc", password="hunter2"):
+    from supermusr_data_pipeline_spark.kafka.auth import (
+        SCRAM_SHA_256,
+        ClientSecurity,
+    )
+
+    return ClientSecurity(
+        protocol="SASL_SSL", mechanism=SCRAM_SHA_256,
+        username=user, password=password,
+        ca_location=c.ssl_ca_location,
+    )
+
+
+def test_secured_cluster_acks_all_replicates_through_auth():
+    """acks=-1 over SASL_SSL: the produce returns only after the
+    AUTHENTICATED replica fetchers have pulled every record to the full
+    ISR — replication and security compose."""
+    with _secured_cluster(min_insync_replicas=2) as c:
+        c.create_topic("traces", partitions=1)
+        sec = _client_security(c)
+        with MiniProducer(c.bootstrap, buffer_max=10_000, security=sec) as prod:
+            for i in range(100):
+                prod.send("traces", f"m{i}".encode(), key=b"k")
+            prod.flush()
+            st = c.meta.state("traces", 0)
+            sizes = [
+                c.brokers[r].topic_sizes()["traces"][0] for r in st.replicas
+            ]
+            assert sizes == [100, 100]
+        consumer = MiniConsumer(
+            c.bootstrap, ["traces"], starting_offsets="earliest",
+            security=sec,
+        )
+        got = [r.value.decode() for r in _drain(consumer)]
+        consumer.close()
+        assert got == [f"m{i}" for i in range(100)]
+        # an unauthenticated client is still locked out of the same door
+        with pytest.raises((ConnectionError, OSError)):
+            probe = MiniConsumer(
+                c.bootstrap, ["traces"], starting_offsets="earliest"
+            )
+            probe.poll(max_wait_ms=200)
+
+
+def test_secured_cluster_leader_failover():
+    """Kill the leader mid-stream on the SASL_SSL cluster: the failover
+    elects an ISR survivor and the secured client's metadata refresh
+    routes around the corpse — every committed record delivered."""
+    with _secured_cluster() as c:
+        c.create_topic("traces", partitions=1)
+        sec = _client_security(c)
+        with MiniProducer(c.bootstrap, buffer_max=10, security=sec) as prod:
+            for i in range(30):
+                prod.send("traces", f"pre{i}".encode())
+            prod.flush()
+        st = c.meta.state("traces", 0)
+        old_leader = st.leader
+        c.kill(old_leader)
+        assert _await(lambda: st.leader != old_leader and st.leader != -1)
+        with MiniProducer(c.bootstrap, buffer_max=10, security=sec) as prod:
+            for i in range(30):
+                prod.send("traces", f"post{i}".encode())
+            prod.flush()
+        consumer = MiniConsumer(
+            c.bootstrap, ["traces"], starting_offsets="earliest",
+            security=sec,
+        )
+        got = [r.value.decode() for r in _drain(consumer)]
+        consumer.close()
+        assert got == [f"pre{i}" for i in range(30)] + [
+            f"post{i}" for i in range(30)
+        ]
 
 
 def test_fetch_range_fails_over_mid_range():
@@ -424,6 +523,51 @@ def test_restart_truncates_diverged_uncommitted_tail():
             timeout_s=10,
         )
         assert _await(lambda: follower in st.isr, timeout_s=10)
+
+
+def test_no_unclean_election_when_evicted_follower_returns_first():
+    """A lag-evicted follower (its log misses committed records) that
+    restarts BEFORE the final leader must NOT be elected: the partition
+    stays OFFLINE until a member of the ISR-at-offline returns.  Electing
+    the stale follower would be an unclean election silently truncating
+    the committed lineage — the module's 'no unclean election' invariant
+    (Kafka's unclean.leader.election.enable=false posture)."""
+    with MiniCluster(
+        n_brokers=2, replication_factor=2, replica_lag_ms=300
+    ) as c:
+        c.create_topic("traces", partitions=1)
+        st = c.meta.state("traces", 0)
+        leader = st.leader
+        follower = next(r for r in st.replicas if r != leader)
+        with MiniProducer(c.bootstrap, buffer_max=10) as prod:
+            prod.send("traces", b"seen-by-both")
+            prod.flush()
+        # lag-evict the follower, then commit a record it will never see
+        c.pause_replication(follower, "traces", 0)
+        with MiniProducer(c.bootstrap, buffer_max=10) as prod:
+            prod.send("traces", b"committed-past-follower")
+            prod.flush()
+        assert _await(lambda: follower not in st.isr)
+        c.kill(follower)
+        c.kill(leader)  # ISR was {leader} alone -> partition OFFLINE
+        assert st.leader == -1 and st.last_isr == {leader}
+        # the stale follower returns first: MUST stay offline
+        c.restart(follower)
+        assert st.leader == -1, "unclean election of a lag-evicted follower"
+        # the last ISR member returns: elected, committed lineage intact
+        c.restart(leader)
+        assert st.leader == leader
+        consumer = MiniConsumer(c.bootstrap, ["traces"],
+                                starting_offsets="earliest")
+        got = [r.value for r in _drain(consumer)]
+        consumer.close()
+        assert got == [b"seen-by-both", b"committed-past-follower"]
+        # un-stall replication: the follower re-fetches the real lineage
+        c.resume_replication(follower, "traces", 0)
+        assert _await(
+            lambda: c.brokers[follower].topic_sizes()["traces"][0] == 2,
+            timeout_s=10,
+        )
 
 
 def test_group_consumer_survives_coordinator_death():
