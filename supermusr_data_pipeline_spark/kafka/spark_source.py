@@ -200,14 +200,23 @@ def _fetch_range(
             hi = int(np.searchsorted(offs, end, side="left"))
             if hi > lo:
                 n = hi - lo
-                if decode == "dev2":
-                    # FUSED decode (valueDecode=dev2): emit the message
-                    # columns straight from the fetch task — the raw
-                    # payload bytes never cross back into the JVM just
-                    # to re-enter Python for a mapInArrow stage
-                    from ..sources.decode import dev2_arrow_batch
+                if decode in ("dev2", "aev2"):
+                    # FUSED decode (valueDecode=dev2/aev2): emit the
+                    # message columns straight from the fetch task — the
+                    # raw payload bytes never cross back into the JVM
+                    # just to re-enter Python for a mapInArrow stage.
+                    # dev2 feeds the event-formation leg, aev2 the
+                    # aggregator→nexus-writer leg (the reference
+                    # writer's wire input, nexus-writer/src/main.rs).
+                    from ..sources.decode import (
+                        aev2_arrow_batch,
+                        dev2_arrow_batch,
+                    )
 
-                    rb = dev2_arrow_batch(vals.slice(lo, n))
+                    fn = dev2_arrow_batch if decode == "dev2" else (
+                        aev2_arrow_batch
+                    )
+                    rb = fn(vals.slice(lo, n))
                     if rb.num_rows:
                         yield rb
                 else:
@@ -319,14 +328,16 @@ def _ranges(
 
 
 def _decode_opt(options) -> str:
-    """valueDecode option: 'none' (the JVM Kafka source's raw columns)
-    or 'dev2' (fused schema-aware decode — the source itself emits
-    DIGITISER_MESSAGE_SCHEMA rows)."""
+    """valueDecode option: 'none' (the JVM Kafka source's raw columns),
+    'dev2' (fused digitiser-event decode — the source itself emits
+    DIGITISER_MESSAGE_SCHEMA rows), or 'aev2' (fused assembled-frame
+    decode — AEV2_DECODED_SCHEMA rows, the nexus-writer leg)."""
     decode = str(_opt(options, "valueDecode", "none")).lower()
-    if decode not in ("none", "dev2"):
+    if decode not in ("none", "dev2", "aev2"):
         raise ValueError(
             f"valueDecode={decode!r}: supported values are 'none' (raw "
-            "key/value columns) and 'dev2' (fused digitiser-message decode)"
+            "key/value columns), 'dev2' (fused digitiser-message decode) "
+            "and 'aev2' (fused assembled-frame decode)"
         )
     return decode
 
@@ -453,12 +464,17 @@ class KafkaWireDataSource(DataSource):
         return "kafka-wire"
 
     def schema(self):
-        if _decode_opt(self.options) == "dev2":
+        decode = _decode_opt(self.options)
+        if decode == "dev2":
             from ..streaming.frame_assembly_stream import (
                 DIGITISER_MESSAGE_SCHEMA,
             )
 
             return DIGITISER_MESSAGE_SCHEMA
+        if decode == "aev2":
+            from ..sources.decode import AEV2_DECODED_SCHEMA
+
+            return AEV2_DECODED_SCHEMA
         return KAFKA_SOURCE_SCHEMA
 
     def reader(self, schema) -> KafkaWireBatchReader:

@@ -236,3 +236,55 @@ def test_value_decode_dev2_fused_matches_two_stage(spark):
                 spark.read.format("kafka-wire").options(**opts)
                 .option("valueDecode", "protobuf").load().count()
             )
+
+
+def test_value_decode_aev2_fused_matches_two_stage(spark):
+    """valueDecode=aev2 (assembled-frame decode fused into the source
+    task) is row-identical to the two-stage raw-read -> decode_aev2
+    path, including the warn-and-skip of a non-aev2 payload (P8).  This
+    is the aggregator -> nexus-writer wire leg (the reference writer's
+    input, nexus-writer/src/main.rs): before the fusion it paid raw
+    columns through the JVM plus a second Python stage."""
+    from supermusr_data_pipeline_spark.kafka import (
+        KafkaWireDataSource,
+        MiniBroker,
+        MiniProducer,
+    )
+    from supermusr_data_pipeline_spark.sources import messages as M
+    from supermusr_data_pipeline_spark.sources.decode import decode_aev2
+    from supermusr_data_pipeline_spark.streaming.envelope_stream import (
+        kafka_source_options,
+    )
+
+    spark.dataSource.register(KafkaWireDataSource)
+    with MiniBroker() as broker:
+        broker.create_topic("frames", partitions=2)
+        with MiniProducer(broker.bootstrap) as prod:
+            for i in range(16):
+                md = {
+                    "ts_ns": (1_700_000_000_000_000 + i * 20_000) * 1000,
+                    "period_number": i // 8, "protons_per_pulse": 4,
+                    "running": True, "frame_number": i, "veto_flags": i % 3,
+                }
+                prod.send(
+                    "frames",
+                    M.encode_aev2(
+                        md, [1, 2, 3 + i], [10, 20, 30], [0, 1, 2],
+                        complete=(i % 2 == 0),
+                        digitizers_present=[0, 1, 2, 3],
+                    ),
+                    key=str(i).encode(),
+                )
+            prod.send("frames", b"garbage-not-an-aev2-payload", key=b"x")
+        opts = kafka_source_options(
+            broker.bootstrap, ["frames"], starting_offsets="earliest"
+        )
+        fused = (
+            spark.read.format("kafka-wire").options(**opts)
+            .option("valueDecode", "aev2").load()
+        )
+        raw = spark.read.format("kafka-wire").options(**opts).load()
+        two_stage = decode_aev2(raw.select("key", "value", "topic"))
+        a = sorted(map(repr, fused.collect()))
+        b = sorted(map(repr, two_stage.collect()))
+        assert len(a) == 16 and a == b

@@ -61,7 +61,18 @@ AB_QUERIES = [
     # no code change to the query; q29/q25 sat at the edge of the ±20%
     # band.  Run against the r9 tree to attribute code vs session noise.
     "q08_interval_match",
+    # r11 drift watch-items (VERDICT r11 #7): q82 +12.9% and q58 +25%
+    # r10->r11 with no code change to either query.
+    "q58_semantic_dedup",
+    "q82_indexed_incremental",
 ]
+
+# $TMPDIR-index-backed queries: a fresh module per rep resets their
+# build-once guard, so the FIRST call would fold the index build into
+# the probe time.  _run_rep trips the guard with one untimed call, then
+# times the probe — matching bench.py's steady-state semantics (the
+# build guard is already tripped there by earlier queries in the run).
+INDEX_BACKED = {"q82_indexed_incremental"}
 
 
 def _purge_modules() -> None:
@@ -91,6 +102,8 @@ def _run_rep(entry_mod, spark, sf_dir: str) -> dict[str, float]:
     for name in AB_QUERIES:
         if name not in qs:
             continue
+        if name in INDEX_BACKED:
+            qs[name](spark, sf_dir).count()  # untimed build-guard trip
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).count()
         out[name] = round(time.perf_counter() - t0, 3)
