@@ -82,6 +82,16 @@ def _quote(name: str) -> str:
     return "".join(out)
 
 
+def _unquote(name: str) -> str:
+    """Inverse of :func:`_quote` (Spark's unescapePathName): decode the
+    ``%XX`` escapes a partition directory name carries."""
+    import re
+
+    return re.sub(
+        "%([0-9A-Fa-f]{2})", lambda m: chr(int(m.group(1), 16)), name
+    )
+
+
 _DIM_SCHEMA = (
     "ts_us long, period_number long, protons_per_pulse int, running boolean, "
     "frame_number long, run_name string, frame_veto_flags int, complete boolean, "
