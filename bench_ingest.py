@@ -540,7 +540,299 @@ def bench_kafka_partition_sweep(spark) -> dict:
             "drain_s": round(drain_s, 3),
             "drain_s_band": [round(min(reps), 3), round(max(reps), 3)],
         }
+
+    # the SECURED replicated-cluster point (round 12): same tape over a
+    # 3-node SASL_SSL MiniCluster with rf=2 — the reference's deployment
+    # posture (SASL_SSL everywhere, common/src/lib.rs:51-70).  Measures
+    # what TLS framing + SCRAM handshakes + authenticated replica
+    # fetchers cost the drain path relative to the plaintext points.
+    with MiniCluster(
+        n_brokers=3, replication_factor=2,
+        security_protocol="SASL_SSL",
+        scram_users={"svc": "bench-pw", "replicator": "bench-rep"},
+        inter_broker_user=("replicator", "bench-rep"),
+    ) as cluster:
+        cluster.create_topic("daq-events", partitions=8)
+        from supermusr_data_pipeline_spark.kafka.auth import (
+            SCRAM_SHA_256,
+            ClientSecurity,
+        )
+
+        sec = ClientSecurity(
+            protocol="SASL_SSL", mechanism=SCRAM_SHA_256,
+            username="svc", password="bench-pw",
+            ca_location=cluster.ssl_ca_location,
+        )
+        with MiniProducer(
+            cluster.bootstrap, buffer_max=256, security=sec
+        ) as prod:
+            for d, v in payloads:
+                prod.send("daq-events", v, key=str(d).encode())
+        opts = kafka_source_options(
+            cluster.bootstrap, ["daq-events"],
+            starting_offsets="earliest", max_offsets_per_trigger=None,
+            username="svc", password="bench-pw",
+            ssl_ca_location=cluster.ssl_ca_location,
+        )
+        df = spark.read.format("kafka-wire").options(**opts).load()
+        reps = []
+        for _ in range(4):
+            t0 = time.perf_counter()
+            n = df.count()
+            reps.append(time.perf_counter() - t0)
+            assert n == len(payloads)
+        reps = reps[1:]
+        drain_s = statistics.median(reps)
+        sweep["points"]["8x3brokers_sasl_ssl_rf2"] = {
+            "n_fetch_tasks": 8,
+            "n_brokers": 3,
+            "replication_factor": 2,
+            "security": "SASL_SSL + SCRAM-SHA-256",
+            "drain_mb_s": round(total_mb / drain_s, 1),
+            "drain_s": round(drain_s, 3),
+            "drain_s_band": [round(min(reps), 3), round(max(reps), 3)],
+        }
     return sweep
+
+
+def bench_cluster_soak(spark, workdir: str) -> dict:
+    """Chaos soak (VERDICT r11 #5): the full 32x500 shape paced at
+    50 fps over a 3-broker REPLICATED MiniCluster (rf=2, acks=-1,
+    min.insync.replicas=2) through the production direct door, with a
+    leader ``kill()`` mid-soak and a ``restart()`` ~2 s later — the
+    broker-bounce the reference pipeline survives by reconnecting
+    (common/src/lib.rs:72-94).
+
+    During the bounce, produces to under-min-insync partitions fail
+    LOUD (error 19) and the feeder retries the whole frame — partial
+    re-sends may duplicate messages that did land, and the door's
+    duplicate-(frame, digitiser) rejection is what keeps the sink
+    exactly-once (the accounting below proves it).  frame_ttl_ms is
+    raised above the bounce window so frames complete rather than
+    dispatch incomplete.  Reported: keep-up across the kill, steady p50
+    (second half = post-recovery), the p95/max spike, and the sink
+    accounting (rows, distinct frames, contiguous frame_seq)."""
+    import threading
+
+    import bench_streaming as BS
+    from supermusr_data_pipeline_spark.kafka import MiniProducer
+    from supermusr_data_pipeline_spark.kafka.cluster import MiniCluster
+    from supermusr_data_pipeline_spark.kafka.spark_source import (
+        KafkaWireDataSource,
+    )
+    from supermusr_data_pipeline_spark.sources import messages as M
+    from supermusr_data_pipeline_spark.streaming.envelope_stream import (
+        kafka_source_options,
+    )
+    from supermusr_data_pipeline_spark.streaming.nexus_direct import (
+        DirectNexusWriter,
+    )
+
+    n_dig = 32
+    n_frames = int(os.environ.get("SPARK_GRAFT_CLUSTER_SOAK_FRAMES", "1500"))
+    # wall-clock bounce: kill at 1/3 of the soak, restart 2 s later.
+    # The bounce must NOT be keyed to feeder progress — produces to
+    # under-min-insync partitions block the feeder, so a frame-indexed
+    # restart would deadlock (the feeder can never reach it)
+    kill_t_s = (n_frames * BS.FRAME_PERIOD_S) / 3
+    bounce_s = 2.0
+    n_total = BS.N_WARMUP + n_frames
+
+    ch = [int(e % 8) for e in range(BS.EVENTS_PER_MESSAGE)]
+    et = [int(e * 37 % 20_000_000) for e in range(BS.EVENTS_PER_MESSAGE)]
+    tape = []
+    for i in range(n_total):
+        md = {
+            "ts_ns": (BS._BASE_TS_US + i * int(BS.FRAME_PERIOD_S * 1_000_000))
+            * 1000,
+            "period_number": i // 1000,
+            "protons_per_pulse": 4,
+            "running": True,
+            "frame_number": i,
+            "veto_flags": 1 << (i % 4),
+        }
+        ev = [int((e * 7 + i) % 4096) for e in range(BS.EVENTS_PER_MESSAGE)]
+        tape.append(
+            [M.encode_dev2(d, md, et, ev, ch) for d in range(n_dig)]
+        )
+
+    spark.dataSource.register(KafkaWireDataSource)
+    emit: dict[int, float] = {}
+    lock = threading.Lock()
+
+    def on_commit(frames):
+        t = time.perf_counter()
+        with lock:
+            for f in frames:
+                emit.setdefault(f, t)
+
+    sink = os.path.join(workdir, "cluster_soak_sink")
+    events = {"kill_s": None, "restart_s": None}
+    with MiniCluster(
+        n_brokers=3, replication_factor=2, min_insync_replicas=2,
+        replica_lag_ms=2000,
+    ) as cluster:
+        cluster.create_topic("daq-events", partitions=4)
+        victim = cluster.meta.state("daq-events", 0).leader
+        opts = kafka_source_options(
+            cluster.bootstrap, ["daq-events"], starting_offsets="earliest",
+        )
+        messages = (
+            spark.readStream.format("kafka-wire").options(**opts)
+            .option("valueDecode", "dev2").load()
+        )
+        writer = DirectNexusWriter(
+            BS._runs_df(spark, n_total), sink, list(range(n_dig)),
+            frame_ttl_ms=5000, on_commit=on_commit,
+        )
+        q = (
+            messages.writeStream.foreachBatch(writer)
+            .option(
+                "checkpointLocation", os.path.join(workdir, "cluster_soak_ckpt")
+            )
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+
+        prod = MiniProducer(cluster.bootstrap, buffer_max=n_dig)
+
+        def send_frame(i):
+            # loud-failure retry loop: error 19 during the bounce window
+            # means the frame re-sends wholesale; the sink FSM dedupes
+            for _ in range(600):
+                try:
+                    for d, payload in enumerate(tape[i]):
+                        prod.send("daq-events", payload, key=str(d).encode())
+                    prod.flush()
+                    return
+                except OSError:
+                    time.sleep(0.05)
+            raise RuntimeError(f"frame {i} unsendable after 30 s of retries")
+
+        for i in range(BS.N_WARMUP):
+            send_frame(i)
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            with lock:
+                if len(emit) >= BS.N_WARMUP:
+                    break
+            time.sleep(0.05)
+
+        arrival: dict[int, float] = {}
+
+        t_feed0 = [None]
+
+        def bouncer():
+            while t_feed0[0] is None:
+                time.sleep(0.01)
+            t0 = t_feed0[0]
+            time.sleep(max(0.0, t0 + kill_t_s - time.perf_counter()))
+            cluster.kill(victim)
+            events["kill_s"] = round(time.perf_counter() - t0, 2)
+            time.sleep(bounce_s)
+            cluster.restart(victim)
+            events["restart_s"] = round(time.perf_counter() - t0, 2)
+
+        bt = threading.Thread(target=bouncer, daemon=True)
+        bt.start()
+
+        def feeder():
+            t0 = time.perf_counter()
+            t_feed0[0] = t0
+            for i in range(BS.N_WARMUP, n_total):
+                rel = i - BS.N_WARMUP
+                send_frame(i)
+                arrival[i] = time.perf_counter()
+                lag = (
+                    t0 + (rel + 1) * BS.FRAME_PERIOD_S - time.perf_counter()
+                )
+                if lag > 0:
+                    time.sleep(lag)
+
+        th = threading.Thread(target=feeder, daemon=True)
+        th.start()
+        deadline = time.time() + n_frames * BS.FRAME_PERIOD_S + 180
+        while time.time() < deadline:
+            with lock:
+                if len(emit) >= n_total:
+                    break
+            time.sleep(0.05)
+        th.join(timeout=15)
+        bt.join(timeout=15)
+        q.stop()
+        prod.close()
+
+    measured = sorted(i for i in range(BS.N_WARMUP, n_total) if i in emit)
+    lats = {i: emit[i] - arrival[i] for i in measured if i in arrival}
+    lat = sorted(lats.values())
+    n_done = len(lat)
+    keys = sorted(lats)
+    t0 = arrival[keys[0]] if keys else 0.0
+    slope = BS._slope(
+        [arrival[i] - t0 for i in keys], [lats[i] for i in keys]
+    )
+    # windowed view of the disturbance: a single whole-soak slope reads
+    # positive across ANY step recovery, so segment by arrival time
+    # relative to the bounce — pre-kill steady, the bounce+drain spike,
+    # and the final quarter (post-recovery)
+    def _p50(vals):
+        vals = sorted(vals)
+        return round(vals[len(vals) // 2], 4) if vals else None
+
+    kill_abs = (t0 + events["kill_s"]) if events["kill_s"] else None
+    pre = [lats[i] for i in keys if kill_abs and arrival[i] < kill_abs]
+    last_q = [
+        lats[i] for i in keys
+        if i >= BS.N_WARMUP + 3 * (n_total - BS.N_WARMUP) // 4
+    ]
+    recovered = bool(
+        pre and last_q and _p50(last_q) <= max(1.5 * _p50(pre), _p50(pre) + 0.5)
+    )
+    second = sorted(
+        lats[i] for i in keys if i >= BS.N_WARMUP + (n_total - BS.N_WARMUP) // 2
+    )
+    # sink accounting: every frame exactly once, complete, contiguous
+    sunk = spark.read.parquet(sink)
+    from pyspark.sql import functions as F
+
+    agg = sunk.agg(
+        F.count("*").alias("rows"),
+        F.countDistinct("frame_number").alias("frames"),
+        (F.max("frame_seq") + 1).alias("seqs"),
+        F.sum(F.when(~F.col("frame_complete"), 1).otherwise(0)).alias(
+            "incomplete_rows"
+        ),
+    ).collect()[0]
+    expected_rows = n_total * n_dig * BS.EVENTS_PER_MESSAGE
+    return {
+        "shape": f"{n_dig}x{BS.EVENTS_PER_MESSAGE}",
+        "n_frames": n_frames,
+        "cluster": "3 brokers, rf=2, acks=-1, min.insync=2",
+        "bounce": events,
+        "frames_done": n_done,
+        "keeps_up_across_kill": bool(n_done == n_frames and recovered),
+        "pre_kill_p50_s": _p50(pre),
+        "post_recovery_p50_s": _p50(last_q),
+        "recovered_to_steady": recovered,
+        "latency_slope_s_per_s": round(slope, 5),
+        "latency_p50_s": round(lat[n_done // 2], 4) if n_done else None,
+        "latency_p95_s": round(lat[int(n_done * 0.95)], 4) if n_done else None,
+        "latency_max_s": round(lat[-1], 4) if n_done else None,
+        "steady_p50_s": round(second[len(second) // 2], 4) if second else None,
+        "accounting": {
+            "rows": int(agg["rows"]),
+            "expected_rows": expected_rows,
+            "distinct_frames": int(agg["frames"]),
+            "expected_frames": n_total,
+            "frame_seq_contiguous": int(agg["seqs"]) == n_total,
+            "incomplete_rows": int(agg["incomplete_rows"]),
+            "exactly_once": bool(
+                int(agg["rows"]) == expected_rows
+                and int(agg["frames"]) == n_total
+                and int(agg["seqs"]) == n_total
+            ),
+        },
+    }
 
 
 def run(spark) -> dict:
@@ -550,6 +842,7 @@ def run(spark) -> dict:
     try:
         out["kafka_front_door"] = bench_kafka_front_door(spark, base)
         out["kafka_partition_sweep"] = bench_kafka_partition_sweep(spark)
+        out["cluster_soak"] = bench_cluster_soak(spark, base)
     finally:
         shutil.rmtree(base, ignore_errors=True)
     # two batch sizes: micro-batch rates on these front doors are

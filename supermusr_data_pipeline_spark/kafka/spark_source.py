@@ -122,7 +122,7 @@ def _fetch_range(
         return
     ts_type = pa.timestamp("us", tz="UTC")
     client_id = f"kafka-wire-task-{os.getpid()}"
-    conn = _Conn(bootstrap, client_id, security)
+    conn: _Conn | None = None
     retries_left = 3
 
     def _send(off: int) -> None:
@@ -133,29 +133,46 @@ def _fetch_range(
 
     def _failover(off: int) -> None:
         """Re-resolve the leader and reconnect; the caller resumes its
-        send/recv cycle from ``off``."""
+        send/recv cycle from ``off``.  Retries within its budget so a
+        refused re-dial (the new address also bouncing) doesn't burn
+        the whole budget in one call."""
         nonlocal conn, retries_left
-        if fallback is None or retries_left <= 0:
+        if fallback is None:
             raise
-        retries_left -= 1
-        try:
-            conn.close()
-        except OSError:
-            pass
-        time.sleep(0.05)
-        router = _Router(fallback, client_id, security)
-        try:
-            router.refresh([topic])
-            addr = router.leader_addr(topic, pid)
-        finally:
-            # keep only the leader connection; _Conn is created fresh
-            router.close()
-        conn = _Conn(addr, client_id, security)
-        _send(off)
+        if conn is not None:
+            try:
+                conn.close()
+            except OSError:
+                pass
+            conn = None
+        while retries_left > 0:
+            retries_left -= 1
+            time.sleep(0.05 * (4 - retries_left))
+            try:
+                router = _Router(fallback, client_id, security)
+                try:
+                    router.refresh([topic])
+                    addr = router.leader_addr(topic, pid)
+                finally:
+                    # keep only the leader conn; _Conn is created fresh
+                    router.close()
+                conn = _Conn(addr, client_id, security)
+                _send(off)
+                return
+            except (ConnectionError, OSError):
+                continue
+        raise
 
     try:
         off = start
-        _send(off)
+        try:
+            # the planned leader may have died between planning and task
+            # start (a broker bounce): a refused INITIAL dial fails over
+            # like a mid-range death instead of failing the task
+            conn = _Conn(bootstrap, client_id, security)
+            _send(off)
+        except (ConnectionError, OSError):
+            _failover(off)
         while off < end:
             try:
                 cur = conn.recv_response()
@@ -236,7 +253,8 @@ def _fetch_range(
                     )
             off = nxt
     finally:
-        conn.close()
+        if conn is not None:
+            conn.close()
 
 
 def _client_security(options) -> ClientSecurity | None:

@@ -360,7 +360,18 @@ class FetchLoopNexusWriter:
                     if self._consumer is None:
                         self._consumer = self._make_consumer()
                 while not self._stop.is_set():
-                    self.poll_once()
+                    try:
+                        self.poll_once()
+                    except (OSError, ConnectionError):
+                        # broker bounce / leadership move the router
+                        # retry did not absorb: re-dial and continue
+                        # from the in-memory cursor (the reference's
+                        # reconnect posture, common/src/lib.rs:72-94)
+                        with self._lock:
+                            if self._consumer is not None:
+                                self._consumer.close()
+                                self._consumer = None
+                        self._stop.wait(0.1)
             except BaseException as e:  # surfaced via check_error()
                 self.loop_error = e
 

@@ -371,6 +371,31 @@ def test_fetch_range_fails_over_mid_range():
         assert got == list(range(2000))  # exactly-once, in order
 
 
+def test_fetch_range_fails_over_refused_initial_dial():
+    """A range PLANNED against a broker that dies before the task
+    starts (the bounce window): the refused first dial must fail over
+    through the fallback bootstrap, not fail the task — the r12 cluster
+    chaos soak found exactly this escape."""
+    from supermusr_data_pipeline_spark.kafka.spark_source import _fetch_range
+
+    with MiniCluster(n_brokers=2, replication_factor=2) as c:
+        c.create_topic("traces", partitions=1)
+        with MiniProducer(c.bootstrap, buffer_max=500) as prod:
+            for i in range(100):
+                prod.send("traces", f"m{i}".encode(), key=str(i).encode())
+        st = c.meta.state("traces", 0)
+        dead_addr = "%s:%d" % c.meta.brokers[st.leader]
+        live_bootstrap = None
+        c.kill(st.leader)
+        live_bootstrap = c.bootstrap  # survivors only
+        got = []
+        for rb in _fetch_range(
+            dead_addr, "traces", 0, 0, 100, fallback=live_bootstrap
+        ):
+            got.extend(rb.column("offset").to_pylist())
+        assert got == list(range(100))
+
+
 def test_streaming_query_survives_leader_failover(spark, tmp_path):
     """A live Structured Streaming read over a replicated topic keeps
     going through a broker kill: offsets are HW-fenced (planned ranges

@@ -320,6 +320,85 @@ def test_fetchloop_heldback_cursor_replays_pending(spark, tmp_path):
     } == {0, 1}
 
 
+def test_fetchloop_survives_cluster_leader_failover(spark, tmp_path):
+    """The loop over a REPLICATED cluster: a broker dies mid-stream
+    (leaderships move to ISR survivors), the loop re-dials and resumes
+    from its in-memory cursor — every frame lands exactly once."""
+    from supermusr_data_pipeline_spark.kafka.cluster import MiniCluster
+
+    with MiniCluster(
+        n_brokers=3, replication_factor=2, min_insync_replicas=1,
+    ) as c:
+        c.create_topic("daq-events", partitions=2)
+        victim = c.meta.state("daq-events", 0).leader
+        w = FetchLoopNexusWriter(
+            runs=_runs(),
+            path=str(tmp_path / "s"),
+            expected_digitizers=list(range(N_DIG)),
+            bootstrap=c.bootstrap,
+            topics=["daq-events"],
+            frame_ttl_ms=5000,
+            poll_ms=10,
+        )
+        w.start()
+        with MiniProducer(c.bootstrap, buffer_max=64) as prod:
+            for f in range(4):
+                for d in range(N_DIG):
+                    prod.send(
+                        "daq-events", _payload(d, f, n_events=2),
+                        key=str(d).encode(),
+                    )
+            prod.flush()
+        assert _await(lambda: w._totals.get("run_a", (0, 0))[0] == 4)
+        c.kill(victim)
+        with MiniProducer(c.bootstrap, buffer_max=64) as prod:
+            for f in range(4, 8):
+                for d in range(N_DIG):
+                    prod.send(
+                        "daq-events", _payload(d, f, n_events=2),
+                        key=str(d).encode(),
+                    )
+            prod.flush()
+        assert _await(
+            lambda: w._totals.get("run_a", (0, 0))[0] == 8, timeout_s=20
+        )
+        w.stop()
+    df = spark.read.parquet(str(tmp_path / "s"))
+    assert df.count() == 8 * N_DIG * 2
+    assert sorted(
+        r.frame_seq for r in df.select("frame_seq").distinct().collect()
+    ) == list(range(8))
+
+
+def test_fetchloop_over_sasl_ssl(spark, tmp_path):
+    """The loop authenticates like any client: SCRAM over TLS against a
+    secured broker (the reference writer always authenticates,
+    common/src/lib.rs:62-70)."""
+    from supermusr_data_pipeline_spark.kafka.auth import (
+        SCRAM_SHA_256,
+        ClientSecurity,
+    )
+
+    with MiniBroker(
+        security_protocol="SASL_SSL", scram_users={"writer": "hunter2"}
+    ) as broker:
+        broker.create_topic("daq-events", partitions=1)
+        sec = ClientSecurity(
+            protocol="SASL_SSL", mechanism=SCRAM_SHA_256,
+            username="writer", password="hunter2",
+            ca_location=broker.ssl_cert[0],
+        )
+        with MiniProducer(broker.bootstrap, buffer_max=64, security=sec) as p:
+            for f in range(3):
+                for d in range(N_DIG):
+                    p.send("daq-events", _payload(d, f, n_events=2))
+        w = _writer(broker, tmp_path / "s", security=sec)
+        w.start()
+        assert _await(lambda: w._totals.get("run_a", (0, 0))[0] == 3)
+        w.stop()
+    assert spark.read.parquet(str(tmp_path / "s")).count() == 3 * N_DIG * 2
+
+
 def test_fetchloop_commit_latency_under_budget(tmp_path):
     """The door's reason to exist: per-commit wall time (decode + intent
     + append) at the FULL 32x500 shape stays well under the reference's
