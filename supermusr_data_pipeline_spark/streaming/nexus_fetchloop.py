@@ -282,7 +282,7 @@ class FetchLoopNexusWriter:
             }
             # re-arm every persisted tombstone to a FRESH TTL: the
             # held-back cursor replays up to ~frame-TTL of tape, and
-            # those records\' dispatched frames must still reject
+            # those records' dispatched frames must still reject
             now_ms = int(self.clock() * 1000)
             self._tombstones = {
                 tuple(k): now_ms + self.tombstone_ttl_ms
@@ -420,7 +420,7 @@ class FetchLoopNexusWriter:
             poll_min[k] = min(poll_min.get(k, r.offset), r.offset)
             values.append(r.value)
         # a frame admitted from this poll can be replayed from here: the
-        # pre-poll cursor, extended with this poll\'s first offset for
+        # pre-poll cursor, extended with this poll's first offset for
         # partitions the cursor has never consumed
         floor_map = {
             k: pre_poll.get(k, poll_min.get(k))
@@ -489,7 +489,7 @@ class FetchLoopNexusWriter:
                 fs = self._pending[key] = _FrameState(now_ms, dict(floor_map))
             else:
                 # rows arriving in LATER polls may touch partitions the
-                # frame\'s floor has never seen: pin them at this poll\'s
+                # frame's floor has never seen: pin them at this poll's
                 # replay point (older floors stay — they are smaller)
                 for k, v in floor_map.items():
                     fs.floor.setdefault(k, v)
@@ -692,6 +692,11 @@ class FetchLoopNexusWriter:
                 "total_s": round(time.perf_counter() - t_start, 5),
             }
         )
+        if len(self.commit_log) > 20_000:
+            # observability ring, not a ledger: bound driver memory on
+            # long-running streams (50 dispatches/s would otherwise
+            # grow it ~50 MB/day)
+            del self.commit_log[:10_000]
         if self.on_commit is not None:
             self.on_commit(sorted(set(frames)))
         return frames
