@@ -113,13 +113,19 @@ _INTENT_SCHEMA = _EVENT_SCHEMA.insert(0, pa.field("run_name", pa.string()))
 
 
 class _FrameState:
-    __slots__ = ("dids", "veto", "first_ms", "n_events", "batches", "floor")
+    __slots__ = (
+        "dids", "veto", "first_ms", "n_events", "batches", "floor",
+        "complete",
+    )
 
     def __init__(self, first_ms: int, floor: dict[str, int]):
         self.dids: set[int] = set()
         self.veto = 0
         self.first_ms = first_ms
         self.n_events = 0
+        # aev2 input: the message CARRIES the completeness verdict (the
+        # aggregator already judged it); None = derive from dids
+        self.complete: bool | None = None
         # per-arrival single-frame Arrow slices (decoded rows belonging
         # to this frame), concatenated at dispatch
         self.batches: list[pa.RecordBatch] = []
@@ -168,7 +174,20 @@ class FetchLoopNexusWriter:
         security=None,
         starting_offsets: str = "earliest",
         consumer_factory=None,
+        input_format: str = "dev2",
     ):
+        """``input_format``: 'dev2' (digitiser messages — this door runs
+        the aggregator's frame FSM itself, the fused deployment) or
+        'aev2' (pre-assembled FrameAssembledEventList messages — the
+        reference nexus-writer's EXACT input, nexus-writer/src/main.rs:
+        one message per frame, completeness judged upstream by the
+        aggregator, so admission is decode -> tombstone-dedupe ->
+        dispatch with no FSM wait)."""
+        if input_format not in ("dev2", "aev2"):
+            raise ValueError(
+                f"input_format={input_format!r}: 'dev2' or 'aev2'"
+            )
+        self.input_format = input_format
         self.runs_rows = _runs_rows(runs)
         self.path = path
         self.expected = sorted(int(d) for d in expected_digitizers)
@@ -428,13 +447,20 @@ class FetchLoopNexusWriter:
         }
         rb = None
         if values:
-            from ..sources.decode import dev2_arrow_batch
+            from ..sources.decode import aev2_arrow_batch, dev2_arrow_batch
 
-            rb = dev2_arrow_batch(pa.array(values, pa.binary()))
+            fn = (
+                dev2_arrow_batch if self.input_format == "dev2"
+                else aev2_arrow_batch
+            )
+            rb = fn(pa.array(values, pa.binary()))
             if rb.num_rows == 0:
                 rb = None
         if rb is not None:
-            self._admit(rb, now_ms, floor_map)
+            if self.input_format == "dev2":
+                self._admit(rb, now_ms, floor_map)
+            else:
+                self._admit_aev2(rb, now_ms, floor_map)
         t_decode = time.perf_counter()
 
         # dispatch: complete now, or first-arrival TTL expired
@@ -458,6 +484,40 @@ class FetchLoopNexusWriter:
             # yet persisted re-poll after a crash and are FSM-idempotent
             # (duplicates reject, tombstones reject)
         return frames
+
+    def _admit_aev2(self, rb: pa.RecordBatch, now_ms: int, floor_map) -> None:
+        """aev2 admission: every message is one COMPLETE-or-judged frame
+        (the aggregator already ran the FSM), so each decoded row goes
+        straight to pending with its carried completeness flag — the
+        next dispatch pass emits it immediately (first_ms set past-TTL).
+        Tombstones still dedupe re-delivered frame messages."""
+        ts_us = rb.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        per = rb.column("period_number").to_numpy(zero_copy_only=False)
+        ppp = rb.column("protons_per_pulse").to_numpy(zero_copy_only=False)
+        run = rb.column("running").to_numpy(zero_copy_only=False)
+        fno = rb.column("frame_number").to_numpy(zero_copy_only=False)
+        veto = rb.column("veto_flags").to_numpy(zero_copy_only=False)
+        comp = rb.column("complete").to_numpy(zero_copy_only=False)
+        n_ev = pa.compute.list_value_length(
+            rb.column("channel")
+        ).to_numpy(zero_copy_only=False)
+        for i in range(rb.num_rows):
+            key = (
+                int(ts_us[i]), int(per[i]), int(ppp[i]), bool(run[i]),
+                int(fno[i]),
+            )
+            if key in self._tombstones:
+                # re-delivered after dispatch: reject, re-arm
+                self._tombstones[key] = now_ms + self.tombstone_ttl_ms
+                continue
+            if key in self._pending:
+                continue  # duplicate within the poll: first copy wins
+            fs = _FrameState(now_ms - self.frame_ttl_ms, dict(floor_map))
+            fs.veto = int(veto[i])
+            fs.n_events = int(n_ev[i])
+            fs.complete = bool(comp[i])
+            fs.batches.append(rb.take(pa.array([i], pa.int64())))
+            self._pending[key] = fs
 
     def _admit(self, rb: pa.RecordBatch, now_ms: int, floor_map) -> None:
         """The FSM over one decoded Arrow batch: group rows by frame
@@ -551,7 +611,10 @@ class FetchLoopNexusWriter:
                 )
             else:
                 n = 0
-            complete = sorted(fs.dids) == self.expected
+            complete = (
+                fs.complete if fs.complete is not None
+                else sorted(fs.dids) == self.expected
+            )
             if n == 0:
                 chunks.append(
                     pa.table(

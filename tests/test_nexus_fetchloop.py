@@ -370,6 +370,75 @@ def test_fetchloop_survives_cluster_leader_failover(spark, tmp_path):
     ) == list(range(8))
 
 
+def test_fetchloop_aev2_mode_matches_dev2_mode(spark, tmp_path):
+    """input_format='aev2' (the reference nexus-writer's exact input —
+    pre-assembled frames, one message each) produces the same sink rows
+    as the dev2 mode assembling the equivalent digitiser messages, and
+    rejects a re-delivered frame message."""
+    frames = range(5)
+
+    def _frame_events(f):
+        # the union of what the dev2 messages would carry, sorted by
+        # (did, channel, time) as the aggregator emits them
+        ch, et, ev = [], [], []
+        for d in range(N_DIG):
+            n = 3 + d
+            ch += [int(e % 8) for e in range(n)]
+            et += [int(100 * f + 10 * e) for e in range(n)]
+            ev += [int(e) for e in range(n)]
+        return ch, et, ev
+
+    with MiniBroker() as broker:
+        broker.create_topic("frame-events", partitions=1)
+        with MiniProducer(broker.bootstrap, buffer_max=64) as prod:
+            for f in frames:
+                ch, et, ev = _frame_events(f)
+                md = {
+                    "ts_ns": (T0_US + f * 20_000) * 1000,
+                    "period_number": f // 1000,
+                    "protons_per_pulse": 4,
+                    "running": True,
+                    "frame_number": f,
+                    "veto_flags": f % 3,
+                }
+                payload = M.encode_aev2(
+                    md, et, ev, ch, complete=True,
+                    digitizers_present=list(range(N_DIG)),
+                )
+                prod.send("frame-events", payload, key=b"agg")
+                if f == 2:  # re-delivery: must be rejected
+                    prod.send("frame-events", payload, key=b"agg")
+        w = FetchLoopNexusWriter(
+            runs=_runs(), path=str(tmp_path / "aev2"),
+            expected_digitizers=list(range(N_DIG)),
+            bootstrap=broker.bootstrap, topics=["frame-events"],
+            input_format="aev2", poll_ms=10,
+        )
+        w.start()
+        assert _await(lambda: w._totals.get("run_a", (0, 0))[0] == 5)
+        w.stop()
+
+    with MiniBroker() as broker2:
+        broker2.create_topic("daq-events", partitions=1)
+        with MiniProducer(broker2.bootstrap, buffer_max=64) as prod:
+            for f in frames:
+                for d in range(N_DIG):
+                    prod.send(
+                        "daq-events",
+                        _payload(d, f, n_events=3 + d, veto=f % 3),
+                        key=str(d).encode(),
+                    )
+        w2 = _writer(broker2, tmp_path / "dev2")
+        w2.start()
+        assert _await(lambda: w2._totals.get("run_a", (0, 0))[0] == 5)
+        w2.stop()
+
+    got, cols_a = _sink_rows(spark, tmp_path / "aev2")
+    want, cols_b = _sink_rows(spark, tmp_path / "dev2")
+    assert cols_a == cols_b
+    assert got == want
+
+
 def test_fetchloop_over_sasl_ssl(spark, tmp_path):
     """The loop authenticates like any client: SCRAM over TLS against a
     secured broker (the reference writer always authenticates,
