@@ -370,6 +370,117 @@ def test_fetchloop_survives_cluster_leader_failover(spark, tmp_path):
     ) == list(range(8))
 
 
+def test_fetchloop_fsm_property_matches_direct_door(spark, tmp_path):
+    """Property: over random tapes (missing digitisers, duplicates,
+    zero-event frames, arbitrary chunking into polls/batches, TTL
+    expiries on a FAKE clock) the fetch-loop FSM writes the same sink
+    rows as the direct door fed the same chunks — the numpy/Arrow FSM
+    reimplementation cannot diverge from the proven one on orderings
+    the example generator finds."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from supermusr_data_pipeline_spark.kafka.client import ConsumerRecord
+    from supermusr_data_pipeline_spark.sources.decode import (
+        decode_dev2_messages,
+    )
+    from supermusr_data_pipeline_spark.streaming.nexus_direct import (
+        DirectNexusWriter,
+    )
+
+    from pyspark.sql import functions as F
+
+    runs_df = spark.createDataFrame(
+        [("run_a", T0_US - 1_000_000, None)],
+        "run_name string, from_us long, until_us long",
+    ).select(
+        "run_name",
+        F.timestamp_micros("from_us").alias("collect_from"),
+        F.timestamp_micros(F.col("until_us")).alias("collect_until"),
+    )
+
+    case_idx = [0]
+
+    @settings(max_examples=6, deadline=None)
+    @given(data=st.data())
+    def _case(data):
+        n_frames = data.draw(st.integers(1, 3), label="n_frames")
+        msgs = []
+        for f in range(n_frames):
+            dids = data.draw(
+                st.lists(
+                    st.integers(0, N_DIG - 1), min_size=1, max_size=6
+                ),
+                label=f"dids_f{f}",  # repeats = duplicate messages
+            )
+            for j, d in enumerate(dids):
+                n_ev = data.draw(st.integers(0, 4), label=f"n_f{f}_{j}")
+                veto = data.draw(st.integers(0, 7), label=f"v_f{f}_{j}")
+                msgs.append(
+                    _payload(d, f, n_ev, veto=veto, ev_offset=10 * j)
+                )
+        # one chunking shared by both doors (chunk boundary = poll /
+        # micro-batch boundary)
+        cuts = data.draw(
+            st.lists(st.integers(1, max(1, len(msgs))), max_size=3),
+            label="cuts",
+        )
+        bounds = sorted({0, len(msgs), *cuts})
+        chunks = [
+            msgs[a:b] for a, b in zip(bounds, bounds[1:]) if b > a
+        ]
+        case_idx[0] += 1
+        base = tmp_path / f"case{case_idx[0]}"
+
+        now = [1_000_000.0]
+        w = FetchLoopNexusWriter(
+            runs=_runs(), path=str(base / "loop"),
+            expected_digitizers=list(range(N_DIG)),
+            bootstrap="unused:0", topics=["t"],
+            frame_ttl_ms=500, clock=lambda: now[0],
+        )
+        direct = DirectNexusWriter(
+            runs_df, str(base / "direct"), list(range(N_DIG)),
+            frame_ttl_ms=500, clock=lambda: now[0],
+        )
+        off = [0]
+
+        def recs(chunk):
+            out = [
+                ConsumerRecord("t", 0, off[0] + i, 0, b"k", p)
+                for i, p in enumerate(chunk)
+            ]
+            off[0] += len(chunk)
+            return out
+
+        for bid, chunk in enumerate(chunks):
+            w.poll_once(records=recs(chunk))
+            env = spark.createDataFrame(
+                [(p,) for p in chunk], "value binary"
+            )
+            direct(decode_dev2_messages(env), bid)
+            now[0] += 0.05
+        # expire any pending incomplete frames on both doors
+        now[0] += 1.0
+        w.poll_once(records=[])
+        direct._spark = spark
+        direct.expire_pending()
+
+        a = _count_or_empty(spark, base / "loop")
+        b = _count_or_empty(spark, base / "direct")
+        assert a == b
+
+    def _count_or_empty(spark_, path):
+        import os as _os
+
+        if not _os.path.isdir(str(path)):
+            return []
+        rows, _cols = _sink_rows(spark_, path)
+        return rows
+
+    _case()
+
+
 def test_fetchloop_aev2_mode_matches_dev2_mode(spark, tmp_path):
     """input_format='aev2' (the reference nexus-writer's exact input —
     pre-assembled frames, one message each) produces the same sink rows
