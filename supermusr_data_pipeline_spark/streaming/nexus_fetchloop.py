@@ -213,6 +213,7 @@ class FetchLoopNexusWriter:
         self._lock = threading.Lock()
         self.loop_error: BaseException | None = None
         self.commit_log: list[dict] = []  # per-append timing observability
+        self._file_seq = 0  # monotone per-writer part index (debuggability)
 
     # ---- sidecar paths ----
     def _state_file(self) -> str:
@@ -676,11 +677,17 @@ class FetchLoopNexusWriter:
     def _append_run(self, run_name: str, table: pa.Table) -> None:
         run_dir = os.path.join(self.path, f"run_name={_quote(run_name)}")
         os.makedirs(run_dir, exist_ok=True)
+        import uuid
+
+        # uuid-suffixed like Spark's own part files: a directory-count
+        # name could recur after compaction deletes files, and a
+        # recurring name silently overwrites
         fname = os.path.join(
             run_dir,
-            "part-fetchloop-%d-%06d.parquet"
-            % (os.getpid(), len(os.listdir(run_dir))),
+            "part-fetchloop-%d-%06d-%s.parquet"
+            % (os.getpid(), self._file_seq, uuid.uuid4().hex[:8]),
         )
+        self._file_seq += 1
         pq.write_table(
             table.cast(_EVENT_SCHEMA), fname, compression="snappy"
         )

@@ -579,6 +579,45 @@ def test_fetchloop_over_sasl_ssl(spark, tmp_path):
     assert spark.read.parquet(str(tmp_path / "s")).count() == 3 * N_DIG * 2
 
 
+def test_fetchloop_sink_compacts_like_any_nexus_run(spark, tmp_path):
+    """Operational closure of the door's file-count cost: committing per
+    poll writes ~1 small file per dispatch (the latency trade), so the
+    COMPLETED run must flow through the standard compaction pass
+    (plans/index_maintenance.compact_nexus_run) — one sorted zstd file,
+    rows identical.  This is the same small-files-then-compact lifecycle
+    the FSM door documents (S7)."""
+    from supermusr_data_pipeline_spark.plans.index_maintenance import (
+        compact_nexus_run,
+    )
+
+    with MiniBroker() as broker:
+        broker.create_topic("daq-events", partitions=1)
+        w = _writer(broker, tmp_path / "s")
+        w.start()
+        with MiniProducer(broker.bootstrap, buffer_max=N_DIG) as prod:
+            for f in range(8):
+                for d in range(N_DIG):
+                    prod.send(
+                        "daq-events", _payload(d, f, n_events=2),
+                        key=str(d).encode(),
+                    )
+                prod.flush()
+                time.sleep(0.05)  # several dispatches -> several files
+        assert _await(lambda: w._totals.get("run_a", (0, 0))[0] == 8)
+        w.stop()
+
+    before, cols = _sink_rows(spark, tmp_path / "s")
+    run_dir = os.path.join(str(tmp_path / "s"), "run_name=run_a")
+    n_files_before = sum(
+        1 for n in os.listdir(run_dir) if n.endswith(".parquet")
+    )
+    assert n_files_before > 1  # the latency trade actually happened
+    res = compact_nexus_run(spark, str(tmp_path / "s"), "run_name=run_a")
+    assert res["files_after"] < n_files_before
+    after, cols2 = _sink_rows(spark, tmp_path / "s")
+    assert cols2 == cols and after == before
+
+
 def test_fetchloop_commit_latency_under_budget(tmp_path):
     """The door's reason to exist: per-commit wall time (decode + intent
     + append) at the FULL 32x500 shape stays well under the reference's
