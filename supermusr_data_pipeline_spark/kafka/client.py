@@ -524,6 +524,18 @@ class MiniConsumer:
     def positions(self) -> dict[tuple[str, int], int]:
         return dict(self._positions)
 
+    def seek(self, positions: dict[tuple[str, int], int]) -> None:
+        """Set the fetch cursor for partitions in the CURRENT
+        assignment; keys outside it are dropped (a resumed consumer's
+        saved offsets may reference topics/partitions it no longer
+        subscribes to — injecting those would error every poll).
+        This is the public resume API and part of the contract any
+        ``consumer_factory`` object handed to FetchLoopNexusWriter
+        must honor."""
+        for tp, off in positions.items():
+            if tp in self._positions:
+                self._positions[tp] = int(off)
+
     def poll(
         self,
         max_wait_ms: int = 500,

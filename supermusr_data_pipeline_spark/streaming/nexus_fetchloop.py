@@ -293,6 +293,17 @@ class FetchLoopNexusWriter:
         memory too)."""
         if self._loaded:
             return
+        # sweep part-write orphans from a crash mid-pq.write_table: the
+        # dot-prefixed tmp names are invisible to readers but would
+        # otherwise accumulate forever
+        if os.path.isdir(self.path):
+            for name in os.listdir(self.path):
+                if not name.startswith("run_name="):
+                    continue
+                run_dir = os.path.join(self.path, name)
+                for f in os.listdir(run_dir):
+                    if f.startswith(".part-fetchloop-") and f.endswith(".tmp"):
+                        os.remove(os.path.join(run_dir, f))
         if os.path.isfile(self._state_file()):
             with open(self._state_file()) as fh:
                 st = json.load(fh)
@@ -328,6 +339,13 @@ class FetchLoopNexusWriter:
                     mask = pa.compute.equal(table.column("run_name"), run)
                     run_rows = table.filter(mask).drop_columns(["run_name"])
                     self._append_run(run, run_rows)
+            # re-arm the dispatched frames' tombstones: the adopted
+            # cursor below is held back to any crash-time pending
+            # frame's floor, so the loop will replay this dispatch's
+            # records — they must reject, not re-assemble (exactly-once)
+            now_ms = int(self.clock() * 1000)
+            for k in intent.get("frame_keys", []):
+                self._tombstones[tuple(k)] = now_ms + self.tombstone_ttl_ms
             self._offsets = {
                 k: int(v) for k, v in intent["offsets"].items()
             }
@@ -361,10 +379,17 @@ class FetchLoopNexusWriter:
                 security=self.security,
                 client_id="nexus-fetchloop",
             )
-        # resume the cursor: saved offsets override the starting policy
-        for key, off in self._offsets.items():
-            t, _, p = key.rpartition("/")
-            c._positions[(t, int(p))] = off
+        # resume the cursor: saved offsets override the starting policy.
+        # seek() is part of the consumer_factory contract — it applies
+        # only partitions in the consumer's CURRENT assignment, so saved
+        # offsets for topics no longer subscribed are dropped rather
+        # than injected into the poll loop.
+        c.seek(
+            {
+                (key.rpartition("/")[0], int(key.rpartition("/")[2])): off
+                for key, off in self._offsets.items()
+            }
+        )
         return c
 
     # ---- the loop ----
@@ -688,9 +713,17 @@ class FetchLoopNexusWriter:
             % (os.getpid(), self._file_seq, uuid.uuid4().hex[:8]),
         )
         self._file_seq += 1
+        # tmp+rename like every sidecar here: a crash mid-write must
+        # never leave a truncated .parquet at its final name (that
+        # poisons _totals_from_sink and every downstream reader).  The
+        # tmp name is DOT-prefixed so a crash orphan is also invisible
+        # to Spark's directory listing (hidden-file filter) and to
+        # *.parquet globs; _load_state sweeps orphans on recovery.
+        tmp = os.path.join(run_dir, "." + os.path.basename(fname) + ".tmp")
         pq.write_table(
-            table.cast(_EVENT_SCHEMA), fname, compression="snappy"
+            table.cast(_EVENT_SCHEMA), tmp, compression="snappy"
         )
+        os.replace(tmp, fname)
 
     def _dispatch(
         self, dispatch, new_offsets, t_start, t_decode
@@ -736,6 +769,15 @@ class FetchLoopNexusWriter:
                         for run in per_run
                     },
                     "deltas": {k: list(v) for k, v in deltas.items()},
+                    # the dispatched frame keys: recovery re-arms their
+                    # tombstones BEFORE resuming the loop.  The intent's
+                    # offsets are held back to the floor of any frame
+                    # still pending at crash time, so the resumed loop
+                    # replays this dispatch's records too — without
+                    # these tombstones (which were only in memory when
+                    # the crash hit) the frames would re-assemble and
+                    # re-append.
+                    "frame_keys": [list(key) for key, _fs in dispatch],
                 },
                 fh,
             )

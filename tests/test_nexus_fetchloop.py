@@ -283,6 +283,155 @@ def test_fetchloop_crash_recovery_exactly_once(spark, tmp_path, crash_at):
     ) == [0, 1]
 
 
+def test_fetchloop_crash_after_intent_with_pending_frame(spark, tmp_path):
+    """The r12 advice repro: frame 0 PENDING (holding the persisted
+    cursor back at its floor) while frame 1 dispatches, crash after the
+    intent write.  Recovery adopts the intent's held-back offsets and
+    so replays frame 1's records — they must be rejected by the
+    re-armed tombstones carried in the intent, not re-assembled and
+    re-appended (exactly-once)."""
+    with MiniBroker() as broker:
+        broker.create_topic("daq-events", partitions=1)
+        w, _state = _crashing_writer(
+            broker, tmp_path / "s", "after_intent", frame_ttl_ms=60_000
+        )
+        # frame 0 partially arrives (2 of 4 digitisers) -> stays pending
+        _produce(broker, [_payload(d, 0, n_events=2) for d in range(2)])
+        w.poll_once()
+        assert w._totals.get("run_a", (0, 0))[0] == 0
+        # frame 1 arrives fully -> dispatches -> crash after intent
+        _produce(broker, [_payload(d, 1, n_events=2) for d in range(N_DIG)])
+        with pytest.raises((_Boom, RuntimeError)):
+            for _ in range(200):
+                w.poll_once()
+        assert os.path.isfile(w._intent_file())
+        if w._consumer is not None:
+            w._consumer.close()
+
+        # recovery: finish the intent, replay from frame 0's floor
+        # (which re-delivers frame 1's records too), then complete
+        # frame 0 from the late digitisers
+        _produce(
+            broker, [_payload(d, 0, n_events=2) for d in range(2, N_DIG)]
+        )
+        w2 = _writer(broker, tmp_path / "s", frame_ttl_ms=60_000)
+        w2.start()
+        assert _await(lambda: w2._totals.get("run_a", (0, 0))[0] == 2)
+        time.sleep(0.3)  # any wrongly re-assembled frame would land here
+        w2.stop()
+        assert w2._totals.get("run_a", (0, 0)) == (2, 2 * N_DIG * 2)
+    df = spark.read.parquet(str(tmp_path / "s"))
+    assert df.count() == 2 * N_DIG * 2  # each frame exactly once
+    assert sorted(
+        r.frame_seq for r in df.select("frame_seq").distinct().collect()
+    ) == [0, 1]
+    assert {
+        r.frame_number for r in df.select("frame_number").distinct().collect()
+    } == {0, 1}
+
+
+def test_fetchloop_crash_mid_part_write_recovers(spark, tmp_path, monkeypatch):
+    """A crash DURING the sink part write (power cut mid-pq.write_table)
+    must leave no truncated .parquet at a final name: the write goes to
+    a dot-prefixed tmp (invisible to Spark's listing and *.parquet
+    globs) and renames atomically.  Recovery finishes the append from
+    the intent table and sweeps the orphaned tmp."""
+    import supermusr_data_pipeline_spark.streaming.nexus_fetchloop as FL
+
+    with MiniBroker() as broker:
+        broker.create_topic("daq-events", partitions=1)
+        _produce(broker, [_payload(d, 0, n_events=2) for d in range(N_DIG)])
+        w = _writer(broker, tmp_path / "s")
+
+        orig = FL.pq.write_table
+        state = {"armed": True}
+
+        def bomb(table, where, **kw):
+            if state["armed"] and "run_name=" in str(where):
+                # simulate a partial write: garbage bytes, then die
+                with open(where, "wb") as fh:
+                    fh.write(b"PAR1\x00\x00trunc")
+                state["armed"] = False
+                raise _Boom()
+            orig(table, where, **kw)
+
+        monkeypatch.setattr(FL.pq, "write_table", bomb)
+        with pytest.raises((_Boom, RuntimeError)):
+            for _ in range(200):
+                w.poll_once()
+        assert os.path.isfile(w._intent_file())
+        if w._consumer is not None:
+            w._consumer.close()
+        run_dir = tmp_path / "s" / "run_name=run_a"
+        # the garbage landed at a tmp name only — no final-name .parquet
+        finals = [
+            f for f in os.listdir(run_dir) if f.endswith(".parquet")
+        ]
+        assert finals == []
+        orphans = [
+            f
+            for f in os.listdir(run_dir)
+            if f.startswith(".part-fetchloop-") and f.endswith(".tmp")
+        ]
+        assert orphans  # the crash left the tmp behind
+
+        w2 = _writer(broker, tmp_path / "s")
+        w2.start()
+        assert _await(lambda: w2._totals.get("run_a", (0, 0))[0] == 1)
+        w2.stop()
+        # orphan swept, append landed exactly once, directory readable
+        assert not any(
+            f.endswith(".tmp") for f in os.listdir(run_dir)
+        )
+    df = spark.read.parquet(str(tmp_path / "s"))
+    assert df.count() == N_DIG * 2
+    assert {r.frame_number for r in df.collect()} == {0}
+
+
+def test_fetchloop_saved_offsets_for_unsubscribed_topic_dropped(
+    spark, tmp_path
+):
+    """A writer resumed with a DIFFERENT topic list must not inject the
+    old topic's saved offsets into the consumer (they would error every
+    poll): MiniConsumer.seek drops keys outside the current
+    assignment — the consumer_factory contract."""
+    with MiniBroker() as broker:
+        broker.create_topic("daq-events", partitions=1)
+        broker.create_topic("daq-events-b", partitions=1)
+        _produce(broker, [_payload(d, 0, n_events=2) for d in range(N_DIG)])
+        w = _writer(broker, tmp_path / "s")
+        w.start()
+        assert _await(lambda: w._totals.get("run_a", (0, 0))[0] == 1)
+        w.stop()
+
+        # resume the same state dir subscribed to the OTHER topic
+        w2 = _writer(broker, tmp_path / "s", topics=["daq-events-b"])
+        with MiniProducer(broker.bootstrap, buffer_max=8) as prod:
+            prod.send("daq-events-b", _payload(0, 5, n_events=1), key=b"d")
+        w2.start()
+        assert _await(
+            lambda: w2._totals.get("run_a", (0, 0))[0] >= 2, timeout_s=15
+        )
+        w2.stop()
+        assert w2.loop_error is None
+
+
+def test_miniconsumer_seek_ignores_unassigned_partitions(tmp_path):
+    from supermusr_data_pipeline_spark.kafka.client import MiniConsumer
+
+    with MiniBroker() as broker:
+        broker.create_topic("t-a", partitions=2)
+        c = MiniConsumer(broker.bootstrap, ["t-a"])
+        before = c.positions()
+        c.seek({("t-a", 0): 7, ("ghost-topic", 0): 99, ("t-a", 9): 3})
+        after = c.positions()
+        c.close()
+    assert after[("t-a", 0)] == 7
+    assert ("ghost-topic", 0) not in after
+    assert ("t-a", 9) not in after
+    assert after[("t-a", 1)] == before[("t-a", 1)]
+
+
 def test_fetchloop_heldback_cursor_replays_pending(spark, tmp_path):
     """A frame split across polls whose writer dies before the frame
     dispatches: the persisted cursor was held at the frame's first
