@@ -695,19 +695,40 @@ def bench_cluster_soak(spark, workdir: str) -> dict:
         )
 
         prod = MiniProducer(cluster.bootstrap, buffer_max=n_dig)
+        produce_wait: dict[int, float] = {}
 
         def send_frame(i):
             # loud-failure retry loop: error 19 during the bounce window
             # means the frame re-sends wholesale; the sink FSM dedupes
+            t_send = time.perf_counter()
             for _ in range(600):
                 try:
                     for d, payload in enumerate(tape[i]):
                         prod.send("daq-events", payload, key=str(d).encode())
                     prod.flush()
+                    produce_wait[i] = time.perf_counter() - t_send
                     return
                 except OSError:
                     time.sleep(0.05)
             raise RuntimeError(f"frame {i} unsendable after 30 s of retries")
+
+        # HW-advance lag sampler: committed visibility (sum of the
+        # partitions' high watermarks) vs what the producer has had
+        # acked — the replication-path term of the cycle decomposition
+        # (produce-wait / HW-lag / sink-drain), VERDICT r12 #1
+        hw_lag_samples: list[int] = []
+        sampler_stop = threading.Event()
+
+        def hw_sampler():
+            while not sampler_stop.is_set():
+                with cluster.meta.lock:
+                    parts = cluster.meta.topics.get("daq-events", [])
+                    hw_sum = sum(st.hw for st in parts)
+                hw_lag_samples.append(max(0, prod.acked - hw_sum))
+                sampler_stop.wait(0.1)
+
+        sampler = threading.Thread(target=hw_sampler, daemon=True)
+        sampler.start()
 
         for i in range(BS.N_WARMUP):
             send_frame(i)
@@ -759,6 +780,8 @@ def bench_cluster_soak(spark, workdir: str) -> dict:
             time.sleep(0.05)
         th.join(timeout=15)
         bt.join(timeout=15)
+        sampler_stop.set()
+        sampler.join(timeout=5)
         q.stop()
         prod.close()
 
@@ -804,8 +827,27 @@ def bench_cluster_soak(spark, workdir: str) -> dict:
         ),
     ).collect()[0]
     expected_rows = n_total * n_dig * BS.EVENTS_PER_MESSAGE
+    pw = sorted(
+        produce_wait[i] for i in range(BS.N_WARMUP, n_total) if i in produce_wait
+    )
+    hls = sorted(hw_lag_samples)
+    decomposition = {
+        # per-frame feeder-side acks=-1 wait (32 msgs -> up to 3
+        # leader-grouped produce requests); the budget is the 20 ms
+        # frame period — above it the feeder itself falls behind
+        "produce_wait_p50_s": round(pw[len(pw) // 2], 4) if pw else None,
+        "produce_wait_p95_s": (
+            round(pw[int(len(pw) * 0.95)], 4) if pw else None
+        ),
+        "produce_wait_max_s": round(pw[-1], 4) if pw else None,
+        # records acked by the producer but not yet consumer-visible
+        # (HW-fenced), sampled at 10 Hz: the replication-lag term
+        "hw_lag_records_p50": hls[len(hls) // 2] if hls else None,
+        "hw_lag_records_max": hls[-1] if hls else None,
+    }
     return {
         "shape": f"{n_dig}x{BS.EVENTS_PER_MESSAGE}",
+        "decomposition": decomposition,
         "n_frames": n_frames,
         "cluster": "3 brokers, rf=2, acks=-1, min.insync=2",
         "bounce": events,
@@ -835,6 +877,224 @@ def bench_cluster_soak(spark, workdir: str) -> dict:
     }
 
 
+def bench_fetchloop_cluster_soak(spark, workdir: str) -> dict:
+    """Chaos soak of the FETCH-LOOP door (VERDICT r12 #3): the door
+    that owns the 1 s sink-commit budget, paced 50 fps at 32x500 over
+    the same 3-broker replicated cluster (rf=2, acks=-1 producer,
+    min.insync=2) with a wall-clock leader kill + restart mid-soak.
+    The loop's re-dial path (nexus_fetchloop poll loop) drops the
+    consumer on a connection fault and resumes from the in-memory
+    cursor; this proves the recovery spike is bounded under pacing and
+    the sink stays exactly-once across the bounce."""
+    import threading
+
+    import bench_streaming as BS
+    from supermusr_data_pipeline_spark.kafka import MiniProducer
+    from supermusr_data_pipeline_spark.kafka.cluster import MiniCluster
+    from supermusr_data_pipeline_spark.sources import messages as M
+    from supermusr_data_pipeline_spark.streaming.nexus_fetchloop import (
+        FetchLoopNexusWriter,
+    )
+
+    n_dig = 32
+    n_frames = int(os.environ.get("SPARK_GRAFT_CLUSTER_SOAK_FRAMES", "1500"))
+    kill_t_s = (n_frames * BS.FRAME_PERIOD_S) / 3
+    bounce_s = 2.0
+    n_total = BS.N_WARMUP + n_frames
+
+    ch = [int(e % 8) for e in range(BS.EVENTS_PER_MESSAGE)]
+    et = [int(e * 37 % 20_000_000) for e in range(BS.EVENTS_PER_MESSAGE)]
+    tape = []
+    for i in range(n_total):
+        md = {
+            "ts_ns": (BS._BASE_TS_US + i * int(BS.FRAME_PERIOD_S * 1_000_000))
+            * 1000,
+            "period_number": i // 1000,
+            "protons_per_pulse": 4,
+            "running": True,
+            "frame_number": i,
+            "veto_flags": 1 << (i % 4),
+        }
+        ev = [int((e * 7 + i) % 4096) for e in range(BS.EVENTS_PER_MESSAGE)]
+        tape.append(
+            [M.encode_dev2(d, md, et, ev, ch) for d in range(n_dig)]
+        )
+    end_us = BS._BASE_TS_US + (n_total + 100) * int(
+        BS.FRAME_PERIOD_S * 1_000_000
+    )
+    runs = [
+        {
+            "run_name": "bench_run",
+            "from_us": BS._BASE_TS_US - 1_000_000,
+            "until_us": end_us,
+        }
+    ]
+    emit: dict[int, float] = {}
+    lock = threading.Lock()
+
+    def on_commit(frames):
+        t = time.perf_counter()
+        with lock:
+            for f in frames:
+                emit.setdefault(f, t)
+
+    sink = os.path.join(workdir, "floop_cluster_soak_sink")
+    events = {"kill_s": None, "restart_s": None}
+    with MiniCluster(
+        n_brokers=3, replication_factor=2, min_insync_replicas=2,
+        replica_lag_ms=2000,
+    ) as cluster:
+        cluster.create_topic("daq-events", partitions=4)
+        victim = cluster.meta.state("daq-events", 0).leader
+        writer = FetchLoopNexusWriter(
+            runs, sink, list(range(n_dig)), cluster.bootstrap,
+            ["daq-events"], frame_ttl_ms=5000, on_commit=on_commit,
+            poll_ms=10,
+        )
+        writer.start()
+        prod = MiniProducer(cluster.bootstrap, buffer_max=n_dig)
+
+        def send_frame(i):
+            for _ in range(600):
+                try:
+                    for d, payload in enumerate(tape[i]):
+                        prod.send("daq-events", payload, key=str(d).encode())
+                    prod.flush()
+                    return
+                except OSError:
+                    time.sleep(0.05)
+            raise RuntimeError(f"frame {i} unsendable after 30 s of retries")
+
+        for i in range(BS.N_WARMUP):
+            send_frame(i)
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            with lock:
+                if len(emit) >= BS.N_WARMUP:
+                    break
+            time.sleep(0.05)
+
+        arrival: dict[int, float] = {}
+        t_feed0 = [None]
+
+        def bouncer():
+            while t_feed0[0] is None:
+                time.sleep(0.01)
+            t0 = t_feed0[0]
+            time.sleep(max(0.0, t0 + kill_t_s - time.perf_counter()))
+            cluster.kill(victim)
+            events["kill_s"] = round(time.perf_counter() - t0, 2)
+            time.sleep(bounce_s)
+            cluster.restart(victim)
+            events["restart_s"] = round(time.perf_counter() - t0, 2)
+
+        bt = threading.Thread(target=bouncer, daemon=True)
+        bt.start()
+
+        def feeder():
+            t0 = time.perf_counter()
+            t_feed0[0] = t0
+            for i in range(BS.N_WARMUP, n_total):
+                rel = i - BS.N_WARMUP
+                send_frame(i)
+                arrival[i] = time.perf_counter()
+                lag = (
+                    t0 + (rel + 1) * BS.FRAME_PERIOD_S - time.perf_counter()
+                )
+                if lag > 0:
+                    time.sleep(lag)
+
+        th = threading.Thread(target=feeder, daemon=True)
+        th.start()
+        deadline = time.time() + n_frames * BS.FRAME_PERIOD_S + 180
+        while time.time() < deadline:
+            with lock:
+                if len(emit) >= n_total:
+                    break
+            time.sleep(0.05)
+        th.join(timeout=15)
+        bt.join(timeout=15)
+        writer.stop()
+        prod.close()
+        commit_log = list(writer.commit_log)
+
+    measured = sorted(i for i in range(BS.N_WARMUP, n_total) if i in emit)
+    lats = {i: emit[i] - arrival[i] for i in measured if i in arrival}
+    lat = sorted(lats.values())
+    n_done = len(lat)
+    keys = sorted(lats)
+    t0 = arrival[keys[0]] if keys else 0.0
+
+    def _p50(vals):
+        vals = sorted(vals)
+        return round(vals[len(vals) // 2], 4) if vals else None
+
+    kill_abs = (t0 + events["kill_s"]) if events["kill_s"] else None
+    pre = [lats[i] for i in keys if kill_abs and arrival[i] < kill_abs]
+    # the bounce window: frames arriving from the kill until 8 s after
+    # it — the recovery spike lives here
+    spike = [
+        lats[i] for i in keys
+        if kill_abs and kill_abs <= arrival[i] < kill_abs + 8.0
+    ]
+    last_q = [
+        lats[i] for i in keys
+        if i >= BS.N_WARMUP + 3 * (n_total - BS.N_WARMUP) // 4
+    ]
+    recovered = bool(
+        pre and last_q and _p50(last_q) <= max(1.5 * _p50(pre), _p50(pre) + 0.5)
+    )
+    mid = len(commit_log) // 2
+    commit_tail = sorted(c["total_s"] for c in commit_log[mid:]) or [None]
+    sunk = spark.read.parquet(sink)
+    from pyspark.sql import functions as F
+
+    agg = sunk.agg(
+        F.count("*").alias("rows"),
+        F.countDistinct("frame_number").alias("frames"),
+        (F.max("frame_seq") + 1).alias("seqs"),
+        F.sum(F.when(~F.col("frame_complete"), 1).otherwise(0)).alias(
+            "incomplete_rows"
+        ),
+    ).collect()[0]
+    expected_rows = n_total * n_dig * BS.EVENTS_PER_MESSAGE
+    return {
+        "shape": f"{n_dig}x{BS.EVENTS_PER_MESSAGE}",
+        "door": "fetchloop",
+        "n_frames": n_frames,
+        "cluster": "3 brokers, rf=2, acks=-1, min.insync=2",
+        "bounce": events,
+        "frames_done": n_done,
+        "keeps_up_across_kill": bool(n_done == n_frames and recovered),
+        "pre_kill_p50_s": _p50(pre),
+        "recovery_spike_p50_s": _p50(spike),
+        "recovery_spike_max_s": (
+            round(max(spike), 4) if spike else None
+        ),
+        "post_recovery_p50_s": _p50(last_q),
+        "recovered_to_steady": recovered,
+        "latency_p95_s": round(lat[int(n_done * 0.95)], 4) if n_done else None,
+        "latency_max_s": round(lat[-1], 4) if n_done else None,
+        "commit_work_steady_p50_s": (
+            round(commit_tail[len(commit_tail) // 2], 5)
+            if commit_tail[0] is not None else None
+        ),
+        "accounting": {
+            "rows": int(agg["rows"]),
+            "expected_rows": expected_rows,
+            "distinct_frames": int(agg["frames"]),
+            "expected_frames": n_total,
+            "frame_seq_contiguous": int(agg["seqs"]) == n_total,
+            "incomplete_rows": int(agg["incomplete_rows"]),
+            "exactly_once": bool(
+                int(agg["rows"]) == expected_rows
+                and int(agg["frames"]) == n_total
+                and int(agg["seqs"]) == n_total
+            ),
+        },
+    }
+
+
 def run(spark) -> dict:
     global BATCH_DOCS
     out = {"sf_dir": SF_DIR}
@@ -843,6 +1103,9 @@ def run(spark) -> dict:
         out["kafka_front_door"] = bench_kafka_front_door(spark, base)
         out["kafka_partition_sweep"] = bench_kafka_partition_sweep(spark)
         out["cluster_soak"] = bench_cluster_soak(spark, base)
+        out["fetchloop_cluster_soak"] = bench_fetchloop_cluster_soak(
+            spark, base
+        )
     finally:
         shutil.rmtree(base, ignore_errors=True)
     # two batch sizes: micro-batch rates on these front doors are

@@ -542,6 +542,7 @@ def _run_fetchloop_shape(base: str, n_digitisers: int, n_frames: int) -> dict:
         writer.stop()
         prod.close()
         commit_log = writer.commit_log
+        poll_log = list(writer.poll_log)
 
     measured = sorted(i for i in range(N_WARMUP, n_total) if i in emit)
     lats = {i: emit[i] - arrival[i] for i in measured}
@@ -557,12 +558,39 @@ def _run_fetchloop_shape(base: str, n_digitisers: int, n_frames: int) -> dict:
     )
     mid = len(commit_log) // 2
     commit_tail = sorted(c["total_s"] for c in commit_log[mid:]) or [None]
+    # the loop-cycle decomposition (VERDICT r12 #2): per-commit split of
+    # decode / part staging / intent / publish, plus the poll-vs-process
+    # duty from the per-cycle log — the attribution that turned the
+    # 64x500 gap from "unexplained 0.35 s work vs 1.2 s latency" into
+    # "intent double-write + python-list column build", both since fixed
+    def _p50_of(key):
+        vals = sorted(
+            c[key] for c in commit_log[mid:] if key in c
+        )
+        return round(vals[len(vals) // 2], 5) if vals else None
+
+    busy = [p for p in poll_log[len(poll_log) // 2:] if p["n_records"] > 0]
+    busy_proc = sorted(p["process_s"] for p in busy)
+    decomposition = {
+        "commit_decode_p50_s": _p50_of("decode_s"),
+        "commit_parts_p50_s": _p50_of("parts_s"),
+        "commit_intent_p50_s": _p50_of("intent_s"),
+        "commit_publish_p50_s": _p50_of("publish_s"),
+        "busy_cycle_process_p50_s": (
+            round(busy_proc[len(busy_proc) // 2], 5) if busy_proc else None
+        ),
+        "busy_cycle_records_p50": (
+            sorted(p["n_records"] for p in busy)[len(busy) // 2]
+            if busy else None
+        ),
+    }
     return {
         "shape": {
             "n_digitisers": n_digitisers,
             "events_per_message": EVENTS_PER_MESSAGE,
             "n_frames": n_frames,
         },
+        "decomposition": decomposition,
         "paced": {
             "frames_done": n_done,
             "keeps_up_at_50fps": bool(

@@ -126,6 +126,16 @@ class ClusterBroker(MiniBroker):
         self.meta = meta
         self._logs: dict[tuple[str, int], _PartitionLog] = {}
         self._logs_lock = threading.Lock()
+        # data-arrival signal for blocked fetches: notified on every
+        # local append and every HW advance, so a parked long-poll
+        # (follower replication fetch or HW-fenced consumer fetch)
+        # wakes the instant bytes become servable instead of on a
+        # sleep tick — the poll tick was the per-produce floor that
+        # made acks=-1 pipelines fall behind at 50 fps.  The counter
+        # closes the notify-vs-recheck race (an append landing between
+        # a waiter's serve() and its wait() must not be missed).
+        self._data_cond = threading.Condition()
+        self._data_gen = 0
         # per-partition recovery point: the last KNOWN-COMMITTED offset
         # bound (leader: its own HW; follower: the HW the leader
         # reported on fetch).  A restart truncates local logs here —
@@ -160,6 +170,11 @@ class ClusterBroker(MiniBroker):
     def _ensure_topic(self, name: str) -> None:
         self.meta.create_topic(name, self.meta.default_partitions)
 
+    def _notify_data(self) -> None:
+        with self._data_cond:
+            self._data_gen += 1
+            self._data_cond.notify_all()
+
     # -- ISR / HW bookkeeping (call under meta.lock) ------------------------
 
     def _recompute_hw(self, topic: str, pid: int, st: _PartitionState) -> None:
@@ -180,6 +195,9 @@ class ClusterBroker(MiniBroker):
         if new_hw > st.hw:
             st.hw = new_hw
             st.cond.notify_all()
+            # consumer fetches are fenced at the HW: an advance makes
+            # bytes servable, so wake parked consumer long-polls too
+            self._notify_data()
         self._recovery_point[(topic, pid)] = max(
             self._recovery_point.get((topic, pid), 0), st.hw
         )
@@ -213,7 +231,16 @@ class ClusterBroker(MiniBroker):
 
     def _produce(self, cur: P.Cursor) -> bytes:
         acks, timeout_ms, topic_data = P.decode_produce_request(cur)
+        # Two-phase, like Kafka's DelayedProduce purgatory: (1) validate
+        # and append EVERY partition, then wake blocked replica fetches
+        # once; (2) wait for the high watermarks.  Waiting per partition
+        # as soon as it appended would SERIALIZE the replication round
+        # trips — a request carrying K partitions would pay K follower
+        # catch-up latencies instead of max(one), which is what made
+        # acks=-1 pipelines fall behind real-time pacing.
         responses = []
+        waits = []  # (prs, slot, topic, pid, st, base, target)
+        appended = False
         for topic, parts in topic_data:
             self._ensure_topic(topic)
             prs = []
@@ -237,28 +264,42 @@ class ClusterBroker(MiniBroker):
                 if err != P.ERR_NONE:
                     prs.append((pid, err, base, -1))
                     continue
-                target = len(log.timestamps)
+                appended = True
                 if acks == -1:
-                    # the commit rule: acked once the full ISR has it
-                    # (ISR may shrink while we wait — that unblocks, the
-                    # protocol's replica.lag.time behavior)
-                    deadline = time.monotonic() + timeout_ms / 1000.0
-                    with st.cond:
-                        self._recompute_hw(topic, pid, st)
-                        while st.hw < target and st.leader == self.node_id:
-                            remaining = deadline - time.monotonic()
-                            if remaining <= 0:
-                                break
-                            st.cond.wait(min(remaining, 0.05))
-                            self._recompute_hw(topic, pid, st)
-                        if st.hw < target:
-                            prs.append((pid, P.ERR_REQUEST_TIMED_OUT, base, -1))
-                            continue
+                    prs.append(None)  # filled by phase 2
+                    waits.append(
+                        (prs, len(prs) - 1, topic, pid, st, base,
+                         len(log.timestamps))
+                    )
                 else:
                     with self.meta.lock:
                         self._recompute_hw(topic, pid, st)
-                prs.append((pid, P.ERR_NONE, base, -1))
+                    prs.append((pid, P.ERR_NONE, base, -1))
             responses.append((topic, prs))
+        if appended:
+            self._notify_data()
+        deadline = time.monotonic() + timeout_ms / 1000.0
+        for prs, slot, topic, pid, st, base, target in waits:
+            # the commit rule: acked once the full ISR has it (ISR may
+            # shrink while we wait — that unblocks, the protocol's
+            # replica.lag.time behavior).  The followers have been
+            # fetching since phase 1, so these waits overlap: each
+            # loop iteration mostly finds its HW already advanced.
+            ok = False
+            with st.cond:
+                self._recompute_hw(topic, pid, st)
+                while st.hw < target and st.leader == self.node_id:
+                    remaining = deadline - time.monotonic()
+                    if remaining <= 0:
+                        break
+                    st.cond.wait(min(remaining, 0.05))
+                    self._recompute_hw(topic, pid, st)
+                ok = st.hw >= target
+            prs[slot] = (
+                (pid, P.ERR_NONE, base, -1)
+                if ok
+                else (pid, P.ERR_REQUEST_TIMED_OUT, base, -1)
+            )
         return P.encode_produce_response(responses)
 
     def _fetch(self, cur: P.Cursor, corr_id: int) -> list[bytes]:
@@ -311,9 +352,20 @@ class ClusterBroker(MiniBroker):
                 out.append((topic, prs))
             return out, total
 
+        gen = self._data_gen
         out, total = serve()
         while total < min_bytes and time.monotonic() < deadline:
-            time.sleep(0.005)
+            # park until an append or HW advance makes bytes servable
+            # (event-driven, not a sleep tick: a follower's long-poll
+            # waking instantly is what lets one acks=-1 produce commit
+            # in ~a round trip).  The generation check closes the race
+            # where data landed between serve() and wait().
+            with self._data_cond:
+                if self._data_gen == gen:
+                    self._data_cond.wait(
+                        min(0.05, max(0.0, deadline - time.monotonic()))
+                    )
+                gen = self._data_gen
             out, total = serve()
         return P.encode_fetch_response_parts(out, corr_id)
 

@@ -39,21 +39,34 @@ the Parquet append all run in the loop thread on Arrow tables — no
 Spark job in the hot path, so commit latency is poll cadence + decode
 + append (~tens of ms at the 32x500 shape) instead of the micro-batch
 cycle.  The INTENT here is strictly STRONGER than the direct door's:
-it carries the dispatched event table itself (one Parquet sidecar), so
-recovery can FINISH a half-landed multi-run append idempotently
-per-run instead of only deciding landed/not-landed wholesale.
+it carries the tmp->final RENAME LIST of part files already staged on
+disk, so recovery can FINISH a half-landed multi-run append
+idempotently per-run (atomic renames) instead of only deciding
+landed/not-landed wholesale — and the event table is written exactly
+ONCE per commit (the earlier intent_rows.parquet sidecar wrote it
+twice, and was the dominant commit term at 2x the bar shape).
 
 Exactly-once protocol (mirrors ``nexus_direct`` but the "engine
 replay" is replaced by a HELD-BACK OFFSET CURSOR — the consumer-group
 rule of committing only fully-processed positions):
 
 1. poll advances the in-memory fetch cursor; decoded rows feed the FSM;
-2. on dispatch: write ``intent.json`` = {persisted offsets, pre-batch
-   totals, per-run (frames, rows) deltas} + ``intent_rows.parquet`` =
-   the full decorated event table (tmp+rename each);
-3. append per run directory;
-4. persist ``state.json`` (offsets, totals, tombstones) and delete the
+2. on dispatch: stage each run's rows as a DOT-prefixed tmp part file
+   inside its run directory (invisible to Spark's listing and to
+   ``*.parquet`` globs);
+3. write ``intent.json`` = {persisted offsets, pre-batch totals,
+   per-run (frames, rows) deltas, dispatched frame keys, the rename
+   list} (tmp+rename — the commit point);
+4. PUBLISH: ``os.replace`` each tmp to its final part name (atomic);
+5. persist ``state.json`` (offsets, totals, tombstones) and delete the
    intent.
+
+A crash before 3 leaves only invisible tmps (swept on recovery) and an
+unadvanced persisted cursor — the records replay and the frames
+re-assemble, correctly, because they never landed.  A crash after 3
+recovers by re-running 4 idempotently (a final that exists already
+published; a surviving tmp renames now), re-arming the dispatched
+frames' tombstones, and adopting the intent's offsets/totals.
 
 The PERSISTED cursor is held back to the pre-poll position of the
 OLDEST still-pending frame (each frame snapshots the cursor at its
@@ -64,11 +77,9 @@ frame cache.  Replayed records of already-DISPATCHED frames are
 rejected by the persisted tombstones (re-armed to a fresh TTL on
 load); the replay window is bounded by the frame TTL (~0.5 s of tape),
 comfortably inside the 2 s tombstone TTL.  Recovery of a surviving
-intent compares each run's sink-derived totals against the intent's
-pre-totals: a run whose delta landed is skipped, a run whose delta is
-missing is re-appended FROM THE INTENT TABLE, then offsets/totals
-adopt the intent's values — so the sink append is exactly-once across
-crashes at EVERY step.
+intent finishes the publish step idempotently from the rename list,
+then offsets/totals adopt the intent's values — so the sink append is
+exactly-once across crashes at EVERY step.
 
 Scale posture (100 TB honesty): this door is the real-time WRITER for
 one instrument stream — the reference's own deployment shape (one
@@ -108,8 +119,6 @@ _EVENT_SCHEMA = pa.schema(
     ]
 )
 
-# intent table = event schema + run_name (recovery routes rows per run)
-_INTENT_SCHEMA = _EVENT_SCHEMA.insert(0, pa.field("run_name", pa.string()))
 
 
 class _FrameState:
@@ -213,6 +222,7 @@ class FetchLoopNexusWriter:
         self._lock = threading.Lock()
         self.loop_error: BaseException | None = None
         self.commit_log: list[dict] = []  # per-append timing observability
+        self.poll_log: list[dict] = []  # per-cycle poll/process split
         self._file_seq = 0  # monotone per-writer part index (debuggability)
 
     # ---- sidecar paths ----
@@ -221,9 +231,6 @@ class FetchLoopNexusWriter:
 
     def _intent_file(self) -> str:
         return os.path.join(self.state_dir, "intent.json")
-
-    def _intent_rows_file(self) -> str:
-        return os.path.join(self.state_dir, "intent_rows.parquet")
 
     # ---- totals derivation (recovery fallback; pyarrow, no Spark) ----
     def _totals_from_sink(self) -> dict[str, tuple[int, int]]:
@@ -293,17 +300,6 @@ class FetchLoopNexusWriter:
         memory too)."""
         if self._loaded:
             return
-        # sweep part-write orphans from a crash mid-pq.write_table: the
-        # dot-prefixed tmp names are invisible to readers but would
-        # otherwise accumulate forever
-        if os.path.isdir(self.path):
-            for name in os.listdir(self.path):
-                if not name.startswith("run_name="):
-                    continue
-                run_dir = os.path.join(self.path, name)
-                for f in os.listdir(run_dir):
-                    if f.startswith(".part-fetchloop-") and f.endswith(".tmp"):
-                        os.remove(os.path.join(run_dir, f))
         if os.path.isfile(self._state_file()):
             with open(self._state_file()) as fh:
                 st = json.load(fh)
@@ -324,21 +320,11 @@ class FetchLoopNexusWriter:
         if os.path.isfile(self._intent_file()):
             with open(self._intent_file()) as fh:
                 intent = json.load(fh)
-            actual = self._totals_from_sink()
-            table = (
-                pq.read_table(self._intent_rows_file())
-                if os.path.isfile(self._intent_rows_file())
-                else None
-            )
-            for run, (pre_seq, pre_rows) in intent["pre_totals"].items():
-                d_seq, d_rows = intent["deltas"][run]
-                a_seq, a_rows = actual.get(run, (0, 0))
-                if a_rows >= pre_rows + d_rows:
-                    continue  # this run's append landed before the crash
-                if table is not None:
-                    mask = pa.compute.equal(table.column("run_name"), run)
-                    run_rows = table.filter(mask).drop_columns(["run_name"])
-                    self._append_run(run, run_rows)
+            # finish the publish idempotently: a final that exists
+            # already landed before the crash; a surviving tmp renames
+            # now (atomic os.replace — this is the only writer of these
+            # names, uuid-unique per dispatch)
+            self._publish_renames(intent.get("renames", []))
             # re-arm the dispatched frames' tombstones: the adopted
             # cursor below is held back to any crash-time pending
             # frame's floor, so the loop will replay this dispatch's
@@ -361,8 +347,19 @@ class FetchLoopNexusWriter:
             )
             self._save_state()
             os.remove(self._intent_file())
-            if os.path.isfile(self._intent_rows_file()):
-                os.remove(self._intent_rows_file())
+        # sweep staged-part orphans from a crash BEFORE the intent was
+        # written (the dispatch never committed — its records replay
+        # from the unadvanced cursor): the dot-prefixed tmp names are
+        # invisible to readers but would otherwise accumulate forever.
+        # Runs after intent recovery, which consumes its own tmps.
+        if os.path.isdir(self.path):
+            for name in os.listdir(self.path):
+                if not name.startswith("run_name="):
+                    continue
+                run_dir = os.path.join(self.path, name)
+                for f in os.listdir(run_dir):
+                    if f.startswith(".part-fetchloop-") and f.endswith(".tmp"):
+                        os.remove(os.path.join(run_dir, f))
         self._loaded = True
 
     # ---- consumer ----
@@ -446,11 +443,28 @@ class FetchLoopNexusWriter:
         frame numbers."""
         with self._lock:
             self._load_state()
+            t0 = time.perf_counter()
             if records is None:
                 if self._consumer is None:
                     self._consumer = self._make_consumer()
                 records = self._consumer.poll(max_wait_ms=self.poll_ms)
-            return self._process(records)
+            t_poll = time.perf_counter()
+            out = self._process(records)
+            # per-cycle decomposition (poll wait vs processing, record
+            # count) — the loop-throughput attribution the commit_log's
+            # per-DISPATCH split cannot give (cycles with no dispatch
+            # never reach it).  Same bounded-ring discipline.
+            self.poll_log.append(
+                {
+                    "poll_s": round(t_poll - t0, 5),
+                    "process_s": round(time.perf_counter() - t_poll, 5),
+                    "n_records": len(records),
+                    "n_committed": len(out),
+                }
+            )
+            if len(self.poll_log) > 50_000:
+                del self.poll_log[:25_000]
+            return out
 
     def _process(self, records) -> list[int]:
         t_start = time.perf_counter()
@@ -620,11 +634,16 @@ class FetchLoopNexusWriter:
                     frames.append(int(key[4]))
         return dims, per_run, frames
 
-    def _build_table(self, dims) -> pa.Table:
-        """The posexplode equivalent in Arrow: repeat each frame's dim
-        row across its event arrays; a zero-event frame contributes one
-        null-event row."""
-        chunks = []
+    def _build_run_tables(self, dims) -> dict[str, pa.Table]:
+        """The posexplode equivalent in Arrow, grouped PER RUN: repeat
+        each frame's dim row across its event arrays; a zero-event frame
+        contributes one null-event row.  Building per-run tables
+        directly (instead of one table with a run_name column filtered
+        per run) skips the string column, the equality masks, and the
+        filter passes — with the numpy-backed constant columns this
+        halved the dominant ``parts`` term of the commit at 2x the bar
+        shape (64x500)."""
+        per_run: dict[str, list[pa.Table]] = {}
         for run_name, key, fs, seq, etz, idx in dims:
             if fs.batches:
                 ev = pa.Table.from_batches(fs.batches)
@@ -642,10 +661,9 @@ class FetchLoopNexusWriter:
                 else sorted(fs.dids) == self.expected
             )
             if n == 0:
-                chunks.append(
+                per_run.setdefault(run_name, []).append(
                     pa.table(
                         {
-                            "run_name": [run_name],
                             "frame_seq": [seq],
                             "event_time_zero": [etz],
                             "event_index": [idx],
@@ -664,28 +682,29 @@ class FetchLoopNexusWriter:
                                 [None], pa.float64()
                             ),
                         },
-                        schema=_INTENT_SCHEMA,
+                        schema=_EVENT_SCHEMA,
                     )
                 )
                 continue
             times = ev.column("event_time").combine_chunks()
             volts = ev.column("event_voltage").combine_chunks()
 
-            def _rep(val, typ, n=n):
-                return pa.array([val] * n, typ)
+            def _rep(val, dtype, n=n):
+                # np.full + zero-copy into Arrow: ~2x faster than
+                # materializing a python list per constant column
+                return pa.array(np.full(n, val, dtype))
 
-            chunks.append(
+            per_run.setdefault(run_name, []).append(
                 pa.table(
                     {
-                        "run_name": _rep(run_name, pa.string()),
-                        "frame_seq": _rep(seq, pa.int64()),
-                        "event_time_zero": _rep(etz, pa.int64()),
-                        "event_index": _rep(idx, pa.int64()),
-                        "period_number": _rep(key[1], pa.int64()),
-                        "frame_number": _rep(key[4], pa.int64()),
-                        "frame_complete": _rep(complete, pa.bool_()),
-                        "running": _rep(key[3], pa.bool_()),
-                        "veto_flags": _rep(fs.veto, pa.int32()),
+                        "frame_seq": _rep(seq, np.int64),
+                        "event_time_zero": _rep(etz, np.int64),
+                        "event_index": _rep(idx, np.int64),
+                        "period_number": _rep(key[1], np.int64),
+                        "frame_number": _rep(key[4], np.int64),
+                        "frame_complete": _rep(complete, bool),
+                        "running": _rep(key[3], bool),
+                        "veto_flags": _rep(fs.veto, np.int32),
                         "event_time_offset": times.flatten().cast(
                             pa.int64()
                         ),
@@ -694,36 +713,53 @@ class FetchLoopNexusWriter:
                             pa.float64()
                         ),
                     },
-                    schema=_INTENT_SCHEMA,
+                    schema=_EVENT_SCHEMA,
                 )
             )
-        return pa.concat_tables(chunks)
+        return {r: pa.concat_tables(cs) for r, cs in per_run.items()}
 
-    def _append_run(self, run_name: str, table: pa.Table) -> None:
+    def _write_run_tmp(self, run_name: str, table: pa.Table) -> list[str]:
+        """Stage one run's rows as a hidden tmp part file; returns the
+        ``[tmp, final]`` pair for the intent's rename list.  The final
+        name is uuid-suffixed like Spark's own part files: a
+        directory-count name could recur after compaction deletes files,
+        and a recurring name silently overwrites.  The tmp name is
+        DOT-prefixed so a crash orphan is invisible to Spark's directory
+        listing (hidden-file filter) and to ``*.parquet`` globs; a crash
+        mid-write can therefore never leave a truncated .parquet at a
+        final name (that would poison _totals_from_sink and every
+        downstream reader)."""
         run_dir = os.path.join(self.path, f"run_name={_quote(run_name)}")
         os.makedirs(run_dir, exist_ok=True)
         import uuid
 
-        # uuid-suffixed like Spark's own part files: a directory-count
-        # name could recur after compaction deletes files, and a
-        # recurring name silently overwrites
-        fname = os.path.join(
+        final = os.path.join(
             run_dir,
             "part-fetchloop-%d-%06d-%s.parquet"
             % (os.getpid(), self._file_seq, uuid.uuid4().hex[:8]),
         )
         self._file_seq += 1
-        # tmp+rename like every sidecar here: a crash mid-write must
-        # never leave a truncated .parquet at its final name (that
-        # poisons _totals_from_sink and every downstream reader).  The
-        # tmp name is DOT-prefixed so a crash orphan is also invisible
-        # to Spark's directory listing (hidden-file filter) and to
-        # *.parquet globs; _load_state sweeps orphans on recovery.
-        tmp = os.path.join(run_dir, "." + os.path.basename(fname) + ".tmp")
+        tmp = os.path.join(run_dir, "." + os.path.basename(final) + ".tmp")
         pq.write_table(
             table.cast(_EVENT_SCHEMA), tmp, compression="snappy"
         )
-        os.replace(tmp, fname)
+        return [tmp, final]
+
+    def _write_intent(self, payload: dict) -> None:
+        """Step 3, the commit point: the intent lands atomically or not
+        at all (tmp+rename)."""
+        itmp = self._intent_file() + ".tmp"
+        with open(itmp, "w") as fh:
+            json.dump(payload, fh)
+        os.replace(itmp, self._intent_file())
+
+    def _publish_renames(self, renames) -> None:
+        """The publish step: atomic per-part renames.  Idempotent —
+        recovery re-runs it for a surviving intent, where some pairs may
+        already have published before the crash."""
+        for tmp, final in renames:
+            if os.path.isfile(tmp):
+                os.replace(tmp, final)
 
     def _dispatch(
         self, dispatch, new_offsets, t_start, t_decode
@@ -737,31 +773,28 @@ class FetchLoopNexusWriter:
             if self.on_commit is not None:
                 self.on_commit([])
             return []
-        table = self._build_table(dims)
+        run_tables = self._build_run_tables(dims)
 
-        # write-ahead intent: persisted (held-back) offsets + pre totals
-        # + per-run deltas + the event table itself (recovery re-appends
-        # missing runs).  The cursor must be computed with the NEW fetch
-        # position already in place so non-pending partitions commit.
+        # stage: each run's rows land ONCE, as a hidden tmp part file
+        # (step 2 of the protocol) — the intent then only needs the
+        # rename list, not a copy of the event table.  The cursor must
+        # be computed with the NEW fetch position already in place so
+        # non-pending partitions commit.
         self._offsets = new_offsets
         os.makedirs(self.state_dir, exist_ok=True)
         deltas = {
             run: (
                 per_run[run][0] - self._totals.get(run, (0, 0))[0],
-                int(
-                    pa.compute.sum(
-                        pa.compute.equal(table.column("run_name"), run)
-                    ).as_py()
-                ),
+                run_tables[run].num_rows,
             )
             for run in per_run
         }
-        rtmp = self._intent_rows_file() + ".tmp"
-        pq.write_table(table, rtmp, compression="snappy")
-        os.replace(rtmp, self._intent_rows_file())
-        itmp = self._intent_file() + ".tmp"
-        with open(itmp, "w") as fh:
-            json.dump(
+        renames = [
+            self._write_run_tmp(run, run_tables[run]) for run in per_run
+        ]
+        t_parts = time.perf_counter()
+
+        self._write_intent(
                 {
                     "offsets": self._persist_offsets(),
                     "pre_totals": {
@@ -778,29 +811,26 @@ class FetchLoopNexusWriter:
                     # the crash hit) the frames would re-assemble and
                     # re-append.
                     "frame_keys": [list(key) for key, _fs in dispatch],
-                },
-                fh,
-            )
-        os.replace(itmp, self._intent_file())
+                    # the publish list: recovery finishes these renames
+                    # idempotently
+                    "renames": renames,
+                }
+        )
         t_intent = time.perf_counter()
 
-        for run in per_run:
-            mask = pa.compute.equal(table.column("run_name"), run)
-            self._append_run(
-                run, table.filter(mask).drop_columns(["run_name"])
-            )
-        t_append = time.perf_counter()
+        self._publish_renames(renames)
+        t_publish = time.perf_counter()
 
         self._totals.update(per_run)
         self._save_state()
         os.remove(self._intent_file())
-        os.remove(self._intent_rows_file())
         self.commit_log.append(
             {
                 "n_frames": len(frames),
                 "decode_s": round(t_decode - t_start, 5),
-                "intent_s": round(t_intent - t_decode, 5),
-                "append_s": round(t_append - t_intent, 5),
+                "parts_s": round(t_parts - t_decode, 5),
+                "intent_s": round(t_intent - t_parts, 5),
+                "publish_s": round(t_publish - t_intent, 5),
                 "total_s": round(time.perf_counter() - t_start, 5),
             }
         )

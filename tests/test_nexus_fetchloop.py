@@ -229,20 +229,31 @@ class _Boom(RuntimeError):
 
 
 def _crashing_writer(broker, path, crash_at: str, **kw):
-    """A writer whose append path crashes at a chosen step."""
+    """A writer whose commit path crashes at a chosen protocol step:
+    ``after_parts`` (tmps staged, intent never written), ``after_intent``
+    (intent written, nothing published), ``after_publish`` (parts
+    published, state not yet saved)."""
     w = _writer(broker, path, **kw)
-    orig_append = w._append_run
+    orig_intent = w._write_intent
+    orig_publish = w._publish_renames
     orig_save = w._save_state
     state = {"armed": True}
 
-    if crash_at == "after_intent":
-        def bomb(run, table):
+    if crash_at == "after_parts":
+        def bomb_intent(payload):
             if state["armed"]:
                 raise _Boom()
-            orig_append(run, table)
+            orig_intent(payload)
 
-        w._append_run = bomb
-    elif crash_at == "after_append":
+        w._write_intent = bomb_intent
+    elif crash_at == "after_intent":
+        def bomb_publish(renames):
+            if state["armed"]:
+                raise _Boom()
+            orig_publish(renames)
+
+        w._publish_renames = bomb_publish
+    elif crash_at == "after_publish":
         def bomb_save():
             if state["armed"] and os.path.isfile(w._intent_file()):
                 raise _Boom()
@@ -252,12 +263,15 @@ def _crashing_writer(broker, path, crash_at: str, **kw):
     return w, state
 
 
-@pytest.mark.parametrize("crash_at", ["after_intent", "after_append"])
+@pytest.mark.parametrize(
+    "crash_at", ["after_parts", "after_intent", "after_publish"]
+)
 def test_fetchloop_crash_recovery_exactly_once(spark, tmp_path, crash_at):
-    """Crash between the intent write and the append, and between the
-    append and the state save: recovery finishes (or skips) the
-    half-done work from the intent table — the sink holds every frame
-    exactly once either way."""
+    """Crash at every protocol step: before the intent (staged tmps
+    only — the dispatch never committed, so the records replay and the
+    frames re-assemble), after the intent (recovery publishes the
+    renames), and after the publish (recovery's renames are no-ops) —
+    the sink holds every frame exactly once in all three."""
     with MiniBroker() as broker:
         broker.create_topic("daq-events", partitions=1)
         _produce(
@@ -268,8 +282,18 @@ def test_fetchloop_crash_recovery_exactly_once(spark, tmp_path, crash_at):
         with pytest.raises((_Boom, RuntimeError)):
             for _ in range(200):
                 w.poll_once()
-        # the intent survived the crash
-        assert os.path.isfile(w._intent_file())
+        # the commit point is the intent write: before it, no intent
+        # (and nothing visible in the sink); after it, the intent
+        # survives the crash
+        if crash_at == "after_parts":
+            assert not os.path.isfile(w._intent_file())
+            assert not list(
+                (tmp_path / "s" / "run_name=run_a").glob("*.parquet")
+            )
+        else:
+            assert os.path.isfile(w._intent_file())
+        if w._consumer is not None:
+            w._consumer.close()
 
         # a FRESH writer recovers, then drains the rest of the tape
         w2 = _writer(broker, tmp_path / "s")
@@ -281,6 +305,52 @@ def test_fetchloop_crash_recovery_exactly_once(spark, tmp_path, crash_at):
     assert sorted(
         r.frame_seq for r in df.select("frame_seq").distinct().collect()
     ) == [0, 1]
+
+
+def test_fetchloop_crash_mid_publish_two_runs(spark, tmp_path):
+    """Two overlapping runs -> one dispatch stages two part files; the
+    crash hits after the FIRST rename published.  Recovery re-runs the
+    rename list idempotently (the published pair is a no-op, the
+    surviving tmp publishes now) — each run holds its rows exactly
+    once."""
+    runs2 = [
+        {"run_name": "run_a", "from_us": T0_US - 1_000_000, "until_us": None},
+        {"run_name": "run_b", "from_us": T0_US - 1_000_000, "until_us": None},
+    ]
+    with MiniBroker() as broker:
+        broker.create_topic("daq-events", partitions=1)
+        _produce(broker, [_payload(d, 0, n_events=2) for d in range(N_DIG)])
+        w = _writer(broker, tmp_path / "s", runs=runs2)
+        orig = w._publish_renames
+        state = {"armed": True}
+
+        def bomb(renames):
+            if state["armed"]:
+                orig(renames[:1])  # first run publishes, then power cut
+                raise _Boom()
+            orig(renames)
+
+        w._publish_renames = bomb
+        with pytest.raises((_Boom, RuntimeError)):
+            for _ in range(200):
+                w.poll_once()
+        assert os.path.isfile(w._intent_file())
+        if w._consumer is not None:
+            w._consumer.close()
+
+        w2 = _writer(broker, tmp_path / "s", runs=runs2)
+        w2.start()
+        assert _await(lambda: w2._totals.get("run_b", (0, 0))[0] == 1)
+        w2.stop()
+        assert w2._totals.get("run_a", (0, 0)) == (1, N_DIG * 2)
+        assert w2._totals.get("run_b", (0, 0)) == (1, N_DIG * 2)
+    df = spark.read.parquet(str(tmp_path / "s"))
+    assert df.count() == 2 * N_DIG * 2
+    per = {
+        r["run_name"]: r["count"]
+        for r in df.groupBy("run_name").count().collect()
+    }
+    assert per == {"run_a": N_DIG * 2, "run_b": N_DIG * 2}
 
 
 def test_fetchloop_crash_after_intent_with_pending_frame(spark, tmp_path):
@@ -331,11 +401,12 @@ def test_fetchloop_crash_after_intent_with_pending_frame(spark, tmp_path):
 
 
 def test_fetchloop_crash_mid_part_write_recovers(spark, tmp_path, monkeypatch):
-    """A crash DURING the sink part write (power cut mid-pq.write_table)
-    must leave no truncated .parquet at a final name: the write goes to
-    a dot-prefixed tmp (invisible to Spark's listing and *.parquet
-    globs) and renames atomically.  Recovery finishes the append from
-    the intent table and sweeps the orphaned tmp."""
+    """A crash DURING the sink part staging (power cut mid-
+    pq.write_table) must leave no truncated .parquet at a final name:
+    the write goes to a dot-prefixed tmp (invisible to Spark's listing
+    and *.parquet globs).  The staging precedes the intent, so the
+    dispatch never committed — recovery sweeps the orphaned tmp and the
+    replayed records re-assemble the frame."""
     import supermusr_data_pipeline_spark.streaming.nexus_fetchloop as FL
 
     with MiniBroker() as broker:
@@ -359,7 +430,8 @@ def test_fetchloop_crash_mid_part_write_recovers(spark, tmp_path, monkeypatch):
         with pytest.raises((_Boom, RuntimeError)):
             for _ in range(200):
                 w.poll_once()
-        assert os.path.isfile(w._intent_file())
+        # staging precedes the intent: the dispatch never committed
+        assert not os.path.isfile(w._intent_file())
         if w._consumer is not None:
             w._consumer.close()
         run_dir = tmp_path / "s" / "run_name=run_a"
@@ -379,7 +451,7 @@ def test_fetchloop_crash_mid_part_write_recovers(spark, tmp_path, monkeypatch):
         w2.start()
         assert _await(lambda: w2._totals.get("run_a", (0, 0))[0] == 1)
         w2.stop()
-        # orphan swept, append landed exactly once, directory readable
+        # orphan swept, the replayed frame landed exactly once
         assert not any(
             f.endswith(".tmp") for f in os.listdir(run_dir)
         )

