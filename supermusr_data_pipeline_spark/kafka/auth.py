@@ -438,6 +438,117 @@ def generate_self_signed_cert(directory: str) -> tuple[str, str]:
     return cert_path, key_path
 
 
+def generate_cluster_ca(directory: str) -> tuple[str, str]:
+    """Write a CA cert + key PEM pair into ``directory``; returns
+    (ca_cert_path, ca_key_path).  A multi-broker cluster issues each
+    broker its OWN leaf cert chained to this CA (the real deployment
+    shape: clients and replica fetchers trust the CA, one broker's key
+    cannot impersonate another), instead of sharing one self-signed
+    cert across every listener."""
+    import datetime
+    import os
+
+    from cryptography import x509
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.hazmat.primitives.asymmetric import rsa
+    from cryptography.x509.oid import NameOID
+
+    key = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+    name = x509.Name(
+        [x509.NameAttribute(NameOID.COMMON_NAME, "supermusr-minicluster-ca")]
+    )
+    now = datetime.datetime.now(datetime.timezone.utc)
+    cert = (
+        x509.CertificateBuilder()
+        .subject_name(name)
+        .issuer_name(name)
+        .public_key(key.public_key())
+        .serial_number(x509.random_serial_number())
+        .not_valid_before(now - datetime.timedelta(minutes=5))
+        .not_valid_after(now + datetime.timedelta(days=7))
+        .add_extension(
+            x509.BasicConstraints(ca=True, path_length=0), critical=True
+        )
+        .sign(key, hashes.SHA256())
+    )
+    ca_cert = os.path.join(directory, "cluster-ca.crt")
+    ca_key = os.path.join(directory, "cluster-ca.key")
+    with open(ca_cert, "wb") as fh:
+        fh.write(cert.public_bytes(serialization.Encoding.PEM))
+    with open(ca_key, "wb") as fh:
+        fh.write(
+            key.private_bytes(
+                serialization.Encoding.PEM,
+                serialization.PrivateFormat.PKCS8,
+                serialization.NoEncryption(),
+            )
+        )
+    return ca_cert, ca_key
+
+
+def generate_broker_cert(
+    directory: str, ca_cert_path: str, ca_key_path: str, node_id: int
+) -> tuple[str, str]:
+    """Issue one broker's leaf cert (CN ``broker-<id>``, SANs for the
+    loopback listeners) signed by the cluster CA; returns
+    (cert_path, key_path).  The served chain includes the CA cert so a
+    client trusting only the CA verifies the leaf."""
+    import datetime
+    import ipaddress
+    import os
+
+    from cryptography import x509
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.hazmat.primitives.asymmetric import rsa
+    from cryptography.x509.oid import NameOID
+
+    with open(ca_cert_path, "rb") as fh:
+        ca_cert = x509.load_pem_x509_certificate(fh.read())
+    with open(ca_key_path, "rb") as fh:
+        ca_key = serialization.load_pem_private_key(fh.read(), password=None)
+    key = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+    now = datetime.datetime.now(datetime.timezone.utc)
+    cert = (
+        x509.CertificateBuilder()
+        .subject_name(
+            x509.Name(
+                [x509.NameAttribute(NameOID.COMMON_NAME, f"broker-{node_id}")]
+            )
+        )
+        .issuer_name(ca_cert.subject)
+        .public_key(key.public_key())
+        .serial_number(x509.random_serial_number())
+        .not_valid_before(now - datetime.timedelta(minutes=5))
+        .not_valid_after(now + datetime.timedelta(days=7))
+        .add_extension(
+            x509.SubjectAlternativeName(
+                [
+                    x509.DNSName("localhost"),
+                    x509.DNSName(f"broker-{node_id}"),
+                    x509.IPAddress(ipaddress.ip_address("127.0.0.1")),
+                ]
+            ),
+            critical=False,
+        )
+        .sign(ca_key, hashes.SHA256())
+    )
+    cert_path = os.path.join(directory, f"broker-{node_id}.crt")
+    key_path = os.path.join(directory, f"broker-{node_id}.key")
+    with open(cert_path, "wb") as fh:
+        fh.write(cert.public_bytes(serialization.Encoding.PEM))
+        # append the CA: load_cert_chain serves leaf + chain
+        fh.write(ca_cert.public_bytes(serialization.Encoding.PEM))
+    with open(key_path, "wb") as fh:
+        fh.write(
+            key.private_bytes(
+                serialization.Encoding.PEM,
+                serialization.PrivateFormat.PKCS8,
+                serialization.NoEncryption(),
+            )
+        )
+    return cert_path, key_path
+
+
 def server_ssl_context(cert_path: str, key_path: str):
     import ssl
 

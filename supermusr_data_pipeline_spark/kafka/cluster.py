@@ -563,18 +563,26 @@ class MiniCluster:
                     "plain_users with the same password"
                 )
         self.ssl_ca_location: str | None = None
+        per_broker_certs: list[tuple[str, str]] | None = None
         if proto in ("SSL", "SASL_SSL") and broker_kw.get("ssl_cert") is None:
             import tempfile
 
             from . import auth as A
 
+            # real deployment shape: one cluster CA, one leaf cert PER
+            # BROKER (CN broker-<id>, own key) chained to it — clients
+            # and replica fetchers trust the CA only, and one broker's
+            # key cannot impersonate another
             self._ssl_dir = tempfile.TemporaryDirectory(
                 prefix="minicluster-tls-"
             )
-            broker_kw["ssl_cert"] = A.generate_self_signed_cert(
-                self._ssl_dir.name
-            )
-        if broker_kw.get("ssl_cert") is not None:
+            ca_cert, ca_key = A.generate_cluster_ca(self._ssl_dir.name)
+            per_broker_certs = [
+                A.generate_broker_cert(self._ssl_dir.name, ca_cert, ca_key, i)
+                for i in range(n_brokers)
+            ]
+            self.ssl_ca_location = ca_cert
+        elif broker_kw.get("ssl_cert") is not None:
             self.ssl_ca_location = broker_kw["ssl_cert"][0]
         self._fetcher_security = None
         if proto != "PLAINTEXT":
@@ -600,7 +608,12 @@ class MiniCluster:
         self.brokers = [
             ClusterBroker(
                 node_id=i, meta=self.meta,
-                default_partitions=default_partitions, **broker_kw,
+                default_partitions=default_partitions,
+                **(
+                    {**broker_kw, "ssl_cert": per_broker_certs[i]}
+                    if per_broker_certs is not None
+                    else broker_kw
+                ),
             )
             for i in range(n_brokers)
         ]

@@ -282,6 +282,30 @@ def _client_security(c, user="svc", password="hunter2"):
     )
 
 
+def test_secured_cluster_issues_per_broker_ca_chained_certs():
+    """Each broker serves its OWN leaf cert (CN broker-<id>) chained to
+    the one cluster CA — the deployment shape, replacing the r12 shared
+    self-signed cert.  Clients verify every broker against the CA alone,
+    and the leaf identities differ per node."""
+    import ssl
+
+    with _secured_cluster() as c:
+        ctx = ssl.create_default_context(cafile=c.ssl_ca_location)
+        ctx.check_hostname = False  # CN is broker-<id>; SANs carry the IP
+        cns = []
+        for b in c.brokers:
+            import socket
+
+            with socket.create_connection((b.host, b.port), timeout=10) as sk:
+                with ctx.wrap_socket(sk) as tls:
+                    cert = tls.getpeercert()
+            cn = dict(x[0] for x in cert["subject"])["commonName"]
+            cns.append(cn)
+            # hostname-style check against the SANs a client would use
+            assert ("IP Address", "127.0.0.1") in cert["subjectAltName"]
+        assert sorted(cns) == [f"broker-{i}" for i in range(3)]
+
+
 def test_secured_cluster_acks_all_replicates_through_auth():
     """acks=-1 over SASL_SSL: the produce returns only after the
     AUTHENTICATED replica fetchers have pulled every record to the full
