@@ -200,6 +200,13 @@ class MiniBroker:
         self.default_partitions = default_partitions
         self.host = host
         self.port: int | None = None
+        # data-arrival signal for blocked long-poll fetches: notified on
+        # every append so a parked fetch wakes the instant bytes are
+        # servable instead of on a 5 ms sleep tick (the tick added up to
+        # half the fetch-loop door's poll cadence in commit latency).
+        # The generation counter closes the notify-vs-recheck race.
+        self._data_cond = threading.Condition()
+        self._data_gen = 0
         self.security_protocol = security_protocol.upper()
         if self.security_protocol not in (
             "PLAINTEXT", "SSL", "SASL_PLAINTEXT", "SASL_SSL",
@@ -627,9 +634,15 @@ class MiniBroker:
             )
         return P.encode_metadata_response([(0, self.host, self.port)], topics)
 
+    def _notify_data(self) -> None:
+        with self._data_cond:
+            self._data_gen += 1
+            self._data_cond.notify_all()
+
     def _produce(self, cur: P.Cursor) -> bytes:
         _acks, _timeout, topic_data = P.decode_produce_request(cur)
         responses = []
+        appended = False
         for topic, parts in topic_data:
             logs = self._get_topic(topic)
             prs = []
@@ -638,8 +651,11 @@ class MiniBroker:
                     prs.append((pid, P.ERR_UNKNOWN_TOPIC_OR_PARTITION, -1, -1))
                     continue
                 base, err = logs[pid].append_set(mset or b"")
+                appended = appended or err == P.ERR_NONE
                 prs.append((pid, err, base, -1))
             responses.append((topic, prs))
+        if appended:
+            self._notify_data()
         return P.encode_produce_response(responses)
 
     def _fetch(self, cur: P.Cursor, corr_id: int) -> list[bytes]:
@@ -661,11 +677,18 @@ class MiniBroker:
                 out.append((topic, prs))
             return out, total
 
+        gen = self._data_gen
         out, total = serve()
         # long-poll: wait for min_bytes or the deadline (the consumer's
-        # blocking-poll semantics the reference relies on)
+        # blocking-poll semantics the reference relies on), waking on
+        # append rather than a sleep tick
         while total < min_bytes and time.monotonic() < deadline:
-            time.sleep(0.005)
+            with self._data_cond:
+                if self._data_gen == gen:
+                    self._data_cond.wait(
+                        min(0.05, max(0.0, deadline - time.monotonic()))
+                    )
+                gen = self._data_gen
             out, total = serve()
         return P.encode_fetch_response_parts(out, corr_id)
 

@@ -126,16 +126,11 @@ class ClusterBroker(MiniBroker):
         self.meta = meta
         self._logs: dict[tuple[str, int], _PartitionLog] = {}
         self._logs_lock = threading.Lock()
-        # data-arrival signal for blocked fetches: notified on every
-        # local append and every HW advance, so a parked long-poll
-        # (follower replication fetch or HW-fenced consumer fetch)
-        # wakes the instant bytes become servable instead of on a
-        # sleep tick — the poll tick was the per-produce floor that
-        # made acks=-1 pipelines fall behind at 50 fps.  The counter
-        # closes the notify-vs-recheck race (an append landing between
-        # a waiter's serve() and its wait() must not be missed).
-        self._data_cond = threading.Condition()
-        self._data_gen = 0
+        # _data_cond/_data_gen/_notify_data are inherited from
+        # MiniBroker; here the signal additionally fires on HW advance
+        # (consumer fetches are HW-fenced) — the poll tick it replaces
+        # was the per-produce floor that made acks=-1 pipelines fall
+        # behind at 50 fps.
         # per-partition recovery point: the last KNOWN-COMMITTED offset
         # bound (leader: its own HW; follower: the HW the leader
         # reported on fetch).  A restart truncates local logs here —
@@ -169,11 +164,6 @@ class ClusterBroker(MiniBroker):
 
     def _ensure_topic(self, name: str) -> None:
         self.meta.create_topic(name, self.meta.default_partitions)
-
-    def _notify_data(self) -> None:
-        with self._data_cond:
-            self._data_gen += 1
-            self._data_cond.notify_all()
 
     # -- ISR / HW bookkeeping (call under meta.lock) ------------------------
 
