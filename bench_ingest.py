@@ -946,9 +946,17 @@ def bench_fetchloop_cluster_soak(spark, workdir: str) -> dict:
     ) as cluster:
         cluster.create_topic("daq-events", partitions=4)
         victim = cluster.meta.state("daq-events", 0).leader
+        # frame_ttl_ms must cover the WHOLE visibility outage, which is
+        # longer than the 2 s bounce: kill -> ISR shrink (replica_lag)
+        # -> restart -> truncate/catch-up -> ISR rejoin -> min.insync
+        # produces resume can take ~5-6 s.  And unlike the micro-batch
+        # door, this loop admits the healthy partitions' half of a frame
+        # within ~30 ms, so its TTL clock starts EARLIER by a batch
+        # cycle — 5 s was marginal and flaked one run into incomplete
+        # TTL dispatches (no duplicates, but missing straggler rows).
         writer = FetchLoopNexusWriter(
             runs, sink, list(range(n_dig)), cluster.bootstrap,
-            ["daq-events"], frame_ttl_ms=5000, on_commit=on_commit,
+            ["daq-events"], frame_ttl_ms=15_000, on_commit=on_commit,
             poll_ms=10,
         )
         writer.start()
