@@ -787,10 +787,15 @@ def run(spark: SparkSession, workdir: str | None = None) -> dict:
                 "(streaming/nexus_fetchloop.py, the reference writer's "
                 "own consumer-loop shape) commits per poll with no "
                 "Spark job in the hot path and measures steady p50 "
-                "0.021 s / p95 0.041 s at 32x500 over the live wire "
-                "(the 32x500_fetchloop shape + "
-                "envelope.meets_latency_fetchloop), exactly-once via "
-                "write-ahead intent + held-back offset cursor.  The "
+                "~0.01 s at 32x500 over the live wire (the "
+                "32x500_fetchloop shape + "
+                "envelope.meets_latency_fetchloop; r12 record 0.021 s, "
+                "halved in r13 by the write-once rename-list intent + "
+                "event-driven broker fetch wakes), exactly-once via "
+                "write-ahead intent + held-back offset cursor; r13 also "
+                "proved it through a replicated-cluster leader bounce "
+                "(fetchloop_cluster_soak: pre-kill p50 0.026 s, spike "
+                "max 0.40 s, exactly-once accounting).  The "
                 "micro-batch doors remain the Spark-analytics path; "
                 "their floor stands as measured.  Perf knobs "
                 "persist_batch=False and write_coalesce were measured "
