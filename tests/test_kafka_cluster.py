@@ -184,6 +184,52 @@ def test_follower_rejoins_isr_after_catching_up():
         )
 
 
+def test_produce_timeout_isolated_to_stalled_partition():
+    """Two-phase produce semantics (the DelayedProduce shape): one
+    request carrying a healthy and a replication-stalled partition acks
+    the healthy one and times out ONLY the stalled one — and the waits
+    overlap, so the request takes ~one timeout, not a per-partition
+    sum."""
+    with MiniCluster(
+        n_brokers=2, replication_factor=2, min_insync_replicas=1,
+        replica_lag_ms=60_000,  # ISR retains the stalled follower
+    ) as c:
+        c.create_topic("traces", partitions=4)
+        by_leader = {}
+        for pid in range(4):
+            by_leader.setdefault(
+                c.meta.state("traces", pid).leader, []
+            ).append(pid)
+        leader, pids = next(
+            (k, v) for k, v in by_leader.items() if len(v) >= 2
+        )
+        healthy, stalled = pids[0], pids[1]
+        follower = next(
+            r
+            for r in c.meta.state("traces", stalled).replicas
+            if r != leader
+        )
+        c.pause_replication(follower, "traces", stalled)
+        time.sleep(0.1)
+        host, port = c.meta.brokers[leader]
+        conn = _Conn(f"{host}:{port}", "two-phase-test")
+        mset = P.encode_message_set([(0, None, b"v")])
+        body = P.encode_produce_request(
+            -1, 700, [("traces", [(healthy, mset), (stalled, mset)])]
+        )
+        t0 = time.monotonic()
+        cur = conn.request(P.API_PRODUCE, 2, body)
+        took = time.monotonic() - t0
+        topics, _throttle = P.decode_produce_response(cur)
+        errs = {
+            pid: err for _t, prs in topics for pid, err, _b, _l in prs
+        }
+        conn.close()
+        assert errs[healthy] == P.ERR_NONE
+        assert errs[stalled] == P.ERR_REQUEST_TIMED_OUT
+        assert 0.5 <= took < 2.0, took  # one shared deadline, overlapped
+
+
 def test_group_consumer_coordinates_across_cluster():
     with MiniCluster(n_brokers=3, replication_factor=2) as c:
         c.create_topic("docs", partitions=4)
