@@ -504,6 +504,147 @@ def test_miniconsumer_seek_ignores_unassigned_partitions(tmp_path):
     assert after[("t-a", 1)] == before[("t-a", 1)]
 
 
+def test_fetchloop_crash_property_exactly_once(spark, tmp_path):
+    """Property: over random tapes (incomplete frames, byte-identical
+    duplicate messages, random poll chunking) and a crash at a RANDOM
+    protocol step (before the intent / before the publish / before the
+    state save) at a random dispatch, the recovered sink is
+    row-identical to a no-crash run fed the same chunks.  Duplicates
+    are byte-identical by construction so winner identity cannot mask a
+    protocol divergence; frame TTL is set high so completeness is a
+    function of the tape alone, not crash timing."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from supermusr_data_pipeline_spark.kafka.client import ConsumerRecord
+
+    case_idx = [0]
+
+    @settings(max_examples=8, deadline=None)
+    @given(data=st.data())
+    def _case(data):
+        n_frames = data.draw(st.integers(1, 3), label="n_frames")
+        msgs = []
+        for f in range(n_frames):
+            dids = data.draw(
+                st.lists(st.integers(0, N_DIG - 1), min_size=1, max_size=5),
+                label=f"dids{f}",  # repeats = byte-identical duplicates
+            )
+            for d in dids:
+                msgs.append(
+                    _payload(
+                        d, f, n_events=(f + d) % 4, veto=(f ^ d) & 7,
+                        ev_offset=3 * d,
+                    )
+                )
+        cuts = data.draw(
+            st.lists(st.integers(1, max(1, len(msgs))), max_size=3),
+            label="cuts",
+        )
+        bounds = sorted({0, len(msgs), *cuts})
+        pairs = [(a, b) for a, b in zip(bounds, bounds[1:]) if b > a]
+        step = data.draw(
+            st.sampled_from(["parts", "intent", "publish"]), label="step"
+        )
+        fuse = data.draw(st.integers(1, 2), label="fuse")
+        case_idx[0] += 1
+        base = tmp_path / f"ccase{case_idx[0]}"
+        tape = [
+            ConsumerRecord("t", 0, i, 0, b"k", p) for i, p in enumerate(msgs)
+        ]
+
+        def mk(sink, clock):
+            return FetchLoopNexusWriter(
+                runs=_runs(), path=str(base / sink),
+                expected_digitizers=list(range(N_DIG)),
+                bootstrap="unused:0", topics=["t"],
+                frame_ttl_ms=60_000, clock=lambda: clock[0],
+            )
+
+        # reference: same chunks, no crash
+        now_ref = [1_000_000.0]
+        ref = mk("ref", now_ref)
+        for a, b in pairs:
+            ref.poll_once(records=tape[a:b])
+            now_ref[0] += 0.05
+        now_ref[0] += 100.0
+        ref.poll_once(records=[])
+
+        # crash run: bomb at the drawn step, on the fuse-th dispatch
+        now_c = [1_000_000.0]
+        w = mk("s", now_c)
+        armed = {"step": step, "fuse": fuse}
+
+        def maybe_boom(which):
+            if armed["step"] == which:
+                armed["fuse"] -= 1
+                if armed["fuse"] <= 0:
+                    armed["step"] = "spent"
+                    raise _Boom()
+
+        orig_intent = w._write_intent
+        orig_pub = w._publish_renames
+        orig_save = w._save_state
+
+        def wi(payload):
+            maybe_boom("parts")
+            orig_intent(payload)
+
+        def pr(renames):
+            maybe_boom("intent")
+            orig_pub(renames)
+
+        def sv():
+            if os.path.isfile(w._intent_file()):
+                maybe_boom("publish")
+            orig_save()
+
+        w._write_intent, w._publish_renames, w._save_state = wi, pr, sv
+        crashed = False
+        for a, b in pairs:
+            try:
+                w.poll_once(records=tape[a:b])
+            except _Boom:
+                crashed = True
+                break
+            now_c[0] += 0.05
+        if not crashed:
+            now_c[0] += 100.0
+            try:
+                w.poll_once(records=[])
+            except _Boom:
+                crashed = True
+
+        if crashed:
+            # process death: a FRESH writer resumes from disk state and
+            # replays from the persisted (held-back) cursor, re-fed with
+            # the ORIGINAL chunk boundaries
+            w2 = mk("s", now_c)
+            w2.poll_once(records=[])  # triggers recovery
+            resume = w2._offsets.get("t/0", 0)
+            for a, b in pairs:
+                if b <= resume:
+                    continue
+                w2.poll_once(records=tape[max(a, resume):b])
+                now_c[0] += 0.05
+            now_c[0] += 100.0
+            w2.poll_once(records=[])
+
+        got = (
+            _sink_rows(spark, base / "s")
+            if os.path.isdir(str(base / "s" / "run_name=run_a"))
+            else ([], None)
+        )
+        want = (
+            _sink_rows(spark, base / "ref")
+            if os.path.isdir(str(base / "ref" / "run_name=run_a"))
+            else ([], None)
+        )
+        assert got == want
+
+    _case()
+
+
 def test_fetchloop_heldback_cursor_replays_pending(spark, tmp_path):
     """A frame split across polls whose writer dies before the frame
     dispatches: the persisted cursor was held at the frame's first
