@@ -941,6 +941,74 @@ def test_fetchloop_over_sasl_ssl(spark, tmp_path):
     assert spark.read.parquet(str(tmp_path / "s")).count() == 3 * N_DIG * 2
 
 
+def test_fetchloop_secured_cluster_failover(spark, tmp_path):
+    """The full composition: the loop authenticates (SCRAM over TLS,
+    per-broker CA-chained certs) against a REPLICATED cluster, a broker
+    dies mid-stream, and the re-dial path re-authenticates against the
+    survivors — every frame lands exactly once."""
+    from supermusr_data_pipeline_spark.kafka.auth import (
+        SCRAM_SHA_256,
+        ClientSecurity,
+    )
+    from supermusr_data_pipeline_spark.kafka.cluster import MiniCluster
+
+    with MiniCluster(
+        n_brokers=3, replication_factor=2, min_insync_replicas=1,
+        security_protocol="SASL_SSL",
+        scram_users={"writer": "hunter2", "replicator": "wheel"},
+        inter_broker_user=("replicator", "wheel"),
+    ) as c:
+        c.create_topic("daq-events", partitions=2)
+        sec = ClientSecurity(
+            protocol="SASL_SSL", mechanism=SCRAM_SHA_256,
+            username="writer", password="hunter2",
+            ca_location=c.ssl_ca_location,
+        )
+        victim = c.meta.state("daq-events", 0).leader
+        w = FetchLoopNexusWriter(
+            runs=_runs(), path=str(tmp_path / "s"),
+            expected_digitizers=list(range(N_DIG)),
+            bootstrap=c.bootstrap, topics=["daq-events"],
+            frame_ttl_ms=5000, poll_ms=10, security=sec,
+        )
+        w.start()
+        prod = MiniProducer(c.bootstrap, buffer_max=64, security=sec)
+        for f in range(3):
+            for d in range(N_DIG):
+                prod.send(
+                    "daq-events", _payload(d, f, n_events=2),
+                    key=str(d).encode(),
+                )
+            prod.flush()
+        assert _await(lambda: w._totals.get("run_a", (0, 0))[0] == 3)
+        c.kill(victim)
+        for f in range(3, 6):
+            sent = False
+            for _ in range(200):
+                try:
+                    for d in range(N_DIG):
+                        prod.send(
+                            "daq-events", _payload(d, f, n_events=2),
+                            key=str(d).encode(),
+                        )
+                    prod.flush()
+                    sent = True
+                    break
+                except OSError:
+                    time.sleep(0.05)
+            assert sent
+        assert _await(
+            lambda: w._totals.get("run_a", (0, 0))[0] == 6, timeout_s=20
+        )
+        w.stop()
+        prod.close()
+    df = spark.read.parquet(str(tmp_path / "s"))
+    assert df.count() == 6 * N_DIG * 2
+    assert sorted(
+        r.frame_seq for r in df.select("frame_seq").distinct().collect()
+    ) == list(range(6))
+
+
 def test_fetchloop_sink_compacts_like_any_nexus_run(spark, tmp_path):
     """Operational closure of the door's file-count cost: committing per
     poll writes ~1 small file per dispatch (the latency trade), so the
