@@ -729,6 +729,15 @@ class FetchLoopNexusWriter:
         mid-write can therefore never leave a truncated .parquet at a
         final name (that would poison _totals_from_sink and every
         downstream reader)."""
+        tmp, final = self._alloc_part(run_name)
+        pq.write_table(
+            table.cast(_EVENT_SCHEMA), tmp, compression="snappy"
+        )
+        return [tmp, final]
+
+    def _alloc_part(self, run_name: str) -> list[str]:
+        """Allocate one part's (tmp, final) path pair — single-threaded
+        (mutates the monotone file sequence)."""
         run_dir = os.path.join(self.path, f"run_name={_quote(run_name)}")
         os.makedirs(run_dir, exist_ok=True)
         import uuid
@@ -740,10 +749,59 @@ class FetchLoopNexusWriter:
         )
         self._file_seq += 1
         tmp = os.path.join(run_dir, "." + os.path.basename(final) + ".tmp")
-        pq.write_table(
-            table.cast(_EVENT_SCHEMA), tmp, compression="snappy"
-        )
         return [tmp, final]
+
+    # large dispatches split into slices written concurrently: pyarrow's
+    # parquet writer releases the GIL, and the write was the dominant
+    # commit term at 4x the bar shape (58 ms of a ~105 ms cycle at
+    # 128x500).  Below the threshold (the steady 32x500 path commits
+    # one ~16k-row frame per cycle) staging stays single-file — thread
+    # spawn would only add overhead there.
+    _STAGE_SLICE_ROWS = 131_072
+
+    def _stage_run_tables(self, run_tables: dict) -> list[list[str]]:
+        """Stage every run's rows as one or more hidden tmp part files
+        (concurrently when large); returns the rename list for the
+        intent.  Part names are allocated in the caller thread — only
+        the writes fan out."""
+        jobs = []  # (run_name, table_slice)
+        for run, t in run_tables.items():
+            if t.num_rows > self._STAGE_SLICE_ROWS:
+                n = min(4, (t.num_rows + self._STAGE_SLICE_ROWS - 1)
+                        // self._STAGE_SLICE_ROWS)
+                step = (t.num_rows + n - 1) // n
+                for off in range(0, t.num_rows, step):
+                    jobs.append((run, t.slice(off, step)))
+            else:
+                jobs.append((run, t))
+        if len(jobs) == 1:
+            return [self._write_run_tmp(*jobs[0])]
+        # _write_run_tmp mutates _file_seq, so names are allocated here
+        # in the caller thread; only the (GIL-releasing) writes fan out
+        allocated = [
+            (self._alloc_part(run), tbl) for run, tbl in jobs
+        ]
+        errors: list = []
+
+        def _stage(pair, tbl):
+            try:
+                pq.write_table(
+                    tbl.cast(_EVENT_SCHEMA), pair[0], compression="snappy"
+                )
+            except BaseException as e:  # re-raised below
+                errors.append(e)
+
+        threads = [
+            threading.Thread(target=_stage, args=(pair, tbl), daemon=True)
+            for pair, tbl in allocated
+        ]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        if errors:
+            raise errors[0]
+        return [pair for pair, _tbl in allocated]
 
     def _write_intent(self, payload: dict) -> None:
         """Step 3, the commit point: the intent lands atomically or not
@@ -789,9 +847,9 @@ class FetchLoopNexusWriter:
             )
             for run in per_run
         }
-        renames = [
-            self._write_run_tmp(run, run_tables[run]) for run in per_run
-        ]
+        renames = self._stage_run_tables(
+            {run: run_tables[run] for run in per_run}
+        )
         t_parts = time.perf_counter()
 
         self._write_intent(

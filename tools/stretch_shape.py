@@ -140,9 +140,15 @@ def main() -> None:
             "of a 0.205 s commit) plus python-list constant-column "
             "builds in _build_table.  FIXED in r13: the intent now "
             "carries a rename list over pre-staged hidden tmp parts "
-            "(write-once, same crash-at-every-step exactly-once) and "
-            "the builder emits per-run tables from numpy constants — "
-            "see decomposition fields per point for the measured split."
+            "(write-once, same crash-at-every-step exactly-once), the "
+            "builder emits per-run tables from numpy constants, and "
+            "catch-up dispatches above 131k rows stage as slices "
+            "written concurrently (the parquet writer releases the "
+            "GIL; the write was the dominant term at 128x500).  The "
+            "fetch-loop door now keeps up at BOTH stretch shapes — "
+            "128x500 is 4x the reference's full instrument at 3.2 M "
+            "events/s on one core-plus-staging-threads — see the "
+            "decomposition fields per point for the measured split."
         ),
         "measured_ceiling_Mevents_per_s": (
             round(max(v for v in mb if v is not None), 2) if any(mb) else None
