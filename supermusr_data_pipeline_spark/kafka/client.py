@@ -769,6 +769,14 @@ class GroupConsumer(MiniConsumer):
         self.generation = -1
         self.rebalances = 0
         self._positions: dict[tuple[str, int], int] = {}
+        # one-shot resume targets for partitions NOT currently owned:
+        # seek() buffers them here and _adopt applies each the first
+        # time a rebalance hands this member the partition (then the
+        # group's committed offsets take over).  Without this, a
+        # FetchLoopNexusWriter resumed through a group-consumer factory
+        # would silently lose saved offsets for partitions another
+        # member happened to own at seek time.
+        self._seek_targets: dict[tuple[str, int], int] = {}
         # data channel: leader-routed like the manual consumer's
         self._router = _Router(bootstrap, client_id, security)
         self._client_id = client_id
@@ -917,6 +925,24 @@ class GroupConsumer(MiniConsumer):
                     else P.LATEST_TIMESTAMP
                 )
             self._seek_all(uncommitted, target)
+        # buffered seek targets win over committed/starting offsets the
+        # FIRST time this member owns the partition, then are consumed —
+        # later rebalances resume from the group's own progress
+        for tp in list(self._seek_targets):
+            if tp in self._positions:
+                self._positions[tp] = self._seek_targets.pop(tp)
+
+    def seek(self, positions: dict[tuple[str, int], int]) -> None:
+        """The resume API under group semantics: currently-owned
+        partitions reposition immediately; partitions of SUBSCRIBED
+        topics owned by other members buffer as one-shot targets that
+        ``_adopt`` applies when a rebalance hands them over.  Keys for
+        unsubscribed topics drop, matching ``MiniConsumer.seek``."""
+        for tp, off in positions.items():
+            if tp in self._positions:
+                self._positions[tp] = int(off)
+            elif tp[0] in self.topics:
+                self._seek_targets[tp] = int(off)
 
     def assignment(self) -> list[tuple[str, int]]:
         return sorted(self._positions)

@@ -75,11 +75,24 @@ admitted — pending state itself never needs checkpointing, exactly the
 replay-over-checkpoint trade the reference makes with its in-memory
 frame cache.  Replayed records of already-DISPATCHED frames are
 rejected by the persisted tombstones (re-armed to a fresh TTL on
-load); the replay window is bounded by the frame TTL (~0.5 s of tape),
-comfortably inside the 2 s tombstone TTL.  Recovery of a surviving
-intent finishes the publish step idempotently from the rename list,
-then offsets/totals adopt the intent's values — so the sink append is
-exactly-once across crashes at EVERY step.
+load); the replay window is bounded by the frame TTL of tape, and the
+constructor DERIVES the tombstone TTL past it (frame TTL + poll slack)
+so no configuration can prune a tombstone while its records are still
+replayable.  Recovery of a surviving intent finishes the publish step
+idempotently from the rename list, then offsets/totals adopt the
+intent's values — so the sink append is exactly-once across crashes at
+EVERY step.
+
+Durability scope: "crash" above means PROCESS crash (kill -9, OOM,
+exception), which is what every test in the suite simulates — the
+default mode issues no fsync, so an OS-level power cut can reorder a
+rename ahead of its data and surface a truncated file at a final name.
+``durability="power"`` closes that: fsync the staged part and intent
+tmp files before their renames and the parent directories after, at
+the cost of a few ms of commit latency per dispatch (still far inside
+the 1 s budget; the default stays fsync-free because the soaks measure
+the reference's own posture — a plain consumer process whose broker,
+not filesystem, is the source of truth for replay).
 
 Scale posture (100 TB honesty): this door is the real-time WRITER for
 one instrument stream — the reference's own deployment shape (one
@@ -144,6 +157,17 @@ class _FrameState:
         self.floor = floor
 
 
+def _fsync_path(path: str) -> None:
+    """fsync a file or directory by path (``durability='power'`` only:
+    makes a preceding write/rename survive an OS power cut, not just a
+    process crash)."""
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
 def _runs_rows(runs) -> list[dict]:
     """Accept the RUN_SCHEMA Spark DataFrame the other doors take (one
     driver-side collect — runs are a tiny dimension) or a pre-collected
@@ -184,6 +208,7 @@ class FetchLoopNexusWriter:
         starting_offsets: str = "earliest",
         consumer_factory=None,
         input_format: str = "dev2",
+        durability: str = "process",
     ):
         """``input_format``: 'dev2' (digitiser messages — this door runs
         the aggregator's frame FSM itself, the fused deployment) or
@@ -196,14 +221,37 @@ class FetchLoopNexusWriter:
             raise ValueError(
                 f"input_format={input_format!r}: 'dev2' or 'aev2'"
             )
+        if durability not in ("process", "power"):
+            raise ValueError(
+                f"durability={durability!r}: 'process' or 'power'"
+            )
         self.input_format = input_format
+        # 'process' (default): atomic tmp+rename, safe against process
+        # crashes (what the suite simulates).  'power': additionally
+        # fsync data before renames and directories after, so an OS
+        # power cut cannot surface a truncated file at a final name.
+        self._fsync = durability == "power"
         self.runs_rows = _runs_rows(runs)
         self.path = path
         self.expected = sorted(int(d) for d in expected_digitizers)
         self.bootstrap = bootstrap
         self.topics = list(topics)
         self.frame_ttl_ms = frame_ttl_ms
-        self.tombstone_ttl_ms = tombstone_ttl_ms
+        # exactly-once across a crash REQUIRES the tombstone to outlive
+        # the replay window: the persisted cursor is held back to the
+        # oldest pending frame's floor (<= frame_ttl of tape plus a poll
+        # period of scheduling slack), so a dispatched frame's records
+        # can replay for up to that long after its dispatch.  If the
+        # frame's tombstone expired, was pruned from memory, and the
+        # pruned set was persisted by a later dispatch's _save_state
+        # before the crash, the replayed records re-assemble the frame
+        # and append its rows twice.  Derive rather than reject: a
+        # shorter explicit tombstone TTL is never what the caller means,
+        # and the raised floor costs only ~frame-rate x frame_ttl
+        # tombstone entries (50 fps x 15 s = 750 tuples).
+        self.tombstone_ttl_ms = max(
+            tombstone_ttl_ms, frame_ttl_ms + max(2 * poll_ms, 250)
+        )
         self.state_dir = state_dir or os.path.join(path, "_fetchloop_state")
         self.on_commit = on_commit
         self.clock = clock
@@ -287,7 +335,12 @@ class FetchLoopNexusWriter:
                 },
                 fh,
             )
+            if self._fsync:
+                fh.flush()
+                os.fsync(fh.fileno())
         os.replace(tmp, self._state_file())
+        if self._fsync:
+            _fsync_path(self.state_dir)
 
     def _load_state(self) -> None:
         """Resume: state.json -> offsets/totals/tombstones; a surviving
@@ -725,14 +778,18 @@ class FetchLoopNexusWriter:
         directory-count name could recur after compaction deletes files,
         and a recurring name silently overwrites.  The tmp name is
         DOT-prefixed so a crash orphan is invisible to Spark's directory
-        listing (hidden-file filter) and to ``*.parquet`` globs; a crash
-        mid-write can therefore never leave a truncated .parquet at a
-        final name (that would poison _totals_from_sink and every
-        downstream reader)."""
+        listing (hidden-file filter) and to ``*.parquet`` globs; a
+        PROCESS crash mid-write can therefore never leave a truncated
+        .parquet at a final name (that would poison _totals_from_sink
+        and every downstream reader).  Against an OS power cut the same
+        holds only in ``durability='power'`` mode, which fsyncs the tmp
+        before the publish rename and the directory after it."""
         tmp, final = self._alloc_part(run_name)
         pq.write_table(
             table.cast(_EVENT_SCHEMA), tmp, compression="snappy"
         )
+        if self._fsync:
+            _fsync_path(tmp)
         return [tmp, final]
 
     def _alloc_part(self, run_name: str) -> list[str]:
@@ -777,47 +834,80 @@ class FetchLoopNexusWriter:
         if len(jobs) == 1:
             return [self._write_run_tmp(*jobs[0])]
         # _write_run_tmp mutates _file_seq, so names are allocated here
-        # in the caller thread; only the (GIL-releasing) writes fan out
+        # in the caller thread; only the (GIL-releasing) writes fan out,
+        # through a BOUNDED pool — a catch-up dispatch spanning many
+        # overlapping runs must not spawn one writer thread per part
         allocated = [
             (self._alloc_part(run), tbl) for run, tbl in jobs
         ]
         errors: list = []
+        next_job = iter(range(len(allocated)))
+        it_lock = threading.Lock()
 
-        def _stage(pair, tbl):
-            try:
-                pq.write_table(
-                    tbl.cast(_EVENT_SCHEMA), pair[0], compression="snappy"
-                )
-            except BaseException as e:  # re-raised below
-                errors.append(e)
+        def _worker():
+            while True:
+                with it_lock:
+                    i = next(next_job, None)
+                if i is None or errors:
+                    return
+                pair, tbl = allocated[i]
+                try:
+                    pq.write_table(
+                        tbl.cast(_EVENT_SCHEMA), pair[0],
+                        compression="snappy",
+                    )
+                    if self._fsync:
+                        _fsync_path(pair[0])
+                except BaseException as e:  # re-raised below
+                    errors.append(e)
+                    return
 
         threads = [
-            threading.Thread(target=_stage, args=(pair, tbl), daemon=True)
-            for pair, tbl in allocated
+            threading.Thread(target=_worker, daemon=True)
+            for _ in range(min(8, len(allocated)))
         ]
         for th in threads:
             th.start()
         for th in threads:
             th.join()
         if errors:
+            # a failed staging never committed (the intent is not yet
+            # written): drop every tmp now instead of leaving it for the
+            # next restart's recovery sweep
+            for (tmp, _final), _tbl in allocated:
+                try:
+                    os.remove(tmp)
+                except OSError:
+                    pass
             raise errors[0]
         return [pair for pair, _tbl in allocated]
 
     def _write_intent(self, payload: dict) -> None:
         """Step 3, the commit point: the intent lands atomically or not
-        at all (tmp+rename)."""
+        at all (tmp+rename; fsync'd through in power mode so the rename
+        can never beat its data to the journal)."""
         itmp = self._intent_file() + ".tmp"
         with open(itmp, "w") as fh:
             json.dump(payload, fh)
+            if self._fsync:
+                fh.flush()
+                os.fsync(fh.fileno())
         os.replace(itmp, self._intent_file())
+        if self._fsync:
+            _fsync_path(self.state_dir)
 
     def _publish_renames(self, renames) -> None:
         """The publish step: atomic per-part renames.  Idempotent —
         recovery re-runs it for a surviving intent, where some pairs may
         already have published before the crash."""
+        dirs = set()
         for tmp, final in renames:
             if os.path.isfile(tmp):
                 os.replace(tmp, final)
+                dirs.add(os.path.dirname(final))
+        if self._fsync:
+            for d in dirs:
+                _fsync_path(d)
 
     def _dispatch(
         self, dispatch, new_offsets, t_start, t_decode

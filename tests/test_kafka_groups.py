@@ -499,3 +499,67 @@ def test_spark_job_to_group_consumer_interop(spark):
         )
         assert c3.poll(max_wait_ms=200) == []
         c3.close()
+
+
+def test_group_seek_buffers_targets_for_unowned_partitions():
+    """The consumer_factory resume contract under group semantics: a
+    seek() for a partition another member currently owns must not be
+    silently dropped — it buffers and applies when a rebalance hands the
+    partition over (one-shot), so a FetchLoopNexusWriter resumed through
+    a group-consumer factory keeps its saved cursor."""
+    with MiniBroker() as broker:
+        _fill(broker, "t", 8, partitions=4)
+        c1 = GroupConsumer(
+            broker.bootstrap, "g", ["t"],
+            session_timeout_ms=4000, heartbeat_interval_ms=100,
+        )
+        box = {}
+        th = threading.Thread(
+            target=lambda: box.update(
+                c2=GroupConsumer(
+                    broker.bootstrap, "g", ["t"],
+                    session_timeout_ms=4000, heartbeat_interval_ms=100,
+                )
+            )
+        )
+        th.start()
+        deadline = time.time() + 10
+        while "c2" not in box and time.time() < deadline:
+            c1.poll(max_wait_ms=50)
+        th.join(timeout=10)
+        c2 = box["c2"]
+        while len(c1.assignment()) != 2 and time.time() < deadline:
+            c1.poll(max_wait_ms=50)
+        assert len(c1.assignment()) == 2
+
+        # seek ALL four partitions on c1: the two it owns move now, the
+        # two c2 owns buffer; an unsubscribed topic's key drops
+        targets = {("t", p): 0 for p in range(4)}
+        targets[("ghost", 0)] = 99
+        c1.seek(targets)
+        owned_now = set(c1.assignment())
+        assert all(c1.positions()[tp] == 0 for tp in owned_now)
+        buffered = {("t", p) for p in range(4)} - owned_now
+        assert set(c1._seek_targets) == buffered
+
+        # c2 leaves -> c1 rebalances onto all four -> buffered targets
+        # apply exactly once, beating the group's committed offsets
+        c2.poll(max_wait_ms=200)  # move c2 past 0 on its partitions
+        c1.commit()  # commit both so "committed wins" would place the
+        c2.commit()  # handed-over partitions at their polled log ends
+        c2.close()
+        sizes = {p: c1._log_end("t", p) for (_t, p) in buffered}
+        want = {(p, 0) for (_t, p) in buffered if sizes[p] > 0}
+        deadline = time.time() + 10
+        got: set[tuple[int, int]] = set()
+        while time.time() < deadline and not (
+            len(c1.assignment()) == 4 and want <= got
+        ):
+            for r in c1.poll(max_wait_ms=50):
+                got.add((r.partition, r.offset))
+        assert len(c1.assignment()) == 4
+        assert c1._seek_targets == {}  # one-shot: consumed on adoption
+        # redelivery from offset 0 proves the buffered target beat the
+        # committed offsets for every handed-over partition with data
+        assert want <= got
+        c1.close()

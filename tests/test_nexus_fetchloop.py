@@ -460,6 +460,78 @@ def test_fetchloop_crash_mid_part_write_recovers(spark, tmp_path, monkeypatch):
     assert {r.frame_number for r in df.collect()} == {0}
 
 
+def test_fetchloop_long_frame_ttl_crash_replays_exactly_once(spark, tmp_path):
+    """frame_ttl requested LONGER than tombstone_ttl (the r13 chaos
+    soak's own configuration): a long-pending frame holds the persisted
+    cursor back past a dispatched frame's requested tombstone expiry, a
+    later dispatch persists the pruned tombstone set, and a crash then
+    replays the dispatched frame's records.  Without the constructor's
+    TTL-coupling derivation the frame re-assembles and its rows append
+    twice; with it, the tombstone outlives every replayable record."""
+    t = [1_000_000.0]  # fake epoch seconds — drives frame/tombstone TTLs
+
+    def mk(path):
+        return _writer(
+            broker, path, frame_ttl_ms=5000, tombstone_ttl_ms=100,
+            clock=lambda: t[0],
+        )
+
+    def drain(w, want_seq, polls=80):
+        for _ in range(polls):
+            w.poll_once()
+            if w._totals.get("run_a", (0, 0))[0] >= want_seq:
+                return
+        raise AssertionError(
+            f"never reached frame_seq {want_seq}: {w._totals}"
+        )
+
+    with MiniBroker() as broker:
+        broker.create_topic("daq-events", partitions=1)
+        # F0 complete (dispatches on sight) + F1 partial (pends for the
+        # full 5 s frame TTL, holding the cursor at this poll's floor)
+        _produce(
+            broker,
+            [_payload(d, 0, n_events=2) for d in range(N_DIG)]
+            + [_payload(d, 1, n_events=2) for d in range(N_DIG - 1)],
+        )
+        w = mk(tmp_path / "s")
+        # the guard under test: tombstone TTL derived past the frame TTL
+        assert w.tombstone_ttl_ms > w.frame_ttl_ms
+        drain(w, 1)
+        assert len(w._pending) == 1  # F1 pending, cursor held back
+
+        # advance past the REQUESTED 100 ms tombstone TTL (old code
+        # prunes F0's tombstone here) but inside the frame TTL, then a
+        # second dispatch persists state after the prune would have run
+        t[0] += 0.5
+        _produce(broker, [_payload(d, 2, n_events=2) for d in range(N_DIG)])
+        drain(w, 2)
+        assert len(w._pending) == 1  # F1 STILL pending
+
+        # crash (no stop/flush) and resume: the held-back cursor replays
+        # F0/F1/F2's records — F0 and F2 must reject via re-armed
+        # tombstones, F1 re-pends and TTL-dispatches once
+        if w._consumer is not None:
+            w._consumer.close()
+        w2 = mk(tmp_path / "s")
+        for _ in range(30):
+            w2.poll_once()
+        t[0] += 6.0  # expire F1's (replayed) frame TTL
+        drain(w2, 3)
+        if w2._consumer is not None:
+            w2._consumer.close()
+
+    df = spark.read.parquet(str(tmp_path / "s"))
+    per_frame = {
+        r["frame_number"]: r["n"]
+        for r in df.groupBy("frame_number").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    assert per_frame == {
+        0: 2 * N_DIG, 1: 2 * (N_DIG - 1), 2: 2 * N_DIG
+    }
+
+
 def test_fetchloop_saved_offsets_for_unsubscribed_topic_dropped(
     spark, tmp_path
 ):
@@ -1069,3 +1141,87 @@ def test_fetchloop_commit_latency_under_budget(tmp_path):
         w.stop()
         totals = [c["total_s"] for c in w.commit_log]
         assert totals and max(totals) < 1.0, w.commit_log
+
+
+def test_fetchloop_power_durability_mode(spark, tmp_path):
+    """durability='power' fsyncs staged parts / intent / state through
+    the same protocol — identical sink rows, just stronger media
+    guarantees (the mode is opt-in because fsync costs commit latency
+    the default's process-crash scope doesn't need)."""
+    with pytest.raises(ValueError):
+        FetchLoopNexusWriter(
+            runs=_runs(), path=str(tmp_path / "x"),
+            expected_digitizers=list(range(N_DIG)), bootstrap="none:1",
+            topics=["t"], durability="nonsense",
+        )
+    with MiniBroker() as broker:
+        broker.create_topic("daq-events", partitions=1)
+        _produce(
+            broker,
+            [_payload(d, f, n_events=2) for f in range(3) for d in range(N_DIG)],
+        )
+        w = _writer(broker, tmp_path / "s", durability="power")
+        assert w._fsync is True
+        w.start()
+        assert _await(lambda: w._totals.get("run_a", (0, 0))[0] == 3)
+        w.stop()
+    df = spark.read.parquet(str(tmp_path / "s"))
+    assert df.count() == 3 * N_DIG * 2
+
+
+def test_fetchloop_staging_pool_error_unlinks_tmps(spark, tmp_path, monkeypatch):
+    """A failed CONCURRENT staging (multi-part dispatch) must not leave
+    its already-written sibling tmps on disk for the next restart's
+    sweep: the error path unlinks every allocated tmp before re-raising,
+    and the dispatch never committed (no intent), so recovery replays
+    and lands the frames exactly once."""
+    import supermusr_data_pipeline_spark.streaming.nexus_fetchloop as FL
+
+    runs2 = [
+        {"run_name": "run_a", "from_us": T0_US - 1_000_000, "until_us": None},
+        {"run_name": "run_b", "from_us": T0_US - 1_000_000, "until_us": None},
+    ]
+    with MiniBroker() as broker:
+        broker.create_topic("daq-events", partitions=1)
+        _produce(broker, [_payload(d, 0, n_events=2) for d in range(N_DIG)])
+        w = _writer(broker, tmp_path / "s", runs=runs2)
+
+        orig = FL.pq.write_table
+        state = {"n": 0}
+
+        def bomb(table, where, **kw):
+            if "run_name=" in str(where):
+                state["n"] += 1
+                if state["n"] == 2:  # second slice of the pooled stage
+                    raise _Boom()
+            orig(table, where, **kw)
+
+        monkeypatch.setattr(FL.pq, "write_table", bomb)
+        with pytest.raises((_Boom, RuntimeError)):
+            for _ in range(200):
+                w.poll_once()
+        assert state["n"] >= 2  # the pooled path actually ran
+        assert not os.path.isfile(w._intent_file())
+        if w._consumer is not None:
+            w._consumer.close()
+        monkeypatch.setattr(FL.pq, "write_table", orig)
+        # the error path cleaned up: no tmps anywhere under the sink
+        leftovers = [
+            f
+            for rd in os.listdir(tmp_path / "s")
+            if rd.startswith("run_name=")
+            for f in os.listdir(tmp_path / "s" / rd)
+            if f.endswith(".tmp")
+        ]
+        assert leftovers == []
+
+        w2 = _writer(broker, tmp_path / "s", runs=runs2)
+        w2.start()
+        assert _await(lambda: w2._totals.get("run_b", (0, 0))[0] == 1)
+        w2.stop()
+    df = spark.read.parquet(str(tmp_path / "s"))
+    per = {
+        r["run_name"]: r["count"]
+        for r in df.groupBy("run_name").count().collect()
+    }
+    assert per == {"run_a": N_DIG * 2, "run_b": N_DIG * 2}
