@@ -278,9 +278,32 @@ class _OffsetOracle:
         if not self.bootstrap:
             raise ValueError("kafka.bootstrap.servers is required")
         subscribe = _opt(options, "subscribe")
-        if not subscribe:
-            raise ValueError("subscribe is required")
-        self.topics = subscribe.split(",")
+        assign = _opt(options, "assign")
+        if subscribe and assign:
+            raise ValueError("subscribe and assign are mutually exclusive")
+        if assign:
+            # the JVM source's explicit-partition form:
+            # assign = '{"topicA":[0,1],"topicB":[2]}'.  This is how a
+            # fleet of writer processes shards ONE topic: each instance
+            # owns a disjoint partition set (the reference's
+            # process-per-stream shape, applied within a topic).
+            import json as _json
+
+            parsed = _json.loads(assign)
+            if not isinstance(parsed, dict) or not parsed:
+                raise ValueError(
+                    "assign must be a non-empty JSON object "
+                    '{"topic": [partition, ...]}'
+                )
+            self._assign: dict[str, list[int]] | None = {
+                t: sorted(int(p) for p in ps) for t, ps in parsed.items()
+            }
+            self.topics = sorted(self._assign)
+        else:
+            if not subscribe:
+                raise ValueError("subscribe or assign is required")
+            self._assign = None
+            self.topics = subscribe.split(",")
         self._router: _Router | None = None
 
     def router(self) -> _Router:
@@ -295,6 +318,18 @@ class _OffsetOracle:
         missing = [t for t in self.topics if t not in counts]
         if missing:
             raise ValueError(f"unknown topics: {missing}")
+        if self._assign is not None:
+            bad = [
+                (t, p)
+                for t, ps in self._assign.items()
+                for p in ps
+                if p < 0 or p >= counts[t]
+            ]
+            if bad:
+                raise ValueError(
+                    f"assigned partitions outside topic range: {bad}"
+                )
+            return [(t, p) for t in sorted(self._assign) for p in self._assign[t]]
         return [(t, p) for t in self.topics for p in range(counts[t])]
 
     def leader_addr(self, topic: str, pid: int) -> str:

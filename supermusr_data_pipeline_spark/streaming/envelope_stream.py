@@ -54,6 +54,7 @@ def kafka_source_options(
     password: str | None = None,
     group_id: str | None = None,
     ssl_ca_location: str | None = None,
+    assign: dict[str, list[int]] | None = None,
 ) -> dict[str, str]:
     """Options for ``spark.readStream.format("kafka")`` mirroring the
     reference consumer config (zstd transport, explicit group/topics —
@@ -77,10 +78,20 @@ def kafka_source_options(
         raise ValueError("username and password must be provided together")
     opts = {
         "kafka.bootstrap.servers": brokers,
-        "subscribe": ",".join(topics),
         "kafka.compression.type": "zstd",
         "failOnDataLoss": "false",
     }
+    if assign is not None:
+        # the JVM source's explicit-partition subscription: one writer
+        # instance per DISJOINT partition set shards a topic across
+        # processes (topics is ignored in this form)
+        import json as _json
+
+        opts["assign"] = _json.dumps(
+            {t: sorted(int(p) for p in ps) for t, ps in assign.items()}
+        )
+    else:
+        opts["subscribe"] = ",".join(topics)
     if starting_timestamp_ms is not None:
         opts["startingTimestamp"] = str(starting_timestamp_ms)
     else:

@@ -288,3 +288,75 @@ def test_value_decode_aev2_fused_matches_two_stage(spark):
         a = sorted(map(repr, fused.collect()))
         b = sorted(map(repr, two_stage.collect()))
         assert len(a) == 16 and a == b
+
+
+def test_assign_reads_only_listed_partitions(registered, tmp_path):
+    """The JVM source's ``assign`` form (explicit topic-partitions):
+    the fleet-sharding primitive — N writer instances each own a
+    disjoint partition set of ONE topic.  Both the batch and streaming
+    readers must plan ranges only for the assigned partitions, and the
+    two shards' outputs must partition the topic's records exactly."""
+    spark = registered
+    with MiniBroker() as b:
+        b.create_topic("t", partitions=4)
+        with MiniProducer(b.bootstrap) as prod:
+            for i in range(40):
+                prod.send(
+                    "t", f"v{i}".encode(), partition=i % 4,
+                    timestamp_ms=1000 + i,
+                )
+
+        def read(assign):
+            return (
+                spark.read.format("kafka-wire")
+                .options(**kafka_source_options(
+                    b.bootstrap, [], max_offsets_per_trigger=None,
+                    starting_offsets="earliest", assign=assign,
+                ))
+                .load()
+                .collect()
+            )
+
+        lo = read({"t": [0, 1]})
+        hi = read({"t": [2, 3]})
+        assert {r.partition for r in lo} == {0, 1}
+        assert {r.partition for r in hi} == {2, 3}
+        assert len(lo) == len(hi) == 20
+        assert {bytes(r.value) for r in lo} | {bytes(r.value) for r in hi} == {
+            f"v{i}".encode() for i in range(40)
+        }
+
+        # streaming form: same planner, engine-managed offsets
+        opts = kafka_source_options(
+            b.bootstrap, [], starting_offsets="earliest",
+            assign={"t": [1]},
+        )
+        stream = spark.readStream.format("kafka-wire").options(**opts).load()
+        out = str(tmp_path / "out")
+        _run_until_count(
+            spark, stream, out, str(tmp_path / "ckpt"), want=10
+        )
+        got = spark.read.parquet(out).collect()
+        assert {r.partition for r in got} == {1}
+        assert len(got) == 10
+
+
+def test_assign_option_validation(registered):
+    spark = registered
+    with MiniBroker() as b:
+        b.create_topic("t", partitions=2)
+        base = {"kafka.bootstrap.servers": b.bootstrap}
+        with pytest.raises(Exception, match="mutually exclusive"):
+            (
+                spark.read.format("kafka-wire")
+                .options(**base, subscribe="t", assign='{"t":[0]}')
+                .load()
+                .collect()
+            )
+        with pytest.raises(Exception, match="outside topic range"):
+            (
+                spark.read.format("kafka-wire")
+                .options(**base, assign='{"t":[0,7]}')
+                .load()
+                .collect()
+            )
