@@ -459,7 +459,13 @@ class MiniConsumer:
         max_poll_records: int | None = None,
         client_id: str = "supermusr-consumer",
         security=None,
+        partitions: dict[str, list[int]] | None = None,
     ) -> None:
+        """``partitions`` restricts the assignment to an explicit
+        topic->partition-list map (the JVM source's ``assign`` form) —
+        the fleet-sharding primitive: N consumer processes each own a
+        disjoint partition set of one topic.  Default: every partition
+        of every subscribed topic."""
         self._router = _Router(bootstrap, client_id, security)
         self.max_poll_records = max_poll_records
         # one metadata round trip: partition counts AND the leader map
@@ -476,9 +482,24 @@ class MiniConsumer:
                 if starting_offsets == "earliest"
                 else P.LATEST_TIMESTAMP
             )
-        self._seek_all(
-            [(t, list(range(counts[t]))) for t in topics], target
-        )
+        if partitions is not None:
+            bad = [
+                (t, p)
+                for t, ps in partitions.items()
+                for p in ps
+                if p < 0 or p >= counts.get(t, 0)
+            ]
+            if bad:
+                raise ValueError(
+                    f"assigned partitions outside topic range: {bad}"
+                )
+            assignment = [
+                (t, sorted(int(p) for p in partitions.get(t, [])))
+                for t in topics
+            ]
+        else:
+            assignment = [(t, list(range(counts[t]))) for t in topics]
+        self._seek_all(assignment, target)
 
     def _list_offsets(
         self, tps: list[tuple[str, int]], target: int
@@ -622,9 +643,29 @@ def consumer_from_options(options: dict[str, str]) -> MiniConsumer:
     ``kafka.group.id`` key (the JVM source's group override; the
     reference CLI's --consumer-group) selects the GROUP-MANAGED
     consumer — coordinator join, leader-assigned partitions, fenced
-    commits — instead of the manual whole-topic assignment."""
+    commits — instead of the manual whole-topic assignment.  An
+    ``assign`` key (the JVM source's explicit-partition form) restricts
+    the manual consumer to the listed partitions; combining it with a
+    group id is rejected, as in the real client (group management and
+    manual assignment are mutually exclusive)."""
     brokers = options["kafka.bootstrap.servers"]
-    topics = options["subscribe"].split(",")
+    subscribe = options.get("subscribe")
+    assign_raw = options.get("assign")
+    if subscribe and assign_raw:
+        raise ValueError("subscribe and assign are mutually exclusive")
+    partitions: dict[str, list[int]] | None = None
+    if assign_raw:
+        import json as _json
+
+        partitions = {
+            t: sorted(int(p) for p in ps)
+            for t, ps in _json.loads(assign_raw).items()
+        }
+        topics = sorted(partitions)
+    else:
+        if not subscribe:
+            raise ValueError("subscribe or assign is required")
+        topics = subscribe.split(",")
     ts = options.get("startingTimestamp")
     max_offsets = options.get("maxOffsetsPerTrigger")
     group = options.get("kafka.group.id")
@@ -632,6 +673,11 @@ def consumer_from_options(options: dict[str, str]) -> MiniConsumer:
     if security.protocol == "PLAINTEXT":
         security = None  # no handshake work on the default path
     if group:
+        if partitions is not None:
+            raise ValueError(
+                "assign cannot be combined with kafka.group.id: group "
+                "management owns the assignment"
+            )
         return GroupConsumer(
             brokers,
             group,
@@ -648,6 +694,7 @@ def consumer_from_options(options: dict[str, str]) -> MiniConsumer:
         starting_timestamp_ms=int(ts) if ts is not None else None,
         max_poll_records=int(max_offsets) if max_offsets is not None else None,
         security=security,
+        partitions=partitions,
     )
 
 

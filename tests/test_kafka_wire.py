@@ -516,3 +516,42 @@ def test_send_buffers_chunks_past_iov_max():
     th.join(timeout=10)
     srv.close(); cli.close()
     assert bytes(got) == want
+
+
+def test_consumer_assign_restricts_partitions():
+    """The assign form end-to-end through consumer_from_options: a
+    consumer built from assign options polls ONLY the listed
+    partitions; assign+subscribe and assign+group are rejected."""
+    from supermusr_data_pipeline_spark.kafka import consumer_from_options
+
+    with MiniBroker() as broker:
+        broker.create_topic("t", partitions=4)
+        with MiniProducer(broker.bootstrap) as prod:
+            for i in range(40):
+                prod.send("t", f"v{i}".encode(), partition=i % 4)
+
+        opts = kafka_source_options(
+            broker.bootstrap, [], starting_offsets="earliest",
+            assign={"t": [1, 3]},
+        )
+        c = consumer_from_options(opts)
+        got = []
+        deadline = time.time() + 10
+        while len(got) < 20 and time.time() < deadline:
+            got.extend(c.poll(max_wait_ms=100))
+        assert len(got) == 20
+        assert {r.partition for r in got} == {1, 3}
+        assert c.poll(max_wait_ms=100) == []
+        c.close()
+
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            consumer_from_options({**opts, "subscribe": "t"})
+        with pytest.raises(ValueError, match="group management"):
+            consumer_from_options({**opts, "kafka.group.id": "g"})
+        with pytest.raises(ValueError, match="outside topic range"):
+            consumer_from_options(
+                kafka_source_options(
+                    broker.bootstrap, [], starting_offsets="earliest",
+                    assign={"t": [9]},
+                )
+            )
