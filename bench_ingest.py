@@ -860,7 +860,15 @@ def _cluster_soak_once(spark, workdir: str, rep: int = 0) -> dict:
     ]
     pw_post = [produce_wait[i] for i in produce_wait if i >= post_i0]
     post_abs = arrival.get(post_i0)
-    hw_pre = [v for t, v in hw_lag_samples if kill_abs and t < kill_abs]
+    # lower-bound the pre window at the PACED feeder's start: the
+    # unpaced warmup burst (and the drain wait after it) would
+    # otherwise inflate hw_lag_p50_pre relative to pw_pre/bd_pre,
+    # which both already exclude warmup
+    feed0_abs = t_feed0[0]
+    hw_pre = [
+        v for t, v in hw_lag_samples
+        if kill_abs and feed0_abs is not None and feed0_abs <= t < kill_abs
+    ]
     hw_post = [
         v for t, v in hw_lag_samples if post_abs is not None and t >= post_abs
     ]

@@ -634,6 +634,29 @@ class MiniConsumer:
         self.close()
 
 
+def parse_assign(raw: str) -> dict[str, list[int]]:
+    """Parse and shape-validate the JVM source's ``assign`` option
+    ('{"topicA":[0,1]}') — shared by every consumer path (the wire
+    source's planner and ``consumer_from_options``) so malformed input
+    fails the same way everywhere instead of diverging per caller."""
+    import json as _json
+
+    parsed = _json.loads(raw)
+    if not isinstance(parsed, dict) or not parsed:
+        raise ValueError(
+            'assign must be a non-empty JSON object {"topic": '
+            "[partition, ...]}"
+        )
+    out: dict[str, list[int]] = {}
+    for t, ps in parsed.items():
+        if not isinstance(ps, (list, tuple)):
+            raise ValueError(
+                f"assign[{t!r}] must be a list of partition ids"
+            )
+        out[str(t)] = sorted(int(p) for p in ps)
+    return out
+
+
 def consumer_from_options(options: dict[str, str]) -> MiniConsumer:
     """Build a consumer from the EXACT dict `kafka_source_options`
     produces for ``spark.readStream.format("kafka")`` — the S1 closure:
@@ -655,12 +678,7 @@ def consumer_from_options(options: dict[str, str]) -> MiniConsumer:
         raise ValueError("subscribe and assign are mutually exclusive")
     partitions: dict[str, list[int]] | None = None
     if assign_raw:
-        import json as _json
-
-        partitions = {
-            t: sorted(int(p) for p in ps)
-            for t, ps in _json.loads(assign_raw).items()
-        }
+        partitions = parse_assign(assign_raw)
         topics = sorted(partitions)
     else:
         if not subscribe:
@@ -973,23 +991,44 @@ class GroupConsumer(MiniConsumer):
                 )
             self._seek_all(uncommitted, target)
         # buffered seek targets win over committed/starting offsets the
-        # FIRST time this member owns the partition, then are consumed —
-        # later rebalances resume from the group's own progress
+        # FIRST time this member owns the partition, then are consumed
+        # AND committed (anchoring them in the group the same way
+        # seek() anchors owned-partition targets) — later rebalances
+        # resume from the group's own progress
+        applied = False
         for tp in list(self._seek_targets):
             if tp in self._positions:
                 self._positions[tp] = self._seek_targets.pop(tp)
+                applied = True
+        if applied:
+            self.commit()
 
     def seek(self, positions: dict[tuple[str, int], int]) -> None:
         """The resume API under group semantics: currently-owned
-        partitions reposition immediately; partitions of SUBSCRIBED
-        topics owned by other members buffer as one-shot targets that
-        ``_adopt`` applies when a rebalance hands them over.  Keys for
-        unsubscribed topics drop, matching ``MiniConsumer.seek``."""
+        partitions reposition immediately AND the new positions commit
+        to the group — without that anchor, the next rebalance (member
+        churn, session expiry after a GC pause) would wipe _positions
+        and fall back to committed/starting offsets, silently
+        discarding the seek.  Partitions of subscribed topics owned by
+        other members buffer as one-shot targets that ``_adopt``
+        applies (and commits) when a rebalance hands them over.  Keys
+        for unsubscribed topics or partitions outside the topic's
+        live range drop, matching ``MiniConsumer.seek`` — a stale
+        saved cursor for a recreated/shrunk topic must not linger and
+        mis-position a future partition."""
+        counts = self._router.metadata_counts(self.topics)
+        applied = False
         for tp, off in positions.items():
+            t, p = tp
+            if t not in counts or p < 0 or p >= counts[t]:
+                continue
             if tp in self._positions:
                 self._positions[tp] = int(off)
-            elif tp[0] in self.topics:
+                applied = True
+            else:
                 self._seek_targets[tp] = int(off)
+        if applied and self.generation >= 0:
+            self.commit()
 
     def assignment(self) -> list[tuple[str, int]]:
         return sorted(self._positions)

@@ -287,17 +287,11 @@ class _OffsetOracle:
             # fleet of writer processes shards ONE topic: each instance
             # owns a disjoint partition set (the reference's
             # process-per-stream shape, applied within a topic).
-            import json as _json
+            from .client import parse_assign
 
-            parsed = _json.loads(assign)
-            if not isinstance(parsed, dict) or not parsed:
-                raise ValueError(
-                    "assign must be a non-empty JSON object "
-                    '{"topic": [partition, ...]}'
-                )
-            self._assign: dict[str, list[int]] | None = {
-                t: sorted(int(p) for p in ps) for t, ps in parsed.items()
-            }
+            self._assign: dict[str, list[int]] | None = parse_assign(
+                assign
+            )
             self.topics = sorted(self._assign)
         else:
             if not subscribe:

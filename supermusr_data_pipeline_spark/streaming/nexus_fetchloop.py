@@ -785,11 +785,22 @@ class FetchLoopNexusWriter:
         holds only in ``durability='power'`` mode, which fsyncs the tmp
         before the publish rename and the directory after it."""
         tmp, final = self._alloc_part(run_name)
-        pq.write_table(
-            table.cast(_EVENT_SCHEMA), tmp, compression="snappy"
-        )
-        if self._fsync:
-            _fsync_path(tmp)
+        try:
+            pq.write_table(
+                table.cast(_EVENT_SCHEMA), tmp, compression="snappy"
+            )
+            if self._fsync:
+                _fsync_path(tmp)
+        except BaseException:
+            # the dispatch never committed (no intent yet): drop the
+            # partial tmp now rather than leaving it for the next
+            # restart's recovery sweep — same contract as the pooled
+            # multi-part branch's error path
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
+            raise
         return [tmp, final]
 
     def _alloc_part(self, run_name: str) -> list[str]:
@@ -899,12 +910,26 @@ class FetchLoopNexusWriter:
     def _publish_renames(self, renames) -> None:
         """The publish step: atomic per-part renames.  Idempotent —
         recovery re-runs it for a surviving intent, where some pairs may
-        already have published before the crash."""
+        already have published before the crash.  A pair with NEITHER
+        file present is corruption (the intent promised rows that no
+        longer exist — e.g. an un-fsynced directory entry lost to a
+        power cut in the default mode, or an external job consuming the
+        sink while an intent was pending): fail loudly rather than
+        silently adopt totals for vanished rows.  In power mode the
+        directory fsync covers every pair's directory, including pairs
+        whose rename itself happened before a crash (their entries may
+        not have been fsynced yet)."""
         dirs = set()
         for tmp, final in renames:
             if os.path.isfile(tmp):
                 os.replace(tmp, final)
-                dirs.add(os.path.dirname(final))
+            elif not os.path.isfile(final):
+                raise RuntimeError(
+                    "commit corruption: neither the staged tmp nor the "
+                    f"published part exists for {final} — the sink lost "
+                    "rows the write-ahead intent committed"
+                )
+            dirs.add(os.path.dirname(final))
         if self._fsync:
             for d in dirs:
                 _fsync_path(d)
@@ -940,6 +965,15 @@ class FetchLoopNexusWriter:
         renames = self._stage_run_tables(
             {run: run_tables[run] for run in per_run}
         )
+        if self._fsync:
+            # the staged tmps' DIRECTORY ENTRIES must be durable before
+            # the intent commits, or a power cut can lose a tmp the
+            # intent promises (recovery would then see neither tmp nor
+            # final and fail loudly).  self.path covers run directories
+            # created by this dispatch.
+            for d in {os.path.dirname(t) for t, _f in renames}:
+                _fsync_path(d)
+            _fsync_path(self.path)
         t_parts = time.perf_counter()
 
         self._write_intent(

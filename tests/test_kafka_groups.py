@@ -563,3 +563,32 @@ def test_group_seek_buffers_targets_for_unowned_partitions():
         # committed offsets for every handed-over partition with data
         assert want <= got
         c1.close()
+
+
+def test_group_seek_survives_rebalance_via_commit_anchor():
+    """seek() on owned partitions must COMMIT the new positions: a
+    rebalance wipes in-memory positions and repositions from the
+    group's committed offsets, so an uncommitted seek would silently
+    fall back to starting_offsets ('latest' -> every record between
+    the saved cursor and the log end skipped)."""
+    with MiniBroker() as broker:
+        _fill(broker, "t", 4, partitions=1)
+        c = GroupConsumer(
+            broker.bootstrap, "g", ["t"], starting_offsets="latest",
+            session_timeout_ms=4000, heartbeat_interval_ms=100,
+        )
+        assert c.poll(max_wait_ms=200) == []  # latest: nothing behind
+        c.seek({("t", 0): 0})
+        # a nonexistent partition's key drops instead of lingering
+        c.seek({("t", 9): 5})
+        assert ("t", 9) not in c._seek_targets
+        # simulate a rebalance (member churn / session expiry path):
+        # rejoin wipes positions and re-adopts from committed offsets
+        c._join()
+        assert c.positions()[("t", 0)] == 0
+        got = []
+        deadline = time.time() + 10
+        while len(got) < 4 and time.time() < deadline:
+            got.extend(c.poll(max_wait_ms=100))
+        assert len(got) == 4  # the seek survived the rebalance
+        c.close()

@@ -555,3 +555,18 @@ def test_consumer_assign_restricts_partitions():
                     assign={"t": [9]},
                 )
             )
+
+
+def test_assign_malformed_shapes_rejected():
+    """parse_assign is shared by the wire source and the live-consumer
+    factory: malformed shapes fail with the same ValueError in both,
+    instead of AttributeError (list) or a silent no-partition consumer
+    (empty object)."""
+    from supermusr_data_pipeline_spark.kafka import consumer_from_options
+
+    with MiniBroker() as broker:
+        broker.create_topic("t", partitions=2)
+        base = {"kafka.bootstrap.servers": broker.bootstrap}
+        for bad in ("[0,1]", "{}", '{"t": 3}'):
+            with pytest.raises(ValueError, match="assign"):
+                consumer_from_options({**base, "assign": bad})

@@ -440,12 +440,18 @@ def test_fetchloop_crash_mid_part_write_recovers(spark, tmp_path, monkeypatch):
             f for f in os.listdir(run_dir) if f.endswith(".parquet")
         ]
         assert finals == []
+        # the in-process error path unlinks its own tmp before
+        # re-raising; a HARD crash (kill -9 mid-write) would leave one,
+        # so plant an orphan to exercise the recovery sweep too
         orphans = [
             f
             for f in os.listdir(run_dir)
             if f.startswith(".part-fetchloop-") and f.endswith(".tmp")
         ]
-        assert orphans  # the crash left the tmp behind
+        assert orphans == []
+        (run_dir / ".part-fetchloop-999-000000-deadbeef.parquet.tmp").write_bytes(
+            b"PAR1\x00\x00trunc"
+        )
 
         w2 = _writer(broker, tmp_path / "s")
         w2.start()
@@ -1225,3 +1231,40 @@ def test_fetchloop_staging_pool_error_unlinks_tmps(spark, tmp_path, monkeypatch)
         for r in df.groupBy("run_name").count().collect()
     }
     assert per == {"run_a": N_DIG * 2, "run_b": N_DIG * 2}
+
+
+def test_fetchloop_recovery_raises_on_vanished_committed_parts(tmp_path):
+    """An intent whose rename pair exists at NEITHER name means the
+    sink lost rows the commit promised (an un-fsynced directory entry
+    after a power cut, or an external job consuming the sink while an
+    intent was pending): recovery must fail loudly, not adopt totals
+    for vanished rows."""
+    import json as J
+
+    state_dir = tmp_path / "s" / "_fetchloop_state"
+    os.makedirs(state_dir)
+    run_dir = tmp_path / "s" / "run_name=run_a"
+    os.makedirs(run_dir)
+    with open(state_dir / "intent.json", "w") as fh:
+        J.dump(
+            {
+                "offsets": {},
+                "pre_totals": {"run_a": [0, 0]},
+                "deltas": {"run_a": [1, 8]},
+                "frame_keys": [],
+                "renames": [
+                    [
+                        str(run_dir / ".part-fetchloop-1-000000-aa.parquet.tmp"),
+                        str(run_dir / "part-fetchloop-1-000000-aa.parquet"),
+                    ]
+                ],
+            },
+            fh,
+        )
+    w = FetchLoopNexusWriter(
+        runs=_runs(), path=str(tmp_path / "s"),
+        expected_digitizers=list(range(N_DIG)), bootstrap="none:1",
+        topics=["t"],
+    )
+    with pytest.raises(RuntimeError, match="commit corruption"):
+        w._load_state()
