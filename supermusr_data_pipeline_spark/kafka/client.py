@@ -995,13 +995,19 @@ class GroupConsumer(MiniConsumer):
         # AND committed (anchoring them in the group the same way
         # seek() anchors owned-partition targets) — later rebalances
         # resume from the group's own progress
-        applied = False
+        applied = {}
         for tp in list(self._seek_targets):
             if tp in self._positions:
-                self._positions[tp] = self._seek_targets.pop(tp)
-                applied = True
+                applied[tp] = self._seek_targets.pop(tp)
+                self._positions[tp] = applied[tp]
         if applied:
-            self.commit()
+            try:
+                self.commit(only=set(applied))
+            except OSError:
+                # fenced (another member joined mid-adopt): re-buffer
+                # so the NEXT adoption retries instead of losing the
+                # resume point forever
+                self._seek_targets.update(applied)
 
     def seek(self, positions: dict[tuple[str, int], int]) -> None:
         """The resume API under group semantics: currently-owned
@@ -1016,19 +1022,35 @@ class GroupConsumer(MiniConsumer):
         live range drop, matching ``MiniConsumer.seek`` — a stale
         saved cursor for a recreated/shrunk topic must not linger and
         mis-position a future partition."""
-        counts = self._router.metadata_counts(self.topics)
-        applied = False
+        try:
+            counts = self._router.metadata_counts(self.topics)
+        except OSError:
+            # broker unreachable right now: keep the non-throwing seek
+            # contract (MiniConsumer.seek never raises) and validate by
+            # topic membership only
+            counts = None
+        applied: dict[tuple[str, int], int] = {}
         for tp, off in positions.items():
             t, p = tp
-            if t not in counts or p < 0 or p >= counts[t]:
+            if counts is not None:
+                if t not in counts or p < 0 or p >= counts[t]:
+                    continue
+            elif t not in self.topics:
                 continue
             if tp in self._positions:
                 self._positions[tp] = int(off)
-                applied = True
+                applied[tp] = int(off)
             else:
                 self._seek_targets[tp] = int(off)
         if applied and self.generation >= 0:
-            self.commit()
+            try:
+                self.commit(only=set(applied))
+            except OSError:
+                # fenced by a concurrent rebalance: the applied
+                # positions are about to be wiped by the rejoin, so
+                # re-buffer them — _adopt re-applies and re-commits
+                # after the new assignment lands
+                self._seek_targets.update(applied)
 
     def assignment(self) -> list[tuple[str, int]]:
         return sorted(self._positions)
@@ -1066,12 +1088,22 @@ class GroupConsumer(MiniConsumer):
             return []
         return super().poll(max_wait_ms=max_wait_ms, **kw)
 
-    def commit(self) -> None:
-        """Commit current positions, fenced by (generation, member)."""
-        if not self._positions:
+    def commit(self, only: set[tuple[str, int]] | None = None) -> None:
+        """Commit current positions, fenced by (generation, member).
+        ``only`` restricts the commit to the given partitions — the
+        seek/adopt anchor uses it so repositioning one partition never
+        publishes OTHER partitions' uncommitted poll progress to the
+        group (that would break at-least-once for records this
+        explicit-commit consumer has polled but not yet processed)."""
+        items = [
+            (tp, off)
+            for tp, off in sorted(self._positions.items())
+            if only is None or tp in only
+        ]
+        if not items:
             return
         by_t: dict[str, list[tuple[int, int, str | None]]] = {}
-        for (t, p), off in sorted(self._positions.items()):
+        for (t, p), off in items:
             by_t.setdefault(t, []).append((p, off, None))
         cur = self._coord_request(
             P.API_OFFSET_COMMIT, 2,

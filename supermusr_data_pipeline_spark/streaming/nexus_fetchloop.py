@@ -231,6 +231,11 @@ class FetchLoopNexusWriter:
         # fsync data before renames and directories after, so an OS
         # power cut cannot surface a truncated file at a final name.
         self._fsync = durability == "power"
+        # directories whose OWN directory entry (in their parent) has
+        # been fsynced — a dirent is durable once, so the hot commit
+        # path pays the parent-directory fsync only when a run dir or
+        # the state dir is first created, not per dispatch
+        self._durable_dirs: set[str] = set()
         self.runs_rows = _runs_rows(runs)
         self.path = path
         self.expected = sorted(int(d) for d in expected_digitizers)
@@ -341,6 +346,17 @@ class FetchLoopNexusWriter:
         os.replace(tmp, self._state_file())
         if self._fsync:
             _fsync_path(self.state_dir)
+            self._ensure_state_dir_durable()
+
+    def _ensure_state_dir_durable(self) -> None:
+        """Power mode: the state dir's own DIRECTORY ENTRY must be
+        durable once, or a power cut after the very first state write
+        can lose state.json entirely (cursor regresses to the starting
+        policy, persisted tombstones vanish).  Covers a custom
+        ``state_dir`` outside ``self.path`` too."""
+        if self.state_dir not in self._durable_dirs:
+            _fsync_path(os.path.dirname(self.state_dir) or ".")
+            self._durable_dirs.add(self.state_dir)
 
     def _load_state(self) -> None:
         """Resume: state.json -> offsets/totals/tombstones; a surviving
@@ -452,8 +468,11 @@ class FetchLoopNexusWriter:
             try:
                 with self._lock:
                     self._load_state()
-                    if self._consumer is None:
-                        self._consumer = self._make_consumer()
+                # the consumer dials lazily inside poll_once, so a
+                # TRANSIENT startup failure (broker mid-bounce, group
+                # coordination race) lands in the same retry path as a
+                # mid-stream disconnect instead of killing the loop;
+                # _load_state failures above still fail loudly
                 while not self._stop.is_set():
                     try:
                         self.poll_once()
@@ -906,6 +925,7 @@ class FetchLoopNexusWriter:
         os.replace(itmp, self._intent_file())
         if self._fsync:
             _fsync_path(self.state_dir)
+            self._ensure_state_dir_durable()
 
     def _publish_renames(self, renames) -> None:
         """The publish step: atomic per-part renames.  Idempotent —
@@ -969,11 +989,16 @@ class FetchLoopNexusWriter:
             # the staged tmps' DIRECTORY ENTRIES must be durable before
             # the intent commits, or a power cut can lose a tmp the
             # intent promises (recovery would then see neither tmp nor
-            # final and fail loudly).  self.path covers run directories
-            # created by this dispatch.
-            for d in {os.path.dirname(t) for t, _f in renames}:
+            # final and fail loudly).  The sink-root fsync covers run
+            # directories' own entries and is paid only when a run dir
+            # first appears, not per dispatch.
+            stage_dirs = {os.path.dirname(t) for t, _f in renames}
+            for d in stage_dirs:
                 _fsync_path(d)
-            _fsync_path(self.path)
+            new_dirs = stage_dirs - self._durable_dirs
+            if new_dirs:
+                _fsync_path(self.path)
+                self._durable_dirs |= new_dirs
         t_parts = time.perf_counter()
 
         self._write_intent(

@@ -592,3 +592,41 @@ def test_group_seek_survives_rebalance_via_commit_anchor():
             got.extend(c.poll(max_wait_ms=100))
         assert len(got) == 4  # the seek survived the rebalance
         c.close()
+
+
+def test_group_seek_commit_scoped_to_seeked_partitions():
+    """The seek anchor must commit ONLY the repositioned partitions:
+    committing all in-memory positions would publish other partitions'
+    uncommitted poll progress to the group, breaking at-least-once for
+    records polled but not yet processed."""
+    with MiniBroker() as broker:
+        broker.create_topic("t", partitions=2)
+        with MiniProducer(broker.bootstrap) as prod:
+            for i in range(8):
+                prod.send("t", f"v{i}".encode(), partition=i % 2)
+        c = GroupConsumer(
+            broker.bootstrap, "g", ["t"], starting_offsets="earliest",
+            session_timeout_ms=4000, heartbeat_interval_ms=100,
+        )
+        got = []
+        deadline = time.time() + 10
+        while len(got) < 8 and time.time() < deadline:
+            got.extend(c.poll(max_wait_ms=100))
+        assert len(got) == 8  # both partitions polled, nothing committed
+        c.seek({("t", 0): 0})  # anchor commits (t,0)=0 and ONLY that
+        c.close()
+
+        # a fresh member adopting from the group's commits: (t,0) at the
+        # anchored 0 (redelivery), (t,1) UNCOMMITTED -> 'latest' -> none
+        c2 = GroupConsumer(
+            broker.bootstrap, "g", ["t"], starting_offsets="latest",
+            session_timeout_ms=4000, heartbeat_interval_ms=100,
+        )
+        got2 = []
+        deadline = time.time() + 10
+        while len(got2) < 4 and time.time() < deadline:
+            got2.extend(c2.poll(max_wait_ms=100))
+        assert {r.partition for r in got2} == {0}
+        assert len(got2) == 4
+        assert c2.poll(max_wait_ms=200) == []
+        c2.close()
