@@ -202,7 +202,12 @@ def generate_traces(
                 )
             yield pd.DataFrame(rows)
 
-    n_parts = min(max(1, n_rows // 64), 256)
+    # partition count: at least the session's parallelism (synthesis is
+    # pure per-row numpy; a small run must still fan out across cores —
+    # the old n_rows//64 floor serialized a 128-row flagship run onto 2
+    # tasks), at most one row per task / the 256 task-storm cap
+    dp = spark.sparkContext.defaultParallelism
+    n_parts = max(1, min(n_rows, max(dp, min(n_rows // 64, 256))))
     return spark.range(0, n_rows, numPartitions=n_parts).mapInPandas(synth, out_schema)
 
 
@@ -242,7 +247,11 @@ def generate_runs(
         i += 1
     from ..schemas import RUN_SCHEMA
 
-    return spark.createDataFrame(rows, RUN_SCHEMA)
+    # one partition: the run table is a handful of rows, but createDataFrame
+    # parallelizes the Python list into defaultParallelism pickled slices,
+    # each a Python-worker task (32 worker checkouts for 3 rows measured in
+    # the flagship chain) — coalesce keeps it to one
+    return spark.createDataFrame(rows, RUN_SCHEMA).coalesce(1)
 
 
 def frames_in_run_count(n_frames: int, frames_per_run: int, gap_frames: int) -> int:

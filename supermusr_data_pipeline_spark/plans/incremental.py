@@ -120,9 +120,20 @@ def q79_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """New-shard near-dup pass: (delta x base) + (delta x delta) candidate
     pairs only — see module docstring.  Output: verified pairs touching the
     delta with exact Jaccard and a delta_base/delta_delta kind label."""
-    df = _with_token_hashes(spark, sf_dir)
-    th = df.filter(F.size("th") > 0).select("doc_id", "th")
-    sigs = df.filter(F.size("th") > 0).select("doc_id", *_minhash_cols_spark())
+    # one tokenize+md5 pass: every downstream consumer (signatures, the
+    # two verification-token attaches) derives from the narrow (doc_id,
+    # th) projection, so materialize it once — the plan otherwise repeats
+    # the corpus tokenize subtree per consumer (4 passes measured r14;
+    # guide §1.2 "don't compute things twice").  Same in-query
+    # localCheckpoint pattern as q25's builder; ~16 B/token row.
+    base = (
+        _with_token_hashes(spark, sf_dir, spread=True)
+        .filter(F.size("th") > 0)
+        .select("doc_id", "th")
+        .localCheckpoint()
+    )
+    th = base
+    sigs = base.select("doc_id", *_minhash_cols_spark())
     band_cols = []
     for bnd in range(_N_BANDS):
         parts = [
@@ -274,7 +285,7 @@ def write_lsh_index(spark: SparkSession, sf_dir: str, out_path: str) -> None:
     growing the index is an append, not a rebuild."""
     from .index_maintenance import resolve_dir
 
-    df = _with_token_hashes(spark, sf_dir)
+    df = _with_token_hashes(spark, sf_dir, spread=True)
     # both artifacts derive from (doc_id, th); cache that projection so
     # the corpus tokenize+hash pass runs ONCE instead of once per write
     # (the dominant build cost — same-session A/B in the build docstring
@@ -321,11 +332,19 @@ def q82_indexed_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         _BUILT[key] = True
 
     is_delta = F.col("doc_id") % _DELTA_MOD == _DELTA_REM
-    delta_df = _with_token_hashes(spark, sf_dir).filter(is_delta)
-    delta_th = delta_df.filter(F.size("th") > 0).select("doc_id", "th")
-    delta_banded = _banded(
-        delta_df.filter(F.size("th") > 0).select("doc_id", *_minhash_cols_spark())
+    # q79's single-pass rule: tokenize+md5 the delta shard ONCE into the
+    # narrow (doc_id, th) projection (the doc_id filter pushes below the
+    # spread repartition, so only shard rows are shuffled or tokenized);
+    # signatures and the verification attach both derive from it
+    delta_base = (
+        _with_token_hashes(spark, sf_dir, spread=True)
+        .filter(is_delta)
+        .filter(F.size("th") > 0)
+        .select("doc_id", "th")
+        .localCheckpoint()
     )
+    delta_th = delta_base
+    delta_banded = _banded(delta_base.select("doc_id", *_minhash_cols_spark()))
     from .index_maintenance import resolve_dir
 
     base_banded = spark.read.parquet(
@@ -409,24 +428,36 @@ def append_shard_to_index(spark: SparkSession, sf_dir: str, out_path: str) -> No
     from .index_maintenance import resolve_dir
 
     is_delta = F.col("doc_id") % _DELTA_MOD == _DELTA_REM
-    delta = _with_token_hashes(spark, sf_dir).filter(is_delta).filter(F.size("th") > 0)
-    (
-        delta.select("doc_id", "th")
-        .withColumn("tb", _tok_bucket(F.col("doc_id")))
-        .withColumn("bid", F.lit(LSH_BULK_APPEND_BID))
-        .repartition("tb")
-        .write.partitionBy("tb", "bid")
-        .mode("append")
-        .parquet(resolve_dir(os.path.join(out_path, "tokens")))
+    # both artifacts derive from (doc_id, th) — persist the narrow
+    # projection so the shard tokenize+md5 pass runs once, not once per
+    # write (the write_lsh_index rule applied to the append job)
+    delta = (
+        _with_token_hashes(spark, sf_dir, spread=True)
+        .filter(is_delta)
+        .filter(F.size("th") > 0)
+        .select("doc_id", "th")
+        .persist()
     )
-    (
-        _banded(delta.select("doc_id", *_minhash_cols_spark()))
-        .withColumn("bid", F.lit(LSH_BULK_APPEND_BID))
-        .repartition("band_no")
-        .write.partitionBy("band_no", "bid")
-        .mode("append")
-        .parquet(resolve_dir(os.path.join(out_path, "bands")))
-    )
+    try:
+        (
+            delta
+            .withColumn("tb", _tok_bucket(F.col("doc_id")))
+            .withColumn("bid", F.lit(LSH_BULK_APPEND_BID))
+            .repartition("tb")
+            .write.partitionBy("tb", "bid")
+            .mode("append")
+            .parquet(resolve_dir(os.path.join(out_path, "tokens")))
+        )
+        (
+            _banded(delta.select("doc_id", *_minhash_cols_spark()))
+            .withColumn("bid", F.lit(LSH_BULK_APPEND_BID))
+            .repartition("band_no")
+            .write.partitionBy("band_no", "bid")
+            .mode("append")
+            .parquet(resolve_dir(os.path.join(out_path, "bands")))
+        )
+    finally:
+        delta.unpersist()
 
 
 # ---------------------------------------------------------------------------

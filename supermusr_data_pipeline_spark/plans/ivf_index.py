@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..sources.testdata import load_table
+from ..sources.testdata import load_table, spread_scan
 from .relational import _register
 from .text_dedup import (
     _codebook,
@@ -58,7 +58,7 @@ def write_ivf_index(spark: SparkSession, sf_dir: str, out_path: str) -> None:
     monitoring (q48) decides when to rewrite it."""
     cents, _ = _codebook(sf_dir)
     po = _probe_order_spark(len(cents))
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = spread_scan(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("emb")
     )
     cells = e.withColumn("dots", F.expr(_ivf_dots_spark("emb", cents))).select(
@@ -86,7 +86,7 @@ def probe_ivf_index(
     unprobed directories skipped entirely."""
     cents, n_probe = _codebook(sf_dir)
     po = _probe_order_spark(len(cents))
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = spread_scan(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("emb")
     )
     q = (
@@ -165,7 +165,7 @@ def write_ivf_sq8_index(spark: SparkSession, sf_dir: str, out_path: str) -> None
     to fit signed tinyint."""
     from .text_dedup import _SQ_DIM
 
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = spread_scan(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("emb")
     )
     b = e.agg(
@@ -226,7 +226,7 @@ def probe_ivf_sq8_index(
     mns, mxs = _lit_array(row.mns), _lit_array(row.mxs)
     cents, n_probe = _codebook(sf_dir)
     po = _probe_order_spark(len(cents))
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = spread_scan(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("emb")
     )
     q = (

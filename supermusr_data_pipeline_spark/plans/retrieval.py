@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..sources.testdata import load_table
+from ..sources.testdata import load_table, spread_scan
 from .relational import ORACLES, _register
 from .text_dedup import _TOKENS_EXPR_SPARK, _TOKENS_SQL_DUCK
 
@@ -102,9 +102,16 @@ def q112_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms' postings and the per-query top-k is a window partitioned by
     query_term."""
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(F.expr(_TOKENS_EXPR_SPARK)).alias("term"))
+    tok = spread_scan(docs).select(
+        "doc_id", F.explode(F.expr(_TOKENS_EXPR_SPARK)).alias("term")
+    )
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # dl = Σ tf per doc and df = postings length per term: every corpus
+    # statistic derives from tf, so the tokenize+explode pass appears in
+    # the plan once per tf exchange (reused physically) instead of once
+    # per statistic — the write_postings_index single-pass rule applied
+    # to the in-plan form
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = docs.select(F.count(F.lit(1)).alias("n")).crossJoin(
         dl.agg(F.avg("dl").alias("avgdl"))
     )
@@ -268,7 +275,9 @@ def write_postings_index(spark: SparkSession, sf_dir: str, out: str) -> None:
     query planning: rarest-term selection runs on THIS, never the
     corpus), and doc lengths + corpus stats for the BM25 norm."""
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(F.expr(_TOKENS_EXPR_SPARK)).alias("term"))
+    tok = spread_scan(docs).select(
+        "doc_id", F.explode(F.expr(_TOKENS_EXPR_SPARK)).alias("term")
+    )
     # every artifact derives from tf (doc length = sum of a doc's term
     # frequencies, identically count of its token rows); cache it so the
     # corpus tokenize+explode pass runs ONCE instead of once per artifact
@@ -322,9 +331,24 @@ def q114_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         terms.orderBy(F.asc("df"), "term").limit(_BM25_N_QUERIES).collect()
     )
     buckets = sorted({int(r.tb) for r in qrows})
-    qterms = spark.createDataFrame(
-        [(r.term, int(r.df)) for r in qrows], "query_term string, df bigint"
-    )
+    # build the 5-row query dimension as a JVM literal: createDataFrame
+    # from a Python list parallelizes into defaultParallelism pickled
+    # slices, whose scan is a Python-worker stage (measured 32 tasks /
+    # 17 s of worker wait for 5 rows) — an exploded array literal is
+    # pure JVM and partition-free
+    qterms = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r.term).alias("query_term"),
+                        F.lit(int(r.df)).cast("bigint").alias("df"),
+                    )
+                    for r in qrows
+                ]
+            )
+        ).alias("q")
+    ).select("q.query_term", "q.df")
     postings = (
         spark.read.parquet(_os.path.join(path, "postings"))
         .filter(F.col("tb").isin(buckets))
@@ -473,16 +497,20 @@ def q116_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank fusion (1/(60+rank) per leg) merges them into the final top-10.
     See the section comment for the scale shape and determinism rules."""
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(F.expr(_TOKENS_EXPR_SPARK)).alias("term"))
+    tok = spread_scan(docs).select(
+        "doc_id", F.explode(F.expr(_TOKENS_EXPR_SPARK)).alias("term")
+    )
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # q112's derive-from-tf rule: dl/avgdl/df all reuse the tf exchange
+    # instead of re-running the tokenize+explode pass per statistic
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = docs.select(F.count(F.lit(1)).alias("n")).crossJoin(
         dl.agg(F.avg("dl").alias("avgdl"))
     )
     dfr = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
     norm = "sqrt(aggregate(transform({c}, x -> x * x), 0D, (a, x) -> a + x))"
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = spread_scan(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("emb")
     ).withColumn("ne", F.expr(norm.format(c="emb")))
 
@@ -656,15 +684,19 @@ def q117_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     join to the vector table on candidate id, query side broadcast) —
     never a corpus-wide similarity pass."""
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(F.expr(_TOKENS_EXPR_SPARK)).alias("term"))
+    tok = spread_scan(docs).select(
+        "doc_id", F.explode(F.expr(_TOKENS_EXPR_SPARK)).alias("term")
+    )
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # q112's derive-from-tf rule: dl/avgdl/df all reuse the tf exchange
+    # instead of re-running the tokenize+explode pass per statistic
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = docs.select(F.count(F.lit(1)).alias("n")).crossJoin(
         dl.agg(F.avg("dl").alias("avgdl"))
     )
     dfr = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     norm = "sqrt(aggregate(transform({c}, x -> x * x), 0D, (a, x) -> a + x))"
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = spread_scan(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("emb")
     ).withColumn("ne", F.expr(norm.format(c="emb")))
 

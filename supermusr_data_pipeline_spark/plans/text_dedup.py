@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..sources.testdata import load_table
+from ..sources.testdata import load_table, spread_scan
 from .relational import ORACLES, QUERIES, _register
 
 # ---------------------------------------------------------------------------
@@ -205,8 +205,15 @@ def _minhash_cols_spark() -> list:
     return cols
 
 
-def _with_token_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _with_token_hashes(spark: SparkSession, sf_dir: str, spread: bool = False) -> DataFrame:
+    """``spread=True`` fans the scan out to default parallelism before the
+    tokenize + per-token md5 pass (the dominant CPU cost of every minhash
+    consumer) — see sources.testdata.spread_scan; used by the builders
+    that materialize signature tables, left off for cheap narrow
+    consumers whose plans are pinned shuffle-free."""
     docs = load_table(spark, sf_dir, "documents")
+    if spread:
+        docs = spread_scan(docs)
     return docs.withColumn("tokens", F.expr(_TOKENS_EXPR_SPARK)).withColumn(
         "th",
         F.expr(
@@ -565,7 +572,7 @@ def _q25_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     # released by _shared_checkpoint as soon as the outer pair-graph
     # checkpoint holds the data (the `mid - before` diff).
     base = (
-        _with_token_hashes(spark, sf_dir)
+        _with_token_hashes(spark, sf_dir, spread=True)
         .filter(F.size("th") > 0)
         .select("doc_id", "th", *_minhash_cols_spark())
         .localCheckpoint()
@@ -690,7 +697,7 @@ def q27_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Norms are precomputed per ROW before the pair join (same doubles, same
     sqrt, evaluated n + |Q| times instead of n·|Q| times)."""
     norm = "sqrt(aggregate(transform({c}, x -> x * x), 0D, (a, x) -> a + x))"
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = spread_scan(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("emb")
     ).withColumn("ne", F.expr(norm.format(c="emb")))
     q = e.filter(F.col("vec_id") % 20 == 0).select(
@@ -802,7 +809,7 @@ def q28_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (b) the pair join carries vec_ids only, embeddings re-attach after pair
     dedup so shuffle rows stay ~16 bytes; (c) cosine verify ≥ 0.2 runs once
     per deduped candidate pair.  Never O(n²)."""
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = spread_scan(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("emb")
     )
     band_cols = [
@@ -1038,7 +1045,7 @@ def q29_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q29_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents, n_probe = _codebook(sf_dir)
     po = _probe_order_spark(len(cents))
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = spread_scan(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("emb")
     )
     d = e.withColumn("dots", F.expr(_ivf_dots_spark("emb", cents)))
@@ -1407,8 +1414,8 @@ def min_label_components(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
     pointer chains geometrically — a 2^max_rounds-diameter path converges,
     not just the shallow components plain propagation handles.  Convergence
     is detected by a _changed flag computed inside the same select as the
-    update (labels only ever decrease), so each round is exactly one
-    localCheckpoint job plus a max() over materialized partitions.
+    update (labels only ever decrease), so each round is exactly one job:
+    the max() action doubles as the (lazy) localCheckpoint's materializer.
 
     Memory hygiene: each round's localCheckpoint supersedes the previous
     round's — once the new one is materialized (localCheckpoint is eager)
@@ -1445,6 +1452,12 @@ def min_label_components(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
             jump = mid.select(F.col("node").alias("jn"), F.col("mid").alias("jl"))
             new_label = F.least(F.col("mid"), F.coalesce("jl", "mid"))
             before = _persistent_rdd_ids(sc)
+            # LAZY checkpoint: the convergence agg below is the action that
+            # materializes it, so each round schedules ONE job for
+            # materialize+max instead of two (eager checkpoint job + agg
+            # job) — column pruning cannot cross the checkpoint boundary,
+            # so the agg still materializes every column (r14, guide §1.2:
+            # at 71 jobs/run the per-job scheduling latency WAS the query)
             new_labels = (
                 mid.join(jump, mid.mid == jump.jn, "left")
                 .select(
@@ -1452,10 +1465,10 @@ def min_label_components(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
                     new_label.alias("label"),
                     (new_label < F.col("old")).alias("_changed"),
                 )
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
-            new_ids = _persistent_rdd_ids(sc) - before
             changed = new_labels.agg(F.max("_changed")).first()[0]
+            new_ids = _persistent_rdd_ids(sc) - before
             _unpersist_rdd_ids(sc, prev_ckpt_ids)
             prev_ckpt_ids = new_ids
             labels = new_labels.drop("_changed")
@@ -1785,7 +1798,7 @@ def q47_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically.  Norms are precomputed per row, not per pair (q27's
     optimization — identical doubles)."""
     norm = "sqrt(aggregate(transform({c}, x -> x * x), 0D, (a, x) -> a + x))"
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = spread_scan(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("emb")
     ).withColumn("ne", F.expr(norm.format(c="emb")))
     q = e.filter(F.col("vec_id") % 50 == 0).select(
@@ -1867,7 +1880,7 @@ def q48_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     same access pattern as building the index, no extra join."""
     cents, _ = _codebook(sf_dir)
     po = _probe_order_spark(len(cents))
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = spread_scan(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("emb")
     )
     d = e.withColumn("dots", F.expr(_ivf_dots_spark("emb", cents)))
@@ -2090,7 +2103,7 @@ def q51_ivf_sq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     array math, and the only joins are the broadcast probe join and the
     tiny shortlist re-rank.  At 100 TB only codes + cell ids live in the
     scan path; full vectors are fetched for the shortlist alone."""
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = spread_scan(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("emb")
     )
     bounds = e.agg(
@@ -2219,7 +2232,7 @@ def q58_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exists."""
     cents, _ = _codebook(sf_dir)
     po = _probe_order_spark(len(cents))
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = spread_scan(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("emb")
     )
     d = e.withColumn("dots", F.expr(_ivf_dots_spark("emb", cents)))
@@ -2382,7 +2395,7 @@ def q69_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (|S|²/2 pairs, the q47 |Q|·n pattern); the membership joins consume
     the session-shared q25 pair and q42 label checkpoints, so no second
     LSH or CC pass."""
-    df = _with_token_hashes(spark, sf_dir)
+    df = _with_token_hashes(spark, sf_dir, spread=True)
     s = df.filter(
         (F.col("doc_id") % _LSH_EVAL_MOD == 0) & (F.size("th") > 0)
     ).select("doc_id", "th")

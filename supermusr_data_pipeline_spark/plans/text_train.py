@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..sources.testdata import load_table
+from ..sources.testdata import load_table, spread_scan
 from .relational import ORACLES, QUERIES, _register
 from .text_dedup import _TOKENS_EXPR_SPARK, _TOKENS_SQL_DUCK
 
@@ -593,7 +593,7 @@ def q61_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the suffix-array pass, with skew bounded because a gram's group is
     its true corpus frequency.  The per-doc re-aggregation keys on doc_id.
     No Python, no windows over data-sized partitions."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     g = (
         docs.select("doc_id", F.expr(_TOKENS_EXPR_SPARK).alias("toks"))
         .filter(F.size("toks") >= _DUP_K)
@@ -1386,7 +1386,7 @@ def q119_bigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     No Python anywhere."""
     toks = f"({_TOKENS_EXPR_SPARK})"
     big = (
-        load_table(spark, sf_dir, "documents")
+        spread_scan(load_table(spark, sf_dir, "documents"))
         .select(
             "doc_id",
             F.explode(
@@ -1400,7 +1400,11 @@ def q119_bigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
     )
     bc = big.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
-    uc = big.groupBy("w1").agg(F.count("*").alias("c1"))
+    # c(w1) = Σ_w2 c(w1,w2): derive the unigram-context table from the
+    # bigram counts instead of re-running the tokenize+explode pass — one
+    # fewer corpus pass, and the physical planner reuses bc's exchange
+    # for both consumers (identical subtree)
+    uc = bc.groupBy("w1").agg(F.sum("c2").alias("c1"))
     stats = uc.agg(F.count("*").alias("v"))
     nll_e6 = F.round(
         -F.log(

@@ -40,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources.testdata import load_table
+from ..sources.testdata import load_table, spread_scan
 from .relational import _register
 from .text_dedup import (
     _codebook,
@@ -535,7 +535,7 @@ def q78_ivf_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     visible per pair."""
     cents, n_probe = _codebook(sf_dir)
     po = _probe_order_spark(len(cents))
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = spread_scan(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("emb")
     )
     d = e.withColumn("dots", F.expr(_ivf_dots_spark("emb", cents)))
@@ -661,7 +661,7 @@ def q83_pq_code_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: encode is the same narrow all-JVM pass as q78; the
     explode multiplies rows by M=16 but carries only (subspace, code, err)
     — ~20 B/row; the final aggregation has 256 groups.  One exchange."""
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = spread_scan(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("emb")
     )
     sc = e.select(
@@ -726,7 +726,7 @@ def write_pq_index(spark: SparkSession, sf_dir: str, out_path: str) -> None:
     that only the re-rank fetch reads."""
     cents, _ = _codebook(sf_dir)
     po = _probe_order_spark(len(cents))
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = spread_scan(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("emb")
     )
     d = e.withColumn("dots", F.expr(_ivf_dots_spark("emb", cents)))
@@ -761,7 +761,7 @@ def q96_pq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cents, n_probe = _codebook(sf_dir)
     po = _probe_order_spark(len(cents))
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = spread_scan(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("emb")
     )
     q = (
@@ -864,7 +864,7 @@ def q106_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one narrow pass computes per-row norms; quantiles are
     exact per-group (2 groups); the mean direction is one 64-lane
     aggregate per half — all one shuffle on the 2-value half key."""
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = spread_scan(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id",
         F.when(F.col("vec_id") % 2 == 0, "even").otherwise("odd").alias("half"),
         F.expr("transform(embedding, x -> cast(x as double))").alias("emb"),
@@ -944,7 +944,7 @@ def q118_label_centroid_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring pass is narrow; the per-label bottom-5 is a window
     partitioned by label.  At 100 TB the corpus never shuffles — the
     only wide exchange carries one 64-float row per label."""
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = spread_scan(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", "label",
         F.expr("transform(embedding, x -> cast(x as double))").alias("emb"),
     )

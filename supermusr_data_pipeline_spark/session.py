@@ -41,6 +41,14 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE's coalescer floors post-shuffle partitions at 1 MB
+        # (coalescePartitions.minPartitionSize), which collapses small-but-
+        # CPU-heavy shuffles (grouped trace series feeding the Arrow
+        # detector UDFs, LSH bucket joins) onto 1-2 cores.  64 KB keeps
+        # parallelismFirst in charge for those stages; large shuffles are
+        # governed by totalBytes/parallelism and the advisory size exactly
+        # as before, so cluster behavior at scale is unchanged.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # big Arrow batches amortize Python UDF overhead on 30k-sample traces

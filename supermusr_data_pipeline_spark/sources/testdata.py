@@ -108,6 +108,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread_scan(df: DataFrame) -> DataFrame:
+    """Unsplittable-input guard for compute-heavy passes (optimization
+    guide §2.5: "one huge unsplittable file → repartition immediately
+    after the read").
+
+    The driver's test tables are one parquet file with ONE row group, so
+    a scan is a single input split and everything narrow downstream
+    (tokenize + per-token md5, IVF/PQ/SQ8 encodes, n-gram explodes) runs
+    in one task regardless of core count.  When the scan yields fewer
+    partitions than the session's default parallelism, round-robin
+    repartition to default parallelism so the heavy map work fans out;
+    the shuffled rows are the scan's output (call this AFTER projecting
+    to the columns the pass needs — guide §2.3).
+
+    Scale-adaptive by construction: a table that already scans as >=
+    defaultParallelism splits (any real multi-file/multi-row-group
+    layout) passes through untouched, so no extra exchange appears on a
+    cluster.  Round-robin keeps Spark's sort-before-repartition
+    determinism under task retry (SPARK-23207)."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TESTDATA_TABLES}
 

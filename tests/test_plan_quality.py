@@ -156,11 +156,15 @@ def test_q49_source_report_broadcasts_labels(spark, plan):
 
 
 def test_q48_cell_stats_single_exchange_jvm_only(spark, plan):
-    """Index health: one narrow pass + one keyed aggregation — the partial/
-    final agg exchange is the only shuffle, nothing leaves the JVM."""
+    """Index health: one compute pass + one keyed aggregation — the
+    partial/final agg exchange plus the deliberate round-robin spread of
+    the unsplittable scan (sources.testdata.spread_scan, r14) are the
+    only shuffles; no join exchanges, nothing leaves the JVM."""
     p = plan(spark, "q48_ivf_cell_stats")
-    # one Exchange node (formatted explain names each node twice)
-    assert p.count("Exchange") <= 2
+    # two Exchange nodes at most: RoundRobin spread + hash agg (formatted
+    # explain names each node twice)
+    assert p.count("Exchange") <= 4
+    assert "Join" not in p
     assert "Python" not in p
 
 
