@@ -122,13 +122,42 @@ def spread_scan(df: DataFrame) -> DataFrame:
     the shuffled rows are the scan's output (call this AFTER projecting
     to the columns the pass needs — guide §2.3).
 
-    Scale-adaptive by construction: a table that already scans as >=
-    defaultParallelism splits (any real multi-file/multi-row-group
-    layout) passes through untouched, so no extra exchange appears on a
-    cluster.  Round-robin keeps Spark's sort-before-repartition
-    determinism under task retry (SPARK-23207)."""
+    The fan-out is SIZE-DERIVED, not a core-count constant: target =
+    clamp(plan sizeInBytes / bytes_per_task, 1, defaultParallelism).
+    The passes this guards are compute-dense (~10-20 s CPU per on-disk
+    MB measured for tokenize+md5 minhash and the IVF/PQ encodes), and
+    each first-run task of a giant-expression stage pays a fixed JVM
+    warm-up premium (~0.3-0.5 s, measured r14: a 32-way spread of a
+    0.3 s-CPU pass burned 14.6 CPU-s on first run, 0.9 s warmed), so
+    tasks are sized so per-task compute dominates that premium: 64
+    KiB/task ≈ 1 s of compute.  Fresh-session A/B at sf0.1: fan-out 8
+    beat both 1 and 32 on EVERY heavy query (total 29.5 s vs 37.7 /
+    37.4).  A huge table clamps to defaultParallelism, and one that
+    already scans as >= target splits (any real multi-file layout)
+    passes through untouched — so cluster behavior is unchanged.
+    Round-robin keeps Spark's sort-before-repartition determinism under
+    task retry (SPARK-23207).
+
+    ``SUPERMUSR_SPREAD_TARGET`` pins the fan-out (0 disables);
+    ``SUPERMUSR_SPREAD_BYTES_PER_TASK`` tunes the task sizing."""
+    import os as _os
+
     sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
+    dp = sc.defaultParallelism
+    tgt = _os.environ.get("SUPERMUSR_SPREAD_TARGET")
+    if tgt:
+        target = int(tgt)
+    else:
+        bpt = int(
+            _os.environ.get("SUPERMUSR_SPREAD_BYTES_PER_TASK", str(64 * 1024))
+        )
+        try:
+            size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        except Exception:  # pragma: no cover — stats unavailable: full fan-out
+            size = None
+        target = dp if size is None else max(1, min(dp, size // bpt))
+    if target <= 0:
+        return df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
