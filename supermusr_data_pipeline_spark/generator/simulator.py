@@ -202,12 +202,17 @@ def generate_traces(
                 )
             yield pd.DataFrame(rows)
 
-    # partition count: at least the session's parallelism (synthesis is
-    # pure per-row numpy; a small run must still fan out across cores —
-    # the old n_rows//64 floor serialized a 128-row flagship run onto 2
-    # tasks), at most one row per task / the 256 task-storm cap
+    # partition count: derived from the actual per-task work, not the core
+    # count.  Measured synthesis+detection cost is ~0.7 µs per sample-row
+    # (r14: the whole 128x500 flagship shape is 45 ms of Python), so size
+    # tasks at ~128 Ki samples (~0.1 s) each — a task whose compute is far
+    # below the Python-worker checkout cost only adds overhead (a 32-way
+    # fan-out of this shape measured 340 s of executor wait for 0.8 s of
+    # CPU when the worker pool went cold).  Large runs still fan out, and
+    # the 4*parallelism cap bounds the task storm on any cluster size.
     dp = spark.sparkContext.defaultParallelism
-    n_parts = max(1, min(n_rows, max(dp, min(n_rows // 64, 256))))
+    work_parts = 1 + (n_rows * n_samples) // 131_072
+    n_parts = max(1, min(n_rows, work_parts, 4 * dp))
     return spark.range(0, n_rows, numPartitions=n_parts).mapInPandas(synth, out_schema)
 
 
@@ -247,11 +252,13 @@ def generate_runs(
         i += 1
     from ..schemas import RUN_SCHEMA
 
-    # one partition: the run table is a handful of rows, but createDataFrame
-    # parallelizes the Python list into defaultParallelism pickled slices,
-    # each a Python-worker task (32 worker checkouts for 3 rows measured in
-    # the flagship chain) — coalesce keeps it to one
-    return spark.createDataFrame(rows, RUN_SCHEMA).coalesce(1)
+    # Arrow path + one partition: a Python-list createDataFrame becomes
+    # pickled slices each executed by a Python-worker task (a 1-task slice
+    # measured 15.8 s of executor wait for 3 rows when the worker pool went
+    # cold); a pandas input rides the Arrow converter, so executing the
+    # scan never touches a Python worker (guide §4/§6).
+    pdf = pd.DataFrame(rows, columns=[f.name for f in RUN_SCHEMA.fields])
+    return spark.createDataFrame(pdf, RUN_SCHEMA).coalesce(1)
 
 
 def frames_in_run_count(n_frames: int, frames_per_run: int, gap_frames: int) -> int:

@@ -29,10 +29,19 @@ def daq_chain(
 
     Uses the fused nexus build (one partial-agg shuffle + one join over the
     big events side; see build_nexus_events_fused) — the unfused operators
-    remain available individually for the streaming foreachBatch path."""
+    remain available individually for the streaming foreachBatch path.
+
+    The fused build consumes ``events`` twice (the frame dimension and the
+    join-back), and without a materialization barrier Catalyst plants the
+    whole synthesis+detection subtree under BOTH consumers — two concurrent
+    MapInPandas pipelines that each re-run the detector and together demand
+    2x parallelism of Python workers (measured r14: 340 s of executor wait
+    for 0.8 s of CPU on the flagship shape).  localCheckpoint computes the
+    event table once per invocation (inside the timed query, from the
+    inputs — nothing persists across runs) and both consumers scan it."""
     from ..operators.nexus_sink import build_nexus_events_fused
 
-    events = form_events(traces, mode=mode, **detector_params)
+    events = form_events(traces, mode=mode, **detector_params).localCheckpoint(eager=False)
     return build_nexus_events_fused(events, runs, expected_digitizers)
 
 

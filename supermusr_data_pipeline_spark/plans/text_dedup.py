@@ -1049,18 +1049,27 @@ def _q29_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("emb")
     )
     d = e.withColumn("dots", F.expr(_ivf_dots_spark("emb", cents)))
+    # norms are per-VECTOR, so compute them once per row on each join input
+    # instead of once per candidate PAIR (a corpus vector is scored against
+    # ~|Q|*n_probe/n_cells queries, a query against ~n_probe cell
+    # populations) — identical arithmetic on identical operands, just not
+    # repeated (guide §2.3 "project before the exchange"); bit-identical
+    norm = "sqrt(aggregate(transform({c}, x -> x * x), 0D, (a, x) -> a + x))"
     cells = d.select(
-        "vec_id", "emb", F.expr(f"element_at({po}, 1)").alias("cell")
+        "vec_id",
+        "emb",
+        F.expr(f"element_at({po}, 1)").alias("cell"),
+        F.expr(norm.format(c="emb")).alias("nemb"),
     )
     q = d.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("qe"),
         F.expr(f"slice({po}, 1, {n_probe})").alias("probe"),
+        F.expr(norm.format(c="emb")).alias("nqe"),
     )
-    qp = q.select("query_id", "qe", F.explode("probe").alias("pcell"))
+    qp = q.select("query_id", "qe", "nqe", F.explode("probe").alias("pcell"))
     dot = F.expr("aggregate(zip_with(qe, emb, (x, y) -> x * y), 0D, (a, x) -> a + x)")
-    norm = "sqrt(aggregate(transform({c}, x -> x * x), 0D, (a, x) -> a + x))"
-    sim = F.round(dot / (F.expr(norm.format(c="qe")) * F.expr(norm.format(c="emb"))), 6)
+    sim = F.round(dot / (F.col("nqe") * F.col("nemb")), 6)
     # a vector lives in exactly one cell and probe cells are distinct, so the
     # explode-join cannot duplicate (query, neighbor) pairs
     sims = (
@@ -1426,8 +1435,22 @@ def min_label_components(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
     pin "near-dup components converge in a handful of rounds" and catch a
     pair-graph blowup before a cluster bill does."""
     global LAST_CC_ROUNDS
-    sc = edges.sparkSession.sparkContext
+    spark = edges.sparkSession
+    sc = spark.sparkContext
     edges = edges.persist()
+    # AQE executes every Exchange as its own query-stage job, so each
+    # round of this loop schedules ~13 jobs whose runtime coalescing and
+    # skew-splitting are no-ops on a small graph — pure scheduling latency
+    # (measured r14 at sf0.1: 66 jobs / 13.2 s with AQE vs 12 jobs / 8.0 s
+    # without, identical rows).  Disable AQE for the loop ONLY when the
+    # materialized edge list is small (the count doubles as the persist's
+    # materializer, so round 1 doesn't compute edges twice); a big graph —
+    # where AQE's coalescing and skew handling earn their jobs — keeps it.
+    aqe_max_edges = int(os.environ.get("SUPERMUSR_CC_AQE_MAX_EDGES", str(2_000_000)))
+    small_graph = edges.count() <= aqe_max_edges
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled")
+    if small_graph:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
     labels = (
         edges.select(F.col("u").alias("node"))
         .distinct()
@@ -1483,6 +1506,7 @@ def min_label_components(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
         _unpersist_rdd_ids(sc, prev_ckpt_ids)  # nobody will consume it now
         raise
     finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
         edges.unpersist()
         LAST_CC_ROUNDS = rounds
     return labels
@@ -2126,6 +2150,11 @@ def q51_ivf_sq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
                         * ((mxs[i-1] - mns[i-1]) / 255.0D)
                  ELSE mns[i-1] END)"""
     )
+    # the dequantized norm is per-VECTOR: compute it alongside dq once per
+    # corpus row (and the query norm once per query) instead of inside the
+    # per-candidate-pair cosine — identical arithmetic, ~n_probe*|Q|/cells
+    # fewer norm evaluations per row; bit-identical (guide §2.3)
+    norm_of = "sqrt(aggregate(transform({c}, x -> x * x), 0D, (s, x) -> s + x))"
     cells = (
         d.crossJoin(F.broadcast(bounds))
         .select(
@@ -2134,17 +2163,22 @@ def q51_ivf_sq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"element_at({po}, 1)").alias("cell"),
             dq.alias("dq"),
         )
+        .withColumn("ndq", F.expr(norm_of.format(c="dq")))
     )
     q = d.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("qe"),
         F.expr(f"slice({po}, 1, {n_probe})").alias("probe"),
+        F.expr(norm_of.format(c="emb")).alias("nqe"),
     )
-    qp = q.select("query_id", "qe", F.explode("probe").alias("pcell"))
+    qp = q.select("query_id", "qe", "nqe", F.explode("probe").alias("pcell"))
     cos = (
         "round(aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (s, x) -> s + x)"
         " / (sqrt(aggregate(transform({a}, x -> x * x), 0D, (s, x) -> s + x))"
         " * sqrt(aggregate(transform({b}, x -> x * x), 0D, (s, x) -> s + x))), 6)"
+    )
+    approx_dot = F.expr(
+        "aggregate(zip_with(qe, dq, (x, y) -> x * y), 0D, (s, x) -> s + x)"
     )
     approx = (
         F.broadcast(qp)
@@ -2154,7 +2188,7 @@ def q51_ivf_sq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qe",
             F.col("vec_id").alias("neighbor_id"),
             F.col("emb").alias("cemb"),
-            F.expr(cos.format(a="qe", b="dq")).alias("approx_sim"),
+            F.round(approx_dot / (F.col("nqe") * F.col("ndq")), 6).alias("approx_sim"),
         )
     )
     wa = Window.partitionBy("query_id").orderBy(F.desc("approx_sim"), "neighbor_id")

@@ -550,14 +550,22 @@ def q78_ivf_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"cast(array_position(sc{s}, array_max(sc{s})) - 1 as int)"
         for s in range(_PQ_M)
     ) + ")"
-    codes = sc.select("vec_id", "cell", F.expr(codes_expr).alias("codes"))
+    # materialize the 8 B/vec code table and the tiny query side once per
+    # invocation: without the barrier Catalyst plants the whole
+    # scan→dots→scores→argmax encode under EVERY consumer (the ADC join,
+    # the re-rank, and the qe broadcast), roughly doubling the query's CPU
+    # and its codegen surface (guide §1.2; measured r14: 3.6-4.3 s → 1.9-
+    # 2.3 s warm, rows hash-identical)
+    codes = sc.select("vec_id", "cell", F.expr(codes_expr).alias("codes")).localCheckpoint(
+        eager=False
+    )
 
     q = d.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("qe"),
         F.expr(f"slice({po}, 1, {n_probe})").alias("probe"),
         F.expr(_adc_tables_spark("emb")).alias("tq"),
-    )
+    ).localCheckpoint(eager=False)
     qp = q.select("query_id", "tq", F.explode("probe").alias("pcell"))
     adc = (
         F.broadcast(qp)
