@@ -126,11 +126,12 @@ def learn_bpe_merges(
     hit = _LEARNED.get(key)
     if hit is not None:
         return list(hit[0])
+    from ..materialize import materialize
     from .text_dedup import _persistent_rdd_ids, _unpersist_rdd_ids
 
     sc = spark.sparkContext
     before = _persistent_rdd_ids(sc)
-    syms = _initial_symbols(_word_freqs(spark, sf_dir)).localCheckpoint()
+    syms = materialize(_initial_symbols(_word_freqs(spark, sf_dir)))
     merges: list[tuple[str, str]] = []
     rounds = 0
     try:
@@ -187,9 +188,11 @@ def learn_bpe_merges(
                     yield pdf
 
             held = _persistent_rdd_ids(sc)
-            syms = syms.mapInPandas(
-                merge_fn, "word string, freq bigint, syms array<string>"
-            ).localCheckpoint()
+            syms = materialize(
+                syms.mapInPandas(
+                    merge_fn, "word string, freq bigint, syms array<string>"
+                )
+            )
             # release the superseded round's checkpoint blocks (DataFrame
             # .unpersist() does NOT free localCheckpoint RDDs — the CC
             # rounds in text_dedup learned the same lesson)

@@ -36,12 +36,15 @@ def daq_chain(
     whole synthesis+detection subtree under BOTH consumers — two concurrent
     MapInPandas pipelines that each re-run the detector and together demand
     2x parallelism of Python workers (measured r14: 340 s of executor wait
-    for 0.8 s of CPU on the flagship shape).  localCheckpoint computes the
+    for 0.8 s of CPU on the flagship shape).  materialize() computes the
     event table once per invocation (inside the timed query, from the
-    inputs — nothing persists across runs) and both consumers scan it."""
+    inputs — nothing persists across runs) and both consumers scan it;
+    on a cluster it persists with lineage instead of localCheckpoint so a
+    lost executor recomputes (guide §5)."""
+    from ..materialize import materialize
     from ..operators.nexus_sink import build_nexus_events_fused
 
-    events = form_events(traces, mode=mode, **detector_params).localCheckpoint(eager=False)
+    events = materialize(form_events(traces, mode=mode, **detector_params), eager=False)
     return build_nexus_events_fused(events, runs, expected_digitizers)
 
 

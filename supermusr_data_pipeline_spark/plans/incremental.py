@@ -41,6 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..materialize import materialize
 from ..sources.testdata import load_table
 from .relational import _register
 from .text_dedup import (
@@ -56,6 +57,43 @@ from .text_dedup import (
 # the "newly arrived shard": a deterministic 10% slice
 _DELTA_MOD = 10
 _DELTA_REM = 7
+
+
+def _sized_buckets(banded: DataFrame) -> DataFrame:
+    """Bucket occupancy AND the star representative from ONE window over
+    the banded rows (q25's r15 rewrite, shared by q79/q82): r14 computed
+    occupancy as groupBy+join-back and the rep as a second groupBy+join —
+    three extra exchanges of the same (band_no, key)-keyed rows (guide
+    §2.4).  Skew parity with the join form: a hot bucket clusters onto one
+    task either way, and the star path bounds its output."""
+    from pyspark.sql.window import Window
+
+    wb = Window.partitionBy("band_no", "key")
+    return banded.withColumn("count", F.count(F.lit(1)).over(wb)).withColumn(
+        "rep", F.min("doc_id").over(wb)
+    )
+
+
+def _delta_probe_pairs(cap_delta: DataFrame, capped: DataFrame) -> DataFrame:
+    """Candidate pairs touching the delta, from ONE bucket join: the delta
+    side probes the full capped table (base + delta), self-matches are
+    dropped, and the pair is normalized to doc_a = min.  Produces exactly
+    the union of delta x base (both orientations) and delta x delta that
+    r14 built with three oriented joins — a delta_delta pair arrives in
+    both orientations and collapses in the caller's dropDuplicates.
+    base x base pairs are never generated: one join side is always the
+    delta, so the incremental-cost contract (O(|delta| x occupancy)) is
+    preserved while the plan runs one join instead of three."""
+    aa, bb = cap_delta.alias("a"), capped.alias("b")
+    return aa.join(
+        bb,
+        (F.col("a.band_no") == F.col("b.band_no"))
+        & (F.col("a.key") == F.col("b.key"))
+        & (F.col("a.doc_id") != F.col("b.doc_id")),
+    ).select(
+        F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+        F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+    )
 
 
 def _q79_oracle() -> str:
@@ -125,12 +163,11 @@ def q79_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # th) projection, so materialize it once — the plan otherwise repeats
     # the corpus tokenize subtree per consumer (4 passes measured r14;
     # guide §1.2 "don't compute things twice").  Same in-query
-    # localCheckpoint pattern as q25's builder; ~16 B/token row.
-    base = (
+    # materialize() pattern as q25's builder; ~16 B/token row.
+    base = materialize(
         _with_token_hashes(spark, sf_dir, spread=True)
         .filter(F.size("th") > 0)
         .select("doc_id", "th")
-        .localCheckpoint()
     )
     th = base
     sigs = base.select("doc_id", *_minhash_cols_spark())
@@ -150,39 +187,26 @@ def q79_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("bk.band_no").alias("band_no"), F.col("bk.key").alias("key"))
     )
     is_delta = F.col("doc_id") % _DELTA_MOD == _DELTA_REM
-    # occupancy is COMBINED (base+delta) — the maintained index's view
-    bucket_sizes = banded.groupBy("band_no", "key").count()
-    sized = banded.join(bucket_sizes, on=["band_no", "key"])
+    # occupancy is COMBINED (base+delta) — the maintained index's view;
+    # one window computes it together with the star rep (see _sized_buckets)
+    sized = _sized_buckets(banded)
     capped = sized.filter(F.col("count") <= _LSH_BUCKET_CAP).select(
         "doc_id", "band_no", "key"
     )
-    cap_delta = capped.filter(is_delta)
-    cap_base = capped.filter(~is_delta)
-
-    def _oriented(a: DataFrame, b: DataFrame) -> DataFrame:
-        aa, bb = a.alias("a"), b.alias("b")
-        return aa.join(
-            bb,
-            (F.col("a.band_no") == F.col("b.band_no"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("b.doc_id") > F.col("a.doc_id")),
-        ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-
-    # delta x base in both orientations + delta x delta; NEVER base x base
-    pairs_new = (
-        _oriented(cap_delta, cap_base)
-        .unionByName(_oriented(cap_base, cap_delta))
-        .unionByName(_oriented(cap_delta, cap_delta))
-    )
+    # ONE join generates every candidate pair touching the delta: the delta
+    # side probes the FULL capped table (base + delta members of the same
+    # bucket) and the orientation is normalized afterwards (doc_a = min).
+    # base x base pairs are still never generated — one join side is always
+    # the delta — and a delta_delta pair arriving in both orientations
+    # collapses in the dropDuplicates below.  Replaces r14's three oriented
+    # joins (delta x base, base x delta, delta x delta): same pair set, one
+    # exchange pair instead of three join stages (guide §2.4).
+    pairs_new = _delta_probe_pairs(capped.filter(is_delta), capped)
     # over-cap buckets: star edges to the bucket rep, kept only if the pair
     # touches the delta (rep may be a base doc linking a delta member, or a
     # delta rep linking any member)
-    big = sized.filter(F.col("count") > _LSH_BUCKET_CAP).select(
-        "doc_id", "band_no", "key"
-    )
-    reps = big.groupBy("band_no", "key").agg(F.min("doc_id").alias("rep"))
     pairs_star = (
-        big.join(reps, ["band_no", "key"])
+        sized.filter(F.col("count") > _LSH_BUCKET_CAP)
         .filter(F.col("doc_id") > F.col("rep"))
         .filter(is_delta | (F.col("rep") % _DELTA_MOD == _DELTA_REM))
         .select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
@@ -336,12 +360,11 @@ def q82_indexed_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # narrow (doc_id, th) projection (the doc_id filter pushes below the
     # spread repartition, so only shard rows are shuffled or tokenized);
     # signatures and the verification attach both derive from it
-    delta_base = (
+    delta_base = materialize(
         _with_token_hashes(spark, sf_dir, spread=True)
         .filter(is_delta)
         .filter(F.size("th") > 0)
         .select("doc_id", "th")
-        .localCheckpoint()
     )
     delta_th = delta_base
     delta_banded = _banded(delta_base.select("doc_id", *_minhash_cols_spark()))
@@ -359,35 +382,17 @@ def q82_indexed_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "th")
 
     banded = base_banded.unionByName(delta_banded)
-    # combined occupancy — identical to the maintained index's view (q79)
-    bucket_sizes = banded.groupBy("band_no", "key").count()
-    sized = banded.join(bucket_sizes, on=["band_no", "key"])
+    # combined occupancy — identical to the maintained index's view (q79);
+    # one window computes it together with the star rep (_sized_buckets)
+    sized = _sized_buckets(banded)
     capped = sized.filter(F.col("count") <= _LSH_BUCKET_CAP).select(
         "doc_id", "band_no", "key"
     )
-    cap_delta = capped.filter(is_delta)
-    cap_base = capped.filter(~is_delta)
-
-    def _oriented(a: DataFrame, b: DataFrame) -> DataFrame:
-        aa, bb = a.alias("a"), b.alias("b")
-        return aa.join(
-            bb,
-            (F.col("a.band_no") == F.col("b.band_no"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("b.doc_id") > F.col("a.doc_id")),
-        ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-
-    pairs_new = (
-        _oriented(cap_delta, cap_base)
-        .unionByName(_oriented(cap_base, cap_delta))
-        .unionByName(_oriented(cap_delta, cap_delta))
-    )
-    big = sized.filter(F.col("count") > _LSH_BUCKET_CAP).select(
-        "doc_id", "band_no", "key"
-    )
-    reps = big.groupBy("band_no", "key").agg(F.min("doc_id").alias("rep"))
+    # q79's single-join rule: delta probes the full capped table once,
+    # orientation normalized after (doc_a = min); never base x base
+    pairs_new = _delta_probe_pairs(capped.filter(is_delta), capped)
     pairs_star = (
-        big.join(reps, ["band_no", "key"])
+        sized.filter(F.col("count") > _LSH_BUCKET_CAP)
         .filter(F.col("doc_id") > F.col("rep"))
         .filter(is_delta | (F.col("rep") % _DELTA_MOD == _DELTA_REM))
         .select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..materialize import materialize
 from ..sources.testdata import load_table, spread_scan
 from .relational import ORACLES, QUERIES, _register
 
@@ -571,11 +572,10 @@ def _q25_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the dominant CPU cost — re-runs for each.  The eager checkpoint is
     # released by _shared_checkpoint as soon as the outer pair-graph
     # checkpoint holds the data (the `mid - before` diff).
-    base = (
+    base = materialize(
         _with_token_hashes(spark, sf_dir, spread=True)
         .filter(F.size("th") > 0)
         .select("doc_id", "th", *_minhash_cols_spark())
-        .localCheckpoint()
     )
     th = base.select("doc_id", "th")
     sigs = base.select("doc_id", *[f"mh{i:02d}" for i in range(len(_MINHASH_A))])
@@ -594,8 +594,17 @@ def _q25_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("bk"))
         .select("doc_id", F.col("bk.band_no").alias("band_no"), F.col("bk.key").alias("key"))
     )
-    bucket_sizes = banded.groupBy("band_no", "key").count()
-    sized = banded.join(bucket_sizes, on=["band_no", "key"])
+    # bucket occupancy AND the star representative from ONE window over the
+    # banded rows (exactly the oracle's formulation): r14 computed the
+    # occupancy as groupBy+join-back and the rep as a second groupBy+join —
+    # three extra exchanges of the same (band_no, key)-keyed rows (guide
+    # §2.4: operations keyed the same way share one exchange).  Skew parity:
+    # a pathological hot bucket lands on one task either way (the join also
+    # clusters by bucket key), and the star path bounds its output.
+    wb = Window.partitionBy("band_no", "key")
+    sized = banded.withColumn("count", F.count(F.lit(1)).over(wb)).withColumn(
+        "rep", F.min("doc_id").over(wb)
+    )
     capped = sized.filter(F.col("count") <= _LSH_BUCKET_CAP).select(
         "doc_id", "band_no", "key"
     )
@@ -608,12 +617,8 @@ def _q25_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("b.doc_id") > F.col("a.doc_id")),
     ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
     # over-cap buckets: O(bucket) star edges to the min-doc_id representative
-    big = sized.filter(F.col("count") > _LSH_BUCKET_CAP).select(
-        "doc_id", "band_no", "key"
-    )
-    reps = big.groupBy("band_no", "key").agg(F.min("doc_id").alias("rep"))
     pairs_star = (
-        big.join(reps, ["band_no", "key"])
+        sized.filter(F.col("count") > _LSH_BUCKET_CAP)
         .filter(F.col("doc_id") > F.col("rep"))
         .select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
     )
@@ -1447,10 +1452,33 @@ def min_label_components(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
     # materializer, so round 1 doesn't compute edges twice); a big graph —
     # where AQE's coalescing and skew handling earn their jobs — keeps it.
     aqe_max_edges = int(os.environ.get("SUPERMUSR_CC_AQE_MAX_EDGES", str(2_000_000)))
-    small_graph = edges.count() <= aqe_max_edges
+    n_edges = edges.count()
+    small_graph = n_edges <= aqe_max_edges
     aqe_before = spark.conf.get("spark.sql.adaptive.enabled")
+    parts_before = spark.conf.get("spark.sql.shuffle.partitions")
     if small_graph:
         spark.conf.set("spark.sql.adaptive.enabled", "false")
+        # with AQE off the loop's exchanges use the static partition count;
+        # a small graph does not need the session default (32 locally, 200+
+        # on a cluster) — every round then runs ~5 fresh 32-task stages
+        # whose per-task codegen warm-up and scheduling dwarf the ~µs of
+        # real work (measured r15: q42 round stages at 8 s summed task time
+        # for <1 MB of shuffle).  Derive the count from the measured edge
+        # count (~64k edge rows per task, floor 8) — the same scale gate as
+        # the AQE switch: a big graph never reaches this branch.
+        loop_parts = max(8, min(int(parts_before), n_edges // 65_536))
+        spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    else:
+        loop_parts = int(parts_before)
+    # co-partition the loop's standing inputs ONCE (guide §2.4 "remove
+    # shuffles outright: two operations keyed the same way share one
+    # exchange").  edges is probed by v every round — persist it already
+    # hash-partitioned on v; labels is probed by node twice per round and
+    # localCheckpoint PRESERVES partitioning (verified: the checkpointed
+    # side of a keyed join plans with zero Exchange), so ending each round
+    # partitioned by node moves that shuffle inside the round's checkpoint
+    # materialization and every following probe is exchange-free.
+    edges_by_v = edges.repartition(loop_parts, "v").persist()
     labels = (
         edges.select(F.col("u").alias("node"))
         .distinct()
@@ -1462,7 +1490,7 @@ def min_label_components(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
         for _ in range(max_rounds):
             rounds += 1
             nbr_min = (
-                edges.join(labels, edges.v == labels.node)
+                edges_by_v.join(labels, edges_by_v.v == labels.node)
                 .groupBy("u")
                 .agg(F.min("label").alias("nbr_label"))
             )
@@ -1471,7 +1499,11 @@ def min_label_components(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
                 F.col("label").alias("old"),
                 F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("mid"),
             )
-            # pointer jumping: follow the label's own label one hop
+            # pointer jumping: follow the label's own label one hop.  A
+            # SECOND hop per round (doubling) was tried r15 and rejected:
+            # rounds stayed at 5 at sf0.1 — convergence here is bound by
+            # neighbor-min PROPAGATION distance, which extra label hops do
+            # not shorten — so the added per-round join was pure cost.
             jump = mid.select(F.col("node").alias("jn"), F.col("mid").alias("jl"))
             new_label = F.least(F.col("mid"), F.coalesce("jl", "mid"))
             before = _persistent_rdd_ids(sc)
@@ -1481,14 +1513,18 @@ def min_label_components(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
             # job) — column pruning cannot cross the checkpoint boundary,
             # so the agg still materializes every column (r14, guide §1.2:
             # at 71 jobs/run the per-job scheduling latency WAS the query)
-            new_labels = (
+            new_labels = materialize(
                 mid.join(jump, mid.mid == jump.jn, "left")
                 .select(
                     "node",
                     new_label.alias("label"),
                     (new_label < F.col("old")).alias("_changed"),
                 )
-                .localCheckpoint(eager=False)
+                # stored partitioned by node: next round's two labels
+                # probes (propagation join, nbr_min attach) need no
+                # exchange — see the co-partitioning note above the loop
+                .repartition(loop_parts, "node"),
+                eager=False,
             )
             changed = new_labels.agg(F.max("_changed")).first()[0]
             new_ids = _persistent_rdd_ids(sc) - before
@@ -1507,6 +1543,8 @@ def min_label_components(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
         raise
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+        spark.conf.set("spark.sql.shuffle.partitions", parts_before)
+        edges_by_v.unpersist()
         edges.unpersist()
         LAST_CC_ROUNDS = rounds
     return labels
@@ -2155,7 +2193,11 @@ def q51_ivf_sq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-candidate-pair cosine — identical arithmetic, ~n_probe*|Q|/cells
     # fewer norm evaluations per row; bit-identical (guide §2.3)
     norm_of = "sqrt(aggregate(transform({c}, x -> x * x), 0D, (s, x) -> s + x))"
-    cells = (
+    # materialize the scored corpus table and the tiny query side once per
+    # invocation (q78's barrier rule, applied r15): without it Catalyst
+    # plants the scan→cast→dots→quantize subtree under BOTH the probe join
+    # and the query side — and the bounds agg scans a third time
+    cells = materialize(
         d.crossJoin(F.broadcast(bounds))
         .select(
             "vec_id",
@@ -2163,13 +2205,17 @@ def q51_ivf_sq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"element_at({po}, 1)").alias("cell"),
             dq.alias("dq"),
         )
-        .withColumn("ndq", F.expr(norm_of.format(c="dq")))
+        .withColumn("ndq", F.expr(norm_of.format(c="dq"))),
+        eager=False,
     )
-    q = d.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("emb").alias("qe"),
-        F.expr(f"slice({po}, 1, {n_probe})").alias("probe"),
-        F.expr(norm_of.format(c="emb")).alias("nqe"),
+    q = materialize(
+        d.filter(F.col("vec_id") % 50 == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("qe"),
+            F.expr(f"slice({po}, 1, {n_probe})").alias("probe"),
+            F.expr(norm_of.format(c="emb")).alias("nqe"),
+        ),
+        eager=False,
     )
     qp = q.select("query_id", "qe", "nqe", F.explode("probe").alias("pcell"))
     cos = (

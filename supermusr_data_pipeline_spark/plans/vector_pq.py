@@ -40,6 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..materialize import materialize
 from ..sources.testdata import load_table, spread_scan
 from .relational import _register
 from .text_dedup import (
@@ -555,17 +556,21 @@ def q78_ivf_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scan→dots→scores→argmax encode under EVERY consumer (the ADC join,
     # the re-rank, and the qe broadcast), roughly doubling the query's CPU
     # and its codegen surface (guide §1.2; measured r14: 3.6-4.3 s → 1.9-
-    # 2.3 s warm, rows hash-identical)
-    codes = sc.select("vec_id", "cell", F.expr(codes_expr).alias("codes")).localCheckpoint(
-        eager=False
+    # 2.3 s warm, rows hash-identical); materialize() = localCheckpoint on
+    # local masters, lineage-keeping persist on a cluster (guide §5)
+    codes = materialize(
+        sc.select("vec_id", "cell", F.expr(codes_expr).alias("codes")), eager=False
     )
 
-    q = d.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("emb").alias("qe"),
-        F.expr(f"slice({po}, 1, {n_probe})").alias("probe"),
-        F.expr(_adc_tables_spark("emb")).alias("tq"),
-    ).localCheckpoint(eager=False)
+    q = materialize(
+        d.filter(F.col("vec_id") % 50 == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("qe"),
+            F.expr(f"slice({po}, 1, {n_probe})").alias("probe"),
+            F.expr(_adc_tables_spark("emb")).alias("tq"),
+        ),
+        eager=False,
+    )
     qp = q.select("query_id", "tq", F.explode("probe").alias("pcell"))
     adc = (
         F.broadcast(qp)

@@ -50,6 +50,15 @@ def get_spark(
         # as before, so cluster behavior at scale is unchanged.
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # bounded-fanout bucket layouts (the 256-dir LSH tokens artifact,
+        # the 64-dir postings index) sit just above the default 32-path
+        # threshold, so every probe paid a full Spark JOB (256 tasks
+        # measured for one q82 probe) to list a few hundred local
+        # directories the driver lists in milliseconds.  1024 covers every
+        # by-design bucket alphabet in this engine; genuinely large
+        # partitioned tables (dates x regions at 100 TB = 10k+ dirs) still
+        # exceed it and keep the distributed listing.
+        .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "1024")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # big Arrow batches amortize Python UDF overhead on 30k-sample traces
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")

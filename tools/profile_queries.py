@@ -137,7 +137,9 @@ def main() -> None:
 
         text_dedup._shared_checkpoint = _passthrough
         plans_dir = os.path.join(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r14"
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "plans",
+            os.environ.get("SUPERMUSR_PLANS_ROUND", "r15"),
         )
         os.makedirs(plans_dir, exist_ok=True)
         for name in headline:
