@@ -1060,17 +1060,26 @@ def _q29_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     # populations) — identical arithmetic on identical operands, just not
     # repeated (guide §2.3 "project before the exchange"); bit-identical
     norm = "sqrt(aggregate(transform({c}, x -> x * x), 0D, (a, x) -> a + x))"
-    cells = d.select(
-        "vec_id",
-        "emb",
-        F.expr(f"element_at({po}, 1)").alias("cell"),
-        F.expr(norm.format(c="emb")).alias("nemb"),
+    # materialize corpus/query sides once (q78/q51's barrier rule, r15):
+    # both derive from d, so without it the scan→cast→dots subtree is
+    # planted under each
+    cells = materialize(
+        d.select(
+            "vec_id",
+            "emb",
+            F.expr(f"element_at({po}, 1)").alias("cell"),
+            F.expr(norm.format(c="emb")).alias("nemb"),
+        ),
+        eager=False,
     )
-    q = d.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("emb").alias("qe"),
-        F.expr(f"slice({po}, 1, {n_probe})").alias("probe"),
-        F.expr(norm.format(c="emb")).alias("nqe"),
+    q = materialize(
+        d.filter(F.col("vec_id") % 50 == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("qe"),
+            F.expr(f"slice({po}, 1, {n_probe})").alias("probe"),
+            F.expr(norm.format(c="emb")).alias("nqe"),
+        ),
+        eager=False,
     )
     qp = q.select("query_id", "qe", "nqe", F.explode("probe").alias("pcell"))
     dot = F.expr("aggregate(zip_with(qe, emb, (x, y) -> x * y), 0D, (a, x) -> a + x)")

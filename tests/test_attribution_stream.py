@@ -6,9 +6,18 @@ import time
 from datetime import datetime, timedelta
 
 from supermusr_data_pipeline_spark.streaming.attribution_stream import (
+
     attribute_purchases_batch,
     attribute_purchases_stream,
 )
+
+import pytest
+
+# slow set (pytest.ini deselects by default; opt in with -m slow):
+# multi-minute soak / streaming end-to-end / large-SF coverage whose
+# operators' value-correctness stays pinned by the default sf0.001
+# parity + plan audits
+pytestmark = pytest.mark.slow
 
 SCHEMA = (
     "event_id bigint, ts timestamp, user_id bigint, event_type string, "

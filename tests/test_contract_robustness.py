@@ -38,6 +38,7 @@ def test_repeat_invocations_are_stable(spark):
         assert a == b, name
 
 
+@pytest.mark.slow  # ~18 s retry-stability sweep; value parity stays in default
 def test_round5_artifact_queries_are_retry_stable(spark):
     """Same gate for this round's artifact-backed paths: the physical PQ
     index (q96), the persisted LSH index (q82), and the iterative BPE

@@ -18,6 +18,13 @@ from supermusr_data_pipeline_spark.kafka.client import _Conn
 from supermusr_data_pipeline_spark.kafka.cluster import MiniCluster
 
 
+# slow set (pytest.ini deselects by default; opt in with -m slow):
+# multi-minute soak / streaming end-to-end / large-SF coverage whose
+# operators' value-correctness stays pinned by the default sf0.001
+# parity + plan audits
+pytestmark = pytest.mark.slow
+
+
 def _await(predicate, timeout_s=5.0, interval=0.02):
     deadline = time.time() + timeout_s
     while time.time() < deadline:

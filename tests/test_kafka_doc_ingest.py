@@ -13,9 +13,18 @@ from supermusr_data_pipeline_spark.kafka.spark_source import KafkaWireDataSource
 from supermusr_data_pipeline_spark.plans.incremental import write_lsh_index
 from supermusr_data_pipeline_spark.streaming.envelope_stream import kafka_source_options
 from supermusr_data_pipeline_spark.streaming.shard_ingest import (
+
     docs_from_envelope,
     ingest_shard_stream,
 )
+
+import pytest
+
+# slow set (pytest.ini deselects by default; opt in with -m slow):
+# multi-minute soak / streaming end-to-end / large-SF coverage whose
+# operators' value-correctness stays pinned by the default sf0.001
+# parity + plan audits
+pytestmark = pytest.mark.slow
 
 BASE_TEXT = "the quick brown fox jumps over the lazy dog near the river bank today"
 

@@ -21,8 +21,17 @@ from supermusr_data_pipeline_spark.sources import messages as M
 from supermusr_data_pipeline_spark.sources.decode import decode_dev2_messages
 from supermusr_data_pipeline_spark.streaming.envelope_stream import kafka_source_options
 from supermusr_data_pipeline_spark.streaming.frame_assembly_stream import (
+
     assemble_frames_stream,
 )
+
+import pytest
+
+# slow set (pytest.ini deselects by default; opt in with -m slow):
+# multi-minute soak / streaming end-to-end / large-SF coverage whose
+# operators' value-correctness stays pinned by the default sf0.001
+# parity + plan audits
+pytestmark = pytest.mark.slow
 
 N_FRAMES = 150
 N_DIG = 4

@@ -17,6 +17,15 @@ from supermusr_data_pipeline_spark.streaming.postings_ingest import (
 )
 from supermusr_data_pipeline_spark.streaming.shard_ingest import docs_from_envelope
 
+import pytest
+
+# slow set (pytest.ini deselects by default; opt in with -m slow):
+# multi-minute soak / streaming end-to-end / large-SF coverage whose
+# operators' value-correctness stays pinned by the default sf0.001
+# parity + plan audits
+pytestmark = pytest.mark.slow
+
+
 
 def _doc(i, text):
     return {"doc_id": i, "text": text, "lang": "en", "source": "kafka",

@@ -15,10 +15,19 @@ from supermusr_data_pipeline_spark.kafka.spark_source import KafkaWireDataSource
 from supermusr_data_pipeline_spark.plans.text_dedup import _codebook
 from supermusr_data_pipeline_spark.streaming.envelope_stream import kafka_source_options
 from supermusr_data_pipeline_spark.streaming.vector_ingest import (
+
     ingest_vector_stream,
     vectors_from_envelope,
     write_vector_index,
 )
+
+import pytest
+
+# slow set (pytest.ini deselects by default; opt in with -m slow):
+# multi-minute soak / streaming end-to-end / large-SF coverage whose
+# operators' value-correctness stays pinned by the default sf0.001
+# parity + plan audits
+pytestmark = pytest.mark.slow
 
 SCHEMA = "vec_id bigint, embedding array<double>"
 CENTS = _codebook("")[0]

@@ -19,6 +19,14 @@ from supermusr_data_pipeline_spark.streaming.nexus_direct import (
 )
 from supermusr_data_pipeline_spark.streaming.nexus_stream import NexusStreamWriter
 
+import pytest
+
+# slow set (pytest.ini deselects by default; opt in with -m slow):
+# multi-minute soak / streaming end-to-end / large-SF coverage whose
+# operators' value-correctness stays pinned by the default sf0.001
+# parity + plan audits
+pytestmark = pytest.mark.slow
+
 T0_US = int(datetime(2024, 3, 1, 12, 0, 0, tzinfo=timezone.utc).timestamp() * 1_000_000)
 N_DIG = 4
 

@@ -14,6 +14,14 @@ from supermusr_data_pipeline_spark.streaming.postings_ingest import (
     ingest_postings_stream,
 )
 
+import pytest
+
+# slow set (pytest.ini deselects by default; opt in with -m slow):
+# multi-minute soak / streaming end-to-end / large-SF coverage whose
+# operators' value-correctness stays pinned by the default sf0.001
+# parity + plan audits
+pytestmark = pytest.mark.slow
+
 SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint"
 
 DOCS_B1 = [

@@ -9,6 +9,14 @@ import numpy as np
 from supermusr_data_pipeline_spark.plans import vector_pq
 from supermusr_data_pipeline_spark.plans.pq_fit import fit_pq_codebooks_spark
 
+import pytest
+
+# slow set (pytest.ini deselects by default; opt in with -m slow):
+# multi-minute soak / streaming end-to-end / large-SF coverage whose
+# operators' value-correctness stays pinned by the default sf0.001
+# parity + plan audits
+pytestmark = pytest.mark.slow
+
 
 def test_spark_fit_reproduces_snapshot(spark):
     books = fit_pq_codebooks_spark(spark, "/root/testdata/sf0.01")

@@ -13,9 +13,18 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from supermusr_data_pipeline_spark.streaming.run_lifecycle import (
+
     CONTROL_SCHEMA,
     runs_from_control,
 )
+
+import pytest
+
+# slow set (pytest.ini deselects by default; opt in with -m slow):
+# multi-minute soak / streaming end-to-end / large-SF coverage whose
+# operators' value-correctness stays pinned by the default sf0.001
+# parity + plan audits
+pytestmark = pytest.mark.slow
 
 T0 = datetime(2024, 1, 1, 12, 0, 0)
 

@@ -8,6 +8,7 @@ from datetime import datetime, timedelta
 
 from pyspark.sql import functions as F
 
+
 T0 = datetime(2024, 1, 1, 12, 0, 0)
 SCHEMA = "event_id long, user_id long, value double, ts timestamp"
 GAP = "30 minutes"
@@ -84,6 +85,14 @@ def test_stream_emits_closed_sessions_matching_batch(spark, tmp_path):
 from collections import defaultdict
 
 from hypothesis import given, settings, strategies as st
+
+import pytest
+
+# slow set (pytest.ini deselects by default; opt in with -m slow):
+# multi-minute soak / streaming end-to-end / large-SF coverage whose
+# operators' value-correctness stays pinned by the default sf0.001
+# parity + plan audits
+pytestmark = pytest.mark.slow
 
 _EPOCH = datetime(1970, 1, 1)
 _GAP_S = 1800

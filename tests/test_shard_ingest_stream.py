@@ -13,6 +13,14 @@ from supermusr_data_pipeline_spark.streaming.shard_ingest import (
     ingest_shard_stream,
 )
 
+import pytest
+
+# slow set (pytest.ini deselects by default; opt in with -m slow):
+# multi-minute soak / streaming end-to-end / large-SF coverage whose
+# operators' value-correctness stays pinned by the default sf0.001
+# parity + plan audits
+pytestmark = pytest.mark.slow
+
 SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint"
 
 BASE_TEXT = "the quick brown fox jumps over the lazy dog near the river bank today"

@@ -21,6 +21,13 @@ from supermusr_data_pipeline_spark.streaming.state_store import (
     rocksdb_state_conf,
 )
 
+
+# slow set (pytest.ini deselects by default; opt in with -m slow):
+# multi-minute soak / streaming end-to-end / large-SF coverage whose
+# operators' value-correctness stays pinned by the default sf0.001
+# parity + plan audits
+pytestmark = pytest.mark.slow
+
 T0 = datetime(2024, 1, 1, 12, 0, 0)
 SCHEMA = "doc_id long, text string, ingest_ts timestamp"
 

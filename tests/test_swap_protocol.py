@@ -13,6 +13,13 @@ from supermusr_data_pipeline_spark.plans import index_maintenance as im
 from supermusr_data_pipeline_spark.plans.incremental import write_lsh_index
 from supermusr_data_pipeline_spark.streaming import shard_ingest
 
+
+# slow set (pytest.ini deselects by default; opt in with -m slow):
+# multi-minute soak / streaming end-to-end / large-SF coverage whose
+# operators' value-correctness stays pinned by the default sf0.001
+# parity + plan audits
+pytestmark = pytest.mark.slow
+
 SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint"
 BASE_TEXT = "the quick brown fox jumps over the lazy dog near the river bank today"
 
@@ -136,6 +143,13 @@ def test_repeated_compaction_and_post_compaction_appends(spark, tmp_path):
 from datetime import datetime, timezone
 
 from pyspark.sql import functions as F
+
+
+# slow set (pytest.ini deselects by default; opt in with -m slow):
+# multi-minute soak / streaming end-to-end / large-SF coverage whose
+# operators' value-correctness stays pinned by the default sf0.001
+# parity + plan audits
+pytestmark = pytest.mark.slow
 
 FRAMES_SCHEMA = (
     "ts timestamp, period_number long, protons_per_pulse int, running boolean, "

@@ -10,12 +10,21 @@ import numpy as np
 
 from supermusr_data_pipeline_spark.plans.text_dedup import _codebook
 from supermusr_data_pipeline_spark.streaming.vector_ingest import (
+
     admit_vector_batch,
     assign_cells,
     ingest_vector_stream,
     write_vector_index,
     _append_admitted,
 )
+
+import pytest
+
+# slow set (pytest.ini deselects by default; opt in with -m slow):
+# multi-minute soak / streaming end-to-end / large-SF coverage whose
+# operators' value-correctness stays pinned by the default sf0.001
+# parity + plan audits
+pytestmark = pytest.mark.slow
 
 SCHEMA = "vec_id bigint, embedding array<double>"
 CENTS = _codebook("")[0]
